@@ -1,0 +1,87 @@
+"""Entropy decoder + ICC reconstruction tests against the real fixture.
+
+This is the primary validation of the rANS core: decoding the embedded ICC
+profile of cmyk_layers.jxl exercises histogram parsing (all encodings),
+cluster maps, hybrid integers, and the 0x130000 final-state checksum.
+"""
+
+import io
+
+import pytest
+
+from jxl_oxide_tpu.coding.entropy import (
+    Decoder,
+    IntegerConfig,
+    PrefixHistogram,
+    add_log2_ceil,
+    read_uint,
+)
+from jxl_oxide_tpu.color.icc import decode_icc, read_icc
+from jxl_oxide_tpu.headers.image import ImageHeader
+from jxl_oxide_tpu.io.bitstream import Bitstream
+from jxl_oxide_tpu.io.container import ContainerParser
+
+
+def _codestream(data: bytes) -> bytes:
+    p = ContainerParser()
+    return b"".join(e.data for e in p.feed(data) if e.kind == "codestream")
+
+
+def test_real_icc_roundtrip(cmyk_layers_jxl):
+    bs = Bitstream(_codestream(cmyk_layers_jxl))
+    header = ImageHeader.parse(bs)
+    assert header.metadata.colour_encoding.want_icc
+    enc = read_icc(bs)  # raises if ANS final state mismatches
+    icc = decode_icc(enc)
+    assert icc[36:40] == b"acsp"
+    assert int.from_bytes(icc[:4], "big") == len(icc)
+    assert icc[16:20] == b"CMYK"
+    # Validate with an independent CMS implementation.
+    from PIL import ImageCms
+
+    prof = ImageCms.ImageCmsProfile(io.BytesIO(icc))
+    assert "SWOP" in prof.profile.profile_description
+
+
+def test_add_log2_ceil():
+    assert [add_log2_ceil(x) for x in [0, 1, 2, 3, 4, 7, 8, 255]] == [
+        0, 1, 2, 2, 3, 3, 4, 8,
+    ]
+
+
+def test_prefix_histogram_canonical():
+    # lengths: a=1, b=2, c=3, d=3 — canonical: a=0, b=10, c=110, d=111 (MSB)
+    h = PrefixHistogram([1, 2, 3, 3])
+    # LSB-first stream: symbol a = bit 0
+    bs = Bitstream(bytes([0b0]))
+    assert h.read_symbol(bs) == 0
+    # b = bits 01 read LSB-first (code 10 MSB = reversed 01)
+    bs = Bitstream(bytes([0b01]))
+    assert h.read_symbol(bs) == 1
+    # c = 110 MSB -> LSB 011
+    bs = Bitstream(bytes([0b011]))
+    assert h.read_symbol(bs) == 2
+    # d = 111 -> LSB 111
+    bs = Bitstream(bytes([0b111]))
+    assert h.read_symbol(bs) == 3
+
+
+def test_prefix_histogram_rejects_incomplete():
+    from jxl_oxide_tpu.utils.errors import JxlBitstreamError
+
+    with pytest.raises(JxlBitstreamError):
+        PrefixHistogram([1, 3, 3])  # covers 1/2+1/8+1/8 != 1
+
+
+def test_read_uint_literal_and_extended():
+    cfg = IntegerConfig(split_exponent=4, msb_in_token=2, lsb_in_token=1)
+    bs = Bitstream(b"\xff\xff")
+    # token below split -> literal, no bits consumed
+    assert read_uint(bs, cfg, 7) == 7
+    assert bs.pos == 0
+    # token 16 (== split): n = 4-3 + (0>>3) = 1
+    # msb part: token>>1 & 3 | 4 ; lsb = token & 1
+    bs = Bitstream(bytes([0b1]))
+    v = read_uint(bs, cfg, 16)
+    # t = (16>>1)&3 =0; t|=4 -> 4; result = ((4<<1)|1)<<1 | 0 = 18
+    assert v == 18

@@ -1,0 +1,523 @@
+"""Modular image decoding: header, channel grouping, per-stream sample decode.
+
+Behavioral parity: jxl-modular/src/lib.rs (ModularHeader, local MA header
+validation), image.rs (global/LF-group/pass-group channel splitting, stream
+decode order, fast paths: RLE fast-lossless, single-node, gradient-table,
+general slow path with full property vector).
+
+Host-side stage. Channels are numpy int32 arrays; per-group decode writes into
+views of the transformed channel arrays so groups decode independently (the
+host-parallel grain). Inverse transforms run once per (sub)image after all
+groups land — on device in the render path, via numpy here for the oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..coding.entropy import Decoder
+from ..io.bitstream import Bitstream, U, unpack_signed
+from ..utils.errors import JxlEofError, JxlValidationError
+from .modular_ma import FlatLeaf, FlatTree, MaConfig
+from .modular_predict import PredictorState, WpHeader, grad_clamped, _wrap_i32
+from .modular_transform import (
+    ChannelInfo,
+    Palette,
+    Rct,
+    Slot,
+    Squeeze,
+    TransformInfo,
+    parse_transform,
+)
+
+__all__ = ["ModularHeader", "ModularImage", "ModularSubimage", "ChannelInfo"]
+
+
+@dataclass
+class ModularHeader:
+    use_global_tree: bool
+    wp_header: WpHeader
+    transforms: list[TransformInfo]
+
+    @classmethod
+    def parse(cls, bs: Bitstream) -> "ModularHeader":
+        use_global_tree = bs.read_bool()
+        wp_header = WpHeader(bs)
+        nb_transforms = bs.read_u32(0, 1, 2 + U(4), 18 + U(8))
+        if nb_transforms > 512:
+            raise JxlValidationError("nb_transforms too large")
+        transforms = [parse_transform(bs, wp_header) for _ in range(nb_transforms)]
+        return cls(use_global_tree, wp_header, transforms)
+
+
+def _unpack_signed_np(u: np.ndarray) -> np.ndarray:
+    return np.where(u & 1, -((u.astype(np.int64) + 1) >> 1), u >> 1).astype(np.int32)
+
+
+class ModularImage:
+    """A full Modular (sub)image: transformed channels + decode plumbing.
+
+    Mirrors ModularImageDestination (image.rs:97+): owns the transformed
+    channel buffers; `prepare_groups` hands out per-group views."""
+
+    def __init__(
+        self,
+        bs: Bitstream,
+        channels: list[ChannelInfo],
+        group_dim: int,
+        bit_depth: int,
+        global_ma_config: MaConfig | None,
+        views: list[np.ndarray] | None = None,
+    ):
+        """If `views` is given (recursive per-group image), channel buffers
+        are the provided views; otherwise fresh arrays are allocated."""
+        self.group_dim = group_dim
+        self.bit_depth = bit_depth
+        self.header = ModularHeader.parse(bs)
+
+        # Info-only transform pass (validation; reference
+        # read_and_validate_local_modular_header).
+        info = [
+            ChannelInfo(c.width, c.height, c.hshift, c.vshift,
+                        c.original_width, c.original_height)
+            for c in channels
+        ]
+        nb_meta = 0
+        for tr in self.header.transforms:
+            if isinstance(tr, Squeeze):
+                tr.set_default_params(info, nb_meta)
+            nb_meta = tr.check(info, nb_meta)
+        if len(info) > (1 << 16):
+            raise JxlValidationError("too many channels after transform")
+
+        if self.header.use_global_tree:
+            if global_ma_config is None:
+                raise JxlValidationError("global MA tree not available")
+            self.ma_config = global_ma_config
+        else:
+            local_samples = sum(c.width * c.height for c in info)
+            node_limit = min(1024 + local_samples, 1 << 20)
+            self.ma_config = MaConfig(bs, node_limit)
+
+        self.original_channels = channels
+        # Buffers for the ORIGINAL channels; transforms hand out views.
+        if views is not None:
+            self.image_channels = views
+        else:
+            self.image_channels = [
+                np.zeros((c.height, c.width), dtype=np.int32) for c in channels
+            ]
+        # Meta channel buffers (palette), in transform parse order.
+        self.meta_channels: list[np.ndarray] = []
+        for tr in self.header.transforms:
+            if isinstance(tr, Palette):
+                self.meta_channels.append(
+                    np.zeros((tr.num_c, tr.nb_colours), dtype=np.int32)
+                )
+
+        # Grid transform pass: produce transformed (infos, slots).
+        infos = [
+            ChannelInfo(c.width, c.height, c.hshift, c.vshift,
+                        c.original_width, c.original_height)
+            for c in channels
+        ]
+        slots = [Slot(arr) for arr in self.image_channels]
+        meta_queue = list(self.meta_channels)
+        nb_meta = 0
+        for tr in self.header.transforms:
+            nb_meta = tr.check(infos, nb_meta, slots, meta_queue)
+        self.channels = infos
+        self.slots = slots
+        self.nb_meta_channels = nb_meta
+        self.finished = False
+
+    @property
+    def grids(self) -> list[np.ndarray]:
+        return [s.arr for s in self.slots]
+
+    # ------------------------------------------------------------------
+
+    def global_channel_count(self) -> int:
+        """Channels decoded in the LfGlobal stream (image.rs prepare_gmodular
+        take_while): meta channels plus small channels, stopping at the first
+        channel exceeding group_dim."""
+        n = 0
+        for i, c in enumerate(self.channels):
+            if i < self.nb_meta_channels or (
+                c.width <= self.group_dim and c.height <= self.group_dim
+            ):
+                n += 1
+            else:
+                break
+        return n
+
+    def subimage_global(self) -> "ModularSubimage":
+        n = self.global_channel_count()
+        return ModularSubimage(
+            self,
+            channel_ids=list(range(n)),
+            infos=[self.channels[i] for i in range(n)],
+            views=[self.slots[i].arr for i in range(n)],
+        )
+
+    def subimage_all(self) -> "ModularSubimage":
+        """All transformed channels as one stream (recursive group images)."""
+        return ModularSubimage(
+            self,
+            channel_ids=list(range(len(self.channels))),
+            infos=list(self.channels),
+            views=[s.arr for s in self.slots],
+        )
+
+    def prepare_groups(self, pass_shifts: dict[int, tuple[int, int]]):
+        """Split large channels into per-LF-group and per-(pass, group)
+        subimages (image.rs prepare_groups). pass_shifts: pass_idx ->
+        (minshift, maxshift). Returns (lf_groups, pass_groups) where each is a
+        list (by group index) of ModularSubimage."""
+        num_passes = max(pass_shifts.keys()) + 1
+        group_dim = self.group_dim
+        gshift = group_dim.bit_length() - 1
+
+        lf_groups: dict[int, ModularSubimage] = {}
+        pass_groups: list[dict[int, ModularSubimage]] = [
+            {} for _ in range(num_passes)
+        ]
+        start = self.global_channel_count()
+        for i in range(start, len(self.channels)):
+            c = self.channels[i]
+            assert c.hshift >= 0 and c.vshift >= 0
+            if c.hshift < 3 or c.vshift < 3:
+                shift = min(c.hshift, c.vshift)
+                pass_idx = next(
+                    p
+                    for p, (mn, mx) in pass_shifts.items()
+                    if mn <= shift < mx
+                )
+                gw = group_dim >> c.hshift
+                gh = group_dim >> c.vshift
+                if gw == 0 or gh == 0:
+                    raise JxlValidationError("channel shift too large")
+                count_x = (c.original_width + group_dim - 1) >> gshift
+                count_y = (c.original_height + group_dim - 1) >> gshift
+                target = pass_groups[pass_idx]
+            else:
+                gw = group_dim >> (c.hshift - 3)
+                gh = group_dim >> (c.vshift - 3)
+                if gw == 0 or gh == 0:
+                    raise JxlValidationError("channel shift too large")
+                count_x = (c.original_width + (group_dim << 3) - 1) >> (gshift + 3)
+                count_y = (c.original_height + (group_dim << 3) - 1) >> (gshift + 3)
+                target = lf_groups
+
+            grid = self.slots[i].arr
+            h, w = grid.shape
+            for gy in range(count_y):
+                for gx in range(count_x):
+                    g_idx = gy * count_x + gx
+                    x0, y0 = gx * gw, gy * gh
+                    x1, y1 = min(x0 + gw, w), min(y0 + gh, h)
+                    if x1 <= x0 or y1 <= y0:
+                        continue
+                    sub = target.get(g_idx)
+                    if sub is None:
+                        sub = ModularSubimage(self, [], [], [])
+                        target[g_idx] = sub
+                    view = grid[y0:y1, x0:x1]
+                    sub.channel_ids.append(i)
+                    sub.infos.append(
+                        ChannelInfo(
+                            x1 - x0, y1 - y0, c.hshift, c.vshift,
+                            (x1 - x0) << c.hshift, (y1 - y0) << c.vshift,
+                        )
+                    )
+                    sub.views.append(view)
+        return lf_groups, pass_groups
+
+    def finish(self) -> list[np.ndarray]:
+        """Apply inverse transforms (reverse order, in place through views)
+        and return the original channel arrays."""
+        slots = self.slots
+        for tr in reversed(self.header.transforms):
+            tr.inverse(slots, self.bit_depth)
+        self.finished = True
+        return self.image_channels
+
+
+class ModularSubimage:
+    """A decodable slice of a ModularImage: a set of channel views that share
+    one entropy stream (TransformedModularSubimage in the reference)."""
+
+    def __init__(self, image: ModularImage, channel_ids, infos, views):
+        self.image = image
+        self.channel_ids: list[int] = channel_ids
+        self.infos: list[ChannelInfo] = infos
+        self.views: list[np.ndarray] = views
+        self.partial = True
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.infos
+
+    def decode(self, bs: Bitstream, stream_index: int, allow_partial: bool = False):
+        try:
+            self._decode_inner(bs, stream_index)
+            self.partial = False
+        except JxlEofError:
+            if not allow_partial:
+                raise
+
+    # ------------------------------------------------------------------
+
+    def _decode_inner(self, bs: Bitstream, stream_index: int) -> None:
+        if self.is_empty:
+            return
+        ma = self.image.ma_config
+        dist_multiplier = max((c.width for c in self.infos), default=0)
+        decoder = ma.make_decoder()
+        decoder.begin(bs)
+
+        trees: list[FlatTree | None] = []
+        for i, info in enumerate(self.infos):
+            if info.width == 0 or info.height == 0:
+                trees.append(None)
+                continue
+            prev = sum(
+                1
+                for p in self.infos[:i]
+                if (p.width, p.height, p.hshift, p.vshift)
+                == (info.width, info.height, info.hshift, info.vshift)
+            )
+            trees.append(ma.make_flat_tree(i, stream_index, prev))
+
+        # fast-lossless: RLE decoder + all trees single Gradient leaf
+        if decoder.rle_mode():
+            simple = all(
+                t is None
+                or (
+                    t.single_node() is not None
+                    and t.single_node().predictor == 5
+                    and t.single_node().offset == 0
+                    and t.single_node().multiplier == 1
+                )
+                for t in trees
+            )
+            if simple:
+                self._decode_fast_lossless(bs, decoder, trees)
+                return
+
+        wp = self.image.header.wp_header
+        state = PredictorState()
+        prev_map: dict[tuple, list[np.ndarray]] = {}
+        for info, tree, grid in zip(self.infos, trees, self.views):
+            if tree is None:
+                continue
+            key = (info.width, info.height, info.hshift, info.vshift)
+            filtered_prev = prev_map.setdefault(key, [])
+
+            single = tree.single_node()
+            table = None if single else tree.simple_table()
+            if single is not None:
+                self._decode_single_node(
+                    bs, decoder, dist_multiplier, state, wp, grid, single
+                )
+            elif table is not None:
+                self._decode_simple_table(
+                    bs, decoder, dist_multiplier, state, wp, grid, table
+                )
+            else:
+                prevs = filtered_prev[: tree.max_prev_channel_depth]
+                state.reset(
+                    grid.shape[1],
+                    prevs,
+                    wp if tree.need_self_correcting else None,
+                )
+                self._decode_slow(bs, decoder, dist_multiplier, tree, state, grid)
+            filtered_prev.insert(0, grid)
+        decoder.finalize()
+
+    # -- fast paths ----------------------------------------------------
+
+    def _decode_fast_lossless(self, bs, decoder, trees) -> None:
+        """RLE + gradient fast path (image.rs decode_fast_lossless)."""
+        rle_value = 0
+        rle_repeat = 0
+        min_symbol = decoder.lz77_min_symbol
+        min_length = decoder.lz77_min_length
+        len_config = decoder.lz77.len_config
+        from ..coding.entropy import read_uint
+
+        def next_token(cluster: int) -> int:
+            nonlocal rle_value, rle_repeat
+            if rle_repeat == 0:
+                token = decoder._read_symbol(bs, cluster)
+                if token >= min_symbol:
+                    rle_repeat = (
+                        read_uint(bs, len_config, token - min_symbol) + min_length
+                    )
+                else:
+                    rle_value = unpack_signed(read_uint(
+                        bs, decoder.configs[cluster], token
+                    ))
+                    rle_repeat = 1
+            rle_repeat -= 1
+            return rle_value
+
+        for tree, grid in zip(trees, self.views):
+            if tree is None:
+                continue
+            cluster = tree.single_node().cluster
+            h, w = grid.shape
+            row = np.zeros(w, dtype=np.int64)
+            # first row: cumulative sum of tokens
+            prev = None
+            for y in range(h):
+                if y == 0:
+                    wv = 0
+                    for x in range(w):
+                        wv = _wrap_i32(wv + next_token(cluster))
+                        row[x] = wv
+                else:
+                    wv = _wrap_i32(int(prev[0]) + next_token(cluster))
+                    row[0] = wv
+                    for x in range(1, w):
+                        nw = int(prev[x - 1])
+                        n = int(prev[x])
+                        pred = grad_clamped(n, wv, nw)
+                        wv = _wrap_i32(pred + next_token(cluster))
+                        row[x] = wv
+                grid[y, :] = row
+                prev = row.copy()
+
+    def _decode_single_node(
+        self, bs, decoder, dist_multiplier, state, wp, grid, leaf: FlatLeaf
+    ) -> None:
+        h, w = grid.shape
+        cluster = leaf.cluster
+        single_token = decoder.single_token(cluster)
+        if leaf.predictor == 0 and single_token is not None:
+            value = _wrap_i32(
+                unpack_signed(single_token) * leaf.multiplier + leaf.offset
+            )
+            grid[:, :] = value
+            return
+        if leaf.predictor == 0 and single_token is None:
+            mult, off = leaf.multiplier, leaf.offset
+            for y in range(h):
+                for x in range(w):
+                    tok = decoder.read_varint_clustered(bs, cluster, dist_multiplier)
+                    grid[y, x] = _wrap_i32(unpack_signed(tok) * mult + off)
+            return
+        if leaf.predictor == 5 and leaf.offset == 0 and leaf.multiplier == 1:
+            self._decode_simple_grad(bs, decoder, cluster, dist_multiplier, grid)
+            return
+        state.reset(w, [], wp if leaf.predictor == 6 else None)
+        self._decode_leaf_slow(bs, decoder, dist_multiplier, leaf, state, grid)
+
+    def _decode_simple_grad(self, bs, decoder, cluster, dist_multiplier, grid) -> None:
+        h, w = grid.shape
+        prev = None
+        rv = decoder.read_varint_clustered
+        for y in range(h):
+            row = np.zeros(w, dtype=np.int64)
+            if y == 0:
+                wv = 0
+                for x in range(w):
+                    wv = _wrap_i32(wv + unpack_signed(rv(bs, cluster, dist_multiplier)))
+                    row[x] = wv
+            else:
+                wv = _wrap_i32(
+                    int(prev[0]) + unpack_signed(rv(bs, cluster, dist_multiplier))
+                )
+                row[0] = wv
+                for x in range(1, w):
+                    pred = grad_clamped(int(prev[x]), wv, int(prev[x - 1]))
+                    wv = _wrap_i32(pred + unpack_signed(rv(bs, cluster, dist_multiplier)))
+                    row[x] = wv
+            grid[y, :] = row
+            prev = row
+
+    def _decode_gradient_table(
+        self, bs, decoder, dist_multiplier, grid, value_base, cluster_table
+    ) -> None:
+        h, w = grid.shape
+        n_clusters = len(cluster_table)
+        rv = decoder.read_varint_clustered
+        prev = None
+        for y in range(h):
+            row = np.zeros(w, dtype=np.int64)
+            if y == 0:
+                wv = 0
+                for x in range(w):
+                    c = cluster_table[min(max(wv - value_base, 0), n_clusters - 1)]
+                    wv = _wrap_i32(wv + unpack_signed(rv(bs, c, dist_multiplier)))
+                    row[x] = wv
+            else:
+                p0 = int(prev[0])
+                c = cluster_table[min(max(p0 - value_base, 0), n_clusters - 1)]
+                wv = _wrap_i32(p0 + unpack_signed(rv(bs, c, dist_multiplier)))
+                row[0] = wv
+                for x in range(1, w):
+                    n = int(prev[x])
+                    nw = int(prev[x - 1])
+                    prop = _wrap_i32(n + wv - nw)
+                    pred = grad_clamped(n, wv, nw)
+                    c = cluster_table[min(max(prop - value_base, 0), n_clusters - 1)]
+                    wv = _wrap_i32(pred + unpack_signed(rv(bs, c, dist_multiplier)))
+                    row[x] = wv
+            grid[y, :] = row
+            prev = row
+
+    def _decode_simple_table(
+        self, bs, decoder, dist_multiplier, state, wp, grid, table
+    ) -> None:
+        prop, value_base, predictor, offset, multiplier, cluster_table = table
+        if offset == 0 and multiplier == 1 and prop == 9 and predictor == 5:
+            self._decode_gradient_table(
+                bs, decoder, dist_multiplier, grid, value_base, cluster_table
+            )
+            return
+        need_wp = prop == 15 or predictor == 6
+        state.reset(grid.shape[1], [], wp if need_wp else None)
+        n_clusters = len(cluster_table)
+        h, w = grid.shape
+        for y in range(h):
+            for x in range(w):
+                state.compute_properties()
+                pv = state.get_property(prop)
+                c = cluster_table[min(max(pv - value_base, 0), n_clusters - 1)]
+                tok = decoder.read_varint_clustered(bs, c, dist_multiplier)
+                diff = _wrap_i32(unpack_signed(tok) * multiplier + offset)
+                val = _wrap_i32(diff + state.predict(predictor))
+                grid[y, x] = val
+                state.record(val)
+
+    def _decode_leaf_slow(
+        self, bs, decoder, dist_multiplier, leaf: FlatLeaf, state, grid
+    ) -> None:
+        h, w = grid.shape
+        cluster, predictor = leaf.cluster, leaf.predictor
+        mult, off = leaf.multiplier, leaf.offset
+        for y in range(h):
+            for x in range(w):
+                state.compute_properties()
+                tok = decoder.read_varint_clustered(bs, cluster, dist_multiplier)
+                diff = _wrap_i32(unpack_signed(tok) * mult + off)
+                val = _wrap_i32(diff + state.predict(predictor))
+                grid[y, x] = val
+                state.record(val)
+
+    def _decode_slow(self, bs, decoder, dist_multiplier, tree, state, grid) -> None:
+        h, w = grid.shape
+        for y in range(h):
+            for x in range(w):
+                state.compute_properties()
+                leaf = tree.get_leaf(state)
+                tok = decoder.read_varint_clustered(
+                    bs, leaf.cluster, dist_multiplier
+                )
+                diff = _wrap_i32(unpack_signed(tok) * leaf.multiplier + leaf.offset)
+                val = _wrap_i32(diff + state.predict(leaf.predictor))
+                grid[y, x] = val
+                state.record(val)

@@ -272,6 +272,12 @@ class ModularSubimage:
 
     def _decode_inner(self, bs: Bitstream, stream_index: int) -> None:
         if self.is_empty:
+            # The reference still begins and finalizes the entropy stream for
+            # an empty (sub)image (image.rs decode_inner) — the 32-bit ANS
+            # state is present in the bitstream and must be consumed.
+            decoder = self.image.ma_config.make_decoder()
+            decoder.begin(bs)
+            decoder.finalize()
             return
         ma = self.image.ma_config
         dist_multiplier = max((c.width for c in self.infos), default=0)

@@ -75,7 +75,13 @@ class Rct:
         rct_type = bs.read_u32(6, U(2), 2 + U(4), 10 + U(6))
         return cls(begin_c, rct_type)
 
-    def check(self, channels: list[ChannelInfo], nb_meta: int) -> int:
+    def check(
+        self,
+        channels: list[ChannelInfo],
+        nb_meta: int,
+        slots: list | None = None,
+        meta_queue: list | None = None,
+    ) -> int:
         end = self.begin_c + 3
         if end > len(channels):
             raise JxlValidationError("RCT channel range out of bounds")

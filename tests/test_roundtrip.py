@@ -1,0 +1,76 @@
+"""Bit-exact lossless round-trip tests using the test-vector encoder.
+
+The encoder (tools/encoder.py) produces spec-valid Modular codestreams; the
+decoder must reproduce the source arrays exactly (BASELINE lossless contract;
+analog of the reference's decode suite exactness thresholds, which for
+lossless are exact equality).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from encoder import PRED_GRADIENT, PRED_WEST, PRED_ZERO, encode_jxl_modular  # noqa: E402
+
+from jxl_oxide_tpu.headers.image import ImageHeader
+from jxl_oxide_tpu.io.bitstream import Bitstream
+from jxl_oxide_tpu.io.container import ContainerParser
+from jxl_oxide_tpu.render.frame import Frame
+
+
+def decode_modular(data: bytes):
+    p = ContainerParser()
+    cs = b"".join(e.data for e in p.feed(data) if e.kind == "codestream")
+    bs = Bitstream(cs)
+    header = ImageHeader.parse(bs)
+    frame = Frame(header, bs)
+    frame.feed_bytes(cs[frame.start_byte + frame.data_start :])
+    return frame.decode_modular_frame()
+
+
+RNG = np.random.default_rng(1234)
+
+
+@pytest.mark.parametrize("predictor", [PRED_ZERO, PRED_WEST, PRED_GRADIENT])
+def test_gray_predictors_bitexact(predictor):
+    img = RNG.integers(0, 256, (64, 64), dtype=np.int32)
+    out = decode_modular(encode_jxl_modular([img], predictor=predictor))
+    assert np.array_equal(out[0], img)
+
+
+def test_baseline_config1_gray_256_single_group():
+    """BASELINE config 1: 256x256 grayscale lossless, single group."""
+    xx, yy = np.meshgrid(np.arange(256), np.arange(256))
+    img = ((np.sin(xx / 17.0) * np.cos(yy / 23.0)) * 100 + 128).astype(np.int32)
+    out = decode_modular(encode_jxl_modular([img]))
+    assert np.array_equal(out[0], img)
+
+
+def test_rgb_rct_ycocg_bitexact():
+    chans = [RNG.integers(0, 256, (48, 80), dtype=np.int32) for _ in range(3)]
+    out = decode_modular(encode_jxl_modular(chans, rct=True))
+    for o, c in zip(out, chans):
+        assert np.array_equal(o, c)
+
+
+def test_multigroup_bitexact():
+    img = RNG.integers(0, 256, (520, 300), dtype=np.int32)
+    out = decode_modular(encode_jxl_modular([img]))
+    assert np.array_equal(out[0], img)
+
+
+def test_16bit_bitexact():
+    img = RNG.integers(0, 65536, (40, 40), dtype=np.int32)
+    out = decode_modular(encode_jxl_modular([img], bit_depth=16))
+    assert np.array_equal(out[0], img)
+
+
+def test_nonsquare_odd_sizes():
+    for shape in [(1, 1), (1, 17), (33, 1), (7, 300), (257, 255)]:
+        img = RNG.integers(0, 256, shape, dtype=np.int32)
+        out = decode_modular(encode_jxl_modular([img]))
+        assert np.array_equal(out[0], img), shape

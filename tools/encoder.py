@@ -1,0 +1,500 @@
+"""Minimal JPEG XL Modular encoder — TEST INFRASTRUCTURE ONLY.
+
+Produces spec-valid bare codestreams for round-trip validation of the
+decoder: grayscale/RGB/multi-channel lossless Modular images with selectable
+predictor, optional RCT / squeeze transforms, multiple groups, 8/16-bit.
+
+Deliberately simple: rANS with flat (evenly distributed) histograms, simple
+cluster maps, single-leaf or table MA trees. Compression ratio is irrelevant;
+only spec validity and decoder coverage matter. The rANS encoder derives its
+alias tables by round-tripping the histogram header through the DECODER's
+parser, guaranteeing table consistency.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from jxl_oxide_tpu.coding.entropy import AnsHistogram, IntegerConfig
+from jxl_oxide_tpu.io.bitstream import Bitstream
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[tuple[int, int]] = []  # (value, nbits)
+        self._len = 0
+
+    def write(self, value: int, nbits: int):
+        assert 0 <= value < (1 << nbits) or nbits == 0
+        if nbits:
+            self.bits.append((value, nbits))
+            self._len += nbits
+
+    def write_bool(self, b: bool):
+        self.write(1 if b else 0, 1)
+
+    def write_u32_sel(self, selector: int, value: int, nbits: int, offset: int = 0):
+        self.write(selector, 2)
+        if nbits:
+            self.write(value - offset, nbits)
+
+    def write_u64_zero(self):
+        self.write(0, 2)
+
+    def zero_pad_to_byte(self):
+        pad = (-self._len) % 8
+        self.write(0, pad) if pad else None
+
+    def extend(self, other: "BitWriter"):
+        self.bits.extend(other.bits)
+        self._len += other._len
+
+    def __len__(self):
+        return self._len
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        acc = 0
+        nacc = 0
+        for value, nbits in self.bits:
+            acc |= value << nacc
+            nacc += nbits
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid-uint tokenization (inverse of entropy.read_uint)
+
+
+def tokenize_uint(v: int, cfg: IntegerConfig) -> tuple[int, int, int]:
+    """-> (token, n_rest_bits, rest_value)"""
+    split = cfg.split
+    if v < split:
+        return v, 0, 0
+    msb, lsb = cfg.msb_in_token, cfg.lsb_in_token
+    L = v.bit_length()
+    n = L - 1 - msb - lsb
+    assert n >= cfg.split_exponent - (msb + lsb)
+    token = (
+        split
+        + (((n - (cfg.split_exponent - msb - lsb)) << (msb + lsb)))
+        + (((v >> (n + lsb)) & ((1 << msb) - 1)) << lsb)
+        + (v & ((1 << lsb) - 1))
+    )
+    rest = (v >> lsb) & ((1 << n) - 1)
+    return token, n, rest
+
+
+def pack_signed(value: int) -> int:
+    return 2 * value - 1 if value > 0 else -2 * value if value <= 0 else 0
+
+
+def _pack_signed(v: int) -> int:
+    # inverse of unpack_signed: 0,-1,1,-2,2 -> 0,1,2,3,4
+    return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+
+# ---------------------------------------------------------------------------
+# rANS stream encoder
+
+
+class AnsStreamEncoder:
+    """Encodes one entropy stream: header (dists) + state + tokens."""
+
+    def __init__(self, num_dist: int, alphabet_size: int, log_alphabet_size: int,
+                 cfg: IntegerConfig):
+        assert 5 <= log_alphabet_size <= 8
+        assert alphabet_size <= (1 << log_alphabet_size)
+        self.num_dist = num_dist
+        self.alphabet_size = alphabet_size
+        self.log_alphabet_size = log_alphabet_size
+        self.cfg = cfg
+
+        # Build the histogram header bits once, then parse them back with the
+        # decoder to obtain the exact alias table.
+        hw = BitWriter()
+        self._write_histogram(hw)
+        hist_bits = hw.to_bytes()
+        self.hist = AnsHistogram(Bitstream(hist_bits), log_alphabet_size)
+        # inverse alias map: (sym, offset_in_dist) -> idx
+        self.inv = {}
+        for idx in range(1 << 12):
+            i = idx >> self.hist.log_bucket_size
+            pos = idx & self.hist.bucket_mask
+            if pos >= self.hist.alias_cutoff[i]:
+                sym = int(self.hist.alias_symbol[i])
+                off = int(self.hist.alias_offset[i]) + pos
+            else:
+                sym = i
+                off = pos
+            self.inv[(sym, off)] = idx
+        self.dist = self.hist.dist
+
+    def _write_u8_coded(self, w: BitWriter, v: int):
+        if v == 0:
+            w.write_bool(False)
+            return
+        w.write_bool(True)
+        n = v.bit_length() - 1
+        w.write(n, 3)
+        w.write(v - (1 << n), n)
+
+    def _write_histogram(self, w: BitWriter):
+        # evenly distributed: [0][1][u8 alphabet-1]
+        w.write_bool(False)
+        w.write_bool(True)
+        self._write_u8_coded(w, self.alphabet_size - 1)
+
+    def _write_integer_config(self, w: BitWriter):
+        cfg = self.cfg
+        las = self.log_alphabet_size
+        # split_exponent: add_log2_ceil(las) bits
+        from jxl_oxide_tpu.coding.entropy import add_log2_ceil
+
+        w.write(cfg.split_exponent, add_log2_ceil(las))
+        if cfg.split_exponent != las:
+            w.write(cfg.msb_in_token, add_log2_ceil(cfg.split_exponent))
+            w.write(
+                cfg.lsb_in_token,
+                add_log2_ceil(cfg.split_exponent - cfg.msb_in_token),
+            )
+
+    def write_header(self, w: BitWriter):
+        """Decoder::parse bits: lz77 off, clusters, ANS, configs, histograms."""
+        w.write_bool(False)  # lz77 disabled
+        if self.num_dist > 1:
+            w.write_bool(True)  # simple cluster map
+            w.write(0, 2)  # nbits = 0 -> all zero clusters
+        w.write_bool(False)  # use_prefix_code = false
+        w.write(self.log_alphabet_size - 5, 2)
+        # one cluster
+        self._write_integer_config(w)
+        self._write_histogram(w)
+
+    def encode_tokens(self, w: BitWriter, values: list[int]):
+        """Append [32-bit state][per-symbol renorm + raw bits] for the given
+        uint values (cluster 0)."""
+        toks = [tokenize_uint(v, self.cfg) for v in values]
+        for token, _, _ in toks:
+            if token >= self.alphabet_size:
+                raise ValueError(f"token {token} exceeds alphabet")
+        # reverse rANS
+        state = 0x130000
+        emits: list[int | None] = [None] * len(toks)
+        for i in range(len(toks) - 1, -1, -1):
+            token = toks[i][0]
+            d = int(self.dist[token])
+            assert d > 0
+            if state >= (d << 20):
+                emits[i] = state & 0xFFFF
+                state >>= 16
+            q, r = divmod(state, d)
+            state = (q << 12) | self.inv[(token, r)]
+        w.write(state, 32)
+        for (token, nbits, rest), emit in zip(toks, emits):
+            if emit is not None:
+                w.write(emit, 16)
+            if nbits:
+                w.write(rest, nbits)
+
+
+DEFAULT_CFG = IntegerConfig(split_exponent=4, msb_in_token=2, lsb_in_token=2)
+
+
+# ---------------------------------------------------------------------------
+# Forward prediction (encoder side)
+
+PRED_ZERO, PRED_WEST, PRED_GRADIENT = 0, 1, 5
+
+
+def forward_residuals(arr: np.ndarray, predictor: int) -> list[int]:
+    h, w = arr.shape
+    a = arr.astype(np.int64)
+    res = []
+    if predictor == PRED_ZERO:
+        return [int(v) for v in a.reshape(-1)]
+    for y in range(h):
+        for x in range(w):
+            if predictor == PRED_WEST:
+                pred = int(a[y, x - 1]) if x > 0 else (int(a[y - 1, 0]) if y > 0 else 0)
+            else:  # gradient
+                if y == 0:
+                    pred = int(a[0, x - 1]) if x > 0 else 0
+                elif x == 0:
+                    pred = int(a[y - 1, 0])
+                else:
+                    n = int(a[y - 1, x])
+                    wv = int(a[y, x - 1])
+                    nw = int(a[y - 1, x - 1])
+                    lo, hi = (wv, n) if n > wv else (n, wv)
+                    pred = min(max(n + wv - nw, lo), hi)
+            res.append(int(a[y, x]) - pred)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Modular sub-stream encoding
+
+
+def write_ma_config(w: BitWriter, predictor: int):
+    """Single-leaf MA tree + token decoder header.
+
+    Tree stream tokens (ctx order): prop+1=0 (leaf), predictor, offset=0,
+    mul_log=0, mul_bits=0."""
+    tree_cfg = IntegerConfig(split_exponent=5, msb_in_token=0, lsb_in_token=0)
+    tree_enc = AnsStreamEncoder(6, 32, 5, tree_cfg)
+    tree_enc.write_header(w)
+    tree_enc.encode_tokens(w, [0, predictor, 0, 0, 0])
+    # token decoder for 1 leaf context
+    sample_enc = AnsStreamEncoder(1, 256, 8, DEFAULT_CFG)
+    sample_enc.write_header(w)
+    return sample_enc
+
+
+def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | None = None):
+    w.write_bool(use_global_tree)
+    w.write_bool(True)  # default wp
+    if rct_begin is not None:
+        w.write_u32_sel(1, 1, 0)  # nb_transforms = 1
+        w.write(0, 2)  # transform id = RCT
+        # begin_c via U32(u(3), 8+u(6), 72+u(10), 1096+u(13))
+        assert rct_begin < 8
+        w.write(0, 2)
+        w.write(rct_begin, 3)
+        # rct_type via U32(6, u(2), 2+u(4), 10+u(6)): selector 0 -> YCoCg (6)
+        w.write(0, 2)
+    else:
+        w.write_u32_sel(0, 0, 0)  # nb_transforms = 0
+
+
+def encode_stream_tokens(w: BitWriter, enc: AnsStreamEncoder, channels, predictor):
+    values = []
+    for arr in channels:
+        for r in forward_residuals(arr, predictor):
+            values.append(_pack_signed(r))
+    enc.encode_tokens(w, values)
+
+
+# ---------------------------------------------------------------------------
+# Full image encoding
+
+
+def encode_jxl_modular(
+    channels: list[np.ndarray],
+    bit_depth: int = 8,
+    grayscale: bool | None = None,
+    predictor: int = PRED_GRADIENT,
+    rct: bool = False,
+    group_size_shift: int = 1,
+) -> bytes:
+    """Encode channel arrays as a lossless Modular bare codestream.
+
+    channels: list of (H, W) integer arrays (1 = grayscale, 3 = RGB).
+    """
+    h, w = channels[0].shape
+    n_ch = len(channels)
+    if grayscale is None:
+        grayscale = n_ch == 1
+    assert all(c.shape == (h, w) for c in channels)
+
+    if rct:
+        assert n_ch == 3
+        # forward YCoCg (rct_type 6, permutation 0): inverse is
+        # tmp=a-(c>>1); e=c+tmp; f=tmp-(b>>1); d=f+b  (d,e,f = R,G,B)
+        r = channels[0].astype(np.int64)
+        g = channels[1].astype(np.int64)
+        b = channels[2].astype(np.int64)
+        # Inverse (decoder, type 6): tmp=a-(c>>1); G=c+tmp; B=tmp-(b>>1); R=B+b
+        co = r - b               # coded channel b
+        tmp = b + (co >> 1)
+        cg = g - tmp             # coded channel c
+        y = tmp + (cg >> 1)      # coded channel a
+        enc_channels = [y, co, cg]
+    else:
+        enc_channels = [c.astype(np.int64) for c in channels]
+
+    out = BitWriter()
+    # --- ImageHeader ---
+    out.write(0x0AFF, 16)
+    # SizeHeader: div8=0, height U32 selectors, ratio=0, width
+    out.write_bool(False)
+    _write_size_u32(out, h)
+    out.write(0, 3)  # ratio
+    _write_size_u32(out, w)
+    # ImageMetadata: all_default=0, extra_fields=0
+    out.write_bool(False)
+    out.write_bool(False)
+    _write_bit_depth(out, bit_depth)
+    out.write_bool(True)  # modular_16bit_buffers
+    out.write_u32_sel(0, 0, 0)  # num_extra = 0
+    out.write_bool(False)  # xyb_encoded = false
+    # colour_encoding
+    if grayscale:
+        out.write_bool(False)  # not all_default
+        out.write_bool(False)  # want_icc = false
+        _write_enum(out, 1)  # Grey
+        _write_enum(out, 1)  # white point D65
+        # primaries skipped for grey
+        out.write_bool(False)  # tf: not gamma
+        _write_enum(out, 13)  # sRGB tf
+        _write_enum(out, 1)  # relative intent
+    else:
+        out.write_bool(True)  # all_default -> sRGB
+    out.write_u64_zero()  # extensions
+    out.write_bool(True)  # default_m
+    out.zero_pad_to_byte()  # frames start byte-aligned (Frame::parse)
+
+    # --- FrameHeader ---
+    out.write_bool(False)  # not all_default
+    out.write(0, 2)  # frame_type regular
+    out.write(1, 1)  # encoding modular
+    out.write_u64_zero()  # flags
+    out.write_bool(False)  # do_ycbcr (xyb false -> read)
+    out.write_u32_sel(0, 0, 0)  # upsampling = 1
+    out.write(group_size_shift, 2)
+    out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    out.write_bool(False)  # have_crop
+    out.write_u32_sel(0, 0, 0)  # blending mode Replace
+    out.write_bool(True)  # is_last
+    # save_as_reference skipped (is_last)
+    # save_before_ct skipped (resets_canvas && is_last -> cond false)
+    out.write_u32_sel(0, 0, 0)  # name len = 0
+    # RestorationFilter: not default; gab off; epf iters 0
+    out.write_bool(False)
+    out.write_bool(False)  # gab off
+    out.write(0, 2)  # epf iters 0
+    out.write_u64_zero()  # rf extensions
+    out.write_u64_zero()  # frame extensions
+
+    # --- sections ---
+    group_dim = 128 << group_size_shift
+    gpr = -(-w // group_dim)
+    gpc = -(-h // group_dim)
+    num_groups = gpr * gpc
+    single = num_groups == 1  # num_passes == 1
+
+    global_channels = []
+    group_channels: dict[int, list[np.ndarray]] = {}
+    if w <= group_dim and h <= group_dim:
+        global_channels = enc_channels
+    else:
+        for i, ch in enumerate(enc_channels):
+            for gy in range(gpc):
+                for gx in range(gpr):
+                    gi = gy * gpr + gx
+                    tile = ch[
+                        gy * group_dim : (gy + 1) * group_dim,
+                        gx * group_dim : (gx + 1) * group_dim,
+                    ]
+                    group_channels.setdefault(gi, []).append(tile)
+
+    # LfGlobal section
+    lf = BitWriter()
+    lf.write_bool(True)  # lf_dequant all_default
+    lf.write_bool(True)  # has global MA tree
+    sample_enc = write_ma_config(lf, predictor)
+    write_modular_header(lf, use_global_tree=True,
+                         rct_begin=0 if rct else None)
+    if global_channels:
+        encode_stream_tokens(lf, sample_enc, global_channels, predictor)
+    else:
+        # empty global stream: begin + finalize only
+        sample_enc.encode_tokens(lf, [])
+
+    sections = [lf]
+    if not single:
+        # empty LF-group sections + HfGlobal + per-group pass sections
+        num_lf_groups = (-(-w // (group_dim * 8))) * (-(-h // (group_dim * 8)))
+        for _ in range(num_lf_groups):
+            sections.append(BitWriter())
+        sections.append(BitWriter())  # HfGlobal (empty for modular)
+        for gi in range(num_groups):
+            gw = BitWriter()
+            chs = group_channels.get(gi, [])
+            write_modular_header(gw, use_global_tree=True)
+            enc2 = AnsStreamEncoder(1, 256, 8, DEFAULT_CFG)
+            # use_global_tree -> distributions come from the global MaConfig;
+            # the per-group stream only contains state+tokens.
+            encode_stream_tokens(gw, sample_enc, chs, predictor)
+            sections.append(gw)
+
+    section_bytes = [s.to_bytes() for s in sections]
+
+    # --- TOC ---
+    out.write_bool(False)  # not permuted
+    out.zero_pad_to_byte()
+    for sb in section_bytes:
+        _write_toc_size(out, len(sb))
+    out.zero_pad_to_byte()
+    payload = out.to_bytes() + b"".join(section_bytes)
+    return payload
+
+
+def _write_size_u32(w: BitWriter, v: int):
+    # U32(1+u(9), 1+u(13), 1+u(18), 1+u(30))
+    if v <= 1 << 9:
+        w.write_u32_sel(0, v, 9, 1)
+    elif v <= 1 << 13:
+        w.write_u32_sel(1, v, 13, 1)
+    elif v <= 1 << 18:
+        w.write_u32_sel(2, v, 18, 1)
+    else:
+        w.write_u32_sel(3, v, 30, 1)
+
+
+def _write_bit_depth(w: BitWriter, bits: int):
+    w.write_bool(False)  # integer samples
+    if bits == 8:
+        w.write(0, 2)
+    elif bits == 10:
+        w.write(1, 2)
+    elif bits == 12:
+        w.write(2, 2)
+    else:
+        w.write(3, 2)
+        w.write(bits - 1, 6)
+
+
+def _write_enum(w: BitWriter, v: int):
+    # read_u32(0, 1, 2+u(4), 18+u(6))
+    if v == 0:
+        w.write(0, 2)
+    elif v == 1:
+        w.write(1, 2)
+    elif v < 18:
+        w.write(2, 2)
+        w.write(v - 2, 4)
+    else:
+        w.write(3, 2)
+        w.write(v - 18, 6)
+
+
+def _write_toc_size(w: BitWriter, size: int):
+    # U32(u(10), 1024+u(14), 17408+u(22), 4211712+u(30))
+    if size < 1024:
+        w.write_u32_sel(0, size, 10)
+    elif size < 17408:
+        w.write_u32_sel(1, size, 14, 1024)
+    elif size < 4211712:
+        w.write_u32_sel(2, size, 22, 17408)
+    else:
+        w.write_u32_sel(3, size, 30, 4211712)
+
+
+if __name__ == "__main__":
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (256, 256), dtype=np.int32)
+    data = encode_jxl_modular([img])
+    Path("/tmp/test_gray.jxl").write_bytes(data)
+    print(f"encoded {len(data)} bytes -> /tmp/test_gray.jxl")

@@ -604,6 +604,15 @@ class Decoder:
             self.state = bs.read_bits(32)
             self._initial = False
 
+    def restart(self) -> None:
+        """Reset decode state so this decoder can be reused for another
+        independent stream that shares the parsed histograms (the reference
+        clones the Decoder per pass-group; we reuse serially)."""
+        self.state = 0
+        self._initial = True
+        if self.lz77 is not None:
+            self.lz77 = _Lz77State(self.lz77.len_config)
+
     def _read_symbol(self, bs: Bitstream, cluster: int) -> int:
         if self.use_prefix_code:
             return self.prefix_hists[cluster].read_symbol(bs)

@@ -7,10 +7,18 @@ multichip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize pre-imports jax with JAX_PLATFORMS=axon (the
+# remote-TPU tunnel); env setdefault is too late, so force the CPU platform
+# through the config API before any backend is initialized. Tests run on an
+# 8-device virtual CPU mesh; the real chip is reserved for bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,87 @@
+"""VarDCT end-to-end round-trip: encode with tools/encoder_vardct.py,
+decode with the full pipeline (host entropy stage + device transforms),
+and check PSNR against the source image.
+
+This exercises LfGlobal(VarDCT), LfCoeff, HfMetadata, HfGlobal (default
+dequant matrices), HfPass (natural order), the HF coefficient context
+modeling, LF/HF chroma-from-luma, and the batched IDCT path.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from jxl_oxide_tpu.headers.image import ImageHeader
+from jxl_oxide_tpu.io.bitstream import Bitstream
+from jxl_oxide_tpu.render.frame import Frame
+from jxl_oxide_tpu.render.vardct import decode_vardct_frame
+
+
+def decode(data: bytes):
+    bs = Bitstream(data)
+    ih = ImageHeader.parse(bs)
+    frame = Frame(ih, bs)
+    end = frame.start_byte + frame.total_bytes
+    frame.feed_bytes(data[frame.start_byte + frame.data_start : end])
+    return decode_vardct_frame(frame)
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(1.0 / mse) if mse > 0 else np.inf
+
+
+def _smooth_image(h, w, seed=0):
+    """Smooth-ish random image (bandlimited) + some structure."""
+    rng = np.random.default_rng(seed)
+    small = rng.random((h // 8 + 1, w // 8 + 1, 3)).astype(np.float32)
+    img = np.kron(small, np.ones((8, 8, 1), dtype=np.float32))[:h, :w]
+    yy, xx = np.mgrid[:h, :w]
+    img[:, :, 0] = 0.5 * img[:, :, 0] + 0.5 * (xx / w).astype(np.float32)
+    img[:, :, 1] = 0.5 * img[:, :, 1] + 0.5 * (yy / h).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+@pytest.mark.parametrize("size", [(64, 64), (56, 40), (128, 96)])
+def test_vardct_roundtrip_psnr(size):
+    from encoder_vardct import encode_jxl_vardct
+
+    h, w = size
+    img = _smooth_image(h, w, seed=h + w)
+    data = encode_jxl_vardct(img, global_scale=512)
+    (x, y, b), extra = decode(data)
+    assert x.shape == (h, w)
+    assert not extra
+    got = np.stack([x, y, b], axis=-1)
+    p = psnr(np.clip(got, 0, 1), img)
+    assert p > 35.0, f"PSNR too low: {p:.2f} dB"
+
+
+def test_vardct_roundtrip_flat():
+    """A constant image must decode near-exactly (only LF quantization)."""
+    from encoder_vardct import encode_jxl_vardct
+
+    img = np.full((32, 32, 3), 0.5, dtype=np.float32)
+    data = encode_jxl_vardct(img, global_scale=512)
+    (x, y, b), _ = decode(data)
+    for plane in (x, y, b):
+        np.testing.assert_allclose(plane, 0.5, atol=0.01)
+
+
+def test_vardct_high_quality():
+    from encoder_vardct import encode_jxl_vardct
+
+    img = _smooth_image(48, 48, seed=9)
+    # larger global_scale -> finer quantization -> higher PSNR
+    fine = encode_jxl_vardct(img, global_scale=32768)
+    coarse = encode_jxl_vardct(img, global_scale=256)
+    (xl, yl, bl), _ = decode(fine)
+    (xh, yh, bh_), _ = decode(coarse)
+    p_fine = psnr(np.clip(np.stack([xl, yl, bl], -1), 0, 1), img)
+    p_coarse = psnr(np.clip(np.stack([xh, yh, bh_], -1), 0, 1), img)
+    assert p_fine > p_coarse + 3.0
+    assert p_fine > 45.0, f"fine-quant PSNR too low: {p_fine:.2f}"

@@ -1,0 +1,261 @@
+"""Minimal JPEG XL VarDCT encoder — TEST INFRASTRUCTURE ONLY.
+
+Produces spec-valid bare codestreams exercising the VarDCT decode path:
+DCT8-only varblocks, default dequant matrices, single pass, no EPF/gaborish,
+xyb_encoded=false (so decoded planes compare directly against the source
+RGB). Accounts for the decoder's LF/HF chroma-from-luma defaults (kb=1) and
+quant bias so the round-trip error is pure quantization error.
+
+Deliberately simple, shares BitWriter/AnsStreamEncoder with tools/encoder.py.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from encoder import (  # noqa: E402
+    DEFAULT_CFG,
+    AnsStreamEncoder,
+    BitWriter,
+    _pack_signed,
+    _write_bit_depth,
+    _write_size_u32,
+    write_ma_config,
+    write_modular_header,
+)
+
+from jxl_oxide_tpu.headers.image import OpsinInverseMatrix  # noqa: E402
+from jxl_oxide_tpu.models.vardct import (  # noqa: E402
+    DequantMatrixSet,
+    TransformType,
+    natural_order,
+)
+from jxl_oxide_tpu.ops.dct import dct2d  # noqa: E402
+
+
+def _write_u64(w: BitWriter, v: int):
+    if v == 0:
+        w.write(0, 2)
+    elif v <= 16:
+        w.write(1, 2)
+        w.write(v - 1, 4)
+    elif v <= 272:
+        w.write(2, 2)
+        w.write(v - 17, 8)
+    else:
+        raise NotImplementedError
+
+
+def _encode_local_modular(w: BitWriter, channels: list[np.ndarray]):
+    """Modular sub-image with a local single-leaf zero-predictor tree."""
+    write_modular_header(w, use_global_tree=False)
+    enc = write_ma_config(w, 0)  # predictor 0 = Zero
+    values = []
+    for arr in channels:
+        for v in arr.astype(np.int64).reshape(-1):
+            values.append(_pack_signed(int(v)))
+    enc.encode_tokens(w, values)
+
+
+def encode_jxl_vardct(
+    rgb: np.ndarray,
+    global_scale: int = 512,
+    quant_lf: int = 16,
+) -> bytes:
+    """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
+    single-frame VarDCT bare codestream (DCT8 blocks only)."""
+    h, w, _ = rgb.shape
+    assert h <= 256 and w <= 256, "single-group encoder"
+    bh, bw = -(-h // 8), -(-w // 8)
+
+    # pad to block multiple (edge-replicate)
+    padded = np.zeros((bh * 8, bw * 8, 3), dtype=np.float32)
+    padded[:h, :w] = rgb
+    padded[h:, :w] = rgb[h - 1 : h, :]
+    padded[:h, w:] = padded[:h, w - 1 : w]
+    padded[h:, w:] = padded[h - 1, w - 1]
+
+    dms = DequantMatrixSet.default()
+    opsin = OpsinInverseMatrix()
+    qb = opsin.quant_bias
+    qbn = opsin.quant_bias_numerator
+    lf_dequant = (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)
+
+    hf_mul = 1
+    scale_inv = global_scale * quant_lf
+    lf_scales = [m * 512.0 / scale_inv for m in lf_dequant]
+    # forward DCT of every block, per channel: F[c][by, bx, 8, 8] (stored
+    # layout = dct2d output: row = vertical frequency)
+    blocks = padded.transpose(2, 0, 1).reshape(3, bh, 8, bw, 8)
+    blocks = blocks.transpose(0, 1, 3, 2, 4)
+    F = dct2d(blocks)
+
+    # LF: DC per block. Decoder: dequant -> CfL(kx=0, kb=1) -> (smoothing
+    # skipped via frame flag)
+    lf_true = F[:, :, :, 0, 0]  # [3, bh, bw]
+    lf_q = np.zeros((3, bh, bw), dtype=np.int64)
+    lf_q[1] = np.round(lf_true[1] / lf_scales[1])
+    lf_deq_y = lf_q[1] * lf_scales[1]
+    lf_q[0] = np.round(lf_true[0] / lf_scales[0])  # kx = 0
+    lf_q[2] = np.round((lf_true[2] - lf_deq_y) / lf_scales[2])  # kb = 1
+
+    # HF quantization. Decoder: bias(q) * matrix_tr * mul -> CfL -> IDCT.
+    def dequant(q, c):
+        matrix = dms.get(c, TransformType.DCT8, transposed=True)
+        mul = 65536.0 / (global_scale * hf_mul)
+        qf = q.astype(np.float64)
+        biased = np.where(
+            np.abs(qf) <= 1.0, qf * qb[c], qf - qbn / np.where(qf == 0, 1, qf)
+        )
+        return biased * matrix * mul
+
+    q = np.zeros((3, bh, bw, 8, 8), dtype=np.int64)
+    for c in (1, 0, 2):
+        matrix = dms.get(c, TransformType.DCT8, transposed=True)
+        mul = 65536.0 / (global_scale * hf_mul)
+        target = F[c].astype(np.float64)
+        if c == 2:
+            target = target - dequant(q[1], 1)  # kb = 1: subtract y plane
+        q[c] = np.round(target / (matrix * mul))
+    q[:, :, :, 0, 0] = 0  # DC carried by LF
+
+    out = BitWriter()
+    # --- ImageHeader: WxH, 8-bit, not xyb, sRGB default ---
+    out.write(0x0AFF, 16)
+    out.write_bool(False)
+    _write_size_u32(out, h)
+    out.write(0, 3)
+    _write_size_u32(out, w)
+    out.write_bool(False)  # not all_default metadata
+    out.write_bool(False)  # no extra_fields
+    _write_bit_depth(out, 8)
+    out.write_bool(True)  # modular_16bit_buffers
+    out.write_u32_sel(0, 0, 0)  # num_extra = 0
+    out.write_bool(False)  # xyb_encoded = false
+    out.write_bool(True)  # colour_encoding all_default (sRGB)
+    out.write_u64_zero()  # extensions
+    out.write_bool(True)  # default_m
+    out.zero_pad_to_byte()
+
+    # --- FrameHeader (VarDCT) ---
+    out.write_bool(False)  # not all_default
+    out.write(0, 2)  # frame_type regular
+    out.write(0, 1)  # encoding = VarDCT
+    _write_u64(out, 0x80)  # flags: skip_adaptive_lf_smoothing
+    out.write_bool(False)  # do_ycbcr
+    out.write_u32_sel(0, 0, 0)  # upsampling = 1
+    # group_size_shift not present (VarDCT); x/b_qm_scale absent (not xyb)
+    out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    out.write_bool(False)  # have_crop
+    out.write_u32_sel(0, 0, 0)  # blending Replace
+    out.write_bool(True)  # is_last
+    out.write_u32_sel(0, 0, 0)  # name len 0
+    out.write_bool(False)  # restoration filter not default
+    out.write_bool(False)  # gabor off
+    out.write(0, 2)  # epf iters 0
+    out.write_u64_zero()  # rf extensions
+    out.write_u64_zero()  # frame extensions
+
+    # --- single "All" section (1 group, 1 pass) ---
+    sec = BitWriter()
+
+    # LfGlobal
+    sec.write_bool(True)  # lf_dequant all_default
+    # Quantizer: global_scale U32(1+u(11), 2049+u(11), 4097+u(12), 8193+u(16))
+    if global_scale <= 2048:
+        sec.write(0, 2)
+        sec.write(global_scale - 1, 11)
+    elif global_scale <= 4096:
+        sec.write(1, 2)
+        sec.write(global_scale - 2049, 11)
+    elif global_scale <= 8192:
+        sec.write(2, 2)
+        sec.write(global_scale - 4097, 12)
+    else:
+        sec.write(3, 2)
+        sec.write(global_scale - 8193, 16)
+    assert quant_lf == 16
+    sec.write(0, 2)
+    sec.write_bool(True)  # HfBlockContext default
+    sec.write_bool(True)  # LfChannelCorrelation all_default
+    sec.write_bool(False)  # no global MA tree
+    # GlobalModular: zero channels -> no modular header at all
+
+    # LfGroup 0: LfCoeff (extra_precision + modular [y,x,b]), no mlf, HfMetadata
+    sec.write(0, 2)  # extra_precision = 0
+    _encode_local_modular(sec, [lf_q[1], lf_q[0], lf_q[2]])
+    # HfMetadata: nb_blocks-1 in ceil_log2(bw*bh) bits
+    nb_blocks = bh * bw
+    nbits = max(nb_blocks - 1, 0).bit_length()
+    sec.write(nb_blocks - 1, nbits)
+    w64 = -(-w // 64)
+    h64 = -(-h // 64)
+    x_from_y = np.zeros((h64, w64), dtype=np.int64)
+    b_from_y = np.zeros((h64, w64), dtype=np.int64)
+    block_info = np.zeros((2, nb_blocks), dtype=np.int64)  # all DCT8, mul-1=0
+    sharpness = np.zeros((bh, bw), dtype=np.int64)
+    _encode_local_modular(sec, [x_from_y, b_from_y, block_info, sharpness])
+
+    # HfGlobal: default dequant matrices, 1 preset, 1 HfPass
+    sec.write_bool(True)  # dequant all_default
+    # num_hf_presets: ceil_log2(num_groups)=0 bits -> 1 preset
+    # HfPass: used_orders = 0 (selector 2), hf_dist decoder
+    sec.write(2, 2)
+    num_clusters_ctx = 495 * 15  # 15 default block context clusters
+    hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+    hf_enc.write_header(sec)
+
+    # Pass group 0: hfp bits (0 for 1 preset) + HF coefficient tokens
+    order = natural_order(0)  # DCT8
+    tokens: list[int] = []
+    for by in range(bh):
+        for bx in range(bw):
+            for c in (1, 0, 2):
+                qb_ = q[c, by, bx]
+                # stored[row=x, col=y] for order pos (x, y) (need_transpose)
+                nz_positions = [
+                    (x, y) for (x, y) in order[1:] if qb_[x, y] != 0
+                ]
+                non_zeros = len(nz_positions)
+                tokens.append(non_zeros)
+                remaining = non_zeros
+                for (x, y) in order[1:]:
+                    if remaining == 0:
+                        break
+                    v = int(qb_[x, y])
+                    tokens.append(_pack_signed(v))
+                    if v != 0:
+                        remaining -= 1
+    hf_enc.encode_tokens(sec, tokens)
+
+    # --- TOC (single entry) + assemble ---
+    sec_bytes = sec.to_bytes()
+    out.write_bool(False)  # no TOC permutation
+    out.zero_pad_to_byte()
+    size = len(sec_bytes)
+    if size < 1024:
+        out.write(0, 2)
+        out.write(size, 10)
+    elif size < 17408:
+        out.write(1, 2)
+        out.write(size - 1024, 14)
+    else:
+        out.write(2, 2)
+        out.write(size - 17408, 22)
+    out.zero_pad_to_byte()
+
+    payload = out.to_bytes() + sec_bytes
+    return payload
+
+
+if __name__ == "__main__":
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64, 3), dtype=np.float32)
+    data = encode_jxl_vardct(img)
+    print(f"encoded {len(data)} bytes")

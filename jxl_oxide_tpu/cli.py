@@ -1,0 +1,151 @@
+"""Command-line interface: decode and info subcommands.
+
+Mirrors jxl-oxide-cli (commands.rs, decode.rs, info.rs): `decode` renders
+keyframes to PNG/NPY with --num-reps timing (geomean + range, MP/s);
+`info` dumps header metadata and frame list.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(prog="jxl-oxide-tpu")
+    sub = p.add_subparsers(dest="command")
+
+    d = sub.add_parser("decode", help="decode a JXL image")
+    d.add_argument("input")
+    d.add_argument("-o", "--output", help="output PNG path")
+    d.add_argument("--output-format", choices=["png", "png8", "png16", "npy"],
+                   default="png")
+    d.add_argument("--num-reps", type=int, default=1)
+    d.add_argument("--target-colorspace", default=None,
+                   help="e.g. srgb, display_p3, linear-srgb")
+    i = sub.add_parser("info", help="dump image info")
+    i.add_argument("input")
+    i.add_argument("--with-offset", action="store_true")
+    return p
+
+
+def _decode_once(data: bytes):
+    from .api import JxlImage
+
+    img = JxlImage.from_bytes(data)
+    renders = [img.render_frame(i) for i in range(img.num_keyframes)]
+    return img, renders
+
+
+def cmd_decode(args) -> int:
+    with open(args.input, "rb") as f:
+        data = f.read()
+
+    times = []
+    img = renders = None
+    for _ in range(max(1, args.num_reps)):
+        t0 = time.perf_counter()
+        img, renders = _decode_once(data)
+        times.append(time.perf_counter() - t0)
+
+    npixels = img.width * img.height * max(1, len(renders))
+    if args.num_reps > 1:
+        geomean = float(np.exp(np.mean(np.log(times))))
+        print(
+            f"decode: geomean {geomean * 1e3:.2f} ms "
+            f"(range {min(times) * 1e3:.2f}..{max(times) * 1e3:.2f} ms), "
+            f"{npixels / geomean / 1e6:.2f} MP/s",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"decoded {img.width}x{img.height}, {len(renders)} keyframe(s) "
+            f"in {times[0] * 1e3:.2f} ms "
+            f"({npixels / times[0] / 1e6:.2f} MP/s)",
+            file=sys.stderr,
+        )
+
+    if args.output:
+        from .io.png import write_apng, write_png
+
+        if args.output_format == "npy":
+            arr = np.stack([r.image_all_channels() for r in renders])
+            np.save(args.output, arr.astype(np.float32))
+        else:
+            bits = 16 if args.output_format == "png16" else 8
+            if args.output_format == "png":
+                bits = (
+                    16
+                    if img.image_header.metadata.bit_depth.bits_per_sample > 8
+                    else 8
+                )
+            conv = (lambda r: r.to_u16()) if bits == 16 else (lambda r: r.to_u8())
+            icc = img.embedded_icc
+            if len(renders) > 1 and img.is_animation:
+                anim = img.image_header.metadata.animation
+                durations = [
+                    r.duration * 1000 * anim.tps_denominator / anim.tps_numerator
+                    for r in renders
+                ]
+                write_apng(args.output, [conv(r) for r in renders], durations,
+                           icc=icc)
+            else:
+                write_png(args.output, conv(renders[0]), icc=icc)
+        print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .api import JxlImage
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    img = JxlImage()
+    img.feed_bytes(data)
+    img.finish()
+    ih = img.image_header
+    meta = ih.metadata
+    info = {
+        "width": img.width,
+        "height": img.height,
+        "bit_depth": meta.bit_depth.bits_per_sample,
+        "xyb_encoded": meta.xyb_encoded,
+        "grayscale": meta.grayscale,
+        "orientation": meta.orientation,
+        "animation": meta.animation is not None,
+        "extra_channels": [
+            {"type": e.ty.name, "name": e.name} for e in meta.ec_info
+        ],
+        "embedded_icc_bytes": len(img.embedded_icc) if img.embedded_icc else 0,
+        "frames": [
+            {
+                "encoding": f.header.encoding.name,
+                "size": [f.header.width, f.header.height],
+                "is_last": f.header.is_last,
+                "duration": f.header.duration,
+                "name": f.header.name,
+            }
+            for f in img._frames
+        ],
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    if args.command == "decode":
+        return cmd_decode(args)
+    if args.command == "info":
+        return cmd_info(args)
+    parser.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

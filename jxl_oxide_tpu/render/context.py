@@ -1,0 +1,211 @@
+"""Render context: frame sequencing, reference slots, blending, postprocess.
+
+Behavioral parity: jxl-render/src/lib.rs (RenderContext, postprocess_keyframe)
+and blend.rs (blend_single kernels). Frames render independently
+(render.py); keyframes composite onto the image canvas with the frame's
+BlendingInfo against a saved reference slot, then the cached color
+transform maps to the requested encoding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..headers.frame import BlendMode, FrameType
+from ..utils.errors import JxlNotSupportedError
+from .render import render_frame
+
+__all__ = ["RenderContext", "KeyframeRender"]
+
+
+@dataclass
+class KeyframeRender:
+    """A composited keyframe: color + extra channel planes at image size."""
+
+    color: list
+    extra: list
+    frame: object
+    name: str = ""
+    duration: int = 0
+
+    @property
+    def color_channels(self) -> int:
+        return len(self.color)
+
+
+def _blend_planes(base, new, mode, x0, y0, base_alpha, new_alpha, clamp,
+                  premultiplied, is_alpha_channel):
+    """One channel blend (blend.rs:550-680). base is image-sized, new is
+    frame-sized placed at (x0, y0). Modifies base in place."""
+    ih, iw = base.shape
+    fh, fw = new.shape
+    # intersect frame rect with canvas
+    sx0, sy0 = max(0, -x0), max(0, -y0)
+    dx0, dy0 = max(0, x0), max(0, y0)
+    w = min(fw - sx0, iw - dx0)
+    h = min(fh - sy0, ih - dy0)
+    if w <= 0 or h <= 0:
+        return
+    nv = new[sy0 : sy0 + h, sx0 : sx0 + w]
+    bview = base[dy0 : dy0 + h, dx0 : dx0 + w]
+
+    if mode == BlendMode.REPLACE:
+        bview[:, :] = nv
+    elif mode == BlendMode.ADD:
+        bview += nv
+    elif mode == BlendMode.MUL:
+        s = np.clip(nv, 0.0, 1.0) if clamp else nv
+        bview *= s
+    elif mode == BlendMode.BLEND:
+        na = new_alpha[sy0 : sy0 + h, sx0 : sx0 + w] if new_alpha is not None else None
+        ba = (
+            base_alpha[dy0 : dy0 + h, dx0 : dx0 + w]
+            if base_alpha is not None
+            else np.zeros_like(bview)
+        )
+        if is_alpha_channel:
+            # MixAlpha (blend.rs mix_alpha): a_out = na + ba*(1-na)
+            nval = np.clip(nv, 0.0, 1.0) if clamp else nv
+            bview[:, :] = nval + bview * (1.0 - nval)
+        elif na is None:
+            bview[:, :] = nv
+        else:
+            na = np.clip(na, 0.0, 1.0) if clamp else na
+            if premultiplied:
+                bview[:, :] = nv + bview * (1.0 - na)
+            else:
+                mixed = 1.0 - (1.0 - na) * (1.0 - ba)
+                recip = np.where(mixed > 0.0, 1.0 / np.where(mixed == 0, 1, mixed), 0.0)
+                bview[:, :] = (na * nv + ba * bview * (1.0 - na)) * recip
+    elif mode == BlendMode.MUL_ADD:
+        na = new_alpha[sy0 : sy0 + h, sx0 : sx0 + w] if new_alpha is not None else None
+        if is_alpha_channel:
+            pass  # Skip (blend.rs MulAdd alpha channel)
+        elif na is None:
+            bview += nv
+        else:
+            na = np.clip(na, 0.0, 1.0) if clamp else na
+            bview += na * nv
+    else:
+        raise JxlNotSupportedError(f"blend mode {mode}")
+
+
+class RenderContext:
+    """Sequences frames of one image, maintaining reference slots."""
+
+    def __init__(self, image_header):
+        self.image_header = image_header
+        self.width = image_header.size.width
+        self.height = image_header.size.height
+        meta = image_header.metadata
+        if meta.orientation >= 5:
+            self.width, self.height = self.height, self.width
+        self.reference = [None] * 4  # saved frames (color+extra plane lists)
+        self.lf_frames = [None] * 4
+        self.keyframes: list[KeyframeRender] = []
+
+    def _num_channels(self, frame):
+        return frame.header.encoded_color_channels
+
+    def add_frame(self, frame) -> KeyframeRender | None:
+        """Render + composite one frame in codestream order. Returns the
+        keyframe render if this frame is a keyframe."""
+        header = frame.header
+        meta = self.image_header.metadata
+
+        if header.frame_type == FrameType.LF_FRAME:
+            raise JxlNotSupportedError("LF frames")
+
+        fr = render_frame(frame)
+        ncolor = fr.color_channels
+        nextra = len(fr.extra)
+
+        # composite onto canvas (blend.rs blend): base = source slot
+        binfo = header.blending_info
+        source = binfo.source
+        full_replace = (
+            binfo.mode == BlendMode.REPLACE
+            and not header.have_crop
+            and all(e.mode == BlendMode.REPLACE for e in header.ec_blending_info)
+        )
+        if full_replace and fr.color[0].shape == (self.height, self.width):
+            canvas_color = [p.astype(np.float32).copy() for p in fr.color]
+            canvas_extra = [p.astype(np.float32).copy() for p in fr.extra]
+        else:
+            base = self.reference[source]
+            if base is not None:
+                canvas_color = [p.copy() for p in base[0]]
+                canvas_extra = [p.copy() for p in base[1]]
+                if len(canvas_color) < ncolor:
+                    canvas_color = [canvas_color[0].copy() for _ in range(ncolor)]
+            else:
+                canvas_color = [
+                    np.zeros((self.height, self.width), dtype=np.float32)
+                    for _ in range(ncolor)
+                ]
+                canvas_extra = [
+                    np.zeros((self.height, self.width), dtype=np.float32)
+                    for _ in range(nextra)
+                ]
+
+            # alpha planes for Blend modes
+            def alpha_planes(alpha_idx):
+                base_a = (
+                    canvas_extra[alpha_idx]
+                    if alpha_idx < len(canvas_extra)
+                    else None
+                )
+                new_a = fr.extra[alpha_idx] if alpha_idx < len(fr.extra) else None
+                return base_a, new_a
+
+            premul = None
+            if meta.ec_info and binfo.mode.use_alpha:
+                info = meta.ec_info[binfo.alpha_channel]
+                premul = getattr(info, "alpha_associated", False)
+
+            for ci in range(ncolor):
+                base_a, new_a = (
+                    alpha_planes(binfo.alpha_channel)
+                    if binfo.mode.use_alpha
+                    else (None, None)
+                )
+                _blend_planes(
+                    canvas_color[ci], fr.color[ci].astype(np.float32),
+                    binfo.mode, header.x0, header.y0,
+                    base_a, new_a, binfo.clamp, bool(premul), False,
+                )
+            for ei in range(nextra):
+                einfo = header.ec_blending_info[ei]
+                base_a, new_a = (
+                    alpha_planes(einfo.alpha_channel)
+                    if einfo.mode.use_alpha
+                    else (None, None)
+                )
+                is_alpha = (
+                    einfo.mode.use_alpha and ei == einfo.alpha_channel
+                )
+                _blend_planes(
+                    canvas_extra[ei], fr.extra[ei].astype(np.float32),
+                    einfo.mode, header.x0, header.y0,
+                    base_a, new_a, einfo.clamp, bool(premul), is_alpha,
+                )
+
+        if header.can_reference:
+            self.reference[header.save_as_reference] = (
+                [p.copy() for p in canvas_color],
+                [p.copy() for p in canvas_extra],
+            )
+
+        if header.is_keyframe:
+            kf = KeyframeRender(
+                color=canvas_color,
+                extra=canvas_extra,
+                frame=frame,
+                name=header.name,
+                duration=header.duration,
+            )
+            self.keyframes.append(kf)
+            return kf
+        return None

@@ -1,0 +1,199 @@
+"""Per-frame rendering: decode -> float planes -> filters -> features.
+
+Behavioral parity: jxl-render/src/render.rs (render_frame) and
+modular.rs/image.rs conversions. Output is a FrameRender: float32 planes
+(color channels + extra channels) at frame sample size, before blending
+and before the final color transform (which happen at keyframe
+composition time, render/lib.rs postprocess_keyframe).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..headers.frame import Encoding
+from ..utils.errors import JxlNotSupportedError
+
+__all__ = ["FrameRender", "render_frame"]
+
+
+@dataclass
+class FrameRender:
+    """Rendered (but not yet blended/color-transformed) frame data."""
+
+    color: list  # float32 planes, frame sample size
+    extra: list  # float32 planes per extra channel
+    color_channels: int
+    frame: object
+    gray_converted_to_rgb: bool = False
+
+
+def _parse_integer_samples(arr: np.ndarray, bit_depth) -> np.ndarray:
+    """Integer samples -> [0,1] floats (jxl-image lib.rs:458-487)."""
+    if bit_depth.is_float:
+        bits = bit_depth.bits_per_sample
+        exp_bits = bit_depth.exp_bits
+        if bits == 32 and exp_bits == 8:
+            return arr.astype(np.uint32).view(np.float32).astype(np.float32)
+        mantissa_bits = bits - exp_bits - 1
+        u = arr.astype(np.int64) & ((1 << bits) - 1)
+        sign = (u >> (bits - 1)) & 1
+        exp = (u >> mantissa_bits) & ((1 << exp_bits) - 1)
+        mant = u & ((1 << mantissa_bits) - 1)
+        bias = (1 << (exp_bits - 1)) - 1
+        val = np.ldexp(
+            1.0 + mant / (1 << mantissa_bits), (exp - bias).astype(np.int32)
+        )
+        val = np.where(exp == 0, np.ldexp(mant / (1 << mantissa_bits), 1 - bias), val)
+        return np.where(sign == 1, -val, val).astype(np.float32)
+    div = (1 << bit_depth.bits_per_sample) - 1
+    return arr.astype(np.float32) / np.float32(div)
+
+
+def _upsample2x_nn(plane: np.ndarray, axis: int, size: int) -> np.ndarray:
+    out = np.repeat(plane, 2, axis=axis)
+    return out.take(range(size), axis=axis)
+
+
+def render_frame(frame, lf_global=None) -> FrameRender:
+    """Decode + filter one frame. Returns planes at frame sample size."""
+    header = frame.header
+    image_header = frame.image_header
+    meta = image_header.metadata
+    bit_depth = meta.bit_depth
+    w = header.sample_width()
+    h = header.sample_height()
+
+    if header.encoding == Encoding.MODULAR:
+        chans = frame.decode_modular_frame()
+        lf_global = frame.lf_global
+        gmodular = lf_global.gmodular
+        ncolor = header.encoded_color_channels
+        color_int = chans[:ncolor]
+        extra_int = chans[gmodular.extra_channel_from:]
+
+        if meta.xyb_encoded:
+            # convert_modular_xyb (image.rs:148-188): stream order [y, x, b],
+            # b += y, output [x*m_x, y*m_y, b*m_b] with m/128 scaling
+            y, x, b = [c.astype(np.float64) for c in color_int[:3]]
+            b = b + y
+            m_x, m_y, m_b = (m / 128.0 for m in lf_global.lf_dequant)
+            color = [
+                (x * m_x).astype(np.float32),
+                (y * m_y).astype(np.float32),
+                (b * m_b).astype(np.float32),
+            ]
+        elif header.do_ycbcr:
+            color = [_parse_integer_samples(c, bit_depth) for c in color_int]
+        else:
+            color = [_parse_integer_samples(c, bit_depth) for c in color_int]
+        extra = [_parse_integer_samples(c, bit_depth) for c in extra_int]
+        epf_sigma_grids = None
+    else:
+        from .vardct import decode_vardct_frame
+
+        (cx, cy, cb), extra_int = decode_vardct_frame(frame)
+        color = [cx, cy, cb]
+        ncolor = 3
+        extra = [_parse_integer_samples(c, bit_depth) for c in extra_int]
+
+    # YCbCr chroma upsampling (image.rs upsample_jpeg)
+    if header.do_ycbcr:
+        ups = header.jpeg_upsampling
+        hscale = any(v in (1, 2) for v in ups)
+        vscale = any(v in (1, 3) for v in ups)
+        for i in range(3):
+            hs = hscale and ups[i] not in (1, 3)
+            vs = vscale and ups[i] not in (1, 2)
+            p = color[i]
+            if hs:
+                p = _upsample2x_nn(p, 1, w)
+            if vs:
+                p = _upsample2x_nn(p, 0, h)
+            color[i] = p[:h, :w]
+
+    # crop to frame size (VarDCT planes are already cropped per channel but
+    # may be 8-rounded when unsubsampled; modular channels are exact)
+    color = [p[:h, :w] for p in color]
+
+    gray_cloned = False
+    rf = header.restoration_filter
+    need_filter = rf.gab.enabled or rf.epf.enabled
+    if need_filter and len(color) < 3:
+        color = [color[0]] * 3
+        gray_cloned = True
+
+    if rf.gab.enabled:
+        from ..ops.filters import apply_gabor
+
+        color = [np.asarray(p) for p in apply_gabor(color, rf.gab.weights)]
+
+    if rf.epf.enabled:
+        from ..ops.filters import apply_epf, sigma_map_from_blocks
+
+        if header.encoding == Encoding.VARDCT:
+            sigma = _assemble_epf_sigma(frame, h, w)
+        else:
+            sigma = np.full((h, w), rf.epf.sigma_for_modular, dtype=np.float32)
+        out = np.asarray(apply_epf(color, sigma, rf.epf))
+        color = [out[0], out[1], out[2]]
+
+    if gray_cloned:
+        color = color[:1]
+
+    # Image upsampling (frame.upsampling > 1)
+    if header.upsampling > 1:
+        from ..ops.upsample import upsample_nonseparable
+
+        factor = header.upsampling
+        color = [
+            upsample_nonseparable(p, factor, meta) for p in color
+        ]
+        color = [p[: header.sample_height(1), : header.sample_width(1)] for p in color]
+    target_h = header.sample_height(1)
+    target_w = header.sample_width(1)
+    for i in range(len(extra)):
+        eh, ew = extra[i].shape
+        if (eh, ew) != (target_h, target_w):
+            from ..ops.upsample import upsample_nonseparable
+
+            factor = max(-(-target_w // ew), -(-target_h // eh))
+            factor = 1 << max(factor - 1, 0).bit_length()
+            extra[i] = upsample_nonseparable(extra[i], factor, meta)[
+                :target_h, :target_w
+            ]
+
+    return FrameRender(
+        color=list(color),
+        extra=list(extra),
+        color_channels=len(color),
+        frame=frame,
+        gray_converted_to_rgb=False,
+    )
+
+
+def _assemble_epf_sigma(frame, h: int, w: int) -> np.ndarray:
+    """Frame-wide per-pixel sigma map from per-LF-group epf_sigma grids."""
+    header = frame.header
+    rf = header.restoration_filter
+    sigma_blocks = np.full(
+        (-(-h // 8), -(-w // 8)), rf.epf.sigma_for_modular, dtype=np.float32
+    )
+    state = getattr(frame, "_vardct_state", None)
+    if state is not None:
+        lfg_per_row = header.lf_groups_per_row
+        for lf_group_idx, group in state.lf_groups.items():
+            if group.hf_meta is None:
+                continue
+            gx = lf_group_idx % lfg_per_row
+            gy = lf_group_idx // lfg_per_row
+            y0 = gy * header.group_dim
+            x0 = gx * header.group_dim
+            g = group.hf_meta.epf_sigma
+            gh, gw = g.shape
+            sh = sigma_blocks[y0 : y0 + gh, x0 : x0 + gw]
+            sh[:, :] = g[: sh.shape[0], : sh.shape[1]]
+    m = np.repeat(np.repeat(sigma_blocks, 8, axis=0), 8, axis=1)
+    return np.ascontiguousarray(m[:h, :w])

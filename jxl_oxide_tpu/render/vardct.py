@@ -514,6 +514,7 @@ def decode_vardct_frame(frame):
                 )
                 frame._decode_pass_group(bs, pass_idx, g_idx, sub, gmodular)
 
+    frame._vardct_state = state  # for EPF sigma grids (render.py)
     xyb = state.run_device_pipeline(hf_global)
     # Crop rounded planes to sample size (per channel shift).
     cropped = []

@@ -1,0 +1,100 @@
+"""Public API facade tests: real-file decode, VarDCT through the facade,
+CLI entry points, PNG output."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from jxl_oxide_tpu import JxlImage
+
+CMYK = "/root/reference/crates/jxl-oxide-tests/tests/cms/cmyk_layers.jxl"
+
+
+@pytest.fixture(scope="module")
+def cmyk_image():
+    return JxlImage.open(CMYK)
+
+
+def test_cmyk_layers_metadata(cmyk_image):
+    img = cmyk_image
+    assert (img.width, img.height) == (512, 512)
+    assert img.num_frames == 4
+    assert img.num_keyframes == 1
+    assert img.embedded_icc and img.embedded_icc[36:40] == b"acsp"
+
+
+def test_cmyk_layers_render(cmyk_image):
+    r = cmyk_image.render_frame(0)
+    arr = r.image_all_channels()
+    assert arr.shape == (512, 512, 5)
+    assert 0.0 <= arr.min() and arr.max() <= 1.0
+    # layered text on white-ish background: plenty of pure-1.0 pixels
+    assert (arr[..., 0] == 1.0).mean() > 0.3
+
+
+def test_streaming_feed_chunks():
+    data = open(CMYK, "rb").read()
+    img = JxlImage()
+    for i in range(0, len(data), 1000):
+        img.feed_bytes(data[i : i + 1000])
+    img.finish()
+    assert img.num_frames == 4
+
+
+def test_vardct_through_facade():
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(5)
+    small = rng.random((9, 9, 3)).astype(np.float32)
+    src = np.kron(small, np.ones((8, 8, 1), dtype=np.float32))[:68, :72]
+    data = encode_jxl_vardct(np.clip(src, 0, 1), global_scale=4096)
+    img = JxlImage.from_bytes(data)
+    assert (img.width, img.height) == (72, 68)
+    r = img.render_frame(0)
+    out = np.stack(r.image_planar(), axis=-1)
+    assert out.shape == (68, 72, 3)
+    # encoder writes non-xyb sRGB; decode target is the same -> close match
+    mse = np.mean((np.clip(out, 0, 1) - src) ** 2)
+    assert 10 * np.log10(1.0 / mse) > 30.0
+
+
+def test_modular_through_facade(tmp_path):
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(6)
+    chans = [rng.integers(0, 256, (40, 50), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8)
+    img = JxlImage.from_bytes(data)
+    r = img.render_frame(0)
+    out = r.to_u8()
+    for c in range(3):
+        np.testing.assert_array_equal(out[..., c], chans[c].astype(np.uint8))
+
+
+def test_cli_info_and_decode(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "jxl_oxide_tpu", "info", CMYK],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    info = json.loads(out.stdout)
+    assert info["width"] == 512
+    assert len(info["frames"]) == 4
+
+    png = tmp_path / "out.png"
+    out = subprocess.run(
+        [sys.executable, "-m", "jxl_oxide_tpu", "decode", CMYK, "-o", str(png)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"

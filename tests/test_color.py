@@ -1,0 +1,156 @@
+"""Color pipeline tests: XYB inverse, transfer functions, matrices, YCbCr,
+filters (gabor/EPF invariants)."""
+
+import numpy as np
+import pytest
+
+from jxl_oxide_tpu.color.convert import (
+    ColorTransform,
+    PRIMARIES_SRGB,
+    ILLUMINANT_D65,
+    adapt_mat,
+    primaries_to_xyz_mat,
+    xyz_to_primaries_mat,
+)
+from jxl_oxide_tpu.headers.image import (
+    ColourEncoding,
+    ColourSpace,
+    OpsinInverseMatrix,
+    TransferFunction,
+)
+from jxl_oxide_tpu.ops import color as C
+
+
+def test_srgb_tf_roundtrip():
+    v = np.linspace(-0.2, 1.2, 101, dtype=np.float32)
+    back = np.asarray(C.srgb_to_linear(C.linear_to_srgb(v)))
+    np.testing.assert_allclose(back, v, atol=1e-5)
+
+
+def test_bt709_tf_roundtrip():
+    v = np.linspace(0.0, 1.0, 101, dtype=np.float32)
+    back = np.asarray(C.bt709_to_linear(C.linear_to_bt709(v)))
+    np.testing.assert_allclose(back, v, atol=1e-5)
+
+
+def test_pq_tf_roundtrip():
+    v = np.linspace(0.0, 1.0, 101, dtype=np.float32)
+    back = np.asarray(C.pq_to_linear(C.linear_to_pq(v, 255.0), 255.0))
+    np.testing.assert_allclose(back, v, atol=1e-4)
+
+
+def test_hlg_tf_roundtrip():
+    v = np.linspace(0.0, 1.0, 101, dtype=np.float32)
+    back = np.asarray(C.hlg_to_linear(C.linear_to_hlg(v)))
+    np.testing.assert_allclose(back, v, atol=1e-5)
+
+
+def test_srgb_primaries_matrix():
+    """sRGB RGB->XYZ matrix must match the well-known values."""
+    mat = primaries_to_xyz_mat(PRIMARIES_SRGB, ILLUMINANT_D65)
+    expected = np.array([
+        [0.4124, 0.3576, 0.1805],
+        [0.2126, 0.7152, 0.0722],
+        [0.0193, 0.1192, 0.9505],
+    ])
+    np.testing.assert_allclose(mat, expected, atol=2e-3)
+    # inverse consistency
+    inv = xyz_to_primaries_mat(PRIMARIES_SRGB, ILLUMINANT_D65)
+    np.testing.assert_allclose(inv @ mat, np.eye(3), atol=1e-6)
+
+
+def test_adapt_mat_identity():
+    np.testing.assert_allclose(
+        adapt_mat(ILLUMINANT_D65, ILLUMINANT_D65), np.eye(3)
+    )
+
+
+def test_ycbcr_grey():
+    """Cb=Cr=0, Y=v-128/255 must give R=G=B=v."""
+    y = np.full((4, 4), 0.25, dtype=np.float32) - np.float32(128.0 / 255.0)
+    z = np.zeros((4, 4), dtype=np.float32)
+    r, g, b = C.ycbcr_to_rgb(z, y, z)
+    np.testing.assert_allclose(np.asarray(r), 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), 0.25, atol=1e-6)
+
+
+def test_xyb_neutral_grey():
+    """XYB of neutral grey (x=0, b=y) maps to R=G=B in linear sRGB.
+
+    Forward XYB: L=M=S-ish for grey; with x = (L-M)/2 = 0.  Uses the
+    default opsin matrix (image.rs color.rs:613-627)."""
+    oim = OpsinInverseMatrix()
+    # forward opsin for grey value g: cbrt mix is equal across LMS
+    g = 0.5
+    bias = np.asarray(oim.opsin_bias, dtype=np.float64)
+    # forward matrix is the inverse of inv_mat / 255-scaling at it=255
+    inv = np.array(oim.inv_mat)
+    fwd = np.linalg.inv(inv)
+    lms = fwd @ np.array([g, g, g])
+    mixed = np.cbrt(lms - bias) + np.cbrt(bias)
+    x = (mixed[0] - mixed[1]) / 2
+    y = (mixed[0] + mixed[1]) / 2
+    b = mixed[2]
+    xp = np.full((2, 2), x, dtype=np.float32)
+    yp = np.full((2, 2), y, dtype=np.float32)
+    bp = np.full((2, 2), b, dtype=np.float32)
+    l, m, s = C.xyb_to_mixed_lms(xp, yp, bp, oim.opsin_bias, 255.0)
+    r, gg, bb = C.apply_matrix3(l, m, s, inv)
+    np.testing.assert_allclose(np.asarray(r), g, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg), g, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bb), g, atol=1e-4)
+
+
+def test_color_transform_xyb_to_srgb_runs():
+    src = ColourEncoding(colour_space=ColourSpace.XYB)
+    dst = ColourEncoding()  # sRGB default
+    tr = ColorTransform.build(src, dst, OpsinInverseMatrix())
+    planes = [np.zeros((4, 4), dtype=np.float32) for _ in range(3)]
+    out = tr.run(planes)
+    assert len(out) == 3
+    assert np.asarray(out[0]).shape == (4, 4)
+
+
+def test_gabor_constant_preserved():
+    from jxl_oxide_tpu.ops.filters import gabor
+
+    p = np.full((16, 16), 0.7, dtype=np.float32)
+    out = np.asarray(gabor(p, (0.115169525, 0.061248592)))
+    np.testing.assert_allclose(out, 0.7, atol=1e-6)
+
+
+def test_epf_constant_preserved():
+    from jxl_oxide_tpu.headers.frame import EpfParams
+    from jxl_oxide_tpu.ops.filters import apply_epf
+
+    planes = [np.full((16, 16), v, dtype=np.float32) for v in (0.2, 0.5, 0.8)]
+    sigma = np.full((16, 16), 1.0, dtype=np.float32)
+    out = np.asarray(apply_epf(planes, sigma, EpfParams(iters=3)))
+    for c, v in enumerate((0.2, 0.5, 0.8)):
+        np.testing.assert_allclose(out[c], v, atol=1e-5)
+
+
+def test_epf_smooths_noise():
+    from jxl_oxide_tpu.headers.frame import EpfParams
+    from jxl_oxide_tpu.ops.filters import apply_epf
+
+    rng = np.random.default_rng(0)
+    base = np.full((32, 32), 0.5, dtype=np.float32)
+    noisy = base + rng.normal(0, 0.001, (32, 32)).astype(np.float32)
+    planes = [noisy, noisy.copy(), noisy.copy()]
+    sigma = np.full((32, 32), 8.0, dtype=np.float32)
+    out = np.asarray(apply_epf(planes, sigma, EpfParams(iters=2)))
+    assert out[0].std() < noisy.std() * 0.8
+
+
+def test_epf_sigma_below_threshold_is_identity():
+    from jxl_oxide_tpu.headers.frame import EpfParams
+    from jxl_oxide_tpu.ops.filters import apply_epf
+
+    rng = np.random.default_rng(1)
+    planes = [rng.random((16, 16)).astype(np.float32) for _ in range(3)]
+    sigma = np.full((16, 16), 0.1, dtype=np.float32)  # < 0.3
+    out = np.asarray(apply_epf(planes, sigma, EpfParams(iters=3)))
+    for c in range(3):
+        np.testing.assert_allclose(out[c], planes[c], atol=1e-7)

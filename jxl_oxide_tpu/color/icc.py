@@ -84,12 +84,34 @@ class _ByteReader:
         return b
 
 
+
+def _validate_icc_stream(data: bytes, enc_size: int) -> None:
+    """Sanity checks on the decoded stream header varints (decode.rs)."""
+    r = _ByteReader(data[:18])
+    output_size = r.varint()
+    commands_size = r.varint()
+    if r.pos + commands_size > enc_size:
+        raise JxlBitstreamError("invalid ICC commands_size")
+    if output_size > (1 << 28):
+        raise JxlValidationError("ICC output_size too large")
+    if output_size + 65536 < enc_size:
+        raise JxlBitstreamError("ICC output_size far smaller than enc_size")
+
+
 def read_icc(bs: Bitstream) -> bytes:
     """Read the entropy-coded ICC stream (still compressed) from the bitstream."""
     enc_size = bs.read_u64()
     if enc_size > (1 << 28):
         raise JxlValidationError("encoded ICC profile too large")
     decoder = Decoder(bs, 41)
+
+    from .. import native as _native
+
+    if _native.available():
+        data = _native.decode_icc_native(bs, decoder, enc_size)
+        _validate_icc_stream(data, enc_size)
+        return data
+
     decoder.begin(bs)
 
     out = bytearray()

@@ -282,7 +282,6 @@ class ModularSubimage:
         ma = self.image.ma_config
         dist_multiplier = max((c.width for c in self.infos), default=0)
         decoder = ma.make_decoder()
-        decoder.begin(bs)
 
         trees: list[FlatTree | None] = []
         for i, info in enumerate(self.infos):
@@ -296,6 +295,28 @@ class ModularSubimage:
                 == (info.width, info.height, info.hshift, info.vshift)
             )
             trees.append(ma.make_flat_tree(i, stream_index, prev))
+
+        # Native (C++) host runtime: whole-stream decode in one call.
+        from .. import native as _native
+
+        if _native.available():
+            prev_lists = []
+            prev_map_n: dict[tuple, list[np.ndarray]] = {}
+            for info, tree, grid in zip(self.infos, trees, self.views):
+                key = (info.width, info.height, info.hshift, info.vshift)
+                filtered = prev_map_n.setdefault(key, [])
+                if tree is None:
+                    prev_lists.append([])
+                    continue
+                prev_lists.append(list(filtered[: tree.max_prev_channel_depth]))
+                filtered.insert(0, grid)
+            _native.decode_modular_native(
+                bs, decoder, self.infos, trees, self.views, prev_lists,
+                dist_multiplier, self.image.header.wp_header,
+            )
+            return
+
+        decoder.begin(bs)
 
         # fast-lossless: RLE decoder + all trees single Gradient leaf
         if decoder.rle_mode():

@@ -1,0 +1,274 @@
+"""C++ host runtime bindings: builds (once) and loads libjxl_host.so.
+
+The native library runs the per-sample entropy hot loops (rANS/prefix +
+LZ77 + MA-tree modular decode); Python parses all headers/tables and
+serializes them to flat arrays here. Falls back to the pure-Python decode
+paths when compilation is unavailable (set JXL_TPU_NO_NATIVE=1 to force).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "src", "jxl_host.cpp")
+_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_LIB_DIR, "libjxl_host.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+    except OSError:
+        return False
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", _LIB + ".tmp", _SRC],
+            check=True, capture_output=True, timeout=300,
+        )
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except Exception as e:  # pragma: no cover - toolchain issues
+        print(f"jxl_oxide_tpu: native build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("JXL_TPU_NO_NATIVE"):
+        return None
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_LIB)
+    lib.jxlhost_decode_modular.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# Serialization
+
+
+class DecoderTables:
+    """Flat-array serialization of a parsed Decoder (entropy.py) for C++."""
+
+    def __init__(self, decoder):
+        lz = decoder.lz77 is not None
+        if lz:
+            lc = decoder.lz77.len_config
+            len_cfg = (lc.split_exponent, lc.msb_in_token, lc.lsb_in_token)
+        else:
+            len_cfg = (0, 0, 0)
+        self.header = np.array([
+            1 if lz else 0,
+            decoder.lz77_min_symbol,
+            decoder.lz77_min_length,
+            *len_cfg,
+            len(decoder.clusters),
+            decoder.num_clusters,
+            1 if decoder.use_prefix_code else 0,
+            decoder.log_alphabet_size,
+        ], dtype=np.int32)
+        self.cluster_map = np.ascontiguousarray(decoder.clusters, dtype=np.int32)
+        self.cfgs = np.array(
+            [
+                v
+                for c in decoder.configs
+                for v in (c.split_exponent, c.msb_in_token, c.lsb_in_token)
+            ],
+            dtype=np.int32,
+        )
+        if decoder.use_prefix_code:
+            metas = []
+            blobs = []
+            off = 0
+            for h in decoder.prefix_hists:
+                if h.single is not None:
+                    metas += [0, off]
+                    blobs.append(np.array([h.single, 0], dtype=np.int32))
+                    off += 2
+                else:
+                    metas += [h.max_len, off]
+                    blobs.append(np.ascontiguousarray(h.table_sym, dtype=np.int32))
+                    blobs.append(np.ascontiguousarray(h.table_len, dtype=np.int32))
+                    off += 2 * (1 << h.max_len)
+            self.pfx_meta = np.array(metas, dtype=np.int32)
+            self.pfx_blob = (
+                np.concatenate(blobs) if blobs else np.zeros(1, dtype=np.int32)
+            )
+            self.ans_meta = np.zeros(2, dtype=np.int32)
+            self.ans_blob = np.zeros(1, dtype=np.int32)
+        else:
+            metas = []
+            blobs = []
+            off = 0
+            for h in decoder.ans_hists:
+                alphabet = 1 << (12 - h.log_bucket_size)
+                metas += [h.log_bucket_size, off]
+                blobs.append(np.asarray(h.dist[:alphabet], dtype=np.int32))
+                blobs.append(np.ascontiguousarray(h.alias_symbol, dtype=np.int32))
+                blobs.append(np.ascontiguousarray(h.alias_cutoff, dtype=np.int32))
+                blobs.append(np.ascontiguousarray(h.alias_offset, dtype=np.int32))
+                off += 4 * alphabet
+            self.ans_meta = np.array(metas, dtype=np.int32)
+            self.ans_blob = (
+                np.concatenate(blobs) if blobs else np.zeros(1, dtype=np.int32)
+            )
+            self.pfx_meta = np.zeros(2, dtype=np.int32)
+            self.pfx_blob = np.zeros(1, dtype=np.int32)
+
+
+def serialize_tree(tree) -> np.ndarray:
+    """FlatTree -> int32 [n, 5]: leaf (1, cluster, pred, offset, mult) or
+    decision (0, prop, value, left, right)."""
+    from ..models.modular_ma import FlatLeaf
+
+    out = np.zeros((len(tree.nodes), 5), dtype=np.int32)
+    for i, nd in enumerate(tree.nodes):
+        if isinstance(nd, FlatLeaf):
+            out[i] = (1, nd.cluster, nd.predictor, nd.offset, nd.multiplier)
+        else:
+            prop, value, left, right = nd
+            out[i] = (0, prop, value, left, right)
+    return out
+
+
+def decode_modular_native(
+    bs, decoder, infos, trees, views, prev_lists, dist_multiplier, wp_header
+) -> None:
+    """Run the whole sub-stream decode in C++. Mutates `views` in place and
+    advances `bs.pos`. Raises JxlBitstreamError on stream errors."""
+    from ..utils.errors import JxlBitstreamError
+
+    lib = get_lib()
+    tables = DecoderTables(decoder)
+
+    n = len(infos)
+    chan_bufs = (ctypes.POINTER(ctypes.c_int32) * n)()
+    chan_strides = np.zeros(n, dtype=np.int64)
+    chan_dims = np.zeros(n * 2, dtype=np.int32)
+    tree_meta = np.zeros(n * 2, dtype=np.int32)
+    tree_arrays = []
+    tree_ptrs = (ctypes.c_void_p * n)()
+    prev_counts = np.zeros(n, dtype=np.int32)
+    prev_offsets = np.zeros(n, dtype=np.int32)
+    flat_prev_ptrs = []
+    flat_prev_strides = []
+
+    keepalive = []
+    for i, (info, tree, view) in enumerate(zip(infos, trees, views)):
+        if tree is None or info.width == 0 or info.height == 0:
+            chan_dims[i * 2] = 0
+            chan_dims[i * 2 + 1] = 0
+            tree_arrays.append(np.zeros((1, 5), dtype=np.int32))
+            tree_ptrs[i] = tree_arrays[-1].ctypes.data
+            continue
+        assert view.dtype == np.int32
+        assert view.strides[1] == 4, "row-contiguous views required"
+        chan_bufs[i] = view.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        chan_strides[i] = view.strides[0] // 4
+        chan_dims[i * 2] = info.width
+        chan_dims[i * 2 + 1] = info.height
+        ta = serialize_tree(tree)
+        tree_arrays.append(ta)
+        tree_ptrs[i] = ta.ctypes.data
+        tree_meta[i * 2] = len(ta)
+        tree_meta[i * 2 + 1] = 1 if tree.need_self_correcting else 0
+        prevs = prev_lists[i]
+        prev_counts[i] = len(prevs)
+        prev_offsets[i] = len(flat_prev_ptrs)
+        for p in prevs:
+            assert p.dtype == np.int32 and p.strides[1] == 4
+            keepalive.append(p)
+            flat_prev_ptrs.append(p.ctypes.data)
+            flat_prev_strides.append(p.strides[0] // 4)
+
+    np_prev_ptrs = np.array(flat_prev_ptrs or [0], dtype=np.uint64)
+    np_prev_strides = np.array(flat_prev_strides or [0], dtype=np.int64)
+
+    wp = wp_header
+    wp_arr = np.array(
+        [wp.p1, wp.p2, wp.p3a, wp.p3b, wp.p3c, wp.p3d, wp.p3e, *wp.w],
+        dtype=np.int32,
+    )
+
+    bit_pos = ctypes.c_uint64(bs.pos)
+    data = bs.data
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    ret = lib.jxlhost_decode_modular(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(len(data)),
+        ctypes.byref(bit_pos),
+        ip(tables.header), ip(tables.cluster_map), ip(tables.cfgs),
+        ip(tables.ans_meta), ip(tables.ans_blob),
+        ip(tables.pfx_meta), ip(tables.pfx_blob),
+        ctypes.c_int32(n),
+        chan_bufs,
+        chan_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ip(chan_dims),
+        ctypes.cast(tree_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ip(tree_meta),
+        ip(prev_counts), ip(prev_offsets),
+        np_prev_ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+        np_prev_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(dist_multiplier),
+        ip(wp_arr),
+    )
+    if ret != 0:
+        if ret == 2:
+            raise JxlBitstreamError("ANS final state mismatch (native)")
+        raise JxlBitstreamError(f"native modular decode error {ret}")
+    bs.pos = bit_pos.value
+
+
+def decode_icc_native(bs, decoder, enc_size: int) -> bytes:
+    """Decode the ICC byte stream in C++; advances bs.pos."""
+    from ..utils.errors import JxlBitstreamError
+
+    lib = get_lib()
+    lib.jxlhost_decode_icc.restype = ctypes.c_int
+    tables = DecoderTables(decoder)
+    out = np.zeros(enc_size, dtype=np.uint8)
+    bit_pos = ctypes.c_uint64(bs.pos)
+    data = bs.data
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    ret = lib.jxlhost_decode_icc(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(len(data)),
+        ctypes.byref(bit_pos),
+        ip(tables.header), ip(tables.cluster_map), ip(tables.cfgs),
+        ip(tables.ans_meta), ip(tables.ans_blob),
+        ip(tables.pfx_meta), ip(tables.pfx_blob),
+        ctypes.c_uint64(enc_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if ret != 0:
+        raise JxlBitstreamError(f"native ICC decode error {ret}")
+    bs.pos = bit_pos.value
+    return out.tobytes()

@@ -105,6 +105,8 @@ class RenderContext:
         self.reference = [None] * 4  # saved frames (color+extra plane lists)
         self.lf_frames = [None] * 4
         self.keyframes: list[KeyframeRender] = []
+        self._frame_counter = 0
+        self._keyframe_frame_indices: list[int] = []
 
     def _num_channels(self, frame):
         return frame.header.encoded_color_channels
@@ -121,6 +123,41 @@ class RenderContext:
         fr = render_frame(frame)
         ncolor = fr.color_channels
         nextra = len(fr.extra)
+
+        # Features: patches -> splines -> noise (render.rs render_features)
+        lf_global = getattr(frame, "lf_global", None)
+        if lf_global is not None and (
+            lf_global.patches or lf_global.splines or lf_global.noise
+        ):
+            base_corr = None
+            if lf_global.vardct is not None:
+                cc = lf_global.vardct.lf_chan_corr
+                base_corr = (cc.base_correlation_x, cc.base_correlation_b)
+            if lf_global.patches is not None:
+                self._apply_patches(fr, lf_global.patches)
+            if lf_global.splines is not None and fr.color_channels == 3:
+                from .features import render_spline
+
+                render_spline(
+                    fr.color, lf_global.splines, base_corr,
+                    header.width, header.height,
+                )
+            if lf_global.noise is not None and fr.color_channels == 3:
+                from .features import render_noise
+
+                frame_idx = self._frame_counter
+                is_kf = header.is_keyframe
+                visible = len(self.keyframes) + (1 if is_kf else 0)
+                if is_kf:
+                    invisible = 0
+                elif not self._keyframe_frame_indices:
+                    invisible = 1 + frame_idx
+                else:
+                    invisible = frame_idx - self._keyframe_frame_indices[-1]
+                render_noise(
+                    fr.color, header, visible, invisible, base_corr,
+                    lf_global.noise.lut,
+                )
 
         # composite onto canvas (blend.rs blend): base = source slot
         binfo = header.blending_info
@@ -207,5 +244,128 @@ class RenderContext:
                 duration=header.duration,
             )
             self.keyframes.append(kf)
+            self._keyframe_frame_indices.append(self._frame_counter)
+            self._frame_counter += 1
             return kf
+        self._frame_counter += 1
         return None
+
+    # -- patches ------------------------------------------------------------
+
+    def _apply_patches(self, fr, patches) -> None:
+        """Blend patch rects from saved reference frames onto the frame's
+        planes (blend.rs patch + from_patch_blending_info)."""
+        from .features import PatchBlendMode
+
+        meta = self.image_header.metadata
+        for patch in patches.patches:
+            ref = self.reference[patch.ref_idx]
+            if ref is None:
+                raise JxlNotSupportedError(
+                    f"patch references empty slot {patch.ref_idx}"
+                )
+            ref_color, ref_extra = ref
+            src_planes = list(ref_color) + list(ref_extra)
+            dst_planes = list(fr.color) + list(fr.extra)
+            ncolor = len(fr.color)
+
+            for target in patch.patch_targets:
+                for ci, blending in enumerate(target.blending[: len(dst_planes)]):
+                    mode = blending.mode
+                    if mode == PatchBlendMode.NONE:
+                        continue
+                    # channel index: blending[0] covers all color channels
+                    chans = (
+                        list(range(ncolor)) if ci == 0
+                        else [ncolor + ci - 1]
+                    )
+                    alpha_idx = ncolor + blending.alpha_channel
+                    for ch in chans:
+                        self._patch_blend_one(
+                            dst_planes, src_planes, ch, patch, target,
+                            mode, alpha_idx, blending.clamp,
+                            is_alpha=(ch == alpha_idx and mode.use_alpha),
+                            premultiplied=bool(
+                                meta.ec_info
+                                and blending.alpha_channel < len(meta.ec_info)
+                                and meta.ec_info[
+                                    blending.alpha_channel
+                                ].alpha_associated
+                            ),
+                        )
+
+    @staticmethod
+    def _patch_blend_one(dst_planes, src_planes, ch, patch, target, mode,
+                         alpha_idx, clamp, is_alpha, premultiplied):
+        from .features import PatchBlendMode as PB
+
+        dst = dst_planes[ch]
+        src = src_planes[ch]
+        # source rect in the reference frame; dest position in this frame
+        sh, sw = src.shape
+        dh, dw = dst.shape
+        x0, y0 = patch.x0, patch.y0
+        w = min(patch.width, sw - x0)
+        h = min(patch.height, sh - y0)
+        dx0, dy0 = target.x, target.y
+        if dx0 < 0 or dy0 < 0:
+            sx_off, sy_off = max(0, -dx0), max(0, -dy0)
+            x0 += sx_off
+            y0 += sy_off
+            w -= sx_off
+            h -= sy_off
+            dx0, dy0 = max(0, dx0), max(0, dy0)
+        w = min(w, dw - dx0)
+        h = min(h, dh - dy0)
+        if w <= 0 or h <= 0:
+            return
+        s = src[y0 : y0 + h, x0 : x0 + w]
+        d = dst[dy0 : dy0 + h, dx0 : dx0 + w]
+
+        if mode == PB.REPLACE:
+            d[:, :] = s
+        elif mode == PB.ADD:
+            d += s
+        elif mode == PB.MUL:
+            sv = np.clip(s, 0.0, 1.0) if clamp else s
+            d *= sv
+        else:
+            swapped = mode in (PB.BLEND_BELOW, PB.MUL_ADD_BELOW)
+            sa_plane = (
+                src_planes[alpha_idx] if alpha_idx < len(src_planes) else None
+            )
+            da_plane = (
+                dst_planes[alpha_idx] if alpha_idx < len(dst_planes) else None
+            )
+            sa = (
+                sa_plane[y0 : y0 + h, x0 : x0 + w]
+                if sa_plane is not None
+                else np.zeros_like(s)
+            )
+            da = (
+                da_plane[dy0 : dy0 + h, dx0 : dx0 + w]
+                if da_plane is not None
+                else np.zeros_like(d)
+            )
+            base_s, new_s = (s, d.copy()) if swapped else (d.copy(), s)
+            base_a, new_a = (sa, da) if swapped else (da, sa)
+            if clamp:
+                new_a = np.clip(new_a, 0.0, 1.0)
+            if mode in (PB.BLEND_ABOVE, PB.BLEND_BELOW):
+                if is_alpha:
+                    d[:, :] = new_a + base_a * (1.0 - new_a)
+                elif premultiplied:
+                    d[:, :] = new_s + base_s * (1.0 - new_a)
+                else:
+                    mixed = 1.0 - (1.0 - new_a) * (1.0 - base_a)
+                    recip = np.where(
+                        mixed > 0, 1.0 / np.where(mixed == 0, 1, mixed), 0.0
+                    )
+                    d[:, :] = (
+                        new_a * new_s + base_a * base_s * (1.0 - new_a)
+                    ) * recip
+            else:  # MulAdd
+                if is_alpha:
+                    d[:, :] = base_s
+                else:
+                    d[:, :] = base_s + new_a * new_s

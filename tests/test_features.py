@@ -1,0 +1,109 @@
+"""Feature rendering tests: splines, noise synthesis, patch blending."""
+
+import numpy as np
+import pytest
+
+from jxl_oxide_tpu.render.features import (
+    NoiseParameters,
+    PatchBlendMode,
+    QuantSpline,
+    Splines,
+    _erf,
+    _noise_field,
+    _xorshift_batches,
+    render_noise,
+    render_spline,
+)
+
+
+def test_erf_accuracy():
+    import math
+
+    xs = np.linspace(-3, 3, 61)
+    got = _erf(xs)
+    exact = np.array([math.erf(v) for v in xs])
+    assert np.abs(got - exact).max() < 7e-4
+
+
+def test_xorshift_matches_scalar():
+    """Vectorized 8-lane XorShift128+ vs a direct scalar transcription of
+    the generator definition (noise.rs:403-452)."""
+    M = (1 << 64) - 1
+
+    def split_mix(z):
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        return z ^ (z >> 31)
+
+    seed0, seed1 = 12345, 67890
+    s0 = [0] * 8
+    s1 = [0] * 8
+    s0[0] = split_mix((seed0 + 0x9E3779B97F4A7C15) & M)
+    s1[0] = split_mix((seed1 + 0x9E3779B97F4A7C15) & M)
+    for i in range(1, 8):
+        s0[i] = split_mix(s0[i - 1])
+        s1[i] = split_mix(s1[i - 1])
+
+    expected = []
+    for _ in range(3):
+        batch = []
+        for i in range(8):
+            t1, t0 = s0[i], s1[i]
+            ret = (t1 + t0) & M
+            s0[i] = t0
+            t1 = (t1 ^ (t1 << 23)) & M
+            s1[i] = t1 ^ (t0 ^ (t1 >> 18) ^ (t0 >> 5))
+            batch.append(ret)
+        for v in batch:
+            expected.append(v & 0xFFFFFFFF)
+            expected.append(v >> 32)
+
+    got = _xorshift_batches(seed0, seed1, 3).reshape(-1)
+    np.testing.assert_array_equal(got, np.array(expected, dtype=np.uint64))
+
+
+class _FakeHeader:
+    width = 40
+    height = 24
+    group_dim = 256
+
+
+def test_noise_field_deterministic():
+    f1 = _noise_field(_FakeHeader, 1, 0)
+    f2 = _noise_field(_FakeHeader, 1, 0)
+    np.testing.assert_array_equal(f1, f2)
+    f3 = _noise_field(_FakeHeader, 2, 0)
+    assert not np.array_equal(f1, f3)
+    assert f1.shape == (3, 24, 40)
+    assert 1.0 <= f1.min() and f1.max() < 2.0
+
+
+def test_render_noise_adds_variance():
+    planes = [np.full((24, 40), 0.5, dtype=np.float32) for _ in range(3)]
+    lut = (1.0,) * 8
+    render_noise(planes, _FakeHeader, 1, 0, None, lut)
+    assert planes[1].std() > 0.001
+    # deterministic
+    planes2 = [np.full((24, 40), 0.5, dtype=np.float32) for _ in range(3)]
+    render_noise(planes2, _FakeHeader, 1, 0, None, lut)
+    np.testing.assert_array_equal(planes[1], planes2[1])
+
+
+def test_render_spline_draws_blob():
+    # single-point spline with constant DC color and sigma
+    xyb = np.zeros((3, 32), dtype=np.int64)
+    xyb[1, 0] = 100  # y channel DC
+    sigma = np.zeros(32, dtype=np.int64)
+    sigma[0] = 10
+    qs = QuantSpline([(16, 16)], xyb, sigma)
+    splines = Splines([qs], quant_adjust=0)
+    planes = [np.zeros((32, 32), dtype=np.float32) for _ in range(3)]
+    render_spline(planes, splines, None, 32, 32)
+    y = planes[1]
+    assert y.max() > 0.0
+    # peak near the control point
+    py, px = np.unravel_index(np.argmax(y), y.shape)
+    assert abs(py - 16) <= 1 and abs(px - 16) <= 1
+    # b channel gets base_correlation_b=1.0 contribution
+    assert planes[2].max() > 0.0
+    assert planes[0].max() == pytest.approx(0.0, abs=1e-6)

@@ -20,7 +20,12 @@ from .io.bitstream import Bitstream
 from .io.container import BitstreamKind, ContainerParser
 from .render.context import KeyframeRender, RenderContext
 from .render.frame import Frame
-from .utils.errors import JxlError, JxlNotSupportedError, JxlValidationError
+from .utils.errors import (
+    JxlEofError,
+    JxlError,
+    JxlNotSupportedError,
+    JxlValidationError,
+)
 
 __all__ = ["JxlImage", "Render"]
 
@@ -102,6 +107,7 @@ class JxlImage:
         self._ctx: RenderContext | None = None
         self._keyframes: list[KeyframeRender] | None = None
         self.requested_encoding: ColourEncoding | None = None
+        self._image_region: tuple[int, int, int, int] | None = None
 
     # -- construction -------------------------------------------------------
 
@@ -120,12 +126,17 @@ class JxlImage:
     def feed_bytes(self, data: bytes) -> None:
         for ev in self._parser.feed(data):
             self._handle_event(ev)
+        try:
+            self._try_init()
+            self._load_frames(tolerate_truncation=True)
+        except JxlEofError:
+            pass  # headers not complete yet; keep feeding
 
     def finish(self) -> None:
         for ev in self._parser.finish():
             self._handle_event(ev)
         self._try_init()
-        self._load_frames()
+        self._load_frames(tolerate_truncation=False)
 
     def _handle_event(self, ev) -> None:
         if ev.kind == "codestream":
@@ -147,27 +158,62 @@ class JxlImage:
         if self.image_header is not None:
             return
         bs = Bitstream(bytes(self._codestream))
-        self.image_header = ImageHeader.parse(bs)
-        if self.image_header.metadata.colour_encoding.want_icc:
-            self.embedded_icc = decode_icc(read_icc(bs))
+        header = ImageHeader.parse(bs)
+        icc = None
+        if header.metadata.colour_encoding.want_icc:
+            icc = decode_icc(read_icc(bs))
+        # commit only once everything needed before frames has parsed
+        self.image_header = header
+        self.embedded_icc = icc
         self._header_bs = bs
 
-    def _load_frames(self) -> None:
+    def _load_frames(self, tolerate_truncation: bool = False) -> None:
         if self._frames_complete or self.image_header is None:
             return
         bs = self._header_bs
         data = bytes(self._codestream)
+        # the header bitstream snapshots the buffer; refresh it as new
+        # codestream bytes stream in (push-based feed, jxl-oxide lib.rs)
+        bs.data = data
+        bs._len_bits = len(data) * 8
+        # feed newly arrived bytes to the currently loading frame
         while True:
-            frame = Frame(self.image_header, bs)
-            end = frame.start_byte + frame.total_bytes
-            if end > len(data):
+            if self._frames and not self._frames[-1].is_complete:
+                frame = self._frames[-1]
+                end = frame.start_byte + frame.total_bytes
+                start = frame.start_byte + frame.data_start
+                avail = data[start + len(frame.data) : min(end, len(data))]
+                if avail:
+                    frame.feed_bytes(avail)
+                if not frame.is_complete:
+                    if tolerate_truncation:
+                        return
+                    raise JxlValidationError("truncated codestream")
+                bs.pos = end * 8
+                if frame.header.is_last:
+                    self._frames_complete = True
+                    return
+            # parse the next frame header
+            save_pos = bs.pos
+            try:
+                frame = Frame(self.image_header, bs)
+            except JxlEofError:
+                bs.pos = save_pos
+                if tolerate_truncation:
+                    return
                 raise JxlValidationError("truncated codestream")
-            frame.feed_bytes(data[frame.start_byte + frame.data_start : end])
             self._frames.append(frame)
+            end = frame.start_byte + frame.total_bytes
+            start = frame.start_byte + frame.data_start
+            frame.feed_bytes(data[start : min(end, len(data))])
+            if not frame.is_complete:
+                if tolerate_truncation:
+                    return
+                raise JxlValidationError("truncated codestream")
             bs.pos = end * 8
             if frame.header.is_last:
-                break
-        self._frames_complete = True
+                self._frames_complete = True
+                return
 
     # -- metadata -----------------------------------------------------------
 
@@ -218,9 +264,43 @@ class JxlImage:
 
     def render_frame(self, keyframe_idx: int = 0) -> Render:
         kf = self._render_all()[keyframe_idx]
-        return self._postprocess(kf)
+        return self._postprocess(kf, crop=self._image_region)
 
-    def _postprocess(self, kf: KeyframeRender) -> Render:
+    def set_image_region(self, left: int, top: int, width: int, height: int):
+        """Request a cropped region of interest (jxl-oxide
+        set_image_region). Applied to subsequent renders."""
+        self._image_region = (left, top, width, height)
+        self._keyframes = None
+
+    def render_loading_frame(self) -> Render:
+        """Progressive render of the last (possibly incomplete) frame
+        using whatever sections are buffered (render_loading_frame,
+        jxl-render/src/lib.rs:723-894)."""
+        if not self._frames:
+            raise JxlEofError("no frame data buffered yet")
+        frame = self._frames[-1]
+        from .render.context import KeyframeRender
+        from .render.render import render_frame as _rf
+
+        fr = _rf(frame, allow_partial=True)
+        h, w = self.image_header.size.height, self.image_header.size.width
+        color = [
+            np.zeros((h, w), dtype=np.float32) for _ in fr.color
+        ]
+        extra = [np.zeros((h, w), dtype=np.float32) for _ in fr.extra]
+        for dst, src in zip(color, fr.color):
+            sh, sw = src.shape
+            dst[: min(h, sh), : min(w, sw)] = src[:h, :w]
+        for dst, src in zip(extra, fr.extra):
+            sh, sw = src.shape
+            dst[: min(h, sh), : min(w, sw)] = src[:h, :w]
+        kf = KeyframeRender(
+            color=color, extra=extra, frame=frame,
+            name=frame.header.name, duration=frame.header.duration,
+        )
+        return self._postprocess(kf, crop=self._image_region)
+
+    def _postprocess(self, kf: KeyframeRender, crop=None) -> Render:
         """postprocess_keyframe (render/lib.rs:884-994): YCbCr -> RGB,
         then color transform to the requested encoding."""
         meta = self.image_header.metadata
@@ -261,9 +341,14 @@ class JxlImage:
             if not tr.is_noop:
                 color = [np.asarray(p) for p in tr.run(color)]
 
+        extra = [np.asarray(p, dtype=np.float32) for p in kf.extra]
+        if crop is not None:
+            left, top, width, height = crop
+            color = [p[top : top + height, left : left + width] for p in color]
+            extra = [p[top : top + height, left : left + width] for p in extra]
         return Render(
             planes=color,
-            extra=[np.asarray(p, dtype=np.float32) for p in kf.extra],
+            extra=extra,
             ec_info=list(meta.ec_info),
             orientation=meta.orientation,
             name=kf.name,

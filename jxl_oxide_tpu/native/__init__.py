@@ -238,6 +238,10 @@ def decode_modular_native(
         ip(wp_arr),
     )
     if ret != 0:
+        from ..utils.errors import JxlEofError
+
+        if ret == 4:
+            raise JxlEofError("stream truncated (native)")
         if ret == 2:
             raise JxlBitstreamError("ANS final state mismatch (native)")
         raise JxlBitstreamError(f"native modular decode error {ret}")
@@ -269,6 +273,10 @@ def decode_icc_native(bs, decoder, enc_size: int) -> bytes:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if ret != 0:
+        from ..utils.errors import JxlEofError
+
+        if ret == 4:
+            raise JxlEofError("ICC stream truncated (native)")
         raise JxlBitstreamError(f"native ICC decode error {ret}")
     bs.pos = bit_pos.value
     return out.tobytes()

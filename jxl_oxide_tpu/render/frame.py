@@ -212,6 +212,13 @@ class Frame:
             raise JxlEofError(f"section {entry.kind} not fully buffered")
         return bytes(self.data[off : off + entry.size])
 
+    def section_complete(self, kind: str, index: int = 0, pass_idx: int = 0) -> bool:
+        try:
+            entry = self.toc.entry_for(kind, index, pass_idx)
+        except (KeyError, IndexError):
+            return False
+        return entry.offset - self.data_start + entry.size <= len(self.data)
+
     # ------------------------------------------------------------------
 
     def parse_lf_global(self) -> LfGlobal:
@@ -223,9 +230,13 @@ class Frame:
                 self._single_bs = bs  # continue reading subsequent sections
         return self.lf_global
 
-    def decode_modular_frame(self) -> list[np.ndarray]:
+    def decode_modular_frame(self, allow_partial: bool = False) -> list[np.ndarray]:
         """Full Modular frame decode: LfGlobal + LF groups + pass groups +
-        inverse transforms. Returns original channel arrays (int32)."""
+        inverse transforms. Returns original channel arrays (int32).
+
+        With allow_partial, sections whose bytes are not fully buffered are
+        skipped (their samples stay zero) — the progressive rendering
+        contract (render/lib.rs render_loading_frame)."""
         if self.header.encoding != Encoding.MODULAR:
             raise ValueError("not a modular frame")
         lf_global = self.parse_lf_global()
@@ -247,6 +258,8 @@ class Frame:
                 self._decode_pass_group(bs, pass_idx, 0, sub, gmodular)
         else:
             for lf_idx in range(header.num_lf_groups):
+                if allow_partial and not self.section_complete("lf_group", lf_idx):
+                    continue
                 sub = lf_groups.get(lf_idx)
                 entry = self.toc.entry_for("lf_group", lf_idx)
                 bs = Bitstream(self.section_bytes(entry))
@@ -254,6 +267,10 @@ class Frame:
             # HfGlobal section must be empty for modular frames (no-op).
             for pass_idx in range(header.passes.num_passes):
                 for g_idx in range(header.num_groups):
+                    if allow_partial and not self.section_complete(
+                        "group_pass", g_idx, pass_idx
+                    ):
+                        continue
                     sub = (
                         pass_groups[pass_idx].get(g_idx)
                         if pass_idx < len(pass_groups)

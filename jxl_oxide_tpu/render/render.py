@@ -57,7 +57,7 @@ def _upsample2x_nn(plane: np.ndarray, axis: int, size: int) -> np.ndarray:
     return out.take(range(size), axis=axis)
 
 
-def render_frame(frame, lf_global=None) -> FrameRender:
+def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRender:
     """Decode + filter one frame. Returns planes at frame sample size."""
     header = frame.header
     image_header = frame.image_header
@@ -67,7 +67,7 @@ def render_frame(frame, lf_global=None) -> FrameRender:
     h = header.sample_height()
 
     if header.encoding == Encoding.MODULAR:
-        chans = frame.decode_modular_frame()
+        chans = frame.decode_modular_frame(allow_partial=allow_partial)
         lf_global = frame.lf_global
         gmodular = lf_global.gmodular
         ncolor = header.encoded_color_channels
@@ -94,7 +94,7 @@ def render_frame(frame, lf_global=None) -> FrameRender:
     else:
         from .vardct import decode_vardct_frame
 
-        (cx, cy, cb), extra_int = decode_vardct_frame(frame)
+        (cx, cy, cb), extra_int = decode_vardct_frame(frame, allow_partial=allow_partial)
         color = [cx, cy, cb]
         ncolor = 3
         extra = [_parse_integer_samples(c, bit_depth) for c in extra_int]

@@ -298,9 +298,12 @@ class VardctFrameState:
                         continue
                 yield (base_x >> hs) + sbx, (base_y >> vs) + sby, sel, hf_mul
 
-    def build_dequant_maps(self, hf_global: HfGlobal, x_qm_scale, b_qm_scale):
+    def build_dequant_maps(self, hf_global: HfGlobal | None, x_qm_scale, b_qm_scale):
         """Per-channel full-plane dequant multiplier maps
         (dequant_hf_varblock_grouped, vardct/mod.rs:443-541)."""
+        if hf_global is None:
+            return [np.zeros(self.plane_shapes[c], dtype=np.float32)
+                    for c in range(3)]
         quantizer = self.frame.lf_global.vardct.quantizer
         qm_scale = [
             0.8 ** (x_qm_scale - 2),
@@ -458,9 +461,13 @@ class VardctFrameState:
         return out
 
 
-def decode_vardct_frame(frame):
+def decode_vardct_frame(frame, allow_partial: bool = False):
     """Full VarDCT frame decode. Returns ([x, y, b] float32 planes cropped
-    to the frame sample size at channel shifts, extra-channel arrays)."""
+    to the frame sample size at channel shifts, extra-channel arrays).
+
+    With allow_partial, incomplete sections are skipped: missing pass
+    groups leave zero HF coefficients (LF-only preview regions), a missing
+    HfGlobal yields a pure-LF render (render_loading_frame contract)."""
     header = frame.header
     if header.encoding != Encoding.VARDCT:
         raise ValueError("not a VarDCT frame")
@@ -492,6 +499,8 @@ def decode_vardct_frame(frame):
             frame._decode_pass_group(bs, pass_idx, 0, sub, gmodular)
     else:
         for lf_idx in range(header.num_lf_groups):
+            if allow_partial and not frame.section_complete("lf_group", lf_idx):
+                continue
             entry = frame.toc.entry_for("lf_group", lf_idx)
             bs = Bitstream(frame.section_bytes(entry))
             group = parse_lf_group(
@@ -499,11 +508,19 @@ def decode_vardct_frame(frame):
                 mlf_groups.get(lf_idx),
             )
             state.place_lf_group(lf_idx, group)
-        entry = frame.toc.entry_for("hf_global")
-        bs = Bitstream(frame.section_bytes(entry))
-        hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
+        if allow_partial and not frame.section_complete("hf_global"):
+            hf_global = None
+        else:
+            entry = frame.toc.entry_for("hf_global")
+            bs = Bitstream(frame.section_bytes(entry))
+            hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
         for pass_idx in range(header.passes.num_passes):
             for g_idx in range(header.num_groups):
+                if allow_partial and (
+                    hf_global is None
+                    or not frame.section_complete("group_pass", g_idx, pass_idx)
+                ):
+                    continue
                 entry = frame.toc.entry_for("group_pass", g_idx, pass_idx)
                 bs = Bitstream(frame.section_bytes(entry))
                 state.decode_pass_group_hf(bs, hf_global, pass_idx, g_idx)

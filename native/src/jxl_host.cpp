@@ -707,6 +707,7 @@ int jxlhost_decode_modular(
     }
   }
 
+  if (br.pos > br.len_bits) return 4;  // consumed past end: truncated
   int fin = dec.finalize();
   *bit_pos = br.pos;
   return fin;
@@ -739,6 +740,7 @@ int jxlhost_decode_icc(
     b2 = b1;
     b1 = sym;
   }
+  if (br.pos > br.len_bits) return 4;  // consumed past end: truncated
   int fin = dec.finalize();
   *bit_pos = br.pos;
   return fin;

@@ -98,3 +98,37 @@ def test_cli_info_and_decode(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_progressive_render():
+    """Partial feeds must render progressively without errors, and the final
+    feed must match the one-shot decode (render_loading_frame contract)."""
+    data = open(CMYK, "rb").read()
+    img = JxlImage()
+    renders = []
+    step = len(data) // 7
+    for i in range(0, len(data), step):
+        img.feed_bytes(data[i : i + step])
+        if img.image_header is not None and img._frames:
+            try:
+                r = img.render_loading_frame()
+                renders.append(np.stack(r.image_planar(), -1))
+            except Exception:
+                pass
+    img.finish()
+    assert renders, "no progressive renders produced"
+    final = np.stack(img.render_frame(0).image_planar(), -1)
+    assert final.shape == renders[-1].shape
+
+
+def test_crop_region_matches_full():
+    """ROI decode must equal the crop of the full render (the reference's
+    crop consistency suite, tests/crop/mod.rs)."""
+    img = JxlImage.open(CMYK)
+    full = np.stack(img.render_frame(0).image_planar(), -1)
+    img2 = JxlImage.open(CMYK)
+    img2.set_image_region(37, 101, 200, 150)
+    cropped = np.stack(img2.render_frame(0).image_planar(), -1)
+    np.testing.assert_allclose(
+        cropped, full[101 : 101 + 150, 37 : 37 + 200], atol=1e-6
+    )

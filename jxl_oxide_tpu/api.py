@@ -251,6 +251,43 @@ class JxlImage:
         self.requested_encoding = encoding
         self._keyframes = None
 
+    # -- aux boxes / JPEG reconstruction ------------------------------------
+
+    def aux_box(self, box_type: bytes) -> bytes | None:
+        """Raw payload of the first aux box of the given type (brob boxes
+        are decompressed transparently)."""
+        for ty, payload in self._aux_boxes:
+            if ty == b"brob" and payload[:4] == box_type:
+                from .utils.brotli import brotli_decompress
+
+                return brotli_decompress(payload[4:])
+            if ty == box_type:
+                return payload
+        return None
+
+    @property
+    def jpeg_reconstruction_available(self) -> bool:
+        return self.aux_box(b"jbrd") is not None
+
+    def reconstruct_jpeg(self) -> bytes:
+        """Reconstruct the original JPEG byte stream from the jbrd box and
+        the first VarDCT frame (jxl-oxide lib.rs:860-904)."""
+        from .jbr import JpegBitstreamData, reconstruct_jpeg
+
+        jbrd_payload = self.aux_box(b"jbrd")
+        if jbrd_payload is None:
+            raise JxlError("no jbrd box present")
+        jbrd = JpegBitstreamData(jbrd_payload)
+        if not self._frames:
+            raise JxlError("no frame available")
+        frame = self._frames[0]
+        exif = self.aux_box(b"Exif") or b""
+        if exif:
+            exif = exif[4:]  # skip tiff offset header (aux_box.rs)
+        xmp = self.aux_box(b"xml ") or b""
+        icc = self.embedded_icc or b""
+        return reconstruct_jpeg(jbrd, frame, icc=icc, exif=exif, xmp=xmp)
+
     # -- rendering ----------------------------------------------------------
 
     def _render_all(self) -> list[KeyframeRender]:

@@ -532,6 +532,7 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
                 frame._decode_pass_group(bs, pass_idx, g_idx, sub, gmodular)
 
     frame._vardct_state = state  # for EPF sigma grids (render.py)
+    frame._hf_global = hf_global  # for JPEG reconstruction (jbr)
     xyb = state.run_device_pipeline(hf_global)
     # Crop rounded planes to sample size (per channel shift).
     cropped = []

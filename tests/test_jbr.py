@@ -1,0 +1,270 @@
+"""JPEG reconstruction tests: synthetic jbrd box -> reconstruct -> decode
+the produced JPEG with PIL and compare pixels against the coefficient math.
+
+Builds the jbrd header bit-exactly (same bitstream conventions as the
+parser) and compresses the data stream with the system brotli encoder, so
+the whole path — header parse, brotli, marker replay, DQT/DHT writing,
+sequential scan Huffman encoding, bit stuffing — is exercised.
+"""
+
+import ctypes
+import ctypes.util
+import io
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from encoder import BitWriter  # noqa: E402
+
+from jxl_oxide_tpu.headers.frame import Encoding
+from jxl_oxide_tpu.jbr import JpegBitstreamData, reconstruct_jpeg
+from jxl_oxide_tpu.ops.dct import idct2d
+
+
+def brotli_compress(data: bytes) -> bytes:
+    name = ctypes.util.find_library("brotlienc") or "libbrotlienc.so.1"
+    lib = ctypes.CDLL(name)
+    lib.BrotliEncoderCompress.restype = ctypes.c_int
+    out = ctypes.create_string_buffer(len(data) + 1024)
+    out_len = ctypes.c_size_t(len(out))
+    ret = lib.BrotliEncoderCompress(
+        5, 22, 0,
+        ctypes.c_size_t(len(data)), ctypes.c_char_p(data),
+        ctypes.byref(out_len), out,
+    )
+    assert ret == 1
+    return out.raw[: out_len.value]
+
+
+# Standard JPEG Annex K luminance tables
+DC_COUNTS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALUES = list(range(12))
+AC_COUNTS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALUES = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _write_u32_dist(w, value, dists):
+    """Write a U32-distribution value (selectors with (bits, offset))."""
+    for sel, (bits, offset) in enumerate(dists):
+        if offset <= value < offset + (1 << bits):
+            w.write(sel, 2)
+            if bits:
+                w.write(value - offset, bits)
+            return
+    raise AssertionError(f"value {value} not encodable")
+
+
+def _write_huffman_code(w, is_ac, hid, is_last, counts, values):
+    """Inverse of jbr HuffmanCode.parse, including the sentinel value."""
+    # add sentinel: bump the largest used length count, append sentinel value
+    counts = list(counts)
+    values = list(values)
+    last_len = max(i for i, c in enumerate(counts) if c)
+    counts[last_len] += 1
+    values.append(0)
+
+    w.write_bool(is_ac)
+    w.write(hid, 2)
+    w.write_bool(is_last)
+    for c in counts:
+        # U32(0, 1, 2+u(3), u(8))
+        if c == 0:
+            w.write(0, 2)
+        elif c == 1:
+            w.write(1, 2)
+        elif c < 10:
+            w.write(2, 2)
+            w.write(c - 2, 3)
+        else:
+            w.write(3, 2)
+            w.write(c, 8)
+    for v in values:
+        # U32(u(2), 4+u(2), 8+u(4), 1+u(8))
+        if v < 4:
+            w.write(0, 2)
+            w.write(v, 2)
+        elif v < 8:
+            w.write(1, 2)
+            w.write(v - 4, 2)
+        elif v < 24:
+            w.write(2, 2)
+            w.write(v - 8, 4)
+        else:
+            w.write(3, 2)
+            w.write(v - 1, 8)
+
+
+def make_jbrd_box(markers, tail=b"") -> bytes:
+    """Craft a grayscale sequential jbrd header + compressed data stream."""
+    w = BitWriter()
+    w.write_bool(True)  # is_gray
+    for m in markers:
+        w.write(m - 0xC0, 6)
+    # no app markers, no com
+    w.write(0, 2)  # num_quant_tables - 1 = 0
+    # QuantTable: precision 0, index 0, is_last
+    w.write(0, 1)
+    w.write(0, 2)
+    w.write_bool(True)
+    w.write(0, 2)  # comp_type = 0 -> ids [1]
+    w.write(0, 2)  # q_idx for the component
+    # num_huff = 2: U32(4, 2+u(3), 10+u(4), 26+u(6)): value 2 -> sel 1, u3=0
+    w.write(1, 2)
+    w.write(0, 3)
+    _write_huffman_code(w, False, 0, False, DC_COUNTS, DC_VALUES)
+    _write_huffman_code(w, True, 0, True, AC_COUNTS, AC_VALUES)
+    # ScanInfo: 1 comp, ss=0 se=63 al=0 ah=0
+    w.write(0, 2)  # num_comps - 1
+    w.write(0, 6)  # ss
+    w.write(63, 6)  # se
+    w.write(0, 4)  # al
+    w.write(0, 4)  # ah
+    # ScanComponentInfo: comp 0, ac_tbl 0, dc_tbl 0
+    w.write(0, 2)
+    w.write(0, 2)
+    w.write(0, 2)
+    # last_needed_pass: U32(0,1,2,3+u(3)) -> 0
+    w.write(0, 2)
+    # ScanMoreInfo: no reset points, no extra zero runs
+    w.write(0, 2)
+    w.write(0, 2)
+    # tail_data_length
+    if len(tail) == 0:
+        w.write(0, 2)
+    else:
+        w.write(1, 2)
+        w.write(len(tail) - 1, 8)
+    w.write_bool(False)  # no padding bits
+    w.zero_pad_to_byte()
+    header_bytes = w.to_bytes()
+    return header_bytes + brotli_compress(tail)
+
+
+class _Flags:
+    use_lf_frame = False
+    skip_adaptive_lf_smoothing = True
+
+
+def make_fake_frame(width, height, lf_quant_y, coeff_y, quant):
+    """Frame-like object with just the attributes reconstruct_jpeg needs."""
+    frame_header = types.SimpleNamespace(
+        encoding=Encoding.VARDCT,
+        do_ycbcr=True,  # dc_offset = 0 path; component idx passthrough
+        jpeg_upsampling=(0, 0, 0),
+        flags=_Flags(),
+        width=width,
+        height=height,
+        lf_groups_per_row=1,
+        lf_group_dim=2048,
+    )
+    image_header = types.SimpleNamespace(
+        metadata=types.SimpleNamespace(xyb_encoded=False),
+        size=types.SimpleNamespace(width=width, height=height),
+    )
+    h8, w8 = -(-height // 8), -(-width // 8)
+    zero_lf = np.zeros((h8, w8), dtype=np.int32)
+    zero_hf = np.zeros((h8 * 8, w8 * 8), dtype=np.int32)
+    state = types.SimpleNamespace(
+        # planes in [x, y, b] order
+        coeff_planes=[zero_hf, coeff_y, zero_hf.copy()],
+        lf_quant_planes=[zero_lf, lf_quant_y, zero_lf.copy()],
+        plane_shapes=[(h8 * 8, w8 * 8)] * 3,
+        width_rounded=w8 * 8,
+        height_rounded=h8 * 8,
+        lf_groups={},
+        header=frame_header,
+    )
+    hf_global = types.SimpleNamespace(
+        dequant_matrices=types.SimpleNamespace(
+            jpeg_quant_values=[list(quant.ravel())] * 3
+        )
+    )
+    return types.SimpleNamespace(
+        header=frame_header,
+        image_header=image_header,
+        _vardct_state=state,
+        _hf_global=hf_global,
+    )
+
+
+def test_reconstruct_grayscale_sequential():
+    """DC-only 16x16 grayscale JPEG: PIL-decoded pixels must match
+    DC * quant / 8 + 128 per block."""
+    from PIL import Image
+
+    quant = np.full((8, 8), 16, dtype=np.int32)
+    lf_quant = np.array([[2, -3], [5, 0]], dtype=np.int32)
+    coeff = np.zeros((16, 16), dtype=np.int32)
+
+    markers = [0xC0, 0xC4, 0xDB, 0xDA, 0xD9]
+    jbrd = JpegBitstreamData(make_jbrd_box(markers))
+    frame = make_fake_frame(16, 16, lf_quant, coeff, quant)
+    jpeg = reconstruct_jpeg(jbrd, frame)
+
+    assert jpeg[:2] == b"\xff\xd8" and jpeg[-2:] == b"\xff\xd9"
+    img = Image.open(io.BytesIO(jpeg))
+    arr = np.asarray(img.convert("L"), dtype=np.float64)
+    assert arr.shape == (16, 16)
+    for by in range(2):
+        for bx in range(2):
+            block = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            expected = np.clip(lf_quant[by, bx] * 16 / 8.0 + 128.0, 0, 255)
+            np.testing.assert_allclose(block.mean(), expected, atol=1.5)
+
+
+def test_reconstruct_with_ac_coefficients():
+    """AC coefficients must survive the run-length Huffman encoding."""
+    from PIL import Image
+
+    quant = np.full((8, 8), 8, dtype=np.int32)
+    lf_quant = np.array([[10]], dtype=np.int32)
+    coeff = np.zeros((8, 8), dtype=np.int32)
+    coeff[0, 1] = 4   # horizontal AC (stored layout row=vfreq? col=hfreq)
+    coeff[3, 2] = -2
+    coeff[7, 7] = 1
+
+    markers = [0xC0, 0xC4, 0xDB, 0xDA, 0xD9]
+    jbrd = JpegBitstreamData(make_jbrd_box(markers))
+    frame = make_fake_frame(8, 8, lf_quant, coeff, quant)
+    jpeg = reconstruct_jpeg(jbrd, frame)
+
+    img = Image.open(io.BytesIO(jpeg))
+    arr = np.asarray(img.convert("L"), dtype=np.float64) - 128.0
+
+    # expected: JPEG IDCT of (coeff * quant). JPEG's convention maps to
+    # our idct2d with an extra 1/8 scale per axis (DC = F/8 -> mean).
+    F = coeff.astype(np.float64) * 8.0
+    F[0, 0] = 10 * 8.0
+    expected = idct2d((F / 8.0).astype(np.float32))
+    np.testing.assert_allclose(arr, expected, atol=1.5)
+
+
+def test_tail_data_preserved():
+    markers = [0xC0, 0xC4, 0xDB, 0xDA, 0xD9]
+    tail = b"TRAILER-BYTES"
+    jbrd = JpegBitstreamData(make_jbrd_box(markers, tail=tail))
+    quant = np.full((8, 8), 16, dtype=np.int32)
+    frame = make_fake_frame(8, 8, np.zeros((1, 1), np.int32),
+                            np.zeros((8, 8), np.int32), quant)
+    jpeg = reconstruct_jpeg(jbrd, frame)
+    assert jpeg.endswith(tail)

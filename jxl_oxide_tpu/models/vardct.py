@@ -370,15 +370,21 @@ def _dct_quant_weights(params: list[float], width: int, height: int) -> np.ndarr
         if band <= 0.0:
             raise JxlValidationError("DCT dequant matrix: band <= 0")
         bands.append(band)
-    out = np.empty((height, width), dtype=np.float32)
     vmax = float(np.sqrt(2.0) + 1e-6)
-    for y in range(height):
-        dy = y / (height - 1)
-        for x in range(width):
-            dx = x / (width - 1)
-            distance = float(np.sqrt(dx * dx + dy * dy))
-            out[y, x] = _interpolate(distance, vmax, bands)
-    return out
+    dy = (np.arange(height) / (height - 1))[:, None]
+    dx = (np.arange(width) / (width - 1))[None, :]
+    distance = np.sqrt(dx * dx + dy * dy)
+    if len(bands) == 1:
+        return np.full((height, width), bands[0], dtype=np.float32)
+    # geometric interpolation between bands (dequant.rs interpolate)
+    b = np.asarray(bands, dtype=np.float64)
+    scaled = distance * (len(bands) - 1) / vmax
+    idx = scaled.astype(np.int64)
+    frac = scaled - idx
+    a = b[idx]
+    nxt = b[np.minimum(idx + 1, len(bands) - 1)]
+    out = a * (nxt / a) ** frac
+    return out.astype(np.float32)
 
 
 def _params_to_matrix(dct_select: int, encoding: tuple) -> list[np.ndarray]:
@@ -496,12 +502,16 @@ class DequantMatrixSet:
         # for a [h, w] matrix => plain transpose as a [w, h] array.
         return np.ascontiguousarray(m.T)
 
+    _default_cache = None
+
     @classmethod
     def default(cls) -> "DequantMatrixSet":
-        return cls([
-            _params_to_matrix(sel, _default_dct_params(sel))
-            for sel in _DCT_SELECT_LIST
-        ])
+        if cls._default_cache is None:
+            cls._default_cache = cls([
+                _params_to_matrix(sel, _default_dct_params(sel))
+                for sel in _DCT_SELECT_LIST
+            ])
+        return cls._default_cache
 
     @classmethod
     def parse(cls, bs: Bitstream, bit_depth: int, num_lf_groups: int,
@@ -832,6 +842,32 @@ def write_hf_coeff(
     dist = hf_pass.hf_dist
     ctx_size = 495 * num_block_clusters
     cluster_map = dist.clusters[ctx_size * hfp : ctx_size * (hfp + 1)]
+
+    # Native (C++) host runtime: whole-group HF decode in one call.
+    from .. import native as _native
+
+    if _native.available():
+        orders_cache = {}
+        for sel in np.unique(block_sel):
+            if sel < 0:
+                continue
+            oid = TransformType.ORDER_ID[int(sel)]
+            for c in range(3):
+                if (oid, c) not in orders_cache:
+                    orders_cache[(oid, c)] = np.asarray(
+                        hf_pass.order(oid, c), dtype=np.int32
+                    )
+        _native.decode_hf_group_native(
+            bs, dist, ctx_size * hfp,
+            hf_block_ctx=hf_block_ctx,
+            block_sel=block_sel, block_mul=block_mul,
+            hshifts=hshifts, vshifts=vshifts,
+            lf_quant=lf_quant,
+            orders_cache=orders_cache,
+            coeff_shift=coeff_shift,
+            out_planes=hf_coeff_output,
+        )
+        return
 
     dist.restart()
     dist.begin(bs)

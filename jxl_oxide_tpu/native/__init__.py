@@ -280,3 +280,100 @@ def decode_icc_native(bs, decoder, enc_size: int) -> bytes:
         raise JxlBitstreamError(f"native ICC decode error {ret}")
     bs.pos = bit_pos.value
     return out.tobytes()
+
+
+def decode_hf_group_native(
+    bs, hf_dist, ctx_offset: int, *, hf_block_ctx, block_sel, block_mul,
+    hshifts, vshifts, lf_quant, orders_cache, coeff_shift, out_planes
+) -> None:
+    """Native write_hf_coeff inner loop. Mutates out_planes; advances bs.pos.
+
+    orders_cache: dict-like from (order_id, channel) -> np.int32 [n, 2]
+    coordinate array (natural or permuted order).
+    """
+    from ..utils.errors import JxlBitstreamError, JxlEofError
+
+    lib = get_lib()
+    lib.jxlhost_decode_hf_group.restype = ctypes.c_int
+    tables = DecoderTables(hf_dist)
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    qf_thr = np.asarray(hf_block_ctx.qf_thresholds, dtype=np.int32)
+    lf_thr_counts = np.array(
+        [len(t) for t in hf_block_ctx.lf_thresholds], dtype=np.int32
+    )
+    lf_thr_all = np.asarray(
+        [v for t in hf_block_ctx.lf_thresholds for v in t] or [0],
+        dtype=np.int32,
+    )
+    bcm = np.asarray(hf_block_ctx.block_ctx_map, dtype=np.int32)
+
+    sel = np.ascontiguousarray(block_sel, dtype=np.int8)
+    mul = np.ascontiguousarray(block_mul, dtype=np.int32)
+    gh, gw = sel.shape
+
+    hs_arr = np.asarray(hshifts, dtype=np.int32)
+    vs_arr = np.asarray(vshifts, dtype=np.int32)
+
+    lf_ptrs = (ctypes.POINTER(ctypes.c_int32) * 3)()
+    lf_strides = np.zeros(3, dtype=np.int64)
+    keep = []
+    if lf_quant is not None:
+        for c in range(3):
+            p = np.ascontiguousarray(lf_quant[c], dtype=np.int32) \
+                if lf_quant[c].strides[1] != 4 else lf_quant[c]
+            keep.append(p)
+            lf_ptrs[c] = p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            lf_strides[c] = p.strides[0] // 4
+
+    # orders blob
+    offsets = np.full(13 * 3, 0, dtype=np.int32)
+    lengths = np.zeros(13 * 3, dtype=np.int32)
+    blobs = []
+    off = 0
+    for (oid, c), arr in orders_cache.items():
+        offsets[oid * 3 + c] = off
+        lengths[oid * 3 + c] = len(arr)
+        blobs.append(arr.reshape(-1))
+        off += arr.size
+    blob = np.concatenate(blobs) if blobs else np.zeros(2, dtype=np.int32)
+    blob = np.ascontiguousarray(blob, dtype=np.int32)
+
+    out_ptrs = (ctypes.POINTER(ctypes.c_int32) * 3)()
+    out_strides = np.zeros(3, dtype=np.int64)
+    for c in range(3):
+        v = out_planes[c]
+        assert v.dtype == np.int32 and v.strides[1] == 4
+        out_ptrs[c] = v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        out_strides[c] = v.strides[0] // 4
+
+    bit_pos = ctypes.c_uint64(bs.pos)
+    data = bs.data
+    ret = lib.jxlhost_decode_hf_group(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(len(data)),
+        ctypes.byref(bit_pos),
+        ip(tables.header), ip(tables.cluster_map), ip(tables.cfgs),
+        ip(tables.ans_meta), ip(tables.ans_blob),
+        ip(tables.pfx_meta), ip(tables.pfx_blob),
+        ctypes.c_int64(ctx_offset),
+        ip(qf_thr), ctypes.c_int32(len(qf_thr)),
+        ip(lf_thr_all), ip(lf_thr_counts),
+        ip(bcm), ctypes.c_int32(hf_block_ctx.num_block_clusters),
+        sel.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+        ip(mul),
+        ctypes.c_int32(gw), ctypes.c_int32(gh),
+        ctypes.c_int64(sel.strides[0]),
+        ip(hs_arr), ip(vs_arr),
+        lf_ptrs, lf_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ip(offsets), ip(blob), ip(lengths),
+        ctypes.c_int32(coeff_shift),
+        out_ptrs, out_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if ret != 0:
+        if ret == 4:
+            raise JxlEofError("HF stream truncated (native)")
+        raise JxlBitstreamError(f"native HF decode error {ret}")
+    bs.pos = bit_pos.value

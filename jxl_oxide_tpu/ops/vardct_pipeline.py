@@ -129,3 +129,136 @@ def transform_buckets(coeff_plane, lf_plane, out_plane, buckets):
         pixels = inverse_varblock_batch(coeffs, lf, sel)
         out_plane = scatter_blocks(out_plane, jnp.asarray(out_idx), pixels)
     return out_plane
+
+
+def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
+                         matrices, quant_bias, quant_bias_numerator,
+                         global_scale, qm_scale, lf_scale,
+                         skip_smoothing: bool,
+                         cfl_lf_k=(0.0, 1.0), cfl_colour_factor=84,
+                         cfl_base=(0.0, 1.0),
+                         gabor_weights=None, epf_params=None):
+    """One jitted function for the whole per-frame device pipeline:
+    LF dequant/CfL/smoothing -> HF dequant -> HF CfL -> bucketed inverse
+    transforms -> gaborish -> EPF.
+
+    Everything is ONE XLA computation: a decode is a single dispatch with
+    one coefficient upload and one pixel download. Dequant matrices and
+    bucket geometry are compile-time constants; per-block positions, HF
+    multipliers, CfL factor grids and the EPF sigma grid are small runtime
+    inputs expanded on device.
+
+    bucket_meta: tuple of (dct_select, n) per bucket.
+    matrices: {sel: np [3, h, w]} dequant matrices (canonical orientation
+    already resolved to the varblock region layout).
+    """
+    import jax
+
+    H, W = plane_shape
+    LH, LW = lf_shape
+
+    def pipeline(coeff, lf_quant, lf_scale_arr, x_grid, b_grid,
+                 sigma_blocks, *bucket_args):
+        # --- LF: dequant + CfL + smoothing ---
+        lf_planes = lf_quant.astype(jnp.float32) * lf_scale_arr[:, None, None]
+        kx0, kb0 = cfl_lf_k
+        lf_planes = jnp.stack([
+            lf_planes[0] + np.float32(kx0) * lf_planes[1],
+            lf_planes[1],
+            lf_planes[2] + np.float32(kb0) * lf_planes[1],
+        ])
+        if not skip_smoothing:
+            sm = adaptive_lf_smoothing(
+                lf_planes[0], lf_planes[1], lf_planes[2], lf_scale
+            )
+            lf_planes = jnp.stack(list(sm))
+
+        # --- HF CfL factor maps from per-64x64 grids, expanded on device ---
+        h64 = -(-H // 64)
+        w64 = -(-W // 64)
+        kx_map = (np.float32(cfl_base[0])
+                  + x_grid.astype(jnp.float32) / np.float32(cfl_colour_factor))
+        kb_map = (np.float32(cfl_base[1])
+                  + b_grid.astype(jnp.float32) / np.float32(cfl_colour_factor))
+        kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H, :W]
+        kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H, :W]
+
+        coeff_flat = coeff.reshape(3, -1)
+        lf_flat = lf_planes.reshape(3, -1)
+        kx_flat = kx_map.reshape(-1)
+        kb_flat = kb_map.reshape(-1)
+        out_flat = jnp.zeros((3, H * W), dtype=jnp.float32)
+        qbn = np.float32(quant_bias_numerator)
+
+        for i, (sel, n) in enumerate(bucket_meta):
+            pos = bucket_args[2 * i]      # [n, 2] (sbx, sby)
+            muls = bucket_args[2 * i + 1]  # [n] f32 hf_mul
+            from ..models.vardct import TransformType as _T
+
+            bw, bh = _T.SELECT_SIZE[sel]
+            h, w = bh * 8, bw * 8
+            dy = jnp.arange(h)[:, None]
+            dx = jnp.arange(w)[None, :]
+            rows = pos[:, 1, None, None] * 8 + dy
+            cols = pos[:, 0, None, None] * 8 + dx
+            idx = rows * W + cols  # [n, h, w]
+            ldy = jnp.arange(bh)[:, None]
+            ldx = jnp.arange(bw)[None, :]
+            lf_idx = (pos[:, 1, None, None] + ldy) * LW + (pos[:, 0, None, None] + ldx)
+
+            q = jnp.take(coeff_flat, idx, axis=1).astype(jnp.float32)
+            # dequant bias (vardct/mod.rs:443-541)
+            safe_q = jnp.where(q == 0.0, 1.0, q)
+            qb = jnp.asarray(quant_bias, dtype=jnp.float32)[:, None, None, None]
+            biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
+            mat = jnp.asarray(matrices[sel])  # [3, h, w] constant
+            scale = (np.float32(65536.0 / global_scale)
+                     * jnp.asarray(qm_scale, dtype=jnp.float32)[:, None]
+                     / muls[None, :])  # [3, n]
+            deq = biased * mat[:, None] * scale[:, :, None, None]
+            # HF CfL per gathered block
+            kxg = jnp.take(kx_flat, idx)
+            kbg = jnp.take(kb_flat, idx)
+            deq = jnp.stack([
+                deq[0] + kxg * deq[1],
+                deq[1],
+                deq[2] + kbg * deq[1],
+            ])
+            lf_g = jnp.take(lf_flat, lf_idx, axis=1)
+            pix = inverse_varblock_batch(
+                deq.reshape((3 * n, h, w)),
+                lf_g.reshape((3 * n, bh, bw)),
+                sel,
+            ).reshape(3, n, h, w)
+            out_flat = jax.vmap(
+                lambda o, v: o.at[idx.reshape(-1)].set(
+                    v.reshape(-1), mode="drop"
+                )
+            )(out_flat, pix)
+
+        out = out_flat.reshape(3, H, W)
+
+        # --- restoration filters, fused in ---
+        if gabor_weights is not None:
+            from .filters import gabor
+
+            out = jnp.stack([
+                gabor(out[c], tuple(gabor_weights[c])) for c in range(3)
+            ])
+        if epf_params is not None:
+            from .filters import epf_step
+
+            sigma = jnp.repeat(jnp.repeat(sigma_blocks, 8, 0), 8, 1)[:H, :W]
+            cs = tuple(epf_params.channel_scale)
+            bsm = float(epf_params.border_sad_mul)
+            if epf_params.iters == 3:
+                out = epf_step(out, sigma, 0, cs,
+                               float(epf_params.pass0_sigma_scale), bsm)
+            if epf_params.iters >= 1:
+                out = epf_step(out, sigma, 1, cs, 1.0, bsm)
+            if epf_params.iters >= 2:
+                out = epf_step(out, sigma, 2, cs,
+                               float(epf_params.pass2_sigma_scale), bsm)
+        return out
+
+    return jax.jit(pipeline)

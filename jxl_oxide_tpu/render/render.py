@@ -120,17 +120,22 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRen
 
     gray_cloned = False
     rf = header.restoration_filter
-    need_filter = rf.gab.enabled or rf.epf.enabled
+    filters_done = (
+        header.encoding == Encoding.VARDCT
+        and getattr(frame, "_vardct_state", None) is not None
+        and frame._vardct_state.filters_applied
+    )
+    need_filter = (rf.gab.enabled or rf.epf.enabled) and not filters_done
     if need_filter and len(color) < 3:
         color = [color[0]] * 3
         gray_cloned = True
 
-    if rf.gab.enabled:
+    if rf.gab.enabled and not filters_done:
         from ..ops.filters import apply_gabor
 
         color = [np.asarray(p) for p in apply_gabor(color, rf.gab.weights)]
 
-    if rf.epf.enabled:
+    if rf.epf.enabled and not filters_done:
         from ..ops.filters import apply_epf, sigma_map_from_blocks
 
         if header.encoding == Encoding.VARDCT:

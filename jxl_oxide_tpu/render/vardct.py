@@ -173,6 +173,7 @@ class VardctFrameState:
             np.zeros(shape, dtype=np.int32) for shape in self.lf_shapes
         ]
         self.extra_precision = 0
+        self.filters_applied = False
         self.lf_groups: dict[int, LfGroup] = {}
         self.opsin = meta.opsin_inverse_matrix
 
@@ -300,7 +301,8 @@ class VardctFrameState:
 
     def build_dequant_maps(self, hf_global: HfGlobal | None, x_qm_scale, b_qm_scale):
         """Per-channel full-plane dequant multiplier maps
-        (dequant_hf_varblock_grouped, vardct/mod.rs:443-541)."""
+        (dequant_hf_varblock_grouped, vardct/mod.rs:443-541), built by
+        vectorized scatter over the per-type bucket index plans."""
         if hf_global is None:
             return [np.zeros(self.plane_shapes[c], dtype=np.float32)
                     for c in range(3)]
@@ -313,18 +315,14 @@ class VardctFrameState:
         maps = []
         for c in range(3):
             dmap = np.zeros(self.plane_shapes[c], dtype=np.float32)
-            for sbx, sby, sel, hf_mul in self._iter_varblocks(c):
-                bw, bh = TransformType.SELECT_SIZE[sel]
+            flat = dmap.reshape(-1)
+            for sel, coeff_idx, _lf_idx, _out_idx, muls, _pos in self.buckets(c):
                 matrix = hf_global.dequant_matrices.get(
                     c, sel, TransformType.need_transpose(sel)
                 )
-                mul = (
-                    65536.0
-                    / (quantizer.global_scale * hf_mul)
-                    * qm_scale[c]
-                )
-                y0, x0 = sby * 8, sbx * 8
-                dmap[y0 : y0 + bh * 8, x0 : x0 + bw * 8] = matrix * mul
+                base = 65536.0 / quantizer.global_scale * qm_scale[c]
+                vals = matrix[None, :, :] * (base / muls)[:, None, None]
+                flat[coeff_idx.reshape(-1)] = vals.reshape(-1).astype(np.float32)
             maps.append(dmap)
         return maps
 
@@ -355,18 +353,24 @@ class VardctFrameState:
         kb_map = np.repeat(np.repeat(kb, 64, axis=0), 64, axis=1)[:h, :w]
         return np.ascontiguousarray(kx_map), np.ascontiguousarray(kb_map)
 
-    def build_transform_buckets(self, channel: int):
-        """Gather/scatter index plans per transform type for one channel."""
+    def buckets(self, channel: int):
+        """Cached gather/scatter index plans per transform type for one
+        channel: (sel, coeff_idx, lf_idx, out_idx, hf_muls)."""
+        cache = getattr(self, "_bucket_cache", None)
+        if cache is None:
+            cache = self._bucket_cache = {}
+        if channel in cache:
+            return cache[channel]
         ph, pw = self.plane_shapes[channel]
         lh, lw = self.lf_shapes[channel]
-        per_type: dict[int, list[tuple[int, int]]] = {}
-        for sbx, sby, sel, _ in self._iter_varblocks(channel):
-            per_type.setdefault(sel, []).append((sbx, sby))
+        per_type: dict[int, list[tuple[int, int, int]]] = {}
+        for sbx, sby, sel, hf_mul in self._iter_varblocks(channel):
+            per_type.setdefault(sel, []).append((sbx, sby, hf_mul))
         buckets = []
-        for sel, positions in sorted(per_type.items()):
+        for sel, entries in sorted(per_type.items()):
             bw, bh = TransformType.SELECT_SIZE[sel]
             h, w = bh * 8, bw * 8
-            pos = np.asarray(positions, dtype=np.int64)  # [n, 2] (sbx, sby)
+            pos = np.asarray(entries, dtype=np.int64)  # [n, 3]
             dy = np.arange(h)[:, None]
             dx = np.arange(w)[None, :]
             rows = pos[:, 1, None, None] * 8 + dy
@@ -377,14 +381,163 @@ class VardctFrameState:
             lrows = pos[:, 1, None, None] + ldy
             lcols = pos[:, 0, None, None] + ldx
             lf_idx = (lrows * lw + lcols).astype(np.int32)
-            buckets.append((sel, coeff_idx, lf_idx, coeff_idx))
+            buckets.append(
+                (sel, coeff_idx, lf_idx, coeff_idx,
+                 pos[:, 2].astype(np.float64), pos[:, :2].astype(np.int32))
+            )
+        cache[channel] = buckets
         return buckets
+
+    def build_transform_buckets(self, channel: int):
+        """Gather/scatter index plans (without muls), for the per-plane
+        fallback path."""
+        return [
+            (sel, ci, li, oi) for sel, ci, li, oi, _, _ in self.buckets(channel)
+        ]
 
     # -- top level ----------------------------------------------------------
 
     def run_device_pipeline(self, hf_global: HfGlobal):
         """Dequant -> CfL -> inverse transforms, all on device. Returns
-        [x, y, b] float32 planes at shifted rounded sizes."""
+        [x, y, b] float32 planes at shifted rounded sizes.
+
+        Non-subsampled frames take the fused single-dispatch path (one XLA
+        computation, one device->host transfer); subsampled frames fall
+        back to staged per-plane calls."""
+        if not self.subsampled:
+            return self._run_fused(hf_global)
+        return self._run_staged(hf_global)
+
+    _fused_cache: dict = {}
+
+    def _run_fused(self, hf_global: HfGlobal | None):
+        import jax.numpy as jnp
+
+        from ..ops.vardct_pipeline import build_fused_pipeline
+
+        header = self.header
+        quantizer = self.frame.lf_global.vardct.quantizer
+        lf_dequant = self.frame.lf_global.lf_dequant
+        corr = self.frame.lf_global.vardct.lf_chan_corr
+
+        scale_inv = quantizer.global_scale * quantizer.quant_lf
+        precision_scale = 1 << (9 - self.extra_precision)
+        lf_scale_arr = np.array(
+            [lf_dequant[c] * precision_scale / scale_inv for c in range(3)],
+            dtype=np.float32,
+        )
+        lf_smooth_scale = tuple(
+            np.float32(512.0 * lf_dequant[c] / scale_inv) for c in range(3)
+        )
+        kx = corr.base_correlation_x + (corr.x_factor_lf - 128) / corr.colour_factor
+        kb = corr.base_correlation_b + (corr.b_factor_lf - 128) / corr.colour_factor
+
+        buckets = self.buckets(0)
+        bucket_meta = tuple((sel, len(ci)) for sel, ci, *_ in buckets)
+        matrices = {}
+        qm_scale = (
+            0.8 ** (header.x_qm_scale - 2),
+            1.0,
+            0.8 ** (header.b_qm_scale - 2),
+        )
+        for sel, *_ in buckets:
+            if hf_global is not None:
+                matrices[sel] = np.stack([
+                    hf_global.dequant_matrices.get(
+                        c, sel, TransformType.need_transpose(sel)
+                    )
+                    for c in range(3)
+                ])
+            else:
+                bw, bh = TransformType.SELECT_SIZE[sel]
+                matrices[sel] = np.zeros((3, bh * 8, bw * 8), dtype=np.float32)
+
+        rf = header.restoration_filter
+        gabor_weights = tuple(map(tuple, rf.gab.weights)) if rf.gab.enabled else None
+        epf_params = rf.epf if rf.epf.enabled else None
+
+        # frame-wide CfL integer grids + EPF sigma blocks
+        h, w = self.plane_shapes[0]
+        w64 = -(-self.width_rounded // 64)
+        h64 = -(-self.height_rounded // 64)
+        x_grid = np.zeros((h64, w64), dtype=np.int32)
+        b_grid = np.zeros((h64, w64), dtype=np.int32)
+        bh_all = -(-self.height_rounded // 8)
+        bw_all = -(-self.width_rounded // 8)
+        sigma_blocks = np.full(
+            (bh_all, bw_all),
+            rf.epf.sigma_for_modular if rf.epf.enabled else 0.0,
+            dtype=np.float32,
+        )
+        lfg_per_row = header.lf_groups_per_row
+        for lf_group_idx, group in self.lf_groups.items():
+            if group.hf_meta is None:
+                continue
+            gx = lf_group_idx % lfg_per_row
+            gy = lf_group_idx // lfg_per_row
+            x0 = gx * (header.lf_group_dim // 64)
+            y0 = gy * (header.lf_group_dim // 64)
+            gh, gw = group.hf_meta.x_from_y.shape
+            x_grid[y0 : y0 + gh, x0 : x0 + gw] = group.hf_meta.x_from_y
+            b_grid[y0 : y0 + gh, x0 : x0 + gw] = group.hf_meta.b_from_y
+            sg = group.hf_meta.epf_sigma
+            sy0 = gy * header.group_dim
+            sx0 = gx * header.group_dim
+            sh_ = sigma_blocks[sy0 : sy0 + sg.shape[0], sx0 : sx0 + sg.shape[1]]
+            sh_[:, :] = sg[: sh_.shape[0], : sh_.shape[1]]
+
+        key = (
+            self.plane_shapes[0], self.lf_shapes[0], bucket_meta,
+            tuple(float(q) for q in self.opsin.quant_bias),
+            float(self.opsin.quant_bias_numerator),
+            quantizer.global_scale, qm_scale, lf_smooth_scale,
+            header.flags.skip_adaptive_lf_smoothing,
+            (float(kx), float(kb)),
+            corr.colour_factor,
+            (corr.base_correlation_x, corr.base_correlation_b),
+            gabor_weights,
+            (epf_params.iters, epf_params.sharp_lut, epf_params.channel_scale,
+             epf_params.pass0_sigma_scale, epf_params.pass2_sigma_scale,
+             epf_params.border_sad_mul) if epf_params else None,
+            tuple(sorted((sel, m.tobytes()) for sel, m in matrices.items())),
+        )
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = build_fused_pipeline(
+                self.plane_shapes[0], self.lf_shapes[0], bucket_meta,
+                matrices,
+                tuple(float(q) for q in self.opsin.quant_bias),
+                float(self.opsin.quant_bias_numerator),
+                quantizer.global_scale, qm_scale, lf_smooth_scale,
+                header.flags.skip_adaptive_lf_smoothing,
+                cfl_lf_k=(float(kx), float(kb)),
+                cfl_colour_factor=corr.colour_factor,
+                cfl_base=(corr.base_correlation_x, corr.base_correlation_b),
+                gabor_weights=gabor_weights,
+                epf_params=epf_params,
+            )
+            self._fused_cache[key] = fn
+
+        bucket_args = []
+        for _, _, _, _, muls, pos in buckets:
+            bucket_args.append(jnp.asarray(pos))
+            bucket_args.append(jnp.asarray(muls.astype(np.float32)))
+        coeff_stack = np.stack(self.coeff_planes)
+        if np.abs(coeff_stack).max(initial=0) < 32768:
+            coeff_stack = coeff_stack.astype(np.int16)  # halve the upload
+        out = fn(
+            jnp.asarray(coeff_stack),
+            jnp.asarray(np.stack(self.lf_quant_planes)),
+            jnp.asarray(lf_scale_arr),
+            jnp.asarray(x_grid), jnp.asarray(b_grid),
+            jnp.asarray(sigma_blocks),
+            *bucket_args,
+        )
+        out = np.asarray(out)
+        self.filters_applied = True
+        return [out[0], out[1], out[2]]
+
+    def _run_staged(self, hf_global: HfGlobal | None):
         import jax.numpy as jnp
 
         from ..ops.vardct_pipeline import (

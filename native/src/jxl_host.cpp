@@ -747,3 +747,197 @@ int jxlhost_decode_icc(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// HF coefficient decode (jxl-vardct hf_coeff.rs write_hf_coeff)
+
+namespace {
+
+const i32 COEFF_FREQ_CONTEXT[63] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 15, 16, 16, 17,
+    17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22, 23, 23, 23, 23, 24, 24, 24,
+    24, 25, 25, 25, 25, 26, 26, 26, 26, 27, 27, 27, 27, 28, 28, 28, 28, 29,
+    29, 29, 29, 30, 30, 30, 30};
+const i32 COEFF_NUM_NONZERO_CONTEXT[63] = {
+    0,   31,  62,  62,  93,  93,  93,  93,  123, 123, 123, 123, 152, 152,
+    152, 152, 152, 152, 152, 152, 180, 180, 180, 180, 180, 180, 180, 180,
+    180, 180, 180, 180, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
+    206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
+    206, 206, 206, 206, 206, 206, 206};
+
+// TransformType tables (dct_select.rs); [t][0]=bw, [t][1]=bh in blocks
+const i32 SELECT_SIZE[27][2] = {
+    {1,1},{1,1},{1,1},{1,1},{2,2},{4,4},{1,2},{2,1},{1,4},{4,1},{2,4},{4,2},
+    {1,1},{1,1},{1,1},{1,1},{1,1},{1,1},{8,8},{4,8},{8,4},{16,16},{8,16},
+    {16,8},{32,32},{16,32},{32,16}};
+const i32 ORDER_ID_TBL[27] = {0,1,1,1,2,3,4,4,5,5,6,6,1,1,1,1,1,1,7,8,8,9,10,10,11,12,12};
+
+inline bool need_transpose_tbl(int t) {
+  switch (t) {
+    case 1: case 2: case 3: case 12: case 13: case 14: case 15: case 16:
+    case 17: return false;
+    default: {
+      i32 w = SELECT_SIZE[t][0], h = SELECT_SIZE[t][1];
+      return h >= w;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one pass-group's HF coefficients, adding into 3 int32 planes.
+// Returns 0 on success; 4 = truncated; >=10 = decoder error.
+int jxlhost_decode_hf_group(
+    const u8* data, u64 data_len_bytes, u64* bit_pos,
+    // decoder spec (hf_dist)
+    const i32* spec_header, const i32* cluster_map, const i32* cfgs,
+    const i32* ans_meta, const i32* ans_blob,
+    const i32* pfx_meta, const i32* pfx_blob,
+    i64 ctx_offset,            // hfp * 495 * num_block_clusters
+    // block context
+    const i32* qf_thresholds, i32 num_qf_thresholds,
+    const i32* lf_thr_all, const i32* lf_thr_counts,  // 3 concatenated lists
+    const i32* block_ctx_map, i32 num_block_clusters,
+    // grids
+    const signed char* block_sel, const i32* block_mul,
+    i32 grid_w, i32 grid_h, i64 grid_stride,
+    const i32* hshifts, const i32* vshifts,   // [3] (x,y,b channel order)
+    // lf_quant planes in x,y,b order (null ptrs if absent)
+    i32* const* lf_quant_ptrs, const i64* lf_quant_strides,
+    // orders: per (order_id, channel): offset into orders_blob (pairs), -1 => natural not provided (error)
+    const i32* order_offsets,  // [13*3]
+    const i32* orders_blob,    // concatenated (x, y) pairs
+    const i32* order_lengths,  // [13*3]
+    i32 coeff_shift,
+    // output planes in x,y,b order
+    i32* const* out_ptrs, const i64* out_strides
+) {
+  SpecHolder holder;
+  holder.build(spec_header, cluster_map, cfgs, ans_meta, ans_blob, pfx_meta,
+               pfx_blob);
+  BitReader br{data, data_len_bytes * 8, *bit_pos};
+  DecoderState dec;
+  dec.spec = &holder.spec;
+  dec.br = &br;
+  dec.begin();
+
+  const i32* lf_thr[3];
+  {
+    const i32* p = lf_thr_all;
+    for (int c = 0; c < 3; c++) {
+      lf_thr[c] = p;
+      p += lf_thr_counts[c];
+    }
+  }
+  i64 lf_idx_mul = (i64)(lf_thr_counts[0] + 1) * (lf_thr_counts[1] + 1) *
+                   (lf_thr_counts[2] + 1);
+  i64 hf_idx_mul = num_qf_thresholds + 1;
+  bool has_lf_quant = lf_quant_ptrs[0] != nullptr;
+
+  // per-channel non_zeros rows
+  std::vector<i64> nzr[3];
+  for (int c = 0; c < 3; c++) {
+    i32 w = (grid_w + (1 << hshifts[c]) - 1) >> hshifts[c];
+    nzr[c].assign(w, 0);
+  }
+
+  for (i32 y = 0; y < grid_h; y++) {
+    for (i32 x = 0; x < grid_w; x++) {
+      int sel = block_sel[(i64)y * grid_stride + x];
+      if (sel < 0) continue;
+      i64 qf = block_mul[(i64)y * grid_stride + x];
+      i32 w8 = SELECT_SIZE[sel][0], h8 = SELECT_SIZE[sel][1];
+      i32 num_blocks = w8 * h8;
+      int num_blocks_log = 0;
+      while ((1 << num_blocks_log) < num_blocks) num_blocks_log++;
+      i32 order_id = ORDER_ID_TBL[sel];
+
+      i64 lf_idx = 0;
+      if (has_lf_quant) {
+        const int cs[3] = {0, 2, 1};
+        for (int k = 0; k < 3; k++) {
+          int c = cs[k];
+          lf_idx *= lf_thr_counts[c] + 1;
+          i32 qx = x >> hshifts[c], qy = y >> vshifts[c];
+          i32 q = lf_quant_ptrs[c][(i64)qy * lf_quant_strides[c] + qx];
+          for (int t = 0; t < lf_thr_counts[c]; t++)
+            if (q > lf_thr[c][t]) lf_idx++;
+        }
+      }
+      i64 hf_idx = 0;
+      for (int t = 0; t < num_qf_thresholds; t++)
+        if (qf > qf_thresholds[t]) hf_idx++;
+
+      for (int ci = 0; ci < 3; ci++) {
+        i64 ch_idx = ci * 13 + order_id;
+        int c = (int[]){1, 0, 2}[ci];
+        int hs = hshifts[c], vs = vshifts[c];
+        i32 sx = x >> hs, sy = y >> vs;
+        if (hs || vs) {
+          if ((sx << hs) != x || (sy << vs) != y) continue;
+          if (block_sel[(i64)sy * grid_stride + sx] < 0) continue;
+        }
+
+        i64 idx = (ch_idx * hf_idx_mul + hf_idx) * lf_idx_mul + lf_idx;
+        i32 block_ctx = block_ctx_map[idx];
+        i64 predicted;
+        if (sy == 0) predicted = sx == 0 ? 32 : nzr[c][sx - 1];
+        else if (sx == 0) predicted = nzr[c][sx];
+        else predicted = (nzr[c][sx] + nzr[c][sx - 1] + 1) >> 1;
+        i64 nz_idx = predicted >= 8 ? 4 + predicted / 2 : predicted;
+        i64 non_zeros_ctx = block_ctx + nz_idx * num_block_clusters;
+
+        u32 non_zeros = dec.read_varint_clustered(
+            holder.spec.cluster_map[ctx_offset + non_zeros_ctx], 0);
+        if (dec.error) return 10 + dec.error;
+        if (non_zeros > (u32)(63 << num_blocks_log)) return 5;
+        i64 nz_val = ((i64)non_zeros + num_blocks - 1) >> num_blocks_log;
+        for (int dx = 0; dx < w8; dx++) nzr[c][sx + dx] = nz_val;
+        if (non_zeros == 0) continue;
+
+        i32* out = out_ptrs[c];
+        i64 out_stride = out_strides[c];
+        u32 is_prev_nonzero = non_zeros <= (u32)(num_blocks * 4) ? 1 : 0;
+        bool transpose = need_transpose_tbl(sel);
+
+        int oid3 = order_id * 3 + c;
+        const i32* order = orders_blob + order_offsets[oid3];
+        i32 order_len = order_lengths[oid3];
+
+        i64 coeff_ctx_base = (i64)block_ctx * 458 + 37 * num_block_clusters;
+
+        for (i32 oi = num_blocks; oi < order_len; oi++) {
+          i64 nz_for_ctx = ((i64)non_zeros - 1) >> num_blocks_log;
+          i64 fi = (oi - num_blocks) >> num_blocks_log;
+          i64 coeff_ctx = (COEFF_NUM_NONZERO_CONTEXT[nz_for_ctx] +
+                           COEFF_FREQ_CONTEXT[fi]) * 2 + is_prev_nonzero;
+          if (coeff_ctx >= 458) return 6;
+          u32 ucoeff = dec.read_varint_clustered(
+              holder.spec.cluster_map[ctx_offset + coeff_ctx_base + coeff_ctx], 0);
+          if (dec.error) return 10 + dec.error;
+          if (ucoeff == 0) {
+            is_prev_nonzero = 0;
+            continue;
+          }
+          i64 coeff = (i64)unpack_signed(ucoeff) << coeff_shift;
+          i32 dx = order[oi * 2], dy = order[oi * 2 + 1];
+          if (transpose) { i32 t = dx; dx = dy; dy = t; }
+          i64 px = (i64)sx * 8 + dx;
+          i64 py = (i64)sy * 8 + dy;
+          out[py * out_stride + px] += (i32)coeff;
+          is_prev_nonzero = 1;
+          non_zeros--;
+          if (non_zeros == 0) break;
+        }
+      }
+    }
+  }
+  if (br.pos > br.len_bits) return 4;
+  int fin = dec.finalize();
+  *bit_pos = br.pos;
+  return fin;
+}
+
+}  // extern "C"

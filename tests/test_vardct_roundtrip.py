@@ -85,3 +85,54 @@ def test_vardct_high_quality():
     p_coarse = psnr(np.clip(np.stack([xh, yh, bh_], -1), 0, 1), img)
     assert p_fine > p_coarse + 3.0
     assert p_fine > 45.0, f"fine-quant PSNR too low: {p_fine:.2f}"
+
+
+def test_vardct_multigroup_roundtrip():
+    """Multi-group frame (separate TOC sections per 256x256 group)."""
+    from encoder_vardct import encode_jxl_vardct
+
+    img = _smooth_image(300, 520, seed=21)
+    data = encode_jxl_vardct(img, global_scale=8192)
+    (x, y, b), _ = decode(data)
+    assert x.shape == (300, 520)
+    got = np.stack([x, y, b], axis=-1)
+    p = psnr(np.clip(got, 0, 1), img)
+    assert p > 45.0, f"PSNR too low: {p:.2f} dB"
+
+
+def test_vardct_filters_fused_matches_separate():
+    """The fused pipeline's in-graph gaborish/EPF must match applying the
+    standalone filter ops to the unfiltered decode."""
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu.headers.frame import EpfParams
+    from jxl_oxide_tpu.ops.filters import apply_epf, apply_gabor
+    from jxl_oxide_tpu.headers.frame import GABOR_DEFAULT_WEIGHTS
+
+    img = _smooth_image(64, 64, seed=33)
+    plain = encode_jxl_vardct(img, global_scale=4096)
+    filtered = encode_jxl_vardct(img, global_scale=4096, gabor=True,
+                                 epf_iters=2)
+    (x0, y0, b0), _ = decode(plain)
+    (x1, y1, b1), _ = decode(filtered)
+
+    # reproduce: gabor then EPF (sigma = quant_mul*65536/gs/hf_mul * lut[0]?
+    # sharpness zero -> lut[0] = 0 -> sigma 0 -> EPF passthrough)
+    g = [np.asarray(p) for p in apply_gabor([x0, y0, b0],
+                                            GABOR_DEFAULT_WEIGHTS)]
+    sigma = np.zeros_like(x0)
+    out = np.asarray(apply_epf(g, sigma, EpfParams(iters=2)))
+    np.testing.assert_allclose(
+        np.stack([x1, y1, b1]), out, atol=2e-4
+    )
+
+
+def test_vardct_roundtrip_with_filters_smoke():
+    from encoder_vardct import encode_jxl_vardct
+
+    img = _smooth_image(96, 80, seed=34)
+    data = encode_jxl_vardct(img, global_scale=8192, gabor=True, epf_iters=3)
+    (x, y, b), _ = decode(data)
+    got = np.stack([x, y, b], -1)
+    p = psnr(np.clip(got, 0, 1), img)
+    assert p > 28.0, f"PSNR too low with filters: {p:.2f}"

@@ -67,11 +67,13 @@ def encode_jxl_vardct(
     rgb: np.ndarray,
     global_scale: int = 512,
     quant_lf: int = 16,
+    gabor: bool = False,
+    epf_iters: int = 0,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     single-frame VarDCT bare codestream (DCT8 blocks only)."""
     h, w, _ = rgb.shape
-    assert h <= 256 and w <= 256, "single-group encoder"
+    assert h <= 2048 and w <= 2048, "single-LF-group encoder"
     bh, bw = -(-h // 8), -(-w // 8)
 
     # pad to block multiple (edge-replicate)
@@ -157,13 +159,25 @@ def encode_jxl_vardct(
     out.write_bool(True)  # is_last
     out.write_u32_sel(0, 0, 0)  # name len 0
     out.write_bool(False)  # restoration filter not default
-    out.write_bool(False)  # gabor off
-    out.write(0, 2)  # epf iters 0
+    if gabor:
+        out.write_bool(True)   # gabor on
+        out.write_bool(False)  # default weights
+    else:
+        out.write_bool(False)  # gabor off
+    out.write(epf_iters, 2)
+    if epf_iters:
+        out.write_bool(False)  # sharp_lut default
+        out.write_bool(False)  # channel_scale default
+        out.write_bool(False)  # sigma default
     out.write_u64_zero()  # rf extensions
     out.write_u64_zero()  # frame extensions
 
-    # --- single "All" section (1 group, 1 pass) ---
-    sec = BitWriter()
+    # --- sections ---
+    gpr = -(-w // 256)
+    gpc = -(-h // 256)
+    num_groups = gpr * gpc
+    single = num_groups == 1
+    sec = BitWriter()  # lf_global (continues inline when single-entry)
 
     # LfGlobal
     sec.write_bool(True)  # lf_dequant all_default
@@ -188,6 +202,8 @@ def encode_jxl_vardct(
     # GlobalModular: zero channels -> no modular header at all
 
     # LfGroup 0: LfCoeff (extra_precision + modular [y,x,b]), no mlf, HfMetadata
+    lfg = sec if single else BitWriter()
+    sec, _lf_global_sec = lfg, sec
     sec.write(0, 2)  # extra_precision = 0
     _encode_local_modular(sec, [lf_q[1], lf_q[0], lf_q[2]])
     # HfMetadata: nb_blocks-1 in ceil_log2(bw*bh) bits
@@ -203,54 +219,76 @@ def encode_jxl_vardct(
     _encode_local_modular(sec, [x_from_y, b_from_y, block_info, sharpness])
 
     # HfGlobal: default dequant matrices, 1 preset, 1 HfPass
+    lf_group_sec = sec
+    sec = lf_group_sec if single else BitWriter()
+    hf_global_sec = sec
     sec.write_bool(True)  # dequant all_default
-    # num_hf_presets: ceil_log2(num_groups)=0 bits -> 1 preset
+    # num_hf_presets bits = ceil_log2(num_groups); write 0 -> 1 preset
+    hfp_bits = max(num_groups - 1, 0).bit_length()
+    if hfp_bits:
+        sec.write(0, hfp_bits)
     # HfPass: used_orders = 0 (selector 2), hf_dist decoder
     sec.write(2, 2)
     num_clusters_ctx = 495 * 15  # 15 default block context clusters
     hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
     hf_enc.write_header(sec)
 
-    # Pass group 0: hfp bits (0 for 1 preset) + HF coefficient tokens
+    # Per-group HF token streams (hfp selector bits are 0-width for 1 preset)
     order = natural_order(0)  # DCT8
-    tokens: list[int] = []
-    for by in range(bh):
-        for bx in range(bw):
-            for c in (1, 0, 2):
-                qb_ = q[c, by, bx]
-                # stored[row=x, col=y] for order pos (x, y) (need_transpose)
-                nz_positions = [
-                    (x, y) for (x, y) in order[1:] if qb_[x, y] != 0
-                ]
-                non_zeros = len(nz_positions)
-                tokens.append(non_zeros)
-                remaining = non_zeros
-                for (x, y) in order[1:]:
-                    if remaining == 0:
-                        break
-                    v = int(qb_[x, y])
-                    tokens.append(_pack_signed(v))
-                    if v != 0:
-                        remaining -= 1
-    hf_enc.encode_tokens(sec, tokens)
 
-    # --- TOC (single entry) + assemble ---
-    sec_bytes = sec.to_bytes()
+    def group_tokens(gx, gy):
+        tokens: list[int] = []
+        for by in range(gy * 32, min((gy + 1) * 32, bh)):
+            for bx in range(gx * 32, min((gx + 1) * 32, bw)):
+                for c in (1, 0, 2):
+                    qb_ = q[c, by, bx]
+                    # stored[row=x, col=y] for order pos (x, y) (transposed)
+                    non_zeros = sum(
+                        1 for (x, y) in order[1:] if qb_[x, y] != 0
+                    )
+                    tokens.append(non_zeros)
+                    remaining = non_zeros
+                    for (x, y) in order[1:]:
+                        if remaining == 0:
+                            break
+                        v = int(qb_[x, y])
+                        tokens.append(_pack_signed(v))
+                        if v != 0:
+                            remaining -= 1
+        return tokens
+
+    if single:
+        hf_enc.encode_tokens(sec, group_tokens(0, 0))
+        sections = [sec]
+    else:
+        sections = [_lf_global_sec, lf_group_sec, hf_global_sec]
+        for gy in range(gpc):
+            for gx in range(gpr):
+                gsec = BitWriter()
+                genc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+                # share the parsed header: re-emit identical decoder header
+                # bits per group? No: per-pass hf_dist is parsed once in
+                # HfGlobal; the group stream holds only state+tokens.
+                genc.encode_tokens(gsec, group_tokens(gx, gy))
+                sections.append(gsec)
+
+    # --- TOC + assemble ---
     out.write_bool(False)  # no TOC permutation
     out.zero_pad_to_byte()
-    size = len(sec_bytes)
-    if size < 1024:
-        out.write(0, 2)
-        out.write(size, 10)
-    elif size < 17408:
-        out.write(1, 2)
-        out.write(size - 1024, 14)
-    else:
-        out.write(2, 2)
-        out.write(size - 17408, 22)
+    for s_ in sections:
+        size = len(s_.to_bytes())
+        if size < 1024:
+            out.write(0, 2)
+            out.write(size, 10)
+        elif size < 17408:
+            out.write(1, 2)
+            out.write(size - 1024, 14)
+        else:
+            out.write(2, 2)
+            out.write(size - 17408, 22)
     out.zero_pad_to_byte()
 
-    payload = out.to_bytes() + sec_bytes
+    payload = out.to_bytes() + b"".join(s_.to_bytes() for s_ in sections)
     return payload
 
 

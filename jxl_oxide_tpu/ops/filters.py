@@ -128,15 +128,27 @@ def apply_gabor(planes, weights3) -> list:
 
 
 def apply_epf(planes, sigma, epf_params) -> "jax.Array":
-    """Full EPF: steps selected by iters (filter/epf.rs:45-88)."""
+    """Full EPF: steps selected by iters (filter/epf.rs:45-88).
+
+    JXL_TPU_PALLAS_EPF=1 routes through the hand-written Pallas kernel
+    (ops/pallas/epf.py, bit-exact vs this path); the default jnp
+    formulation compiles to fully-fused XLA stencils which already run at
+    HBM speed on TPU.
+    """
+    import os
+
+    if os.environ.get("JXL_TPU_PALLAS_EPF"):
+        from .pallas.epf import epf_step_pallas as step_fn
+    else:
+        step_fn = epf_step
     x = jnp.stack([jnp.asarray(p) for p in planes])
     sigma = jnp.asarray(sigma)
     cs = tuple(epf_params.channel_scale)
     bsm = float(epf_params.border_sad_mul)
     if epf_params.iters == 3:
-        x = epf_step(x, sigma, 0, cs, float(epf_params.pass0_sigma_scale), bsm)
+        x = step_fn(x, sigma, 0, cs, float(epf_params.pass0_sigma_scale), bsm)
     if epf_params.iters >= 1:
-        x = epf_step(x, sigma, 1, cs, 1.0, bsm)
+        x = step_fn(x, sigma, 1, cs, 1.0, bsm)
     if epf_params.iters >= 2:
-        x = epf_step(x, sigma, 2, cs, float(epf_params.pass2_sigma_scale), bsm)
+        x = step_fn(x, sigma, 2, cs, float(epf_params.pass2_sigma_scale), bsm)
     return x

@@ -154,3 +154,22 @@ def test_epf_sigma_below_threshold_is_identity():
     out = np.asarray(apply_epf(planes, sigma, EpfParams(iters=3)))
     for c in range(3):
         np.testing.assert_allclose(out[c], planes[c], atol=1e-7)
+
+
+def test_pallas_epf_matches_jnp():
+    """The Pallas EPF kernel (interpret mode on CPU) must match the jnp
+    whole-plane formulation for every step."""
+    from jxl_oxide_tpu.ops.filters import epf_step
+    from jxl_oxide_tpu.ops.pallas.epf import epf_step_pallas
+
+    rng = np.random.default_rng(7)
+    planes = rng.random((3, 150, 40)).astype(np.float32)  # multi-tile strips
+    sigma = (rng.random((150, 40)).astype(np.float32) * 4.0) + 0.05
+    cs = (40.0, 5.0, 3.5)
+    for step, mult in ((0, 0.9), (1, 1.0), (2, 6.5)):
+        ref = np.asarray(epf_step(planes, sigma, step, cs, mult, 2.0 / 3.0))
+        got = np.asarray(
+            epf_step_pallas(planes, sigma, step, cs, mult, 2.0 / 3.0,
+                            interpret=True)
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"step {step}")

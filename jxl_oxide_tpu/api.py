@@ -62,6 +62,19 @@ class Render:
                 break
         return np.stack(chans, axis=-1)
 
+    def apply_spot_colors(self) -> None:
+        """Composite SpotColour extra channels onto the color planes
+        (features/spot_colors.rs:5-37)."""
+        if len(self.planes) != 3:
+            return
+        for info, ec in zip(self.ec_info, self.extra):
+            if info.ty != ExtraChannelType.SPOT_COLOUR or not info.spot_colour:
+                continue
+            red, green, blue, solidity = info.spot_colour
+            mix = ec * np.float32(solidity)
+            for c, colv in enumerate((red, green, blue)):
+                self.planes[c] = mix * np.float32(colv) + (1.0 - mix) * self.planes[c]
+
     def to_u8(self) -> np.ndarray:
         return np.clip(np.round(self.image() * 255.0), 0, 255).astype(np.uint8)
 
@@ -107,7 +120,11 @@ class JxlImage:
         self._ctx: RenderContext | None = None
         self._keyframes: list[KeyframeRender] | None = None
         self.requested_encoding: ColourEncoding | None = None
+        self.requested_icc: bytes | None = None
         self._image_region: tuple[int, int, int, int] | None = None
+        from .color.cms import PilCms
+
+        self._cms = PilCms()
 
     # -- construction -------------------------------------------------------
 
@@ -251,6 +268,14 @@ class JxlImage:
         self.requested_encoding = encoding
         self._keyframes = None
 
+    def request_icc(self, icc: bytes) -> None:
+        """Render into the color space of the given ICC profile (via CMS)."""
+        self.requested_icc = icc
+        self._keyframes = None
+
+    def set_cms(self, cms) -> None:
+        self._cms = cms
+
     # -- aux boxes / JPEG reconstruction ------------------------------------
 
     def aux_box(self, box_type: bytes) -> bytes | None:
@@ -351,25 +376,46 @@ class JxlImage:
             r, g, b = ycbcr_to_rgb(cb, y, cr)
             color = [np.asarray(r), np.asarray(g), np.asarray(b)]
 
+        extra = [np.asarray(p, dtype=np.float32) for p in kf.extra]
+
         source = (
             ColourEncoding(colour_space=ColourSpace.XYB)
             if meta.xyb_encoded
             else meta.colour_encoding
         )
-        target = self.requested_encoding
-        if target is None:
-            if meta.xyb_encoded or not meta.colour_encoding.want_icc:
-                target = (
-                    ColourEncoding()
-                    if not meta.grayscale or meta.xyb_encoded
-                    else meta.colour_encoding
+        if source.want_icc and not meta.xyb_encoded:
+            # ICC-described samples: CMS leg (cms.rs / lcms2 backend).
+            # CMYK images carry the black channel as an EC.
+            if self.requested_icc is not None or self._cms is not None:
+                black_idx = next(
+                    (
+                        i for i, info in enumerate(meta.ec_info)
+                        if info.ty == ExtraChannelType.BLACK
+                    ),
+                    None,
                 )
-                if not meta.xyb_encoded:
-                    target = meta.colour_encoding
-            else:
-                target = None  # keep ICC-described samples as-is
+                planes_in = list(color)
+                if black_idx is not None:
+                    planes_in.append(extra[black_idx])
+                try:
+                    tr = self._cms.prepare_transform(
+                        self.embedded_icc, self.requested_icc
+                    )
+                    color = [
+                        np.asarray(p, dtype=np.float32)
+                        for p in tr.transform(planes_in)
+                    ]
+                except JxlNotSupportedError:
+                    pass  # NullCms: keep ICC-described samples as-is
+        else:
+            target = self.requested_encoding
+            if target is None:
+                target = (
+                    meta.colour_encoding
+                    if not meta.xyb_encoded
+                    else ColourEncoding()
+                )
 
-        if target is not None and not source.want_icc:
             from .color.convert import ColorTransform
 
             tr = ColorTransform.build(
@@ -378,7 +424,6 @@ class JxlImage:
             if not tr.is_noop:
                 color = [np.asarray(p) for p in tr.run(color)]
 
-        extra = [np.asarray(p, dtype=np.float32) for p in kf.extra]
         if crop is not None:
             left, top, width, height = crop
             color = [p[top : top + height, left : left + width] for p in color]

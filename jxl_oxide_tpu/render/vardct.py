@@ -174,6 +174,9 @@ class VardctFrameState:
         ]
         self.extra_precision = 0
         self.filters_applied = False
+        # LF planes handed down from a rendered LF frame (use_lf_frame);
+        # replaces LfCoeff dequant + LF CfL + smoothing (vardct/mod.rs:176-205)
+        self.lf_override = getattr(frame, "_lf_frame_planes", None)
         self.lf_groups: dict[int, LfGroup] = {}
         self.opsin = meta.opsin_inverse_matrix
 
@@ -432,6 +435,25 @@ class VardctFrameState:
         kx = corr.base_correlation_x + (corr.x_factor_lf - 128) / corr.colour_factor
         kb = corr.base_correlation_b + (corr.b_factor_lf - 128) / corr.colour_factor
 
+        lf_override = None
+        skip_smoothing = header.flags.skip_adaptive_lf_smoothing
+        if self.lf_override is not None:
+            # LF comes pre-dequantized from the LF frame: identity scale,
+            # no LF CfL, no smoothing (vardct/mod.rs:176-182)
+            lh, lw = self.lf_shapes[0]
+            lf_override = np.zeros((3, lh, lw), dtype=np.float32)
+            for c in range(3):
+                src = np.asarray(self.lf_override[c], dtype=np.float32)
+                sh, sw = min(src.shape[0], lh), min(src.shape[1], lw)
+                lf_override[c, :sh, :sw] = src[:sh, :sw]
+                if sh < lh:
+                    lf_override[c, sh:, :sw] = src[sh - 1 : sh, :sw]
+                if sw < lw:
+                    lf_override[c, :, sw:] = lf_override[c, :, sw - 1 : sw]
+            lf_scale_arr = np.ones(3, dtype=np.float32)
+            kx, kb = 0.0, 0.0
+            skip_smoothing = True
+
         buckets = self.buckets(0)
         bucket_meta = tuple((sel, len(ci)) for sel, ci, *_ in buckets)
         matrices = {}
@@ -491,7 +513,7 @@ class VardctFrameState:
             tuple(float(q) for q in self.opsin.quant_bias),
             float(self.opsin.quant_bias_numerator),
             quantizer.global_scale, qm_scale, lf_smooth_scale,
-            header.flags.skip_adaptive_lf_smoothing,
+            skip_smoothing,
             (float(kx), float(kb)),
             corr.colour_factor,
             (corr.base_correlation_x, corr.base_correlation_b),
@@ -509,7 +531,7 @@ class VardctFrameState:
                 tuple(float(q) for q in self.opsin.quant_bias),
                 float(self.opsin.quant_bias_numerator),
                 quantizer.global_scale, qm_scale, lf_smooth_scale,
-                header.flags.skip_adaptive_lf_smoothing,
+                skip_smoothing,
                 cfl_lf_k=(float(kx), float(kb)),
                 cfl_colour_factor=corr.colour_factor,
                 cfl_base=(corr.base_correlation_x, corr.base_correlation_b),
@@ -525,9 +547,14 @@ class VardctFrameState:
         coeff_stack = np.stack(self.coeff_planes)
         if np.abs(coeff_stack).max(initial=0) < 32768:
             coeff_stack = coeff_stack.astype(np.int16)  # halve the upload
+        lf_input = (
+            lf_override
+            if lf_override is not None
+            else np.stack(self.lf_quant_planes)
+        )
         out = fn(
             jnp.asarray(coeff_stack),
-            jnp.asarray(np.stack(self.lf_quant_planes)),
+            jnp.asarray(lf_input),
             jnp.asarray(lf_scale_arr),
             jnp.asarray(x_grid), jnp.asarray(b_grid),
             jnp.asarray(sigma_blocks),

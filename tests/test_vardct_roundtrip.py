@@ -136,3 +136,28 @@ def test_vardct_roundtrip_with_filters_smoke():
     got = np.stack([x, y, b], -1)
     p = psnr(np.clip(got, 0, 1), img)
     assert p > 28.0, f"PSNR too low with filters: {p:.2f}"
+
+
+def test_vardct_lf_frame_roundtrip():
+    """LF (DC) frame + main frame with use_lf_frame: the DC comes from the
+    separately-coded 1/8-scale frame (render/lib.rs LF slots)."""
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+
+    img = _smooth_image(128, 96, seed=41)
+    data = encode_jxl_vardct(img, global_scale=65536, use_lf_frame=True)
+    jxl = JxlImage.from_bytes(data)
+    assert jxl.num_frames == 2
+    r = jxl.render_frame(0)
+    got = np.stack(r.image_planar(), axis=-1)
+    assert got.shape == (128, 96, 3)
+    p = psnr(np.clip(got, 0, 1), img)
+    # DC carried through the separately-quantized LF frame: lossier than a
+    # plain encode, but must still reconstruct the image structurally
+    assert p > 30.0, f"PSNR too low with LF frame: {p:.2f} dB"
+    plain = encode_jxl_vardct(img, global_scale=65536)
+    r2 = JxlImage.from_bytes(plain).render_frame(0)
+    got2 = np.stack(r2.image_planar(), axis=-1)
+    p2 = psnr(np.clip(got2, 0, 1), img)
+    assert p2 >= p

@@ -69,9 +69,61 @@ def encode_jxl_vardct(
     quant_lf: int = 16,
     gabor: bool = False,
     epf_iters: int = 0,
+    use_lf_frame: bool = False,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
-    single-frame VarDCT bare codestream (DCT8 blocks only)."""
+    VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
+    LF (DC) frame at 1/8 scale is emitted first and the main frame
+    references it (flags.use_lf_frame)."""
+    h, w, _ = rgb.shape
+    out = BitWriter()
+    _write_image_header(out, h, w)
+    if use_lf_frame:
+        small = rgb.reshape(-1)  # placeholder; real computation below
+        bh, bw = -(-h // 8), -(-w // 8)
+        padded = np.zeros((bh * 8, bw * 8, 3), dtype=np.float32)
+        padded[:h, :w] = rgb
+        padded[h:, :w] = rgb[h - 1 : h, :]
+        padded[:h, w:] = padded[:h, w - 1 : w]
+        padded[h:, w:] = padded[h - 1, w - 1]
+        lf_img = padded.reshape(bh, 8, bw, 8, 3).mean(axis=(1, 3))
+        _write_frame(out, lf_img, global_scale, quant_lf, False, 0,
+                     frame_kind="lf")
+        _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
+                     frame_kind="use_lf")
+    else:
+        _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
+                     frame_kind="regular")
+    return out.to_bytes()
+
+
+def _write_image_header(out: BitWriter, h: int, w: int) -> None:
+    out.write(0x0AFF, 16)
+    out.write_bool(False)
+    _write_size_u32(out, h)
+    out.write(0, 3)
+    _write_size_u32(out, w)
+    out.write_bool(False)  # not all_default metadata
+    out.write_bool(False)  # no extra_fields
+    _write_bit_depth(out, 8)
+    out.write_bool(True)  # modular_16bit_buffers
+    out.write_u32_sel(0, 0, 0)  # num_extra = 0
+    out.write_bool(False)  # xyb_encoded = false
+    out.write_bool(True)  # colour_encoding all_default (sRGB)
+    out.write_u64_zero()  # extensions
+    out.write_bool(True)  # default_m
+    out.zero_pad_to_byte()
+
+
+def _write_frame(
+    out: BitWriter,
+    rgb: np.ndarray,
+    global_scale: int,
+    quant_lf: int,
+    gabor: bool,
+    epf_iters: int,
+    frame_kind: str,
+) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
     bh, bw = -(-h // 8), -(-w // 8)
@@ -125,38 +177,31 @@ def encode_jxl_vardct(
         if c == 2:
             target = target - dequant(q[1], 1)  # kb = 1: subtract y plane
         q[c] = np.round(target / (matrix * mul))
-    q[:, :, :, 0, 0] = 0  # DC carried by LF
+    if frame_kind == "use_lf":
+        q[:, :, :, 0, 0] = 0  # DC carried by the LF frame
+    else:
+        q[:, :, :, 0, 0] = 0  # DC carried by LF
 
-    out = BitWriter()
-    # --- ImageHeader: WxH, 8-bit, not xyb, sRGB default ---
-    out.write(0x0AFF, 16)
-    out.write_bool(False)
-    _write_size_u32(out, h)
-    out.write(0, 3)
-    _write_size_u32(out, w)
-    out.write_bool(False)  # not all_default metadata
-    out.write_bool(False)  # no extra_fields
-    _write_bit_depth(out, 8)
-    out.write_bool(True)  # modular_16bit_buffers
-    out.write_u32_sel(0, 0, 0)  # num_extra = 0
-    out.write_bool(False)  # xyb_encoded = false
-    out.write_bool(True)  # colour_encoding all_default (sRGB)
-    out.write_u64_zero()  # extensions
-    out.write_bool(True)  # default_m
-    out.zero_pad_to_byte()
+    is_lf = frame_kind == "lf"
+    use_lf = frame_kind == "use_lf"
 
     # --- FrameHeader (VarDCT) ---
+    out.zero_pad_to_byte()
     out.write_bool(False)  # not all_default
-    out.write(0, 2)  # frame_type regular
+    out.write(1 if is_lf else 0, 2)  # frame_type
     out.write(0, 1)  # encoding = VarDCT
-    _write_u64(out, 0x80)  # flags: skip_adaptive_lf_smoothing
+    _write_u64(out, 0xA0 if use_lf else 0x80)  # skip_alf (+use_lf_frame)
     out.write_bool(False)  # do_ycbcr
-    out.write_u32_sel(0, 0, 0)  # upsampling = 1
-    # group_size_shift not present (VarDCT); x/b_qm_scale absent (not xyb)
+    if not use_lf:
+        out.write_u32_sel(0, 0, 0)  # upsampling = 1
     out.write_u32_sel(0, 0, 0)  # num_passes = 1
-    out.write_bool(False)  # have_crop
-    out.write_u32_sel(0, 0, 0)  # blending Replace
-    out.write_bool(True)  # is_last
+    if is_lf:
+        out.write(0, 2)  # lf_level - 1 = 0
+    else:
+        out.write_bool(False)  # have_crop
+    if not is_lf:
+        out.write_u32_sel(0, 0, 0)  # blending Replace
+        out.write_bool(True)  # is_last
     out.write_u32_sel(0, 0, 0)  # name len 0
     out.write_bool(False)  # restoration filter not default
     if gabor:
@@ -204,8 +249,9 @@ def encode_jxl_vardct(
     # LfGroup 0: LfCoeff (extra_precision + modular [y,x,b]), no mlf, HfMetadata
     lfg = sec if single else BitWriter()
     sec, _lf_global_sec = lfg, sec
-    sec.write(0, 2)  # extra_precision = 0
-    _encode_local_modular(sec, [lf_q[1], lf_q[0], lf_q[2]])
+    if frame_kind != "use_lf":  # LfCoeff absent when use_lf_frame
+        sec.write(0, 2)  # extra_precision = 0
+        _encode_local_modular(sec, [lf_q[1], lf_q[0], lf_q[2]])
     # HfMetadata: nb_blocks-1 in ceil_log2(bw*bh) bits
     nb_blocks = bh * bw
     nbits = max(nb_blocks - 1, 0).bit_length()
@@ -288,8 +334,9 @@ def encode_jxl_vardct(
             out.write(size - 17408, 22)
     out.zero_pad_to_byte()
 
-    payload = out.to_bytes() + b"".join(s_.to_bytes() for s_ in sections)
-    return payload
+    for s_ in sections:
+        s_.zero_pad_to_byte()
+        out.extend(s_)
 
 
 if __name__ == "__main__":

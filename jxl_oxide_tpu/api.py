@@ -104,9 +104,17 @@ def _apply_orientation(plane: np.ndarray, orientation: int) -> np.ndarray:
 
 
 class JxlImage:
-    """Streaming JPEG XL decoder."""
+    """Streaming JPEG XL decoder.
 
-    def __init__(self):
+    approx_memory_limit bounds decode-time plane allocations (the
+    reference's AllocTracker / --approx-memory-limit)."""
+
+    def __init__(self, approx_memory_limit: int | None = None):
+        from .utils.alloc import AllocTracker
+
+        self._tracker = (
+            AllocTracker(approx_memory_limit) if approx_memory_limit else None
+        )
         self._parser = ContainerParser()
         self._codestream = bytearray()
         self._aux_boxes: list[tuple[bytes, bytes]] = []
@@ -129,16 +137,16 @@ class JxlImage:
     # -- construction -------------------------------------------------------
 
     @classmethod
-    def from_bytes(cls, data: bytes) -> "JxlImage":
-        img = cls()
+    def from_bytes(cls, data: bytes, **kwargs) -> "JxlImage":
+        img = cls(**kwargs)
         img.feed_bytes(data)
         img.finish()
         return img
 
     @classmethod
-    def open(cls, path) -> "JxlImage":
+    def open(cls, path, **kwargs) -> "JxlImage":
         with open(path, "rb") as f:
-            return cls.from_bytes(f.read())
+            return cls.from_bytes(f.read(), **kwargs)
 
     def feed_bytes(self, data: bytes) -> None:
         for ev in self._parser.feed(data):
@@ -193,6 +201,27 @@ class JxlImage:
         # codestream bytes stream in (push-based feed, jxl-oxide lib.rs)
         bs.data = data
         bs._len_bits = len(data) * 8
+
+        # skip the preview frame if present (jxl-oxide lib.rs:384-411)
+        if self.image_header.metadata.preview is not None and not getattr(
+            self, "_preview_skipped", False
+        ):
+            save_pos = bs.pos
+            try:
+                preview = Frame(self.image_header, bs)
+            except JxlEofError:
+                bs.pos = save_pos
+                if tolerate_truncation:
+                    return
+                raise JxlValidationError("truncated codestream (preview)")
+            end = preview.start_byte + preview.total_bytes
+            if end > len(data):
+                bs.pos = save_pos
+                if tolerate_truncation:
+                    return
+                raise JxlValidationError("truncated codestream (preview)")
+            bs.pos = end * 8
+            self._preview_skipped = True
         # feed newly arrived bytes to the currently loading frame
         while True:
             if self._frames and not self._frames[-1].is_complete:
@@ -317,9 +346,12 @@ class JxlImage:
 
     def _render_all(self) -> list[KeyframeRender]:
         if self._keyframes is None:
-            ctx = RenderContext(self.image_header)
-            for frame in self._frames:
-                ctx.add_frame(frame)
+            from .utils.alloc import use_tracker
+
+            with use_tracker(self._tracker):
+                ctx = RenderContext(self.image_header)
+                for frame in self._frames:
+                    ctx.add_frame(frame)
             self._ctx = ctx
             self._keyframes = ctx.keyframes
         return self._keyframes

@@ -30,6 +30,16 @@ def _build_parser():
     i = sub.add_parser("info", help="dump image info")
     i.add_argument("input")
     i.add_argument("--with-offset", action="store_true")
+
+    pr = sub.add_parser("progressive",
+                        help="render at increasing byte prefixes")
+    pr.add_argument("input")
+    pr.add_argument("-o", "--output-prefix", default="progressive")
+    pr.add_argument("--steps", type=int, default=6)
+
+    dj = sub.add_parser("dump-jbrd", help="reconstruct the original JPEG")
+    dj.add_argument("input")
+    dj.add_argument("-o", "--output", required=True)
     return p
 
 
@@ -136,6 +146,54 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_progressive(args) -> int:
+    """Render the image at increasing byte prefixes (devtool `progressive`,
+    commands.rs devtools)."""
+    from .api import JxlImage
+    from .io.png import write_png
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    img = JxlImage()
+    written = 0
+    step = max(1, len(data) // max(1, args.steps))
+    for i in range(0, len(data), step):
+        img.feed_bytes(data[i : i + step])
+        if img.image_header is None or not img._frames:
+            continue
+        try:
+            r = img.render_loading_frame()
+        except Exception as e:
+            print(f"{i + step}B: not renderable yet ({e})", file=sys.stderr)
+            continue
+        path = f"{args.output_prefix}-{written:02d}.png"
+        write_png(path, np.clip(
+            np.round(np.stack(r.image_planar(), -1) * 255), 0, 255
+        ).astype(np.uint8))
+        print(f"{min(i + step, len(data))}B -> {path}", file=sys.stderr)
+        written += 1
+    img.finish()
+    r = img.render_frame(0)
+    path = f"{args.output_prefix}-final.png"
+    write_png(path, r.to_u8())
+    print(f"final -> {path}", file=sys.stderr)
+    return 0
+
+
+def cmd_dump_jbrd(args) -> int:
+    from .api import JxlImage
+
+    img = JxlImage.open(args.input)
+    if not img.jpeg_reconstruction_available:
+        print("no jbrd box in this file", file=sys.stderr)
+        return 1
+    jpeg = img.reconstruct_jpeg()
+    with open(args.output, "wb") as f:
+        f.write(jpeg)
+    print(f"wrote {args.output} ({len(jpeg)} bytes)", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
@@ -143,6 +201,10 @@ def main(argv=None) -> int:
         return cmd_decode(args)
     if args.command == "info":
         return cmd_info(args)
+    if args.command == "progressive":
+        return cmd_progressive(args)
+    if args.command == "dump-jbrd":
+        return cmd_dump_jbrd(args)
     parser.print_help()
     return 1
 

@@ -106,6 +106,9 @@ class ModularImage:
         if views is not None:
             self.image_channels = views
         else:
+            from ..utils.alloc import track_alloc
+
+            track_alloc(sum(4 * c.height * c.width for c in channels))
             self.image_channels = [
                 np.zeros((c.height, c.width), dtype=np.int32) for c in channels
             ]

@@ -166,6 +166,9 @@ class VardctFrameState:
             )
             self.lf_shapes.append((_ceil_shift(bh, vs), _ceil_shift(bw, hs)))
 
+        from ..utils.alloc import track_alloc
+
+        track_alloc(sum(4 * h_ * w_ for h_, w_ in self.plane_shapes) * 2)
         self.coeff_planes = [
             np.zeros(shape, dtype=np.int32) for shape in self.plane_shapes
         ]

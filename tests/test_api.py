@@ -132,3 +132,48 @@ def test_crop_region_matches_full():
     np.testing.assert_allclose(
         cropped, full[101 : 101 + 150, 37 : 37 + 200], atol=1e-6
     )
+
+
+def test_memory_limit_enforced():
+    """Decode with a tiny memory budget must fail with JxlError, not OOM
+    (the reference's AllocTracker fuzz contract)."""
+    from jxl_oxide_tpu.utils.errors import JxlError
+
+    img = JxlImage.open(CMYK, approx_memory_limit=64 * 1024)
+    with pytest.raises(JxlError):
+        img.render_frame(0)
+    # generous limit decodes fine
+    img2 = JxlImage.open(CMYK, approx_memory_limit=512 << 20)
+    img2.render_frame(0)
+
+
+def test_animation_multi_keyframe(tmp_path):
+    """Animated modular stream: every frame is a keyframe with duration;
+    APNG output is written for multi-frame renders."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(9)
+    frames = [
+        [rng.integers(0, 256, (24, 32), dtype=np.int64) for _ in range(3)]
+        for _ in range(3)
+    ]
+    data = encode_jxl_modular(frames[0], bit_depth=8, animation_frames=frames)
+    img = JxlImage.from_bytes(data)
+    assert img.is_animation
+    assert img.num_keyframes == 3
+    for i in range(3):
+        r = img.render_frame(i)
+        assert r.duration == 1
+        out = r.to_u8()
+        for c in range(3):
+            np.testing.assert_array_equal(
+                out[..., c], frames[i][c].astype(np.uint8)
+            )
+    # APNG via CLI writer
+    from jxl_oxide_tpu.io.png import write_apng
+
+    apng = tmp_path / "anim.png"
+    write_apng(apng, [img.render_frame(i).to_u8() for i in range(3)],
+               [10, 10, 10])
+    raw = apng.read_bytes()
+    assert b"acTL" in raw and b"fcTL" in raw and b"fdAT" in raw

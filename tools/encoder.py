@@ -297,6 +297,7 @@ def encode_jxl_modular(
     predictor: int = PRED_GRADIENT,
     rct: bool = False,
     group_size_shift: int = 1,
+    animation_frames: list[list[np.ndarray]] | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -332,9 +333,21 @@ def encode_jxl_modular(
     _write_size_u32(out, h)
     out.write(0, 3)  # ratio
     _write_size_u32(out, w)
-    # ImageMetadata: all_default=0, extra_fields=0
+    # ImageMetadata: all_default=0
     out.write_bool(False)
-    out.write_bool(False)
+    if animation_frames is not None:
+        out.write_bool(True)   # extra_fields
+        out.write(0, 3)        # orientation - 1 = 0
+        out.write_bool(False)  # no intrinsic size
+        out.write_bool(False)  # no preview
+        out.write_bool(True)   # animation
+        # AnimationHeader: tps 100/1, loops 0, no timecodes
+        out.write(0, 2)  # tps_numerator = 100
+        out.write(0, 2)  # tps_denominator = 1
+        out.write(0, 2)  # num_loops = 0
+        out.write_bool(False)  # have_timecodes
+    else:
+        out.write_bool(False)  # no extra_fields
     _write_bit_depth(out, bit_depth)
     out.write_bool(True)  # modular_16bit_buffers
     out.write_u32_sel(0, 0, 0)  # num_extra = 0
@@ -351,94 +364,120 @@ def encode_jxl_modular(
         _write_enum(out, 1)  # relative intent
     else:
         out.write_bool(True)  # all_default -> sRGB
+    if animation_frames is not None:
+        out.write_bool(True)  # tone_mapping all_default
     out.write_u64_zero()  # extensions
     out.write_bool(True)  # default_m
     out.zero_pad_to_byte()  # frames start byte-aligned (Frame::parse)
 
-    # --- FrameHeader ---
-    out.write_bool(False)  # not all_default
-    out.write(0, 2)  # frame_type regular
-    out.write(1, 1)  # encoding modular
-    out.write_u64_zero()  # flags
-    out.write_bool(False)  # do_ycbcr (xyb false -> read)
-    out.write_u32_sel(0, 0, 0)  # upsampling = 1
-    out.write(group_size_shift, 2)
-    out.write_u32_sel(0, 0, 0)  # num_passes = 1
-    out.write_bool(False)  # have_crop
-    out.write_u32_sel(0, 0, 0)  # blending mode Replace
-    out.write_bool(True)  # is_last
-    # save_as_reference skipped (is_last)
-    # save_before_ct skipped (resets_canvas && is_last -> cond false)
-    out.write_u32_sel(0, 0, 0)  # name len = 0
-    # RestorationFilter: not default; gab off; epf iters 0
-    out.write_bool(False)
-    out.write_bool(False)  # gab off
-    out.write(0, 2)  # epf iters 0
-    out.write_u64_zero()  # rf extensions
-    out.write_u64_zero()  # frame extensions
+    def _write_one_frame(enc_channels, duration, is_last):
+        out.zero_pad_to_byte()
+        # --- FrameHeader ---
+        out.write_bool(False)  # not all_default
+        out.write(0, 2)  # frame_type regular
+        out.write(1, 1)  # encoding modular
+        out.write_u64_zero()  # flags
+        out.write_bool(False)  # do_ycbcr (xyb false -> read)
+        out.write_u32_sel(0, 0, 0)  # upsampling = 1
+        out.write(group_size_shift, 2)
+        out.write_u32_sel(0, 0, 0)  # num_passes = 1
+        out.write_bool(False)  # have_crop
+        out.write_u32_sel(0, 0, 0)  # blending mode Replace
+        if animation_frames is not None:
+            # duration U32(0, 1, U(8), U(32))
+            if duration == 0:
+                out.write(0, 2)
+            elif duration == 1:
+                out.write(1, 2)
+            else:
+                out.write(2, 2)
+                out.write(duration, 8)
+        out.write_bool(is_last)
+        if not is_last:
+            out.write(0, 2)  # save_as_reference = 0
+        # save_before_ct skipped (resets_canvas branch)
+        out.write_u32_sel(0, 0, 0)  # name len = 0
+        # RestorationFilter: not default; gab off; epf iters 0
+        out.write_bool(False)
+        out.write_bool(False)  # gab off
+        out.write(0, 2)  # epf iters 0
+        out.write_u64_zero()  # rf extensions
+        out.write_u64_zero()  # frame extensions
 
-    # --- sections ---
-    group_dim = 128 << group_size_shift
-    gpr = -(-w // group_dim)
-    gpc = -(-h // group_dim)
-    num_groups = gpr * gpc
-    single = num_groups == 1  # num_passes == 1
+        # --- sections ---
+        group_dim = 128 << group_size_shift
+        gpr = -(-w // group_dim)
+        gpc = -(-h // group_dim)
+        num_groups = gpr * gpc
+        single = num_groups == 1  # num_passes == 1
 
-    global_channels = []
-    group_channels: dict[int, list[np.ndarray]] = {}
-    if w <= group_dim and h <= group_dim:
-        global_channels = enc_channels
+        global_channels = []
+        group_channels: dict[int, list[np.ndarray]] = {}
+        if w <= group_dim and h <= group_dim:
+            global_channels = enc_channels
+        else:
+            for i, ch in enumerate(enc_channels):
+                for gy in range(gpc):
+                    for gx in range(gpr):
+                        gi = gy * gpr + gx
+                        tile = ch[
+                            gy * group_dim : (gy + 1) * group_dim,
+                            gx * group_dim : (gx + 1) * group_dim,
+                        ]
+                        group_channels.setdefault(gi, []).append(tile)
+
+        # LfGlobal section
+        lf = BitWriter()
+        lf.write_bool(True)  # lf_dequant all_default
+        lf.write_bool(True)  # has global MA tree
+        sample_enc = write_ma_config(lf, predictor)
+        write_modular_header(lf, use_global_tree=True,
+                             rct_begin=0 if rct else None)
+        if global_channels:
+            encode_stream_tokens(lf, sample_enc, global_channels, predictor)
+        else:
+            # empty global stream: begin + finalize only
+            sample_enc.encode_tokens(lf, [])
+
+        sections = [lf]
+        if not single:
+            # empty LF-group sections + HfGlobal + per-group pass sections
+            num_lf_groups = (-(-w // (group_dim * 8))) * (-(-h // (group_dim * 8)))
+            for _ in range(num_lf_groups):
+                sections.append(BitWriter())
+            sections.append(BitWriter())  # HfGlobal (empty for modular)
+            for gi in range(num_groups):
+                gw = BitWriter()
+                chs = group_channels.get(gi, [])
+                write_modular_header(gw, use_global_tree=True)
+                enc2 = AnsStreamEncoder(1, 256, 8, DEFAULT_CFG)
+                # use_global_tree -> distributions come from the global
+                # MaConfig; the per-group stream holds only state+tokens.
+                encode_stream_tokens(gw, sample_enc, chs, predictor)
+                sections.append(gw)
+
+        section_bytes = [s.to_bytes() for s in sections]
+
+        # --- TOC ---
+        out.write_bool(False)  # not permuted
+        out.zero_pad_to_byte()
+        for sb in section_bytes:
+            _write_toc_size(out, len(sb))
+        out.zero_pad_to_byte()
+        for sb in section_bytes:
+            for byte in sb:
+                out.write(byte, 8)
+
+    if animation_frames is not None:
+        all_frames = [
+            [c.astype(np.int64) for c in fchans]
+            for fchans in animation_frames
+        ]
+        for fi, fchans in enumerate(all_frames):
+            _write_one_frame(fchans, duration=1, is_last=fi == len(all_frames) - 1)
     else:
-        for i, ch in enumerate(enc_channels):
-            for gy in range(gpc):
-                for gx in range(gpr):
-                    gi = gy * gpr + gx
-                    tile = ch[
-                        gy * group_dim : (gy + 1) * group_dim,
-                        gx * group_dim : (gx + 1) * group_dim,
-                    ]
-                    group_channels.setdefault(gi, []).append(tile)
-
-    # LfGlobal section
-    lf = BitWriter()
-    lf.write_bool(True)  # lf_dequant all_default
-    lf.write_bool(True)  # has global MA tree
-    sample_enc = write_ma_config(lf, predictor)
-    write_modular_header(lf, use_global_tree=True,
-                         rct_begin=0 if rct else None)
-    if global_channels:
-        encode_stream_tokens(lf, sample_enc, global_channels, predictor)
-    else:
-        # empty global stream: begin + finalize only
-        sample_enc.encode_tokens(lf, [])
-
-    sections = [lf]
-    if not single:
-        # empty LF-group sections + HfGlobal + per-group pass sections
-        num_lf_groups = (-(-w // (group_dim * 8))) * (-(-h // (group_dim * 8)))
-        for _ in range(num_lf_groups):
-            sections.append(BitWriter())
-        sections.append(BitWriter())  # HfGlobal (empty for modular)
-        for gi in range(num_groups):
-            gw = BitWriter()
-            chs = group_channels.get(gi, [])
-            write_modular_header(gw, use_global_tree=True)
-            enc2 = AnsStreamEncoder(1, 256, 8, DEFAULT_CFG)
-            # use_global_tree -> distributions come from the global MaConfig;
-            # the per-group stream only contains state+tokens.
-            encode_stream_tokens(gw, sample_enc, chs, predictor)
-            sections.append(gw)
-
-    section_bytes = [s.to_bytes() for s in sections]
-
-    # --- TOC ---
-    out.write_bool(False)  # not permuted
-    out.zero_pad_to_byte()
-    for sb in section_bytes:
-        _write_toc_size(out, len(sb))
-    out.zero_pad_to_byte()
-    payload = out.to_bytes() + b"".join(section_bytes)
-    return payload
+        _write_one_frame(enc_channels, duration=0, is_last=True)
+    return out.to_bytes()
 
 
 def _write_size_u32(w: BitWriter, v: int):

@@ -206,6 +206,9 @@ class MaConfig:
         self.nodes = nodes
         self.tree_depth = max(depths) if n else 0
         self._flat_cache: dict[tuple[int, int, int], FlatTree] = {}
+        import threading
+
+        self._flat_lock = threading.Lock()
 
     def make_decoder(self) -> Decoder:
         """Fresh per-stream decoder sharing the parsed distributions."""
@@ -241,6 +244,16 @@ class MaConfig:
 
     def make_flat_tree(self, channel: int, stream: int, prev_channels: int) -> FlatTree:
         key = (channel, stream, prev_channels)
+        cached = self._flat_cache.get(key)
+        if cached is not None:
+            return cached
+        lock = getattr(self, "_flat_lock", None)
+        if lock is not None:
+            with lock:
+                return self._make_flat_tree_locked(key, channel, stream, prev_channels)
+        return self._make_flat_tree_locked(key, channel, stream, prev_channels)
+
+    def _make_flat_tree_locked(self, key, channel, stream, prev_channels):
         cached = self._flat_cache.get(key)
         if cached is not None:
             return cached

@@ -257,13 +257,17 @@ class Frame:
                 sub = pass_groups[pass_idx].get(0) if pass_idx < len(pass_groups) else None
                 self._decode_pass_group(bs, pass_idx, 0, sub, gmodular)
         else:
+            # Per-section fan-out on host threads: every TOC section is an
+            # independent bitstream writing disjoint channel views (the
+            # reference's rayon grain, SURVEY.md §2.16 P1/P2); the native
+            # decoder releases the GIL.
+            jobs = []
             for lf_idx in range(header.num_lf_groups):
                 if allow_partial and not self.section_complete("lf_group", lf_idx):
                     continue
                 sub = lf_groups.get(lf_idx)
                 entry = self.toc.entry_for("lf_group", lf_idx)
-                bs = Bitstream(self.section_bytes(entry))
-                self._decode_lf_group(bs, lf_idx, sub, gmodular)
+                jobs.append((self._decode_lf_group, entry, lf_idx, sub))
             # HfGlobal section must be empty for modular frames (no-op).
             for pass_idx in range(header.passes.num_passes):
                 for g_idx in range(header.num_groups):
@@ -277,12 +281,39 @@ class Frame:
                         else None
                     )
                     entry = self.toc.entry_for("group_pass", g_idx, pass_idx)
-                    bs = Bitstream(self.section_bytes(entry))
-                    self._decode_pass_group(bs, pass_idx, g_idx, sub, gmodular)
+                    jobs.append(
+                        (self._decode_pass_group_job, entry, (pass_idx, g_idx), sub)
+                    )
+            self._run_section_jobs(jobs, gmodular)
 
         if modular is not None:
             return modular.finish()
         return []
+
+    def _decode_pass_group_job(self, bs, key, sub, gmodular) -> None:
+        pass_idx, g_idx = key
+        self._decode_pass_group(bs, pass_idx, g_idx, sub, gmodular)
+
+    def _run_section_jobs(self, jobs, gmodular) -> None:
+        """Decode independent sections, threaded when the native runtime is
+        available (it releases the GIL during the symbol loops)."""
+        from .. import native as _native
+
+        def run(job):
+            fn, entry, key, sub = job
+            bs = Bitstream(self.section_bytes(entry))
+            fn(bs, key, sub, gmodular)
+
+        if len(jobs) > 1 and _native.available():
+            import concurrent.futures as cf
+            import os
+
+            workers = min(len(jobs), os.cpu_count() or 1)
+            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(run, jobs))
+        else:
+            for job in jobs:
+                run(job)
 
     def _decode_lf_group(self, bs, lf_group_idx, sub, gmodular) -> None:
         """Modular-frame LF group (lf_group.rs mlf_group decode)."""

@@ -681,38 +681,84 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
             )
             frame._decode_pass_group(bs, pass_idx, 0, sub, gmodular)
     else:
-        for lf_idx in range(header.num_lf_groups):
-            if allow_partial and not frame.section_complete("lf_group", lf_idx):
-                continue
+        from .. import native as _native
+
+        threaded = _native.available()
+
+        def _do_lf_group(lf_idx):
             entry = frame.toc.entry_for("lf_group", lf_idx)
             bs = Bitstream(frame.section_bytes(entry))
             group = parse_lf_group(
                 bs, frame.image_header, header, lf_global, lf_idx,
                 mlf_groups.get(lf_idx),
             )
-            state.place_lf_group(lf_idx, group)
+            return lf_idx, group
+
+        lf_jobs = [
+            lf_idx for lf_idx in range(header.num_lf_groups)
+            if not (allow_partial and not frame.section_complete("lf_group", lf_idx))
+        ]
+        if threaded and len(lf_jobs) > 1:
+            import concurrent.futures as cf
+            import os
+
+            with cf.ThreadPoolExecutor(
+                max_workers=min(len(lf_jobs), os.cpu_count() or 1)
+            ) as ex:
+                for lf_idx, group in ex.map(_do_lf_group, lf_jobs):
+                    state.place_lf_group(lf_idx, group)
+        else:
+            for lf_idx in lf_jobs:
+                state.place_lf_group(*_do_lf_group(lf_idx))
+
         if allow_partial and not frame.section_complete("hf_global"):
             hf_global = None
         else:
             entry = frame.toc.entry_for("hf_global")
             bs = Bitstream(frame.section_bytes(entry))
             hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
-        for pass_idx in range(header.passes.num_passes):
-            for g_idx in range(header.num_groups):
+
+        def _do_pass_group(job):
+            pass_idx, g_idx = job
+            entry = frame.toc.entry_for("group_pass", g_idx, pass_idx)
+            bs = Bitstream(frame.section_bytes(entry))
+            state.decode_pass_group_hf(bs, hf_global, pass_idx, g_idx)
+            sub = (
+                pass_groups[pass_idx].get(g_idx)
+                if pass_idx < len(pass_groups)
+                else None
+            )
+            frame._decode_pass_group(bs, pass_idx, g_idx, sub, gmodular)
+
+        # All passes of one group run on the same worker: passes ADD into
+        # the same coefficient plane region (hf_coeff.rs:228-236), so they
+        # must stay sequential per group while groups fan out.
+        by_group: dict[int, list[tuple[int, int]]] = {}
+        for p_ in range(header.passes.num_passes):
+            for g_ in range(header.num_groups):
                 if allow_partial and (
                     hf_global is None
-                    or not frame.section_complete("group_pass", g_idx, pass_idx)
+                    or not frame.section_complete("group_pass", g_, p_)
                 ):
                     continue
-                entry = frame.toc.entry_for("group_pass", g_idx, pass_idx)
-                bs = Bitstream(frame.section_bytes(entry))
-                state.decode_pass_group_hf(bs, hf_global, pass_idx, g_idx)
-                sub = (
-                    pass_groups[pass_idx].get(g_idx)
-                    if pass_idx < len(pass_groups)
-                    else None
-                )
-                frame._decode_pass_group(bs, pass_idx, g_idx, sub, gmodular)
+                by_group.setdefault(g_, []).append((p_, g_))
+
+        def _do_group(jobs):
+            for job in jobs:
+                _do_pass_group(job)
+
+        group_jobs = list(by_group.values())
+        if threaded and len(group_jobs) > 1:
+            import concurrent.futures as cf
+            import os
+
+            with cf.ThreadPoolExecutor(
+                max_workers=min(len(group_jobs), os.cpu_count() or 1)
+            ) as ex:
+                list(ex.map(_do_group, group_jobs))
+        else:
+            for jobs in group_jobs:
+                _do_group(jobs)
 
     frame._vardct_state = state  # for EPF sigma grids (render.py)
     frame._hf_global = hf_global  # for JPEG reconstruction (jbr)

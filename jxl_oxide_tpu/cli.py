@@ -95,6 +95,28 @@ def cmd_decode(args) -> int:
                 )
             conv = (lambda r: r.to_u16()) if bits == 16 else (lambda r: r.to_u8())
             icc = img.embedded_icc
+            if icc is None:
+                # embed a synthesized profile for non-sRGB enum encodings
+                meta = img.image_header.metadata
+                enc = meta.colour_encoding
+                is_srgb = (
+                    meta.xyb_encoded
+                    or (
+                        enc.primaries.kind == "srgb"
+                        and enc.white_point.kind == "d65"
+                        and enc.tf.kind == "srgb"
+                    )
+                )
+                if not is_srgb and not enc.want_icc:
+                    from .color.synthesize import colour_encoding_to_icc
+
+                    try:
+                        icc = colour_encoding_to_icc(enc)
+                    except Exception:
+                        icc = None
+            elif not img.image_header.metadata.xyb_encoded:
+                # ICC-described samples were CMS-converted to sRGB
+                icc = None
             if len(renders) > 1 and img.is_animation:
                 anim = img.image_header.metadata.animation
                 durations = [

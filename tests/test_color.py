@@ -173,3 +173,49 @@ def test_pallas_epf_matches_jnp():
                             interpret=True)
         )
         np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"step {step}")
+
+
+def test_icc_synthesis_valid_profiles():
+    """Synthesized ICC profiles must load in Little CMS and describe the
+    right device space / transfer curve (synthesize.rs parity via lcms)."""
+    import io
+
+    from PIL import ImageCms
+
+    from jxl_oxide_tpu.color.synthesize import colour_encoding_to_icc
+    from jxl_oxide_tpu.headers.image import (
+        ColourEncoding as CE,
+        ColourSpace as CS,
+        Primaries,
+        TransferFunction as TF,
+        WhitePoint,
+    )
+
+    # sRGB default
+    icc = colour_encoding_to_icc(CE())
+    prof = ImageCms.ImageCmsProfile(io.BytesIO(icc))
+    assert prof.profile.xcolor_space.strip() == "RGB"
+
+    # sRGB profile must behave like lcms' builtin sRGB: converting through
+    # it to builtin sRGB is ~identity
+    srgb = ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB"))
+    t = ImageCms.buildTransform(prof, srgb, "RGB", "RGB")
+    from PIL import Image
+
+    ramp = np.tile(np.arange(256, dtype=np.uint8)[None, :, None], (4, 1, 3))
+    img = Image.fromarray(ramp, "RGB")
+    out = np.asarray(ImageCms.applyTransform(img, t))
+    assert np.abs(out.astype(int) - ramp.astype(int)).max() <= 2
+
+    # grayscale + gamma
+    grey = CE(colour_space=CS.GREY,
+              tf=TF("gamma", gamma=4545455, gamma_inverted=True))
+    icc_g = colour_encoding_to_icc(grey)
+    prof_g = ImageCms.ImageCmsProfile(io.BytesIO(icc_g))
+    assert prof_g.profile.xcolor_space.strip() == "GRAY"
+
+    # PQ / BT.2100 with cicp tag
+    pq = CE(primaries=Primaries("bt2100"), tf=TF("pq"))
+    icc_pq = colour_encoding_to_icc(pq)
+    assert b"cicp" in icc_pq
+    ImageCms.ImageCmsProfile(io.BytesIO(icc_pq))

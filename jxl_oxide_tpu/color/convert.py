@@ -228,6 +228,64 @@ class ColorTransform:
             else:
                 raise JxlNotSupportedError("unsupported target colour space")
 
+        # --- HDR tone mapping (convert.rs:478-500): map to SDR when the
+        # image is HDR-mastered and the target isn't an HDR tf ---
+        target_is_hdr = target.tf.kind in ("pq", "hlg")
+        if intensity_target > 255.0 and not target_is_hdr:
+            lum = luminances_of(
+                primaries_of(target.primaries),
+                illuminant_of(target.white_point),
+            )
+            ops.append(_Op("tone_map", {
+                "luminances": lum,
+                "intensity_target": intensity_target,
+                "min_nits": min_nits,
+                "target_display_luminance": 255.0,
+                "detect_peak": (
+                    tone_mapping.relative_to_max_display
+                    if tone_mapping is not None
+                    else False
+                ),
+            }))
+            if cur_intent == RenderingIntent.PERCEPTUAL:
+                ops.append(_Op("gamut_map", {
+                    "luminances": lum, "saturation_factor": 0.3,
+                }))
+
+        # --- PQ -> HLG: tone map to 1000-nit peak before the inverse OOTF
+        # (convert.rs:501-534) ---
+        from_pq = (
+            source.colour_space != ColourSpace.XYB
+            and source.tf.kind == "pq"
+        )
+        tf_intensity = intensity_target
+        if from_pq and target.tf.kind == "hlg":
+            lum = luminances_of(
+                primaries_of(target.primaries),
+                illuminant_of(target.white_point),
+            )
+            if not (999.0 <= intensity_target <= 1001.0):
+                ops.append(_Op("tone_map", {
+                    "luminances": lum,
+                    "intensity_target": intensity_target,
+                    "min_nits": min_nits,
+                    "target_display_luminance": 1000.0,
+                    "detect_peak": False,
+                }))
+                ops.append(_Op("hlg_inverse_oo", {
+                    "luminances": lum, "intensity_target": 1000.0,
+                }))
+            if (
+                cur_space != ColourSpace.GREY
+                and cur_intent == RenderingIntent.PERCEPTUAL
+            ):
+                ops.append(_Op("gamut_map", {
+                    "luminances": lum, "saturation_factor": 0.1,
+                }))
+            # intensity_target 300 makes the HLG forward tf's inverse OOTF a
+            # no-op (gamma == 1), since the OOTF was applied above already
+            tf_intensity = 300.0
+
         # --- linear -> target tf ---
         if target.tf.kind != "linear":
             lum = luminances_of(
@@ -236,7 +294,7 @@ class ColorTransform:
             )
             ops.append(_Op("tf_fwd", {
                 "tf": target.tf,
-                "intensity_target": intensity_target,
+                "intensity_target": tf_intensity,
                 "luminances": lum,
                 "min_nits": min_nits,
             }))
@@ -282,11 +340,38 @@ class ColorTransform:
                 planes[:3] = C.gamut_map(
                     r, g, b, d["luminances"], d["saturation_factor"]
                 )
+            elif op.kind == "tone_map":
+                r, g, b = planes[:3]
+                planes[:3] = C.tone_map_rec2408(
+                    r, g, b, d["luminances"], d["intensity_target"],
+                    d["min_nits"], d["target_display_luminance"],
+                    d["detect_peak"],
+                )
+            elif op.kind == "hlg_inverse_oo":
+                r, g, b = planes[:3]
+                planes[:3] = C.hlg_inverse_oo(
+                    r, g, b, d["luminances"], d["intensity_target"]
+                )
             elif op.kind in ("tf_fwd", "tf_inv"):
-                planes = [
-                    self._apply_tf(p, d, forward=(op.kind == "tf_fwd"))
-                    for p in planes
-                ]
+                forward = op.kind == "tf_fwd"
+                if d["tf"].kind == "hlg" and len(planes) >= 3:
+                    # HLG couples channels through the OOTF (convert.rs
+                    # apply_(inverse_)transfer_function, Hlg arm)
+                    r, g, b = planes[:3]
+                    if forward:
+                        r, g, b = C.hlg_inverse_oo(
+                            r, g, b, d["luminances"], d["intensity_target"]
+                        )
+                        planes[:3] = [C.linear_to_hlg(p) for p in (r, g, b)]
+                    else:
+                        r, g, b = (C.hlg_to_linear(p) for p in (r, g, b))
+                        planes[:3] = C.hlg_oo(
+                            r, g, b, d["luminances"], d["intensity_target"]
+                        )
+                else:
+                    planes = [
+                        self._apply_tf(p, d, forward=forward) for p in planes
+                    ]
             else:
                 raise AssertionError(op.kind)
         return planes

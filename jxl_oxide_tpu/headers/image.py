@@ -268,6 +268,8 @@ class Primaries:
 
 
 Primaries.SRGB = Primaries("srgb")
+Primaries.BT2100 = Primaries("bt2100")
+Primaries.P3 = Primaries("p3")
 
 
 @dataclass(frozen=True)
@@ -297,6 +299,8 @@ class TransferFunction:
 
 TransferFunction.SRGB = TransferFunction("srgb")
 TransferFunction.LINEAR = TransferFunction("linear")
+TransferFunction.PQ = TransferFunction("pq")
+TransferFunction.HLG = TransferFunction("hlg")
 
 
 @dataclass

@@ -29,7 +29,9 @@ __all__ = [
     "hlg_to_linear",
     "linear_to_hlg",
     "hlg_inverse_oo",
+    "hlg_oo",
     "gamut_map",
+    "tone_map_rec2408",
 ]
 
 
@@ -184,6 +186,15 @@ def hlg_inverse_oo(r, g, b, luminances, intensity_target: float):
     return r * mult, g * mult, b * mult
 
 
+def hlg_oo(r, g, b, luminances, intensity_target: float):
+    """HLG forward OOTF: scene-linear -> display-linear (tf.rs:150-172)."""
+    lr, lg, lb = [np.float32(x) for x in luminances]
+    gamma = 1.2 * 1.111 ** np.log2(intensity_target / 1000.0)
+    y = r * lr + g * lg + b * lb
+    mult = jnp.power(jnp.maximum(y, 1e-30), gamma - 1.0)
+    return r * mult, g * mult, b * mult
+
+
 def gamut_map(r, g, b, luminances, saturation_factor: float):
     """Soft gamut mapping toward the luminance axis (gamut.rs). Desaturates
     out-of-gamut colors while preserving luminance, then clips."""
@@ -203,3 +214,61 @@ def gamut_map(r, g, b, luminances, saturation_factor: float):
     bb = y + (b - y) * t
     return (jnp.clip(rr, 0.0, 1.0), jnp.clip(gg, 0.0, 1.0),
             jnp.clip(bb, 0.0, 1.0))
+
+
+def _rec2408_eetf(y_pq, intensity_target: float, from_range, to_range):
+    """BT.2408 EETF on PQ-encoded luminance (tf/rec2408.rs:4-53)."""
+    import numpy as _np
+
+    lums = [
+        from_range[0] / intensity_target,
+        from_range[1] / intensity_target,
+        to_range[0] / intensity_target,
+        to_range[1] / intensity_target,
+    ]
+    lums = [float(np.asarray(linear_to_pq(_np.float32(v), intensity_target)))
+            for v in lums]
+    diff = lums[1] - lums[0]
+    norm = (y_pq - lums[0]) / diff
+    min_lum = (lums[2] - lums[0]) / diff
+    max_lum = (lums[3] - lums[0]) / diff
+    ks = 1.5 * max_lum - 0.5
+    one_sub_ks = 1.0 - ks
+    t = (norm - ks) / one_sub_ks
+    t2 = t * t
+    t3 = t2 * t
+    spline = (
+        (2.0 * t3 - 3.0 * t2 + 1.0) * ks
+        + (t3 - 2.0 * t2 + t) * one_sub_ks
+        + (-2.0 * t3 + 3.0 * t2) * max_lum
+    )
+    compressed = jnp.where(norm < ks, norm, spline)
+    x = 1.0 - compressed
+    mapped = (x * x * x * x) * min_lum + compressed
+    return mapped * diff + lums[0]
+
+
+def tone_map_rec2408(r, g, b, luminances, intensity_target: float,
+                     min_nits: float, target_display_luminance: float,
+                     detect_peak: bool = False):
+    """HDR->SDR luminance tone mapping (convert/tone_map.rs:9-211)."""
+    lr, lg, lb = [np.float32(v) for v in luminances]
+    y = r * lr + g * lg + b * lb
+    if detect_peak:
+        peak = float(jnp.max(y)) * intensity_target
+        peak_luminance = min(intensity_target, max(peak, 1.0))
+    else:
+        peak_luminance = intensity_target
+    from_range = (min_nits, peak_luminance)
+    to_range = (0.0, target_display_luminance)
+    scale = np.float32(intensity_target / target_display_luminance)
+    y_pq = linear_to_pq(y, intensity_target)
+    y_mapped = pq_to_linear(
+        _rec2408_eetf(y_pq, intensity_target, from_range, to_range),
+        intensity_target,
+    )
+    ratio = jnp.where(
+        jnp.abs(y) <= 1e-7, y_mapped * scale,
+        y_mapped / jnp.where(y == 0, 1.0, y) * scale,
+    )
+    return r * ratio, g * ratio, b * ratio

@@ -219,3 +219,76 @@ def test_icc_synthesis_valid_profiles():
     icc_pq = colour_encoding_to_icc(pq)
     assert b"cicp" in icc_pq
     ImageCms.ImageCmsProfile(io.BytesIO(icc_pq))
+
+
+def test_tone_map_rec2408():
+    """HDR (4000-nit) content tone-mapped to SDR: in-range highlights keep
+    relative structure, peaks compress into [0, 1]."""
+    from jxl_oxide_tpu.ops.color import tone_map_rec2408
+
+    lum = (0.2126, 0.7152, 0.0722)
+    it = 4000.0
+    # linear values relative to intensity_target: 1.0 = 4000 nits
+    r = np.array([[0.001, 0.05, 0.5, 1.0]], dtype=np.float32)
+    g = r.copy()
+    b = r.copy()
+    rr, gg, bb = tone_map_rec2408(r, g, b, lum, it, 0.0, 255.0)
+    out = np.asarray(rr)[0]
+    # scaled into display range: monotonic, bright end compressed
+    assert np.all(np.diff(out) > 0)
+    assert out[-1] <= 1.05
+    # dark values are scaled roughly linearly by it/255
+    assert out[0] == pytest.approx(0.001 * 4000 / 255, rel=0.3)
+
+
+def test_xyb_hdr_transform_builds():
+    from jxl_oxide_tpu.color.convert import ColorTransform
+    from jxl_oxide_tpu.headers.image import (
+        ColourEncoding, ColourSpace, OpsinInverseMatrix, ToneMapping,
+    )
+
+    src = ColourEncoding(colour_space=ColourSpace.XYB)
+    dst = ColourEncoding()
+    tm = ToneMapping(intensity_target=4000.0)
+    tr = ColorTransform.build(src, dst, OpsinInverseMatrix(), tm)
+    assert any(op.kind == "tone_map" for op in tr.ops)
+    planes = [np.full((4, 4), 0.1, dtype=np.float32) for _ in range(3)]
+    out = tr.run(planes)
+    assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_hlg_ootf_roundtrip():
+    from jxl_oxide_tpu.ops.color import hlg_inverse_oo, hlg_oo
+
+    lum = (0.2627, 0.6780, 0.0593)
+    rng = np.random.default_rng(0)
+    r, g, b = (rng.uniform(0.01, 1.0, (8, 8)).astype(np.float32)
+               for _ in range(3))
+    rr, gg, bb = hlg_oo(*hlg_inverse_oo(r, g, b, lum, 1000.0), lum, 1000.0)
+    np.testing.assert_allclose(np.asarray(rr), r, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(bb), b, rtol=2e-4)
+
+
+def test_pq_to_hlg_transform():
+    from jxl_oxide_tpu.color.convert import ColorTransform
+    from jxl_oxide_tpu.headers.image import (
+        ColourEncoding, OpsinInverseMatrix, Primaries, ToneMapping,
+        TransferFunction, ToneMapping as TM,
+    )
+
+    src = ColourEncoding(
+        primaries=Primaries.BT2100, tf=TransferFunction.PQ,
+    )
+    dst = ColourEncoding(
+        primaries=Primaries.BT2100, tf=TransferFunction.HLG,
+    )
+    tm = ToneMapping(intensity_target=4000.0)
+    tr = ColorTransform.build(src, dst, OpsinInverseMatrix(), tm)
+    kinds = [op.kind for op in tr.ops]
+    assert "tone_map" in kinds and "hlg_inverse_oo" in kinds
+    # no SDR tone mapping: target is HDR
+    assert kinds.count("tone_map") == 1
+    planes = [np.full((4, 4), 0.6, dtype=np.float32) for _ in range(3)]
+    out = tr.run(planes)
+    a = np.asarray(out[0])
+    assert np.isfinite(a).all() and (a >= 0).all() and (a <= 1.01).all()

@@ -416,9 +416,29 @@ class JxlImage:
             else meta.colour_encoding
         )
         if source.want_icc and not meta.xyb_encoded:
+            # Enum-expressible ICC: use the on-device enum transform path
+            # (icc/parse.rs parse_icc; jxl-render/src/lib.rs:210 icc_tf)
+            enum_src = None
+            if self.embedded_icc and self.requested_icc is None:
+                from .color.parse import parse_icc
+
+                try:
+                    enum_src = parse_icc(self.embedded_icc)
+                except JxlError:
+                    enum_src = None
+            if enum_src is not None:
+                target = self.requested_encoding or ColourEncoding()
+                from .color.convert import ColorTransform
+
+                tr = ColorTransform.build(
+                    enum_src, target, meta.opsin_inverse_matrix,
+                    meta.tone_mapping,
+                )
+                if not tr.is_noop:
+                    color = [np.asarray(p) for p in tr.run(color)]
             # ICC-described samples: CMS leg (cms.rs / lcms2 backend).
             # CMYK images carry the black channel as an EC.
-            if self.requested_icc is not None or self._cms is not None:
+            elif self.requested_icc is not None or self._cms is not None:
                 black_idx = next(
                     (
                         i for i, info in enumerate(meta.ec_info)

@@ -292,3 +292,60 @@ def test_pq_to_hlg_transform():
     out = tr.run(planes)
     a = np.asarray(out[0])
     assert np.isfinite(a).all() and (a >= 0).all() and (a <= 1.01).all()
+
+
+REF_ICC_DIR = "/root/reference/crates/jxl-color/src/icc/test-profiles"
+
+
+def test_parse_icc_reference_profiles():
+    """parse.rs test expectations on the reference's ICC fixtures."""
+    import os
+
+    from jxl_oxide_tpu.color.parse import parse_icc
+
+    cases = {
+        "srgb-rel.icc": ("RGB", "d65", "srgb", "srgb", "RELATIVE"),
+        "srgb-bt709-per.icc": ("RGB", "d65", "srgb", "bt709", "PERCEPTUAL"),
+        "srgb-linear-rel.icc": ("RGB", "d65", "srgb", "linear", "RELATIVE"),
+        "gray-d65-srgb-rel.icc": ("GREY", "d65", "srgb", "srgb", "RELATIVE"),
+        "gray-d65-linear-rel.icc": ("GREY", "d65", "srgb", "linear", "RELATIVE"),
+    }
+    if not os.path.isdir(REF_ICC_DIR):
+        pytest.skip("reference fixtures unavailable")
+    for name, (cs, wp, prim, tf, ri) in cases.items():
+        with open(os.path.join(REF_ICC_DIR, name), "rb") as f:
+            enc = parse_icc(f.read())
+        assert (enc.colour_space.name, enc.white_point.kind,
+                enc.primaries.kind, enc.tf.kind,
+                enc.rendering_intent.name) == (cs, wp, prim, tf, ri), name
+    # gamma: 0x23332/65536 -> ~2.2 (exponent stored inverted in ICC)
+    with open(os.path.join(REF_ICC_DIR, "srgb-gamma22-rel.icc"), "rb") as f:
+        enc = parse_icc(f.read())
+    assert enc.tf.kind == "gamma"
+    assert 21999000 <= enc.tf.gamma <= 22001000
+
+
+def test_parse_icc_synthesize_roundtrip():
+    """Synthesized profiles must parse back to the same enum encoding."""
+    from jxl_oxide_tpu.color.parse import parse_icc
+    from jxl_oxide_tpu.color.synthesize import colour_encoding_to_icc
+    from jxl_oxide_tpu.headers.image import (
+        ColourEncoding, ColourSpace, Primaries, RenderingIntent,
+        TransferFunction, WhitePoint,
+    )
+
+    encs = [
+        ColourEncoding(),
+        ColourEncoding(primaries=Primaries.P3, tf=TransferFunction.LINEAR),
+        ColourEncoding(primaries=Primaries.BT2100, tf=TransferFunction.PQ,
+                       rendering_intent=RenderingIntent.PERCEPTUAL),
+        ColourEncoding(colour_space=ColourSpace.GREY),
+    ]
+    for enc in encs:
+        back = parse_icc(colour_encoding_to_icc(enc))
+        assert back.colour_space == enc.colour_space
+        assert back.white_point.kind == enc.white_point.kind
+        assert back.tf.kind == enc.tf.kind
+        if enc.colour_space == ColourSpace.RGB:
+            assert back.primaries.kind == enc.primaries.kind
+        assert back.rendering_intent == enc.rendering_intent

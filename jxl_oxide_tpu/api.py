@@ -26,6 +26,7 @@ from .utils.errors import (
     JxlNotSupportedError,
     JxlValidationError,
 )
+from .utils.trace import traced
 
 __all__ = ["JxlImage", "Render"]
 
@@ -394,6 +395,7 @@ class JxlImage:
         )
         return self._postprocess(kf, crop=self._image_region)
 
+    @traced("Transform to requested color encoding")
     def _postprocess(self, kf: KeyframeRender, crop=None) -> Render:
         """postprocess_keyframe (render/lib.rs:884-994): YCbCr -> RGB,
         then color transform to the requested encoding."""

@@ -17,6 +17,8 @@ import numpy as np
 
 def _build_parser():
     p = argparse.ArgumentParser(prog="jxl-oxide-tpu")
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="-v: span timings (DEBUG), -vv: TRACE")
     sub = p.add_subparsers(dest="command")
 
     d = sub.add_parser("decode", help="decode a JXL image")
@@ -27,6 +29,12 @@ def _build_parser():
     d.add_argument("--num-reps", type=int, default=1)
     d.add_argument("--target-colorspace", default=None,
                    help="e.g. srgb, display_p3, linear-srgb")
+    d.add_argument("--target-icc", default=None,
+                   help="path to an ICC profile to convert into")
+    d.add_argument("--crop", default=None,
+                   help="decode region: WIDTHxHEIGHT+LEFT+TOP")
+    d.add_argument("--approx-memory-limit", type=int, default=None,
+                   help="approximate decode memory budget in bytes")
     i = sub.add_parser("info", help="dump image info")
     i.add_argument("input")
     i.add_argument("--with-offset", action="store_true")
@@ -43,12 +51,69 @@ def _build_parser():
     return p
 
 
-def _decode_once(data: bytes):
+def _parse_crop(spec: str):
+    """WIDTHxHEIGHT+LEFT+TOP -> (left, top, width, height)."""
+    import re
+
+    m = re.fullmatch(r"(\d+)x(\d+)(?:\+(\d+)\+(\d+))?", spec)
+    if m is None:
+        raise SystemExit(f"invalid --crop {spec!r}; expected WxH+L+T")
+    w, h, left, top = (int(v or 0) for v in m.groups())
+    return left, top, w, h
+
+
+def _decode_once(data: bytes, args=None):
     from .api import JxlImage
 
-    img = JxlImage.from_bytes(data)
+    kwargs = {}
+    if args is not None and args.approx_memory_limit:
+        kwargs["approx_memory_limit"] = args.approx_memory_limit
+    img = JxlImage(**kwargs)
+    img.feed_bytes(data)
+    img.finish()
+    if args is not None:
+        if args.crop:
+            img.set_image_region(*_parse_crop(args.crop))
+        if args.target_icc:
+            with open(args.target_icc, "rb") as f:
+                img.request_icc(f.read())
+        elif args.target_colorspace:
+            img.request_color_encoding(
+                _encoding_from_name(args.target_colorspace)
+            )
     renders = [img.render_frame(i) for i in range(img.num_keyframes)]
     return img, renders
+
+
+def _encoding_from_name(name: str):
+    """CLI colorspace names (decode.rs --target-colorspace)."""
+    from .headers.image import (
+        ColourEncoding,
+        Primaries,
+        RenderingIntent,
+        TransferFunction,
+    )
+
+    name = name.lower().replace("_", "-")
+    table = {
+        "srgb": ColourEncoding(),
+        "linear-srgb": ColourEncoding(tf=TransferFunction.LINEAR),
+        "display-p3": ColourEncoding(
+            primaries=Primaries.P3,
+            rendering_intent=RenderingIntent.PERCEPTUAL,
+        ),
+        "bt2100-pq": ColourEncoding(
+            primaries=Primaries.BT2100, tf=TransferFunction.PQ,
+        ),
+        "bt2100-hlg": ColourEncoding(
+            primaries=Primaries.BT2100, tf=TransferFunction.HLG,
+        ),
+    }
+    if name not in table:
+        raise SystemExit(
+            f"unknown colorspace {name!r}; choices: {', '.join(table)}"
+        )
+    return table[name]
 
 
 def cmd_decode(args) -> int:
@@ -59,7 +124,7 @@ def cmd_decode(args) -> int:
     img = renders = None
     for _ in range(max(1, args.num_reps)):
         t0 = time.perf_counter()
-        img, renders = _decode_once(data)
+        img, renders = _decode_once(data, args)
         times.append(time.perf_counter() - t0)
 
     npixels = img.width * img.height * max(1, len(renders))
@@ -219,6 +284,10 @@ def cmd_dump_jbrd(args) -> int:
 def main(argv=None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
+    if args.verbose:
+        from .utils.trace import set_verbosity
+
+        set_verbosity(args.verbose)
     if args.command == "decode":
         return cmd_decode(args)
     if args.command == "info":

@@ -22,6 +22,7 @@ from ..models.modular import ChannelInfo, ModularImage
 from ..models.modular_ma import MaConfig
 from ..utils.errors import JxlEofError, JxlNotSupportedError, JxlValidationError
 from ..coding.entropy import Decoder
+from ..utils.trace import span, traced
 
 __all__ = ["Frame", "LfGlobal", "GlobalModular"]
 
@@ -83,9 +84,11 @@ def parse_lf_global(
 
     patches = splines = noise = None
     if frame_header.flags.patches:
-        patches = Patches.parse(bs, image_header, frame_header)
+        with span("Decode Patches"):
+            patches = Patches.parse(bs, image_header, frame_header)
     if frame_header.flags.splines:
-        splines = Splines.parse(bs, frame_header)
+        with span("Decode Splines"):
+            splines = Splines.parse(bs, frame_header)
     if frame_header.flags.noise:
         noise = NoiseParameters.parse(bs)
 
@@ -230,6 +233,7 @@ class Frame:
                 self._single_bs = bs  # continue reading subsequent sections
         return self.lf_global
 
+    @traced("decode channels")
     def decode_modular_frame(self, allow_partial: bool = False) -> list[np.ndarray]:
         """Full Modular frame decode: LfGlobal + LF groups + pass groups +
         inverse transforms. Returns original channel arrays (int32).

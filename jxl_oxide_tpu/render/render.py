@@ -15,6 +15,7 @@ import numpy as np
 
 from ..headers.frame import Encoding
 from ..utils.errors import JxlNotSupportedError
+from ..utils.trace import traced
 
 __all__ = ["FrameRender", "render_frame"]
 
@@ -57,6 +58,7 @@ def _upsample2x_nn(plane: np.ndarray, axis: int, size: int) -> np.ndarray:
     return out.take(range(size), axis=axis)
 
 
+@traced("Render frame")
 def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRender:
     """Decode + filter one frame. Returns planes at frame sample size."""
     header = frame.header

@@ -27,6 +27,7 @@ from ..models.vardct import (
     write_hf_coeff,
 )
 from ..utils.errors import JxlValidationError
+from ..utils.trace import span, traced
 
 __all__ = ["HfGlobal", "LfGroup", "decode_vardct_frame"]
 
@@ -416,6 +417,7 @@ class VardctFrameState:
 
     _fused_cache: dict = {}
 
+    @traced("Dequant and transform")
     def _run_fused(self, hf_global: HfGlobal | None):
         import jax.numpy as jnp
 
@@ -644,6 +646,7 @@ class VardctFrameState:
         return out
 
 
+@traced("Render VarDCT")
 def decode_vardct_frame(frame, allow_partial: bool = False):
     """Full VarDCT frame decode. Returns ([x, y, b] float32 planes cropped
     to the frame sample size at channel shifts, extra-channel arrays).
@@ -671,7 +674,8 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
             bs, frame.image_header, header, lf_global, 0, mlf_groups.get(0)
         )
         state.place_lf_group(0, group)
-        hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
+        with span("Parse HfGlobal"):
+            hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
         for pass_idx in range(header.passes.num_passes):
             state.decode_pass_group_hf(bs, hf_global, pass_idx, 0)
             sub = (
@@ -716,7 +720,8 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
         else:
             entry = frame.toc.entry_for("hf_global")
             bs = Bitstream(frame.section_bytes(entry))
-            hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
+            with span("Parse HfGlobal"):
+                hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
 
         def _do_pass_group(job):
             pass_idx, g_idx = job

@@ -177,3 +177,49 @@ def test_animation_multi_keyframe(tmp_path):
                [10, 10, 10])
     raw = apng.read_bytes()
     assert b"acTL" in raw and b"fcTL" in raw and b"fdAT" in raw
+
+def test_pil_integration(tmp_path):
+    """Image.open on .jxl via the registered Pillow plugin
+    (integration.rs analog)."""
+    from encoder import encode_jxl_modular
+    from PIL import Image
+
+    from jxl_oxide_tpu.integration import register
+
+    register()
+    rng = np.random.default_rng(7)
+    chans = [rng.integers(0, 256, (40, 56), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8)
+    p = tmp_path / "t.jxl"
+    p.write_bytes(data)
+    with Image.open(p) as im:
+        assert im.format == "JXL"
+        assert im.size == (56, 40)
+        assert im.mode == "RGB"
+        out = np.asarray(im)
+    for c in range(3):
+        np.testing.assert_array_equal(out[..., c], chans[c].astype(np.uint8))
+
+
+def test_pil_integration_animation(tmp_path):
+    from encoder import encode_jxl_modular
+    from PIL import Image, ImageSequence
+
+    from jxl_oxide_tpu.integration import register
+
+    register()
+    rng = np.random.default_rng(8)
+    frames = [
+        [rng.integers(0, 256, (24, 24), dtype=np.int64) for _ in range(3)]
+        for _ in range(3)
+    ]
+    data = encode_jxl_modular(frames[0], bit_depth=8, animation_frames=frames)
+    p = tmp_path / "anim.jxl"
+    p.write_bytes(data)
+    with Image.open(p) as im:
+        assert im.n_frames == 3 and im.is_animated
+        decoded = [np.asarray(f.convert("RGB"))
+                   for f in ImageSequence.Iterator(im)]
+    for got, want in zip(decoded, frames):
+        for c in range(3):
+            np.testing.assert_array_equal(got[..., c], want[c].astype(np.uint8))

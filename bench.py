@@ -32,14 +32,15 @@ def _bench_end_to_end():
     data = encode_jxl_vardct(np.clip(img, 0, 1), global_scale=4096)
 
     def decode_once():
-        bs = Bitstream(data)
-        ih = ImageHeader.parse(bs)
-        frame = Frame(ih, bs)
-        end = frame.start_byte + frame.total_bytes
-        frame.feed_bytes(data[frame.start_byte + frame.data_start : end])
-        return decode_vardct_frame(frame)
+        # full public path: bytes -> header -> entropy decode -> fused
+        # device pipeline -> XYB->sRGB color transform -> u8 readback
+        from jxl_oxide_tpu import JxlImage
 
-    decode_once()  # warm (jit compiles)
+        img = JxlImage.from_bytes(data)
+        return img.render_frame(0).to_u8()
+
+    out = decode_once()  # warm (jit compiles)
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):

@@ -31,6 +31,26 @@ from .utils.trace import traced
 __all__ = ["JxlImage", "Render"]
 
 
+
+def _is_jax(x) -> bool:
+    try:
+        import jax
+
+        return isinstance(x, jax.Array)
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _stack_channels(chans):
+    """Stack [H, W] planes to [H, W, C]; stays on device when any plane
+    is a jax array (single-download u8/u16 readback)."""
+    if any(_is_jax(c) for c in chans):
+        import jax.numpy as jnp
+
+        return jnp.stack([jnp.asarray(c) for c in chans], axis=-1)
+    return np.stack(chans, axis=-1)
+
+
 @dataclass
 class Render:
     """A rendered keyframe in the requested color encoding."""
@@ -52,16 +72,20 @@ class Render:
             _apply_orientation(p, self.orientation)
             for p in (*self.planes, *self.extra)
         ]
-        return np.stack(chans, axis=-1)
+        return np.asarray(_stack_channels(chans))
 
     def image(self) -> np.ndarray:
         """[H, W, C] color (+ alpha if present)."""
+        return np.asarray(self._image_device())
+
+    def _image_device(self):
+        """Like image() but stays on device for device-resident planes."""
         chans = [_apply_orientation(p, self.orientation) for p in self.planes]
         for info, ec in zip(self.ec_info, self.extra):
             if info.ty == ExtraChannelType.ALPHA:
                 chans.append(_apply_orientation(ec, self.orientation))
                 break
-        return np.stack(chans, axis=-1)
+        return _stack_channels(chans)
 
     def apply_spot_colors(self) -> None:
         """Composite SpotColour extra channels onto the color planes
@@ -77,10 +101,21 @@ class Render:
                 self.planes[c] = mix * np.float32(colv) + (1.0 - mix) * self.planes[c]
 
     def to_u8(self) -> np.ndarray:
-        return np.clip(np.round(self.image() * 255.0), 0, 255).astype(np.uint8)
+        return self._quantize(255.0, np.uint8)
 
     def to_u16(self) -> np.ndarray:
-        return np.clip(np.round(self.image() * 65535.0), 0, 65535).astype(np.uint16)
+        return self._quantize(65535.0, np.uint16)
+
+    def _quantize(self, scale: float, dtype) -> np.ndarray:
+        img = self._image_device()
+        if _is_jax(img):
+            # quantize on device: the readback is scale-bits wide instead
+            # of f32 (4x less transfer for u8 on slow links)
+            import jax.numpy as jnp
+
+            out = jnp.clip(jnp.round(img * scale), 0, scale).astype(dtype)
+            return np.asarray(out)
+        return np.clip(np.round(img * scale), 0, scale).astype(dtype)
 
 
 def _apply_orientation(plane: np.ndarray, orientation: int) -> np.ndarray:
@@ -401,14 +436,17 @@ class JxlImage:
         then color transform to the requested encoding."""
         meta = self.image_header.metadata
         frame_header = kf.frame.header
-        color = [np.asarray(p, dtype=np.float32) for p in kf.color]
+        color = [
+            p if _is_jax(p) else np.asarray(p, dtype=np.float32)
+            for p in kf.color
+        ]
 
         if frame_header.do_ycbcr:
             from .ops.color import ycbcr_to_rgb
 
             cb, y, cr = color[0], color[1], color[2]
             r, g, b = ycbcr_to_rgb(cb, y, cr)
-            color = [np.asarray(r), np.asarray(g), np.asarray(b)]
+            color = [r, g, b]
 
         extra = [np.asarray(p, dtype=np.float32) for p in kf.extra]
 
@@ -437,7 +475,7 @@ class JxlImage:
                     meta.tone_mapping,
                 )
                 if not tr.is_noop:
-                    color = [np.asarray(p) for p in tr.run(color)]
+                    color = list(tr.run(color))
             # ICC-described samples: CMS leg (cms.rs / lcms2 backend).
             # CMYK images carry the black channel as an EC.
             elif self.requested_icc is not None or self._cms is not None:
@@ -448,7 +486,7 @@ class JxlImage:
                     ),
                     None,
                 )
-                planes_in = list(color)
+                planes_in = [np.asarray(p, dtype=np.float32) for p in color]
                 if black_idx is not None:
                     planes_in.append(extra[black_idx])
                 try:
@@ -476,7 +514,7 @@ class JxlImage:
                 source, target, meta.opsin_inverse_matrix, meta.tone_mapping
             )
             if not tr.is_noop:
-                color = [np.asarray(p) for p in tr.run(color)]
+                color = list(tr.run(color))
 
         if crop is not None:
             left, top, width, height = crop

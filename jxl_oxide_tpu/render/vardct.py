@@ -565,7 +565,9 @@ class VardctFrameState:
             jnp.asarray(sigma_blocks),
             *bucket_args,
         )
-        out = np.asarray(out)
+        # stay on device: downstream stages (ycbcr, upsampling, color
+        # transform, u8 conversion) are jnp ops, so the only download is
+        # the final u8/u16 readback (critical on transfer-bound links)
         self.filters_applied = True
         return [out[0], out[1], out[2]]
 

@@ -430,6 +430,22 @@ class JxlImage:
         )
         return self._postprocess(kf, crop=self._image_region)
 
+    def _cached_transform(self, source, target, meta):
+        """Memoized ColorTransform (reference caches it on RenderContext,
+        render/lib.rs:57): keeps the jitted op-list program warm across
+        renders/frames."""
+        key = (repr(source), repr(target))
+        cached = getattr(self, "_ct_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        from .color.convert import ColorTransform
+
+        tr = ColorTransform.build(
+            source, target, meta.opsin_inverse_matrix, meta.tone_mapping
+        )
+        self._ct_cache = (key, tr)
+        return tr
+
     @traced("Transform to requested color encoding")
     def _postprocess(self, kf: KeyframeRender, crop=None) -> Render:
         """postprocess_keyframe (render/lib.rs:884-994): YCbCr -> RGB,
@@ -468,12 +484,7 @@ class JxlImage:
                     enum_src = None
             if enum_src is not None:
                 target = self.requested_encoding or ColourEncoding()
-                from .color.convert import ColorTransform
-
-                tr = ColorTransform.build(
-                    enum_src, target, meta.opsin_inverse_matrix,
-                    meta.tone_mapping,
-                )
+                tr = self._cached_transform(enum_src, target, meta)
                 if not tr.is_noop:
                     color = list(tr.run(color))
             # ICC-described samples: CMS leg (cms.rs / lcms2 backend).
@@ -508,11 +519,7 @@ class JxlImage:
                     else ColourEncoding()
                 )
 
-            from .color.convert import ColorTransform
-
-            tr = ColorTransform.build(
-                source, target, meta.opsin_inverse_matrix, meta.tone_mapping
-            )
+            tr = self._cached_transform(source, target, meta)
             if not tr.is_noop:
                 color = list(tr.run(color))
 

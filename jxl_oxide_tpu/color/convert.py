@@ -122,6 +122,7 @@ class ColorTransform:
     def __init__(self, ops: list[_Op], begin_channels: int):
         self.ops = ops
         self.begin_channels = begin_channels
+        self._jitted = None
 
     @classmethod
     def build(
@@ -306,12 +307,31 @@ class ColorTransform:
         return not self.ops
 
     def run(self, planes: list):
-        """Apply the op list to planar jax/numpy arrays; returns planes."""
+        """Apply the op list to planar jax/numpy arrays; returns planes.
+
+        The whole op list compiles into ONE XLA program (a decode's color
+        tail is a single dispatch) unless an op needs host-side data
+        (detect_peak tone mapping)."""
+        import jax
+        import jax.numpy as jnp
+
+        planes = [jnp.asarray(p, dtype=jnp.float32) for p in planes]
+        jittable = not any(
+            op.kind == "tone_map" and op.data.get("detect_peak")
+            for op in self.ops
+        )
+        if jittable:
+            if self._jitted is None:
+                self._jitted = jax.jit(self._apply_ops)
+            return list(self._jitted(planes))
+        return self._apply_ops(planes)
+
+    def _apply_ops(self, planes: list):
         import jax.numpy as jnp
 
         from ..ops import color as C
 
-        planes = [jnp.asarray(p, dtype=jnp.float32) for p in planes]
+        planes = list(planes)
         for op in self.ops:
             d = op.data
             if op.kind == "xyb_to_lms":

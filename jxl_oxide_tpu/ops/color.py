@@ -216,17 +216,23 @@ def gamut_map(r, g, b, luminances, saturation_factor: float):
             jnp.clip(bb, 0.0, 1.0))
 
 
+def _linear_to_pq_scalar(v: float, intensity_target: float) -> float:
+    """Host-side scalar PQ OETF (usable inside jit traces)."""
+    a = abs(v) * (intensity_target / 10000.0)
+    am1 = max(a, 1e-30) ** _PQ_M1
+    e = ((_PQ_C1 + _PQ_C2 * am1) / (1.0 + _PQ_C3 * am1)) ** _PQ_M2
+    return float(np.copysign(e, v))
+
+
 def _rec2408_eetf(y_pq, intensity_target: float, from_range, to_range):
     """BT.2408 EETF on PQ-encoded luminance (tf/rec2408.rs:4-53)."""
-    import numpy as _np
-
     lums = [
         from_range[0] / intensity_target,
         from_range[1] / intensity_target,
         to_range[0] / intensity_target,
         to_range[1] / intensity_target,
     ]
-    lums = [float(np.asarray(linear_to_pq(_np.float32(v), intensity_target)))
+    lums = [_linear_to_pq_scalar(np.float32(v), intensity_target)
             for v in lums]
     diff = lums[1] - lums[0]
     norm = (y_pq - lums[0]) / diff

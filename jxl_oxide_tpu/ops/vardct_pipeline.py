@@ -137,7 +137,8 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
                          skip_smoothing: bool,
                          cfl_lf_k=(0.0, 1.0), cfl_colour_factor=84,
                          cfl_base=(0.0, 1.0),
-                         gabor_weights=None, epf_params=None):
+                         gabor_weights=None, epf_params=None,
+                         sparse_coeff_n: int | None = None):
     """One jitted function for the whole per-frame device pipeline:
     LF dequant/CfL/smoothing -> HF dequant -> HF CfL -> bucketed inverse
     transforms -> gaborish -> EPF.
@@ -159,6 +160,15 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
 
     def pipeline(coeff, lf_quant, lf_scale_arr, x_grid, b_grid,
                  sigma_blocks, *bucket_args):
+        if sparse_coeff_n is not None:
+            # sparse upload: coeff is (flat_idx [N] i32, values [N] i16)
+            # padded with (0, 0); scatter-add is pad-safe. Cuts the
+            # host->device transfer by the coefficient sparsity factor.
+            c_idx, c_val = coeff
+            dense = jnp.zeros((3 * H * W,), dtype=jnp.int32)
+            coeff = dense.at[c_idx].add(
+                c_val.astype(jnp.int32), mode="drop"
+            ).reshape(3, H, W)
         # --- LF: dequant + CfL + smoothing ---
         lf_planes = lf_quant.astype(jnp.float32) * lf_scale_arr[:, None, None]
         kx0, kb0 = cfl_lf_k

@@ -513,7 +513,18 @@ class VardctFrameState:
             sh_ = sigma_blocks[sy0 : sy0 + sg.shape[0], sx0 : sx0 + sg.shape[1]]
             sh_[:, :] = sg[: sh_.shape[0], : sh_.shape[1]]
 
+        # sparse coefficient upload when it beats dense int16 (quantized
+        # HF coefficients are mostly zero); padded to pow2 to bound the
+        # number of compiled program shapes
+        coeff_stack = np.stack(self.coeff_planes)
+        nz_flat = np.flatnonzero(coeff_stack.reshape(-1))
+        dense_bytes = coeff_stack.size * 2
+        sparse_n = None
+        if nz_flat.size * 6 < dense_bytes // 2:
+            sparse_n = 1 << max(10, int(nz_flat.size - 1).bit_length())
+
         key = (
+            sparse_n,
             self.plane_shapes[0], self.lf_shapes[0], bucket_meta,
             tuple(float(q) for q in self.opsin.quant_bias),
             float(self.opsin.quant_bias_numerator),
@@ -542,6 +553,7 @@ class VardctFrameState:
                 cfl_base=(corr.base_correlation_x, corr.base_correlation_b),
                 gabor_weights=gabor_weights,
                 epf_params=epf_params,
+                sparse_coeff_n=sparse_n,
             )
             self._fused_cache[key] = fn
 
@@ -549,16 +561,29 @@ class VardctFrameState:
         for _, _, _, _, muls, pos in buckets:
             bucket_args.append(jnp.asarray(pos))
             bucket_args.append(jnp.asarray(muls.astype(np.float32)))
-        coeff_stack = np.stack(self.coeff_planes)
-        if np.abs(coeff_stack).max(initial=0) < 32768:
-            coeff_stack = coeff_stack.astype(np.int16)  # halve the upload
+        if sparse_n is not None:
+            c_idx = np.zeros(sparse_n, dtype=np.int32)
+            c_idx[: nz_flat.size] = nz_flat
+            vals = coeff_stack.reshape(-1)[nz_flat]
+            c_val = np.zeros(
+                sparse_n,
+                dtype=np.int16
+                if np.abs(vals).max(initial=0) < 32768
+                else np.int32,
+            )
+            c_val[: nz_flat.size] = vals
+            coeff_input = (jnp.asarray(c_idx), jnp.asarray(c_val))
+        else:
+            if np.abs(coeff_stack).max(initial=0) < 32768:
+                coeff_stack = coeff_stack.astype(np.int16)  # halve the upload
+            coeff_input = jnp.asarray(coeff_stack)
         lf_input = (
             lf_override
             if lf_override is not None
             else np.stack(self.lf_quant_planes)
         )
         out = fn(
-            jnp.asarray(coeff_stack),
+            coeff_input,
             jnp.asarray(lf_input),
             jnp.asarray(lf_scale_arr),
             jnp.asarray(x_grid), jnp.asarray(b_grid),

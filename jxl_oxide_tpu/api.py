@@ -100,6 +100,11 @@ class Render:
             for c, colv in enumerate((red, green, blue)):
                 self.planes[c] = mix * np.float32(colv) + (1.0 - mix) * self.planes[c]
 
+    def stream(self) -> "ImageStream":
+        """Chunked interleaved sample stream with orientation and spot
+        colors applied (fb.rs:170-398 ImageStream)."""
+        return ImageStream(self)
+
     def to_u8(self) -> np.ndarray:
         return self._quantize(255.0, np.uint8)
 
@@ -116,6 +121,44 @@ class Render:
             out = jnp.clip(jnp.round(img * scale), 0, scale).astype(dtype)
             return np.asarray(out)
         return np.clip(np.round(img * scale), 0, scale).astype(dtype)
+
+
+class ImageStream:
+    """Incremental writer of interleaved samples into caller buffers
+    (fb.rs ImageStream::write_to_buffer): row-major x-major c-minor order,
+    u8/u16/f32 targets by buffer dtype, resumable across calls."""
+
+    def __init__(self, render: Render):
+        import copy
+
+        r = copy.copy(render)
+        r.planes = list(render.planes)
+        r.apply_spot_colors()
+        chans = [_apply_orientation(p, r.orientation) for p in r.planes]
+        for info, ec in zip(r.ec_info, r.extra):
+            chans.append(_apply_orientation(ec, r.orientation))
+        self._flat = np.asarray(
+            _stack_channels(chans), dtype=np.float32
+        ).reshape(-1)
+        self.height, self.width = np.asarray(chans[0]).shape
+        self.channels = len(chans)
+        self._pos = 0
+
+    def write_to_buffer(self, buf: np.ndarray) -> int:
+        """Fill `buf` (1-D u8/u16/f32) with the next samples; returns the
+        count written (0 at end of image)."""
+        n = min(buf.size, self._flat.size - self._pos)
+        if n <= 0:
+            return 0
+        chunk = self._flat[self._pos : self._pos + n]
+        if buf.dtype == np.uint8:
+            buf[:n] = np.clip(np.round(chunk * 255.0), 0, 255)
+        elif buf.dtype == np.uint16:
+            buf[:n] = np.clip(np.round(chunk * 65535.0), 0, 65535)
+        else:
+            buf[:n] = chunk
+        self._pos += n
+        return n
 
 
 def _apply_orientation(plane: np.ndarray, orientation: int) -> np.ndarray:
@@ -354,6 +397,20 @@ class JxlImage:
             if ty == box_type:
                 return payload
         return None
+
+    @property
+    def raw_exif_data(self) -> bytes | None:
+        """Exif payload with the 4-byte tiff-offset header stripped
+        (aux_box.rs raw_exif)."""
+        exif = self.aux_box(b"Exif")
+        if exif is None:
+            return None
+        return exif[4:] if len(exif) >= 4 else b""
+
+    @property
+    def raw_xmp(self) -> bytes | None:
+        """XMP metadata from the 'xml ' box (aux_box.rs)."""
+        return self.aux_box(b"xml ")
 
     @property
     def jpeg_reconstruction_available(self) -> bool:

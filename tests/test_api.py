@@ -223,3 +223,26 @@ def test_pil_integration_animation(tmp_path):
     for got, want in zip(decoded, frames):
         for c in range(3):
             np.testing.assert_array_equal(got[..., c], want[c].astype(np.uint8))
+
+
+def test_image_stream(tmp_path):
+    """fb.rs ImageStream::write_to_buffer semantics: resumable chunked
+    interleaved sample output."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(11)
+    chans = [rng.integers(0, 256, (10, 7), dtype=np.int64) for _ in range(3)]
+    img = JxlImage.from_bytes(encode_jxl_modular(chans, bit_depth=8))
+    r = img.render_frame(0)
+    st = r.stream()
+    assert (st.width, st.height, st.channels) == (7, 10, 3)
+    buf = np.zeros(50, dtype=np.uint8)
+    out = []
+    while True:
+        n = st.write_to_buffer(buf)
+        if n == 0:
+            break
+        out.append(buf[:n].copy())
+    flat = np.concatenate(out)
+    want = np.stack([c.astype(np.uint8) for c in chans], axis=-1).reshape(-1)
+    np.testing.assert_array_equal(flat, want)

@@ -1,7 +1,12 @@
 """Feature rendering tests: splines, noise synthesis, patch blending."""
 
+import sys
+from pathlib import Path
+
 import numpy as np
 import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from jxl_oxide_tpu.render.features import (
     NoiseParameters,
@@ -107,3 +112,45 @@ def test_render_spline_draws_blob():
     # b channel gets base_correlation_b=1.0 contribution
     assert planes[2].max() > 0.0
     assert planes[0].max() == pytest.approx(0.0, abs=1e-6)
+
+
+def test_reference_only_frame_and_patch_replace():
+    """ReferenceOnly frame saved to a slot, patched into the visible frame
+    with Replace mode (data/patch.rs + blend.rs patch machinery)."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(3)
+    base = [rng.integers(0, 256, (32, 32), dtype=np.int64) for _ in range(3)]
+    ref = [rng.integers(0, 256, (32, 32), dtype=np.int64) for _ in range(3)]
+    spec = dict(ref_idx=0, x0=2, y0=4, width=10, height=8, x=6, y=5, mode=1)
+    data = encode_jxl_modular(base, bit_depth=8, reference_patch=(ref, spec))
+    img = JxlImage.from_bytes(data)
+    assert img.num_frames == 2 and img.num_keyframes == 1
+    out = img.render_frame(0).to_u8()
+    want = np.stack([c.astype(np.uint8) for c in base], -1).copy()
+    want[5:13, 6:16] = np.stack(
+        [c.astype(np.uint8) for c in ref], -1
+    )[4:12, 2:12]
+    np.testing.assert_array_equal(out, want)
+
+
+def test_patch_add_mode():
+    """Patch blend mode Add: ref samples add onto the frame."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(4)
+    base = [rng.integers(0, 100, (24, 24), dtype=np.int64) for _ in range(3)]
+    ref = [rng.integers(0, 100, (24, 24), dtype=np.int64) for _ in range(3)]
+    spec = dict(ref_idx=0, x0=0, y0=0, width=8, height=8, x=4, y=4, mode=2)
+    data = encode_jxl_modular(base, bit_depth=8, reference_patch=(ref, spec))
+    out = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    want = np.stack([c.astype(np.float32) / 255.0 for c in base], -1)
+    want[4:12, 4:12] += np.stack(
+        [c.astype(np.float32) / 255.0 for c in ref], -1
+    )[:8, :8]
+    want = np.clip(np.round(want * 255), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)

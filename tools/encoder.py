@@ -290,6 +290,29 @@ def encode_stream_tokens(w: BitWriter, enc: AnsStreamEncoder, channels, predicto
 # Full image encoding
 
 
+def _encode_patches(w: BitWriter, spec: dict) -> None:
+    """Entropy-coded patch list (jxl-frame data/patch.rs): one PatchRef
+    with one target, 0 extra channels. spec keys: ref_idx, x0, y0, width,
+    height, x, y, mode (PatchBlendMode raw value)."""
+    enc = AnsStreamEncoder(10, 64, 6, DEFAULT_CFG)
+    enc.write_header(w)
+    toks = [
+        1,                      # num_patch_refs   (ctx 0)
+        spec["ref_idx"],        # ctx 1
+        spec["x0"],             # ctx 3
+        spec["y0"],             # ctx 3
+        spec["width"] - 1,      # ctx 2
+        spec["height"] - 1,     # ctx 2
+        0,                      # count - 1        (ctx 7)
+        spec["x"],              # first target x   (ctx 4)
+        spec["y"],              # first target y   (ctx 4)
+        spec["mode"],           # blending mode    (ctx 5)
+    ]
+    if spec["mode"] >= 3:
+        toks.append(int(spec.get("clamp", False)))  # ctx 9
+    enc.encode_tokens(w, toks)
+
+
 def encode_jxl_modular(
     channels: list[np.ndarray],
     bit_depth: int = 8,
@@ -298,6 +321,7 @@ def encode_jxl_modular(
     rct: bool = False,
     group_size_shift: int = 1,
     animation_frames: list[list[np.ndarray]] | None = None,
+    reference_patch: tuple | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -370,32 +394,45 @@ def encode_jxl_modular(
     out.write_bool(True)  # default_m
     out.zero_pad_to_byte()  # frames start byte-aligned (Frame::parse)
 
-    def _write_one_frame(enc_channels, duration, is_last):
+    def _write_one_frame(enc_channels, duration, is_last, frame_type=0,
+                         save_as_reference=0, patch_spec=None):
         out.zero_pad_to_byte()
         # --- FrameHeader ---
         out.write_bool(False)  # not all_default
-        out.write(0, 2)  # frame_type regular
+        out.write(frame_type, 2)
         out.write(1, 1)  # encoding modular
-        out.write_u64_zero()  # flags
+        # flags U64: bit 1 = patches
+        flags = 0x2 if patch_spec is not None else 0
+        if flags == 0:
+            out.write_u64_zero()
+        else:
+            out.write(1, 2)  # U64 selector: 1 + u(4)
+            out.write(flags - 1, 4)
         out.write_bool(False)  # do_ycbcr (xyb false -> read)
         out.write_u32_sel(0, 0, 0)  # upsampling = 1
         out.write(group_size_shift, 2)
-        out.write_u32_sel(0, 0, 0)  # num_passes = 1
+        if frame_type != 2:  # ReferenceOnly has no Passes
+            out.write_u32_sel(0, 0, 0)  # num_passes = 1
         out.write_bool(False)  # have_crop
-        out.write_u32_sel(0, 0, 0)  # blending mode Replace
-        if animation_frames is not None:
-            # duration U32(0, 1, U(8), U(32))
-            if duration == 0:
-                out.write(0, 2)
-            elif duration == 1:
-                out.write(1, 2)
-            else:
-                out.write(2, 2)
-                out.write(duration, 8)
-        out.write_bool(is_last)
+        if frame_type in (0, 3):  # is_normal: blending/duration/is_last
+            out.write_u32_sel(0, 0, 0)  # blending mode Replace
+            if animation_frames is not None:
+                # duration U32(0, 1, U(8), U(32))
+                if duration == 0:
+                    out.write(0, 2)
+                elif duration == 1:
+                    out.write(1, 2)
+                else:
+                    out.write(2, 2)
+                    out.write(duration, 8)
+            out.write_bool(is_last)
+        else:
+            is_last = False
         if not is_last:
-            out.write(0, 2)  # save_as_reference = 0
-        # save_before_ct skipped (resets_canvas branch)
+            out.write(save_as_reference, 2)
+        if frame_type == 2:
+            out.write_bool(False)  # save_before_ct
+        # else: save_before_ct skipped (resets_canvas branch)
         out.write_u32_sel(0, 0, 0)  # name len = 0
         # RestorationFilter: not default; gab off; epf iters 0
         out.write_bool(False)
@@ -428,6 +465,8 @@ def encode_jxl_modular(
 
         # LfGlobal section
         lf = BitWriter()
+        if patch_spec is not None:
+            _encode_patches(lf, patch_spec)
         lf.write_bool(True)  # lf_dequant all_default
         lf.write_bool(True)  # has global MA tree
         sample_enc = write_ma_config(lf, predictor)
@@ -468,7 +507,15 @@ def encode_jxl_modular(
             for byte in sb:
                 out.write(byte, 8)
 
-    if animation_frames is not None:
+    if reference_patch is not None:
+        ref_channels, patch_spec = reference_patch
+        _write_one_frame(
+            [c.astype(np.int64) for c in ref_channels], 0, False,
+            frame_type=2, save_as_reference=patch_spec.get("ref_idx", 0),
+        )
+        _write_one_frame(enc_channels, duration=0, is_last=True,
+                         patch_spec=patch_spec)
+    elif animation_frames is not None:
         all_frames = [
             [c.astype(np.int64) for c in fchans]
             for fchans in animation_frames

@@ -154,3 +154,60 @@ def test_patch_add_mode():
     )[:8, :8]
     want = np.clip(np.round(want * 255), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(out, want)
+
+
+def test_noise_flag_end_to_end():
+    """Noise flag + LUT through the bitstream (data/noise.rs): zero LUT is
+    a no-op; nonzero LUT perturbs pixels deterministically."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(5)
+    base = [rng.integers(60, 200, (32, 32), dtype=np.int64) for _ in range(3)]
+    clean = np.stack([c.astype(np.uint8) for c in base], -1)
+
+    data0 = encode_jxl_modular(base, bit_depth=8, noise_lut=[0.0] * 8)
+    out0 = JxlImage.from_bytes(data0).render_frame(0).to_u8()
+    np.testing.assert_array_equal(out0, clean)
+
+    lut = [0.3] * 8
+    data1 = encode_jxl_modular(base, bit_depth=8, noise_lut=lut)
+    out1 = JxlImage.from_bytes(data1).render_frame(0).to_u8()
+    assert not np.array_equal(out1, clean)
+    out2 = JxlImage.from_bytes(data1).render_frame(0).to_u8()
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_splines_end_to_end():
+    """Spline through the bitstream (data/spline.rs): decoded render equals
+    base + render_spline of the same quantized spline."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.render.features import (
+        QuantSpline, Splines, render_spline,
+    )
+
+    h = w = 48
+    base = [np.full((h, w), 128, dtype=np.int64) for _ in range(3)]
+    xyb_dct = np.zeros((3, 32), dtype=np.int64)
+    xyb_dct[:, 0] = [50, 80, 60]
+    sigma_dct = np.zeros(32, dtype=np.int64)
+    sigma_dct[0] = 40
+    spec = dict(
+        points=[(10, 12), (30, 18), (38, 34)],
+        xyb_dct=xyb_dct,
+        sigma_dct=sigma_dct,
+    )
+    data = encode_jxl_modular(base, bit_depth=8,
+                              splines_spec=([spec], 0))
+    out = JxlImage.from_bytes(data).render_frame(0).to_u8()
+
+    planes = [c.astype(np.float32) / 255.0 for c in base]
+    sp = Splines([QuantSpline(spec["points"], xyb_dct, sigma_dct)], 0)
+    render_spline(planes, sp, None, w, h)
+    want = np.clip(
+        np.round(np.stack(planes, -1) * 255), 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)

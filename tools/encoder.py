@@ -313,6 +313,48 @@ def _encode_patches(w: BitWriter, spec: dict) -> None:
     enc.encode_tokens(w, toks)
 
 
+def _pack_s(v: int) -> int:
+    return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+
+def _encode_noise(w: BitWriter, lut) -> None:
+    """NoiseParameters: 8 x u(10) LUT entries (data/noise.rs)."""
+    assert len(lut) == 8
+    for v in lut:
+        w.write(int(round(v * (1 << 10))) & 0x3FF, 10)
+
+
+def _encode_splines(w: BitWriter, splines, quant_adjust: int = 0) -> None:
+    """Entropy-coded spline list (data/spline.rs): each spline is a dict
+    with keys points (list[(x, y)]), xyb_dct [3][32], sigma_dct [32]."""
+    enc = AnsStreamEncoder(6, 128, 7, DEFAULT_CFG)
+    enc.write_header(w)
+    toks = [len(splines) - 1]
+    prev = None
+    for sp in splines:
+        x, y = sp["points"][0]
+        if prev is None:
+            toks += [x, y]
+        else:
+            toks += [_pack_s(x - prev[0]), _pack_s(y - prev[1])]
+        prev = (x, y)
+    toks.append(_pack_s(quant_adjust))
+    for sp in splines:
+        pts = sp["points"]
+        toks.append(len(pts) - 1)
+        delta = [0, 0]
+        cur = list(pts[0])
+        for px, py in pts[1:]:
+            ndx, ndy = px - cur[0], py - cur[1]
+            toks += [_pack_s(ndx - delta[0]), _pack_s(ndy - delta[1])]
+            delta = [ndx, ndy]
+            cur = [px, py]
+        for c in range(3):
+            toks += [_pack_s(int(v)) for v in sp["xyb_dct"][c]]
+        toks += [_pack_s(int(v)) for v in sp["sigma_dct"]]
+    enc.encode_tokens(w, toks)
+
+
 def encode_jxl_modular(
     channels: list[np.ndarray],
     bit_depth: int = 8,
@@ -322,6 +364,8 @@ def encode_jxl_modular(
     group_size_shift: int = 1,
     animation_frames: list[list[np.ndarray]] | None = None,
     reference_patch: tuple | None = None,
+    noise_lut=None,
+    splines_spec: tuple | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -395,14 +439,21 @@ def encode_jxl_modular(
     out.zero_pad_to_byte()  # frames start byte-aligned (Frame::parse)
 
     def _write_one_frame(enc_channels, duration, is_last, frame_type=0,
-                         save_as_reference=0, patch_spec=None):
+                         save_as_reference=0, patch_spec=None,
+                         noise_lut=None, splines_spec=None):
         out.zero_pad_to_byte()
         # --- FrameHeader ---
         out.write_bool(False)  # not all_default
         out.write(frame_type, 2)
         out.write(1, 1)  # encoding modular
-        # flags U64: bit 1 = patches
-        flags = 0x2 if patch_spec is not None else 0
+        # flags U64: bit 0 = noise, bit 1 = patches, bit 4 = splines
+        flags = 0
+        if noise_lut is not None:
+            flags |= 0x1
+        if patch_spec is not None:
+            flags |= 0x2
+        if splines_spec is not None:
+            flags |= 0x10
         if flags == 0:
             out.write_u64_zero()
         else:
@@ -467,6 +518,10 @@ def encode_jxl_modular(
         lf = BitWriter()
         if patch_spec is not None:
             _encode_patches(lf, patch_spec)
+        if splines_spec is not None:
+            _encode_splines(lf, *splines_spec)
+        if noise_lut is not None:
+            _encode_noise(lf, noise_lut)
         lf.write_bool(True)  # lf_dequant all_default
         lf.write_bool(True)  # has global MA tree
         sample_enc = write_ma_config(lf, predictor)
@@ -523,7 +578,8 @@ def encode_jxl_modular(
         for fi, fchans in enumerate(all_frames):
             _write_one_frame(fchans, duration=1, is_last=fi == len(all_frames) - 1)
     else:
-        _write_one_frame(enc_channels, duration=0, is_last=True)
+        _write_one_frame(enc_channels, duration=0, is_last=True,
+                         noise_lut=noise_lut, splines_spec=splines_spec)
     return out.to_bytes()
 
 

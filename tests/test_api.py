@@ -246,3 +246,69 @@ def test_image_stream(tmp_path):
     flat = np.concatenate(out)
     want = np.stack([c.astype(np.uint8) for c in chans], axis=-1).reshape(-1)
     np.testing.assert_array_equal(flat, want)
+
+
+def test_alpha_extra_channel(tmp_path):
+    """Default alpha EC through the bitstream: image() appends alpha, PIL
+    plugin reports RGBA."""
+    from encoder import encode_jxl_modular
+    from PIL import Image
+
+    from jxl_oxide_tpu.integration import register
+
+    rng = np.random.default_rng(13)
+    chans = [rng.integers(0, 256, (20, 30), dtype=np.int64) for _ in range(4)]
+    data = encode_jxl_modular(chans, bit_depth=8, extra_alpha=True)
+    img = JxlImage.from_bytes(data)
+    meta = img.image_header.metadata
+    assert len(meta.ec_info) == 1 and meta.ec_info[0].is_alpha
+    r = img.render_frame(0)
+    out = r.to_u8()
+    assert out.shape == (20, 30, 4)
+    for c in range(4):
+        np.testing.assert_array_equal(out[..., c], chans[c].astype(np.uint8))
+
+    register()
+    p = tmp_path / "a.jxl"
+    p.write_bytes(data)
+    with Image.open(p) as im:
+        assert im.mode == "RGBA"
+        arr = np.asarray(im)
+    np.testing.assert_array_equal(arr, out)
+
+
+def test_alpha_blend_animation():
+    """Blend-mode frame composition with alpha (blend.rs:550-680): frame 2
+    alpha-blends onto frame 1 saved in a reference slot."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(17)
+    f1 = [rng.integers(0, 256, (16, 16), dtype=np.int64) for _ in range(3)]
+    f1.append(np.full((16, 16), 255, dtype=np.int64))  # opaque alpha
+    f2 = [rng.integers(0, 256, (16, 16), dtype=np.int64) for _ in range(3)]
+    alpha2 = np.zeros((16, 16), dtype=np.int64)
+    alpha2[:8] = 128  # top half semi-transparent, bottom fully transparent
+    f2.append(alpha2)
+    data = encode_jxl_modular(
+        f1, bit_depth=8, animation_frames=[f1, f2],
+        extra_alpha=True, animation_blend=True,
+    )
+    img = JxlImage.from_bytes(data)
+    assert img.num_keyframes == 2
+    out = img.render_frame(1).to_u8()
+
+    base = np.stack([c / 255.0 for c in f1], -1).astype(np.float32)
+    new = np.stack([c / 255.0 for c in f2], -1).astype(np.float32)
+    na, ba = new[..., 3], base[..., 3]
+    mixed = 1.0 - (1.0 - na) * (1.0 - ba)
+    want = np.empty_like(base)
+    with np.errstate(invalid="ignore"):
+        for c in range(3):
+            want[..., c] = np.where(
+                mixed > 0,
+                (na * new[..., c] + ba * base[..., c] * (1.0 - na)) / mixed,
+                0.0,
+            )
+    want[..., 3] = na + ba * (1.0 - na)
+    want_u8 = np.clip(np.round(want * 255), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, want_u8)

@@ -366,6 +366,8 @@ def encode_jxl_modular(
     reference_patch: tuple | None = None,
     noise_lut=None,
     splines_spec: tuple | None = None,
+    extra_alpha: bool = False,
+    animation_blend: bool = False,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -373,8 +375,9 @@ def encode_jxl_modular(
     """
     h, w = channels[0].shape
     n_ch = len(channels)
+    n_color = n_ch - 1 if extra_alpha else n_ch
     if grayscale is None:
-        grayscale = n_ch == 1
+        grayscale = n_color == 1
     assert all(c.shape == (h, w) for c in channels)
 
     if rct:
@@ -418,7 +421,11 @@ def encode_jxl_modular(
         out.write_bool(False)  # no extra_fields
     _write_bit_depth(out, bit_depth)
     out.write_bool(True)  # modular_16bit_buffers
-    out.write_u32_sel(0, 0, 0)  # num_extra = 0
+    if extra_alpha:
+        out.write(1, 2)  # num_extra U32 selector 1 (= 1)
+        out.write_bool(True)  # d_alpha: default alpha channel
+    else:
+        out.write_u32_sel(0, 0, 0)  # num_extra = 0
     out.write_bool(False)  # xyb_encoded = false
     # colour_encoding
     if grayscale:
@@ -440,7 +447,8 @@ def encode_jxl_modular(
 
     def _write_one_frame(enc_channels, duration, is_last, frame_type=0,
                          save_as_reference=0, patch_spec=None,
-                         noise_lut=None, splines_spec=None):
+                         noise_lut=None, splines_spec=None,
+                         blend=False):
         out.zero_pad_to_byte()
         # --- FrameHeader ---
         out.write_bool(False)  # not all_default
@@ -461,12 +469,30 @@ def encode_jxl_modular(
             out.write(flags - 1, 4)
         out.write_bool(False)  # do_ycbcr (xyb false -> read)
         out.write_u32_sel(0, 0, 0)  # upsampling = 1
+        if extra_alpha:
+            out.write_u32_sel(0, 0, 0)  # ec_upsampling = 1
         out.write(group_size_shift, 2)
         if frame_type != 2:  # ReferenceOnly has no Passes
             out.write_u32_sel(0, 0, 0)  # num_passes = 1
         out.write_bool(False)  # have_crop
         if frame_type in (0, 3):  # is_normal: blending/duration/is_last
-            out.write_u32_sel(0, 0, 0)  # blending mode Replace
+            if blend:
+                # BlendingInfo: mode Blend(2), alpha 0, no clamp, source 0
+                out.write(2, 2)
+                if extra_alpha:
+                    out.write(0, 2)  # alpha_channel = 0
+                    out.write_bool(False)  # clamp
+                out.write(1, 2)  # source = slot 1 (prev frame saved there)
+                if extra_alpha:
+                    # alpha EC blends with itself (MixAlpha semantics)
+                    out.write(2, 2)
+                    out.write(0, 2)
+                    out.write_bool(False)
+                    out.write(1, 2)  # source (follows main resets_canvas)
+            else:
+                out.write_u32_sel(0, 0, 0)  # blending mode Replace
+                if extra_alpha:
+                    out.write_u32_sel(0, 0, 0)  # EC blending Replace
             if animation_frames is not None:
                 # duration U32(0, 1, U(8), U(32))
                 if duration == 0:
@@ -576,7 +602,10 @@ def encode_jxl_modular(
             for fchans in animation_frames
         ]
         for fi, fchans in enumerate(all_frames):
-            _write_one_frame(fchans, duration=1, is_last=fi == len(all_frames) - 1)
+            _write_one_frame(fchans, duration=1,
+                             is_last=fi == len(all_frames) - 1,
+                             blend=animation_blend and fi > 0,
+                             save_as_reference=1 if animation_blend else 0)
     else:
         _write_one_frame(enc_channels, duration=0, is_last=True,
                          noise_lut=noise_lut, splines_spec=splines_spec)

@@ -706,6 +706,41 @@ class HfMetadata:
             sigma_base = quant_mul * 65536.0 / quantizer_global_scale
         varblocks: list[tuple[int, int, int, int]] = []
 
+        # Fast path: every coded block is 1x1 (<= 8x8 transforms) and fills
+        # the grid exactly -> pure row-major placement, fully vectorized.
+        n_raw = block_info_raw.shape[1]
+        sels_raw = block_info_raw[0]
+        if n_raw == bw * bh and np.all(
+            (sels_raw >= 0) & (sels_raw < TransformType.NUM_TYPES)
+        ):
+            sizes = np.asarray(
+                [TransformType.SELECT_SIZE[i] for i in
+                 range(TransformType.NUM_TYPES)], dtype=np.int32
+            )
+            if np.all(sizes[sels_raw].max(axis=1).reshape(bh, bw) == 1):
+                muls_raw = block_info_raw[1].astype(np.int64) + 1
+                if np.any(muls_raw <= 0):
+                    raise JxlValidationError("non-positive HfMul")
+                sel_grid = sels_raw.reshape(bh, bw).astype(np.int8)
+                mul_grid = muls_raw.reshape(bh, bw).astype(np.int32)
+                if epf is not None:
+                    if np.any((sharpness < 0) | (sharpness >= 8)):
+                        raise JxlValidationError(
+                            "invalid EPF sharpness value"
+                        )
+                    lut = np.asarray(sharp_lut, dtype=np.float32)
+                    epf_sigma = (
+                        np.float32(sigma_base) / mul_grid.astype(np.float32)
+                    ) * lut[sharpness]
+                ys, xs = np.divmod(np.arange(bh * bw), bw)
+                varblocks = list(
+                    zip(xs.tolist(), ys.tolist(),
+                        sel_grid.reshape(-1).tolist(),
+                        mul_grid.reshape(-1).tolist())
+                )
+                return cls(x_from_y, b_from_y, sel_grid, mul_grid,
+                           epf_sigma, varblocks)
+
         data_idx = 0
         for y in range(bh):
             x = 0

@@ -370,9 +370,43 @@ class VardctFrameState:
             return cache[channel]
         ph, pw = self.plane_shapes[channel]
         lh, lw = self.lf_shapes[channel]
-        per_type: dict[int, list[tuple[int, int, int]]] = {}
-        for sbx, sby, sel, hf_mul in self._iter_varblocks(channel):
-            per_type.setdefault(sel, []).append((sbx, sby, hf_mul))
+        per_type: dict[int, list] = {}
+        if not self.subsampled:
+            # vectorized: pull (x, y, sel, mul) arrays straight off the
+            # per-LF-group grids instead of iterating blocks in Python
+            header = self.header
+            lfg_per_row = header.lf_groups_per_row
+            parts = []
+            for lf_group_idx, group in self.lf_groups.items():
+                if group.hf_meta is None:
+                    continue
+                base_x = (lf_group_idx % lfg_per_row) * header.group_dim
+                base_y = (lf_group_idx // lfg_per_row) * header.group_dim
+                sel_grid = group.hf_meta.block_sel
+                ys, xs = np.nonzero(sel_grid >= 0)
+                parts.append((
+                    xs.astype(np.int64) + base_x,
+                    ys.astype(np.int64) + base_y,
+                    sel_grid[ys, xs].astype(np.int64),
+                    group.hf_meta.block_mul[ys, xs].astype(np.int64),
+                ))
+            if parts:
+                xs = np.concatenate([p[0] for p in parts])
+                ys = np.concatenate([p[1] for p in parts])
+                sels = np.concatenate([p[2] for p in parts])
+                muls = np.concatenate([p[3] for p in parts])
+                for sel in np.unique(sels):
+                    m = sels == sel
+                    per_type[int(sel)] = np.stack(
+                        [xs[m], ys[m], muls[m]], axis=1
+                    )
+        else:
+            tmp: dict[int, list[tuple[int, int, int]]] = {}
+            for sbx, sby, sel, hf_mul in self._iter_varblocks(channel):
+                tmp.setdefault(sel, []).append((sbx, sby, hf_mul))
+            per_type = {
+                sel: np.asarray(v, dtype=np.int64) for sel, v in tmp.items()
+            }
         buckets = []
         for sel, entries in sorted(per_type.items()):
             bw, bh = TransformType.SELECT_SIZE[sel]

@@ -413,6 +413,12 @@ class JxlImage:
         return self.aux_box(b"xml ")
 
     @property
+    def hdr_gain_map(self) -> bytes | None:
+        """Raw HDR gain map payload ('jhgm' box,
+        container/box_header.rs:115)."""
+        return self.aux_box(b"jhgm")
+
+    @property
     def jpeg_reconstruction_available(self) -> bool:
         return self.aux_box(b"jbrd") is not None
 

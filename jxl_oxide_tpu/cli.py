@@ -35,6 +35,8 @@ def _build_parser():
                    help="decode region: WIDTHxHEIGHT+LEFT+TOP")
     d.add_argument("--approx-memory-limit", type=int, default=None,
                    help="approximate decode memory budget in bytes")
+    d.add_argument("--cms", choices=["pil", "null"], default="pil",
+                   help="color management backend for ICC-described images")
     i = sub.add_parser("info", help="dump image info")
     i.add_argument("input")
     i.add_argument("--with-offset", action="store_true")
@@ -71,6 +73,10 @@ def _decode_once(data: bytes, args=None):
     img = JxlImage(**kwargs)
     img.feed_bytes(data)
     img.finish()
+    if args is not None and getattr(args, "cms", "pil") == "null":
+        from .color.cms import NullCms
+
+        img.set_cms(NullCms())
     if args is not None:
         if args.crop:
             img.set_image_region(*_parse_crop(args.crop))

@@ -312,3 +312,30 @@ def test_alpha_blend_animation():
     want[..., 3] = na + ba * (1.0 - na)
     want_u8 = np.clip(np.round(want * 255), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(out, want_u8)
+
+
+def test_spot_colour_end_to_end():
+    """SpotColour EC through the bitstream + apply_spot_colors
+    (features/spot_colors.rs:5-37)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(19)
+    color = [rng.integers(0, 256, (12, 12), dtype=np.int64) for _ in range(3)]
+    spot = np.zeros((12, 12), dtype=np.int64)
+    spot[3:6, 3:6] = 255
+    rgbs = (1.0, 0.0, 0.0, 0.5)  # red at 50% solidity
+    data = encode_jxl_modular(
+        color + [spot], bit_depth=8, spot_colour=rgbs,
+    )
+    img = JxlImage.from_bytes(data)
+    info = img.image_header.metadata.ec_info[0]
+    assert info.ty.name == "SPOT_COLOUR"
+    assert info.spot_colour == pytest.approx(rgbs)
+    r = img.render_frame(0)
+    before = [np.asarray(p).copy() for p in r.planes]
+    r.apply_spot_colors()
+    after = [np.asarray(p) for p in r.planes]
+    mix = (spot / 255.0) * 0.5
+    for c, colv in enumerate((1.0, 0.0, 0.0)):
+        want = mix * colv + (1.0 - mix) * before[c]
+        np.testing.assert_allclose(after[c], want, atol=1e-6)

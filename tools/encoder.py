@@ -368,6 +368,7 @@ def encode_jxl_modular(
     splines_spec: tuple | None = None,
     extra_alpha: bool = False,
     animation_blend: bool = False,
+    spot_colour: tuple | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -375,7 +376,8 @@ def encode_jxl_modular(
     """
     h, w = channels[0].shape
     n_ch = len(channels)
-    n_color = n_ch - 1 if extra_alpha else n_ch
+    num_extra = (1 if extra_alpha else 0) + (1 if spot_colour else 0)
+    n_color = n_ch - num_extra
     if grayscale is None:
         grayscale = n_color == 1
     assert all(c.shape == (h, w) for c in channels)
@@ -421,11 +423,23 @@ def encode_jxl_modular(
         out.write_bool(False)  # no extra_fields
     _write_bit_depth(out, bit_depth)
     out.write_bool(True)  # modular_16bit_buffers
-    if extra_alpha:
+    if num_extra == 1:
         out.write(1, 2)  # num_extra U32 selector 1 (= 1)
-        out.write_bool(True)  # d_alpha: default alpha channel
+    elif num_extra:
+        out.write(2, 2)
+        out.write(num_extra - 2, 4)
     else:
         out.write_u32_sel(0, 0, 0)  # num_extra = 0
+    if extra_alpha:
+        out.write_bool(True)  # d_alpha: default alpha channel
+    if spot_colour:
+        out.write_bool(False)  # not default
+        _write_enum(out, 2)  # SpotColour
+        _write_bit_depth(out, bit_depth)
+        out.write(0, 2)  # dim_shift = 0
+        out.write_u32_sel(0, 0, 0)  # name len 0
+        for v in spot_colour:  # (r, g, b, solidity) f16s
+            out.write(int(np.float16(v).view(np.uint16)), 16)
     out.write_bool(False)  # xyb_encoded = false
     # colour_encoding
     if grayscale:
@@ -469,7 +483,7 @@ def encode_jxl_modular(
             out.write(flags - 1, 4)
         out.write_bool(False)  # do_ycbcr (xyb false -> read)
         out.write_u32_sel(0, 0, 0)  # upsampling = 1
-        if extra_alpha:
+        for _ in range(num_extra):
             out.write_u32_sel(0, 0, 0)  # ec_upsampling = 1
         out.write(group_size_shift, 2)
         if frame_type != 2:  # ReferenceOnly has no Passes
@@ -491,7 +505,7 @@ def encode_jxl_modular(
                     out.write(1, 2)  # source (follows main resets_canvas)
             else:
                 out.write_u32_sel(0, 0, 0)  # blending mode Replace
-                if extra_alpha:
+                for _ in range(num_extra):
                     out.write_u32_sel(0, 0, 0)  # EC blending Replace
             if animation_frames is not None:
                 # duration U32(0, 1, U(8), U(32))

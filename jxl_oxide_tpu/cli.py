@@ -50,6 +50,14 @@ def _build_parser():
     dj = sub.add_parser("dump-jbrd", help="reconstruct the original JPEG")
     dj.add_argument("input")
     dj.add_argument("-o", "--output", required=True)
+
+    gf = sub.add_parser("generate-fixture",
+                        help="emit a spec-valid test JXL bitstream")
+    gf.add_argument("-o", "--output", required=True)
+    gf.add_argument("--kind", choices=["modular", "vardct"], default="modular")
+    gf.add_argument("--size", default="64x64", help="WIDTHxHEIGHT")
+    gf.add_argument("--seed", type=int, default=0)
+    gf.add_argument("--grayscale", action="store_true")
     return p
 
 
@@ -287,6 +295,35 @@ def cmd_dump_jbrd(args) -> int:
     return 0
 
 
+def cmd_generate_fixture(args) -> int:
+    """Devtool: emit round-trippable test vectors from the in-repo
+    encoders (jxl-oxide-cli generate-fixture analog)."""
+    import os
+    import sys as _sys
+
+    tools = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    if tools not in _sys.path:
+        _sys.path.insert(0, tools)
+    w, h = (int(v) for v in args.size.lower().split("x"))
+    rng = np.random.default_rng(args.seed)
+    if args.kind == "vardct":
+        from encoder_vardct import encode_jxl_vardct
+
+        img = rng.random((h, w, 3)).astype(np.float32)
+        data = encode_jxl_vardct(img)
+    else:
+        from encoder import encode_jxl_modular
+
+        nch = 1 if args.grayscale else 3
+        chans = [rng.integers(0, 256, (h, w), dtype=np.int64)
+                 for _ in range(nch)]
+        data = encode_jxl_modular(chans, bit_depth=8)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(f"wrote {args.output} ({len(data)} bytes)", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
@@ -302,6 +339,8 @@ def main(argv=None) -> int:
         return cmd_progressive(args)
     if args.command == "dump-jbrd":
         return cmd_dump_jbrd(args)
+    if args.command == "generate-fixture":
+        return cmd_generate_fixture(args)
     parser.print_help()
     return 1
 

@@ -145,10 +145,14 @@ def upsample_nonseparable(plane: np.ndarray, factor: int, metadata) -> np.ndarra
     """Upsample by 2/4/8 (chains x8 then remainder, upsampling.rs:6-43)."""
     if factor == 1:
         return plane
+    if factor <= 0 or factor & (factor - 1):
+        from ..utils.errors import JxlValidationError
+
+        raise JxlValidationError(f"invalid upsampling factor {factor}")
     up2 = metadata.up2_weight or D_UP2
     up4 = metadata.up4_weight or D_UP4
     up8 = metadata.up8_weight or D_UP8
-    up8_count, last = divmod({2: 1, 4: 2, 8: 3}[factor], 3)
+    up8_count, last = divmod(factor.bit_length() - 1, 3)
     out = plane
     for _ in range(up8_count):
         out = _upsample_k(out, 8, up8)

@@ -34,6 +34,7 @@ def cmyk_layers_jxl() -> bytes:
         return f.read()
 
 
+@pytest.fixture(scope="session")
 def fuzz_corpus_paths():
     d = os.path.join(REFERENCE_ROOT, "crates/jxl-oxide-tests/tests/fuzz_findings")
     if not os.path.isdir(d):

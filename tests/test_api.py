@@ -339,3 +339,48 @@ def test_spot_colour_end_to_end():
     for c, colv in enumerate((1.0, 0.0, 0.0)):
         want = mix * colv + (1.0 - mix) * before[c]
         np.testing.assert_allclose(after[c], want, atol=1e-6)
+
+
+def test_fuzz_corpus_sweep(fuzz_corpus_paths):
+    """Every past fuzz finding decodes without crashing: only JxlError may
+    escape, under a 128 MiB AllocTracker budget (fuzz_findings/mod.rs:1-30,
+    fuzz/fuzz_targets/decode.rs:3-6)."""
+    from jxl_oxide_tpu.utils.errors import JxlError
+
+    assert fuzz_corpus_paths, "fuzz corpus unavailable"
+    for path in fuzz_corpus_paths:
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            img = JxlImage(approx_memory_limit=128 << 20)
+            img.feed_bytes(data)
+            img.finish()
+            for i in range(img.num_keyframes):
+                img.render_frame(i)
+        except JxlError:
+            pass
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"{os.path.basename(path)}: {type(e).__name__}: {e}")
+
+
+def test_crop_random_rects():
+    """4 random ROI rects vs the full render (tests/crop/mod.rs:7-90)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(23)
+    chans = [rng.integers(0, 256, (96, 128), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8)
+    full = np.stack(
+        JxlImage.from_bytes(data).render_frame(0).image_planar(), -1
+    )
+    for _ in range(4):
+        w = int(rng.integers(8, 100))
+        h = int(rng.integers(8, 80))
+        left = int(rng.integers(0, 128 - w))
+        top = int(rng.integers(0, 96 - h))
+        img = JxlImage.from_bytes(data)
+        img.set_image_region(left, top, w, h)
+        crop = np.stack(img.render_frame(0).image_planar(), -1)
+        np.testing.assert_allclose(
+            crop, full[top : top + h, left : left + w], atol=1e-6
+        )

@@ -119,7 +119,15 @@ class RenderContext:
 
         if header.frame_type == FrameType.LF_FRAME:
             # DC frame: rendered at 8^lf_level downsampling and stored for
-            # frames that set use_lf_frame (render/lib.rs LF slots).
+            # frames that set use_lf_frame (render/lib.rs LF slots). An LF
+            # frame may itself use the next LF level (lf_level chains).
+            if header.flags.use_lf_frame:
+                lf_planes = self.lf_frames[header.lf_level]
+                if lf_planes is None:
+                    raise JxlNotSupportedError(
+                        f"use_lf_frame with empty LF slot {header.lf_level}"
+                    )
+                frame._lf_frame_planes = lf_planes
             fr = render_frame(frame)
             self.lf_frames[header.lf_level - 1] = fr.color
             self._frame_counter += 1

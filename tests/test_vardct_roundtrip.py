@@ -161,3 +161,29 @@ def test_vardct_lf_frame_roundtrip():
     got2 = np.stack(r2.image_planar(), axis=-1)
     p2 = psnr(np.clip(got2, 0, 1), img)
     assert p2 >= p
+
+
+def test_lf_frame_chain_two_levels():
+    """lf_level chains: a level-2 LF frame feeds a level-1 LF frame that
+    feeds the main frame (header.rs lf_level, render/lib.rs LF slots)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+
+    h = w = 256
+    rng = np.random.default_rng(7)
+    small = rng.random((h // 8 + 1, w // 8 + 1, 3)).astype(np.float32)
+    img = np.kron(small, np.ones((8, 8, 1), dtype=np.float32))[:h, :w]
+    data = encode_jxl_vardct(
+        img, global_scale=65536, use_lf_frame=True, lf_levels=2
+    )
+    jx = JxlImage.from_bytes(data)
+    assert jx.num_frames == 3 and jx.num_keyframes == 1
+    out = np.stack(jx.render_frame(0).image_planar(), -1)
+    mse = float(np.mean((out - np.clip(img, 0, 1)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 28.0, psnr

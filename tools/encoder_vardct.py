@@ -70,6 +70,7 @@ def encode_jxl_vardct(
     gabor: bool = False,
     epf_iters: int = 0,
     use_lf_frame: bool = False,
+    lf_levels: int = 1,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -79,16 +80,25 @@ def encode_jxl_vardct(
     out = BitWriter()
     _write_image_header(out, h, w)
     if use_lf_frame:
-        small = rgb.reshape(-1)  # placeholder; real computation below
-        bh, bw = -(-h // 8), -(-w // 8)
-        padded = np.zeros((bh * 8, bw * 8, 3), dtype=np.float32)
-        padded[:h, :w] = rgb
-        padded[h:, :w] = rgb[h - 1 : h, :]
-        padded[:h, w:] = padded[:h, w - 1 : w]
-        padded[h:, w:] = padded[h - 1, w - 1]
-        lf_img = padded.reshape(bh, 8, bw, 8, 3).mean(axis=(1, 3))
-        _write_frame(out, lf_img, global_scale, quant_lf, False, 0,
-                     frame_kind="lf")
+        def down8(img):
+            ih, iw, _ = img.shape
+            b_h, b_w = -(-ih // 8), -(-iw // 8)
+            p = np.zeros((b_h * 8, b_w * 8, 3), dtype=np.float32)
+            p[:ih, :iw] = img
+            p[ih:, :iw] = img[ih - 1 : ih, :]
+            p[:ih, iw:] = p[:ih, iw - 1 : iw]
+            p[ih:, iw:] = p[ih - 1, iw - 1]
+            return p.reshape(b_h, 8, b_w, 8, 3).mean(axis=(1, 3))
+
+        # chain: deepest LF level first (lf_levels=2 -> level-2 LF frame,
+        # then level-1 LF frame that itself uses it, then the main frame)
+        downs = [rgb]
+        for _ in range(lf_levels):
+            downs.append(down8(downs[-1]))
+        for level in range(lf_levels, 0, -1):
+            kind = "lf" if level == lf_levels else "lf_use_lf"
+            _write_frame(out, downs[level], global_scale, quant_lf, False, 0,
+                         frame_kind=kind, lf_level=level)
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
                      frame_kind="use_lf")
     else:
@@ -123,6 +133,7 @@ def _write_frame(
     gabor: bool,
     epf_iters: int,
     frame_kind: str,
+    lf_level: int = 1,
 ) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
@@ -177,13 +188,13 @@ def _write_frame(
         if c == 2:
             target = target - dequant(q[1], 1)  # kb = 1: subtract y plane
         q[c] = np.round(target / (matrix * mul))
-    if frame_kind == "use_lf":
+    if use_lf_any := frame_kind in ("use_lf", "lf_use_lf"):
         q[:, :, :, 0, 0] = 0  # DC carried by the LF frame
     else:
         q[:, :, :, 0, 0] = 0  # DC carried by LF
 
-    is_lf = frame_kind == "lf"
-    use_lf = frame_kind == "use_lf"
+    is_lf = frame_kind in ("lf", "lf_use_lf")
+    use_lf = frame_kind in ("use_lf", "lf_use_lf")
 
     # --- FrameHeader (VarDCT) ---
     out.zero_pad_to_byte()
@@ -196,7 +207,7 @@ def _write_frame(
         out.write_u32_sel(0, 0, 0)  # upsampling = 1
     out.write_u32_sel(0, 0, 0)  # num_passes = 1
     if is_lf:
-        out.write(0, 2)  # lf_level - 1 = 0
+        out.write(lf_level - 1, 2)
     else:
         out.write_bool(False)  # have_crop
     if not is_lf:
@@ -249,7 +260,7 @@ def _write_frame(
     # LfGroup 0: LfCoeff (extra_precision + modular [y,x,b]), no mlf, HfMetadata
     lfg = sec if single else BitWriter()
     sec, _lf_global_sec = lfg, sec
-    if frame_kind != "use_lf":  # LfCoeff absent when use_lf_frame
+    if frame_kind not in ("use_lf", "lf_use_lf"):  # LfCoeff absent
         sec.write(0, 2)  # extra_precision = 0
         _encode_local_modular(sec, [lf_q[1], lf_q[0], lf_q[2]])
     # HfMetadata: nb_blocks-1 in ceil_log2(bw*bh) bits

@@ -187,3 +187,32 @@ def test_lf_frame_chain_two_levels():
     mse = float(np.mean((out - np.clip(img, 0, 1)) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 28.0, psnr
+
+
+def test_two_pass_progressive_accumulation():
+    """Progressive passes: coefficients accumulate across passes
+    (hf_coeff.rs:228-236); 2-pass decode is identical to 1-pass, and the
+    pass-0 prefix renders a coarse preview."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+
+    h = w = 128
+    rng = np.random.default_rng(9)
+    small = rng.random((h // 8 + 1, w // 8 + 1, 3)).astype(np.float32)
+    img = np.kron(small, np.ones((8, 8, 1), dtype=np.float32))[:h, :w]
+    d1 = encode_jxl_vardct(img, global_scale=4096, num_passes=1)
+    d2 = encode_jxl_vardct(img, global_scale=4096, num_passes=2)
+    o1 = np.stack(JxlImage.from_bytes(d1).render_frame(0).image_planar(), -1)
+    o2 = np.stack(JxlImage.from_bytes(d2).render_frame(0).image_planar(), -1)
+    np.testing.assert_allclose(o1, o2, atol=1e-6)
+
+    # truncate before the last pass section: loading render still works
+    imgp = JxlImage()
+    imgp.feed_bytes(d2[: len(d2) * 3 // 4])
+    r = imgp.render_loading_frame()
+    assert np.stack(r.image_planar(), -1).shape == (h, w, 3)

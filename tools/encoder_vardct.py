@@ -71,6 +71,7 @@ def encode_jxl_vardct(
     epf_iters: int = 0,
     use_lf_frame: bool = False,
     lf_levels: int = 1,
+    num_passes: int = 1,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -103,7 +104,7 @@ def encode_jxl_vardct(
                      frame_kind="use_lf")
     else:
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
-                     frame_kind="regular")
+                     frame_kind="regular", num_passes=num_passes)
     return out.to_bytes()
 
 
@@ -134,6 +135,8 @@ def _write_frame(
     epf_iters: int,
     frame_kind: str,
     lf_level: int = 1,
+    num_passes: int = 1,
+    pass_shift: int = 2,
 ) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
@@ -205,7 +208,13 @@ def _write_frame(
     out.write_bool(False)  # do_ycbcr
     if not use_lf:
         out.write_u32_sel(0, 0, 0)  # upsampling = 1
-    out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    if num_passes == 1:
+        out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    else:
+        assert num_passes == 2
+        out.write(1, 2)  # num_passes = 2
+        out.write(0, 2)  # num_ds = 0
+        out.write(pass_shift, 2)  # shift[0]
     if is_lf:
         out.write(lf_level - 1, 2)
     else:
@@ -232,7 +241,7 @@ def _write_frame(
     gpr = -(-w // 256)
     gpc = -(-h // 256)
     num_groups = gpr * gpc
-    single = num_groups == 1
+    single = num_groups == 1 and num_passes == 1
     sec = BitWriter()  # lf_global (continues inline when single-entry)
 
     # LfGlobal
@@ -284,21 +293,35 @@ def _write_frame(
     hfp_bits = max(num_groups - 1, 0).bit_length()
     if hfp_bits:
         sec.write(0, hfp_bits)
-    # HfPass: used_orders = 0 (selector 2), hf_dist decoder
-    sec.write(2, 2)
+    # Per-pass HfPass: used_orders = 0 (selector 2), hf_dist decoder
     num_clusters_ctx = 495 * 15  # 15 default block context clusters
-    hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
-    hf_enc.write_header(sec)
+    hf_encs = []
+    for _ in range(num_passes):
+        sec.write(2, 2)
+        enc_p = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+        enc_p.write_header(sec)
+        hf_encs.append(enc_p)
+    hf_enc = hf_encs[0]
 
     # Per-group HF token streams (hfp selector bits are 0-width for 1 preset)
     order = natural_order(0)  # DCT8
 
-    def group_tokens(gx, gy):
+    # pass coefficient split: pass 0 carries q >> shift, pass 1 the
+    # remainder; the decoder adds (v << coeff_shift) per pass
+    if num_passes == 2:
+        q0 = q >> pass_shift
+        q_pass = [q0, q - (q0 << pass_shift)]
+    else:
+        q_pass = [q]
+
+    def group_tokens(gx, gy, qarr=None):
+        if qarr is None:
+            qarr = q
         tokens: list[int] = []
         for by in range(gy * 32, min((gy + 1) * 32, bh)):
             for bx in range(gx * 32, min((gx + 1) * 32, bw)):
                 for c in (1, 0, 2):
-                    qb_ = q[c, by, bx]
+                    qb_ = qarr[c, by, bx]
                     # stored[row=x, col=y] for order pos (x, y) (transposed)
                     non_zeros = sum(
                         1 for (x, y) in order[1:] if qb_[x, y] != 0
@@ -319,15 +342,17 @@ def _write_frame(
         sections = [sec]
     else:
         sections = [_lf_global_sec, lf_group_sec, hf_global_sec]
-        for gy in range(gpc):
-            for gx in range(gpr):
-                gsec = BitWriter()
-                genc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
-                # share the parsed header: re-emit identical decoder header
-                # bits per group? No: per-pass hf_dist is parsed once in
-                # HfGlobal; the group stream holds only state+tokens.
-                genc.encode_tokens(gsec, group_tokens(gx, gy))
-                sections.append(gsec)
+        for p in range(num_passes):
+            for gy in range(gpc):
+                for gx in range(gpr):
+                    gsec = BitWriter()
+                    genc = AnsStreamEncoder(
+                        num_clusters_ctx, 256, 8, DEFAULT_CFG
+                    )
+                    # per-pass hf_dist is parsed once in HfGlobal; the
+                    # group stream holds only state+tokens
+                    genc.encode_tokens(gsec, group_tokens(gx, gy, q_pass[p]))
+                    sections.append(gsec)
 
     # --- TOC + assemble ---
     out.write_bool(False)  # no TOC permutation

@@ -384,3 +384,28 @@ def test_crop_random_rects():
         np.testing.assert_allclose(
             crop, full[top : top + h, left : left + w], atol=1e-6
         )
+
+
+def test_frame_upsampling_2x():
+    """Frame upsampling=2 applies the spec's non-separable 2x kernel
+    (features/upsampling.rs:6-132) to half-resolution samples."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu.ops.upsample import upsample_nonseparable
+
+    rng = np.random.default_rng(29)
+    # image is 40x56; frame samples are at half res (20x28)
+    chans = [rng.integers(0, 256, (20, 28), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(
+        chans, bit_depth=8, upsampling=2, image_size=(40, 56)
+    )
+    img = JxlImage.from_bytes(data)
+    assert (img.width, img.height) == (56, 40)
+    out = img.render_frame(0)
+    planes = [np.asarray(p) for p in out.planes]
+    meta = img.image_header.metadata
+    for c in range(3):
+        want = upsample_nonseparable(
+            chans[c].astype(np.float32) / 255.0, 2, meta
+        )[:40, :56]
+        np.testing.assert_allclose(planes[c], want, atol=1e-5)

@@ -369,18 +369,21 @@ def encode_jxl_modular(
     extra_alpha: bool = False,
     animation_blend: bool = False,
     spot_colour: tuple | None = None,
+    upsampling: int = 1,
+    image_size: tuple | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
     channels: list of (H, W) integer arrays (1 = grayscale, 3 = RGB).
     """
-    h, w = channels[0].shape
+    h, w = image_size if image_size is not None else channels[0].shape
+    ch_h, ch_w = channels[0].shape
     n_ch = len(channels)
     num_extra = (1 if extra_alpha else 0) + (1 if spot_colour else 0)
     n_color = n_ch - num_extra
     if grayscale is None:
         grayscale = n_color == 1
-    assert all(c.shape == (h, w) for c in channels)
+    assert all(c.shape == (ch_h, ch_w) for c in channels)
 
     if rct:
         assert n_ch == 3
@@ -482,7 +485,7 @@ def encode_jxl_modular(
             out.write(1, 2)  # U64 selector: 1 + u(4)
             out.write(flags - 1, 4)
         out.write_bool(False)  # do_ycbcr (xyb false -> read)
-        out.write_u32_sel(0, 0, 0)  # upsampling = 1
+        out.write({1: 0, 2: 1, 4: 2, 8: 3}[upsampling], 2)  # upsampling
         for _ in range(num_extra):
             out.write_u32_sel(0, 0, 0)  # ec_upsampling = 1
         out.write(group_size_shift, 2)

@@ -23,7 +23,8 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["decode_mesh", "halo_exchange_rows", "sharded_vardct_pipeline"]
+__all__ = ["decode_mesh", "decode_mesh_multihost", "halo_exchange_rows",
+           "sharded_vardct_pipeline"]
 
 
 def decode_mesh(n_devices: int | None = None, axis: str = "groups") -> Mesh:
@@ -33,7 +34,20 @@ def decode_mesh(n_devices: int | None = None, axis: str = "groups") -> Mesh:
     return Mesh(np.array(devices), axis_names=(axis,))
 
 
-def halo_exchange_rows(local, halo: int, axis: str, mirror_edges: bool = True):
+def decode_mesh_multihost(n_hosts: int, chips_per_host: int) -> Mesh:
+    """2-D mesh for multi-host decode: the outer 'hosts' axis maps to DCN
+    (coarse row bands, LF-group granularity) and the inner 'chips' axis to
+    ICI (fine row bands). Halo rows cross DCN only at host-band borders;
+    all other exchanges ride ICI (SURVEY 5 distributed-backend mapping).
+    On a real v5p slice, pass jax.devices() ordered host-major."""
+    devices = np.array(jax.devices()[: n_hosts * chips_per_host])
+    return Mesh(
+        devices.reshape(n_hosts, chips_per_host),
+        axis_names=("hosts", "chips"),
+    )
+
+
+def halo_exchange_rows(local, halo: int, axis, mirror_edges: bool = True):
     """Pad a row-sharded block [..., h_loc, w] with `halo` rows from mesh
     neighbors via ppermute; mesh-edge shards mirror their own rows
     (util.rs:376-386 mirror semantics)."""
@@ -84,7 +98,9 @@ def sharded_vardct_pipeline(mesh: Mesh, height: int, width: int,
     """
     from ..ops.dct import dct_basis_inverse
 
-    axis = mesh.axis_names[0]
+    axis = (
+        mesh.axis_names[0] if len(mesh.axis_names) == 1 else mesh.axis_names
+    )
     n = mesh.devices.size
     assert height % (8 * n) == 0, (height, n)
     b8 = dct_basis_inverse(8)
@@ -116,6 +132,9 @@ def sharded_vardct_pipeline(mesh: Mesh, height: int, width: int,
     spec3 = P(None, axis, None)
     spec_lf = P(None, axis, None)
     spec2 = P(axis, None)
+    # NOTE on collectives: with a tuple axis, ppermute flattens
+    # ('hosts', 'chips') row-major, so only shard-border transfers that
+    # cross a host boundary use DCN; interior ones stay on ICI.
     fn = shard_map(
         local_step,
         mesh=mesh,

@@ -86,3 +86,34 @@ def test_graft_entry_contract():
     out = fn(*args)
     assert out.shape[0] == 3
     g.dryrun_multichip(8)
+
+
+def test_multihost_mesh_equivalence():
+    """2-D (hosts, chips) mesh decode == 1-D mesh decode == replicated:
+    validates the DCN/ICI split sharding (SURVEY 5 multi-host design)."""
+    import jax
+
+    from jxl_oxide_tpu.parallel.sharded import (
+        decode_mesh,
+        decode_mesh_multihost,
+        sharded_vardct_pipeline,
+    )
+
+    h, w = 128, 64
+    rng = np.random.default_rng(31)
+    coeff = rng.integers(-40, 40, (3, h, w)).astype(np.int32)
+    lf = rng.normal(size=(3, h // 8, w // 8)).astype(np.float32)
+    dmap = rng.uniform(0.5, 2.0, (3, h, w)).astype(np.float32)
+    kx = rng.normal(size=(h, w)).astype(np.float32) * 0.1
+    kb = rng.normal(size=(h, w)).astype(np.float32) * 0.1
+    args = (coeff, lf, dmap, kx, kb)
+
+    mesh1 = decode_mesh(8)
+    fn1, sh1 = sharded_vardct_pipeline(mesh1, h, w)
+    out1 = np.asarray(fn1(*(jax.device_put(a, s) for a, s in zip(args, sh1))))
+
+    mesh2 = decode_mesh_multihost(2, 4)
+    fn2, sh2 = sharded_vardct_pipeline(mesh2, h, w)
+    out2 = np.asarray(fn2(*(jax.device_put(a, s) for a, s in zip(args, sh2))))
+
+    np.testing.assert_allclose(out1, out2, atol=1e-5)

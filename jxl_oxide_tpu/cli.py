@@ -37,6 +37,8 @@ def _build_parser():
                    help="approximate decode memory budget in bytes")
     d.add_argument("--cms", choices=["pil", "null"], default="pil",
                    help="color management backend for ICC-described images")
+    d.add_argument("--num-threads", type=int, default=None,
+                   help="host decode worker threads (default: CPU count)")
     i = sub.add_parser("info", help="dump image info")
     i.add_argument("input")
     i.add_argument("--with-offset", action="store_true")
@@ -78,6 +80,8 @@ def _decode_once(data: bytes, args=None):
     kwargs = {}
     if args is not None and args.approx_memory_limit:
         kwargs["approx_memory_limit"] = args.approx_memory_limit
+    if args is not None and getattr(args, "num_threads", None):
+        kwargs["num_threads"] = args.num_threads
     img = JxlImage(**kwargs)
     img.feed_bytes(data)
     img.finish()

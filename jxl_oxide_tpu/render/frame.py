@@ -312,7 +312,9 @@ class Frame:
             import concurrent.futures as cf
             import os
 
-            workers = min(len(jobs), os.cpu_count() or 1)
+            from ..utils.threads import num_workers
+
+            workers = num_workers(len(jobs))
             with cf.ThreadPoolExecutor(max_workers=workers) as ex:
                 list(ex.map(run, jobs))
         else:

@@ -767,8 +767,10 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
             import concurrent.futures as cf
             import os
 
+            from ..utils.threads import num_workers
+
             with cf.ThreadPoolExecutor(
-                max_workers=min(len(lf_jobs), os.cpu_count() or 1)
+                max_workers=num_workers(len(lf_jobs))
             ) as ex:
                 for lf_idx, group in ex.map(_do_lf_group, lf_jobs):
                     state.place_lf_group(lf_idx, group)
@@ -818,8 +820,10 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
             import concurrent.futures as cf
             import os
 
+            from ..utils.threads import num_workers
+
             with cf.ThreadPoolExecutor(
-                max_workers=min(len(group_jobs), os.cpu_count() or 1)
+                max_workers=num_workers(len(group_jobs))
             ) as ex:
                 list(ex.map(_do_group, group_jobs))
         else:

@@ -91,7 +91,10 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRen
             color = [_parse_integer_samples(c, bit_depth) for c in color_int]
         else:
             color = [_parse_integer_samples(c, bit_depth) for c in color_int]
-        extra = [_parse_integer_samples(c, bit_depth) for c in extra_int]
+        extra = [
+            _parse_integer_samples(c, meta.ec_info[i].bit_depth)
+            for i, c in enumerate(extra_int)
+        ]  # per-EC bit depth (jxl-render image.rs:507-508)
         epf_sigma_grids = None
     else:
         from .vardct import decode_vardct_frame
@@ -99,7 +102,10 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRen
         (cx, cy, cb), extra_int = decode_vardct_frame(frame, allow_partial=allow_partial)
         color = [cx, cy, cb]
         ncolor = 3
-        extra = [_parse_integer_samples(c, bit_depth) for c in extra_int]
+        extra = [
+            _parse_integer_samples(c, meta.ec_info[i].bit_depth)
+            for i, c in enumerate(extra_int)
+        ]
 
     # YCbCr chroma upsampling (image.rs upsample_jpeg)
     if header.do_ycbcr:

@@ -1,0 +1,115 @@
+"""Squeeze transform tests: tendency golden cross-check, exact forward/
+inverse roundtrip, and end-to-end bitstream decode."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from jxl_oxide_tpu.models.modular_transform import (
+    _tendency,
+    inverse_squeeze_h,
+    inverse_squeeze_v,
+)
+
+
+def _tendency_scalar(a: int, b: int, c: int) -> int:
+    """Spec smooth-tendency, scalar, truncating division (squeeze.rs
+    tendency_i32 behavior)."""
+    def trunc_div(n, d):
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    if a >= b >= c:
+        x = trunc_div(4 * a - 3 * c - b + 6, 12)
+        if x - (x & 1) > 2 * (a - b):
+            x = 2 * (a - b) + 1
+        if x + (x & 1) > 2 * (b - c):
+            x = 2 * (b - c)
+        return x
+    if a <= b <= c:
+        x = trunc_div(4 * a - 3 * c - b - 6, 12)
+        if x + (x & 1) < 2 * (a - b):
+            x = 2 * (a - b) - 1
+        if x - (x & 1) < 2 * (b - c):
+            x = 2 * (b - c)
+        return x
+    return 0
+
+
+def test_tendency_grid_matches_scalar():
+    vals = np.arange(-15, 16)
+    a, b, c = np.meshgrid(vals, vals, vals, indexing="ij")
+    got = _tendency(a.ravel(), b.ravel(), c.ravel())
+    want = np.array([
+        _tendency_scalar(int(x), int(y), int(z))
+        for x, y, z in zip(a.ravel(), b.ravel(), c.ravel())
+    ])
+    np.testing.assert_array_equal(got, want)
+
+
+def _forward_squeeze_h(v: np.ndarray):
+    """Encoder-side horizontal squeeze: inverse of inverse_squeeze_h."""
+    h, w = v.shape
+    rw = w // 2
+    aw = w - rw
+    avg = np.zeros((h, aw), dtype=np.int64)
+    res = np.zeros((h, rw), dtype=np.int64)
+    v = v.astype(np.int64)
+    if w % 2 == 1:
+        avg[:, -1] = v[:, -1]
+    # first pass: avg = first - trunc(diff / 2)
+    for x in range(rw):
+        diff = v[:, 2 * x] - v[:, 2 * x + 1]
+        half = np.sign(diff) * (np.abs(diff) // 2)
+        avg[:, x] = v[:, 2 * x] - half
+    left = avg[:, 0].copy()
+    for x in range(rw):
+        nxt = avg[:, x + 1] if x + 1 < aw else avg[:, x]
+        t = _tendency(left, avg[:, x], nxt)
+        diff = v[:, 2 * x] - v[:, 2 * x + 1]
+        res[:, x] = diff - t
+        left = v[:, 2 * x + 1]
+    return avg, res
+
+
+def test_squeeze_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    for h, w in [(5, 12), (7, 13), (1, 9), (4, 2)]:
+        v = rng.integers(-300, 300, (h, w))
+        avg, res = _forward_squeeze_h(v)
+        out = inverse_squeeze_h(avg, res)
+        np.testing.assert_array_equal(out, v)
+        # vertical via transpose
+        outv = inverse_squeeze_v(
+            np.ascontiguousarray(avg.T), np.ascontiguousarray(res.T)
+        )
+        np.testing.assert_array_equal(outv, v.T)
+
+
+def test_squeeze_end_to_end_bitstream():
+    """One explicit horizontal squeeze step through the bitstream: encoder
+    writes [avg, residual] channels; the decoder's transform machinery
+    reconstructs the original exactly (transform.rs squeeze path)."""
+    from encoder import (
+        AnsStreamEncoder,
+        DEFAULT_CFG,
+        encode_jxl_modular,
+    )
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 20))
+    avg, res = _forward_squeeze_h(img)
+    data = encode_jxl_modular(
+        [avg, res], bit_depth=8, grayscale=True,
+        image_size=(16, 20), squeeze=True,
+    )
+    out = JxlImage.from_bytes(data).render_frame(0)
+    got = np.asarray(out.planes[0])
+    np.testing.assert_array_equal(
+        np.round(got * 255).astype(np.int64), img
+    )

@@ -262,10 +262,21 @@ def write_ma_config(w: BitWriter, predictor: int):
     return sample_enc
 
 
-def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | None = None):
+def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | None = None,
+                         squeeze_h: bool = False):
     w.write_bool(use_global_tree)
     w.write_bool(True)  # default wp
-    if rct_begin is not None:
+    if squeeze_h:
+        w.write_u32_sel(1, 1, 0)  # nb_transforms = 1
+        w.write(2, 2)  # transform id = Squeeze
+        w.write(1, 2)  # num_sq U32 selector 1 (1 + u(4))
+        w.write(0, 4)  # -> num_sq = 1
+        w.write_bool(True)   # horizontal
+        w.write_bool(True)   # in_place
+        w.write(0, 2)        # begin_c selector u(3)
+        w.write(0, 3)        # begin_c = 0
+        w.write(0, 2)        # num_c selector 0 -> 1
+    elif rct_begin is not None:
         w.write_u32_sel(1, 1, 0)  # nb_transforms = 1
         w.write(0, 2)  # transform id = RCT
         # begin_c via U32(u(3), 8+u(6), 72+u(10), 1096+u(13))
@@ -371,6 +382,7 @@ def encode_jxl_modular(
     spot_colour: tuple | None = None,
     upsampling: int = 1,
     image_size: tuple | None = None,
+    squeeze: bool = False,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -569,7 +581,8 @@ def encode_jxl_modular(
         lf.write_bool(True)  # has global MA tree
         sample_enc = write_ma_config(lf, predictor)
         write_modular_header(lf, use_global_tree=True,
-                             rct_begin=0 if rct else None)
+                             rct_begin=0 if rct else None,
+                             squeeze_h=squeeze)
         if global_channels:
             encode_stream_tokens(lf, sample_enc, global_channels, predictor)
         else:

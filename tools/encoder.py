@@ -263,10 +263,25 @@ def write_ma_config(w: BitWriter, predictor: int):
 
 
 def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | None = None,
-                         squeeze_h: bool = False):
+                         squeeze_h: bool = False, palette_spec: dict | None = None):
     w.write_bool(use_global_tree)
     w.write_bool(True)  # default wp
-    if squeeze_h:
+    if palette_spec is not None:
+        w.write_u32_sel(1, 1, 0)  # nb_transforms = 1
+        w.write(1, 2)  # transform id = Palette
+        w.write(0, 2)  # begin_c selector u(3)
+        w.write(palette_spec.get("begin_c", 0), 3)
+        w.write(0, 2)  # num_c selector 0 -> 1
+        w.write(0, 2)  # nb_colours selector u(8)
+        w.write(palette_spec["nb_colours"], 8)
+        nd = palette_spec.get("nb_deltas", 0)
+        if nd == 0:
+            w.write(0, 2)
+        else:
+            w.write(1, 2)
+            w.write(nd - 1, 8)
+        w.write(palette_spec.get("d_pred", 0), 4)
+    elif squeeze_h:
         w.write_u32_sel(1, 1, 0)  # nb_transforms = 1
         w.write(2, 2)  # transform id = Squeeze
         w.write(1, 2)  # num_sq U32 selector 1 (1 + u(4))
@@ -383,6 +398,7 @@ def encode_jxl_modular(
     upsampling: int = 1,
     image_size: tuple | None = None,
     squeeze: bool = False,
+    palette_spec: dict | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -395,7 +411,8 @@ def encode_jxl_modular(
     n_color = n_ch - num_extra
     if grayscale is None:
         grayscale = n_color == 1
-    assert all(c.shape == (ch_h, ch_w) for c in channels)
+    if palette_spec is None and not squeeze:
+        assert all(c.shape == (ch_h, ch_w) for c in channels)
 
     if rct:
         assert n_ch == 3
@@ -582,7 +599,7 @@ def encode_jxl_modular(
         sample_enc = write_ma_config(lf, predictor)
         write_modular_header(lf, use_global_tree=True,
                              rct_begin=0 if rct else None,
-                             squeeze_h=squeeze)
+                             squeeze_h=squeeze, palette_spec=palette_spec)
         if global_channels:
             encode_stream_tokens(lf, sample_enc, global_channels, predictor)
         else:

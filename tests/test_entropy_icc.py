@@ -85,3 +85,92 @@ def test_read_uint_literal_and_extended():
     v = read_uint(bs, cfg, 16)
     # t = (16>>1)&3 =0; t|=4 -> 4; result = ((4<<1)|1)<<1 | 0 = 18
     assert v == 18
+
+
+def test_lz77_stream_decode():
+    """LZ77-enabled entropy stream: literals then a copy run, then a
+    special 2-D distance (jxl-coding lib.rs:310-368,487-569)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder import AnsStreamEncoder, BitWriter, IntegerConfig
+
+    from jxl_oxide_tpu.coding.entropy import Decoder, add_log2_ceil
+    from jxl_oxide_tpu.io.bitstream import Bitstream
+
+    cfg = IntegerConfig(split_exponent=8, msb_in_token=0, lsb_in_token=0)
+    enc = AnsStreamEncoder(1, 256, 8, cfg)
+
+    w = BitWriter()
+    w.write_bool(True)  # lz77 enabled
+    w.write(0, 2)       # min_symbol = 224
+    w.write(0, 2)       # min_length = 3
+    w.write(8, add_log2_ceil(8))  # len_config split_exponent = 8 (literals)
+    w.write_bool(True)  # simple cluster map for 2 dists
+    w.write(0, 2)       # nbits=0 -> all contexts -> cluster 0
+    w.write_bool(False)  # ANS, not prefix
+    w.write(3, 2)        # log_alphabet_size = 8
+    enc._write_integer_config(w)
+    enc._write_histogram(w)
+    # tokens: 5, 7, 9, then copy-run: len token 225 -> copy 1+3=4,
+    # distance token 0 -> distance 1 (repeat last symbol)
+    enc.encode_raw_tokens(w, [
+        (5, 0, 0), (7, 0, 0), (9, 0, 0), (225, 0, 0), (0, 0, 0),
+    ])
+
+    bs = Bitstream(w.to_bytes())
+    dec = Decoder(bs, 1)
+    dec.begin(bs)
+    vals = [dec.read_varint(bs, 0) for _ in range(7)]
+    dec.finalize()
+    assert vals == [5, 7, 9, 9, 9, 9, 9]
+
+
+def test_lz77_special_distances():
+    """dist_multiplier != 0 routes distances < 120 through the special
+    2-D distance table (lib.rs:497-510)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder import AnsStreamEncoder, BitWriter, IntegerConfig
+
+    from jxl_oxide_tpu.coding.entropy import (
+        _SPECIAL_DISTANCES, Decoder, add_log2_ceil,
+    )
+    from jxl_oxide_tpu.io.bitstream import Bitstream
+
+    cfg = IntegerConfig(split_exponent=8, msb_in_token=0, lsb_in_token=0)
+    enc = AnsStreamEncoder(1, 256, 8, cfg)
+    w = BitWriter()
+    w.write_bool(True)
+    w.write(0, 2)
+    w.write(0, 2)
+    w.write(8, add_log2_ceil(8))
+    w.write_bool(True)
+    w.write(0, 2)
+    w.write_bool(False)
+    w.write(3, 2)
+    enc._write_integer_config(w)
+    enc._write_histogram(w)
+    # 4 literals then copy 3 with special distance index 0
+    enc.encode_raw_tokens(w, [
+        (1, 0, 0), (2, 0, 0), (3, 0, 0), (4, 0, 0), (224, 0, 0), (0, 0, 0),
+    ])
+    bs = Bitstream(w.to_bytes())
+    dec = Decoder(bs, 1)
+    dec.begin(bs)
+    mult = 2
+    vals = [dec.read_varint(bs, 0, dist_multiplier=mult) for _ in range(7)]
+    dec.finalize()
+    off, d = _SPECIAL_DISTANCES[0]
+    distance = max(0, off + mult * d - 1)
+    distance = min(distance, 1 << 20) + 1 if distance < (1 << 20) else distance
+    distance = min(distance, 4)
+    want = [1, 2, 3, 4]
+    src = len(want) - distance
+    for _ in range(3):
+        want.append(want[src])
+        src += 1
+    assert vals == want

@@ -186,6 +186,10 @@ class AnsStreamEncoder:
         """Append [32-bit state][per-symbol renorm + raw bits] for the given
         uint values (cluster 0)."""
         toks = [tokenize_uint(v, self.cfg) for v in values]
+        self.encode_raw_tokens(w, toks)
+
+    def encode_raw_tokens(self, w: BitWriter, toks: list):
+        """Symbol-level encode: toks = [(token, nbits, rest), ...]."""
         for token, _, _ in toks:
             if token >= self.alphabet_size:
                 raise ValueError(f"token {token} exceeds alphabet")

@@ -409,3 +409,24 @@ def test_frame_upsampling_2x():
             chans[c].astype(np.float32) / 255.0, 2, meta
         )[:40, :56]
         np.testing.assert_allclose(planes[c], want, atol=1e-5)
+
+
+def test_native_python_decode_equivalence(cmyk_layers_jxl):
+    """The C++ host runtime and the pure-Python fallback must produce
+    bit-exact pixels (native/__init__.py contract)."""
+    import jxl_oxide_tpu.native as native
+
+    r1 = JxlImage.from_bytes(cmyk_layers_jxl).render_frame(0)
+    p1 = [np.asarray(p) for p in (*r1.planes, *r1.extra)]
+
+    old = (native._lib, native._tried)
+    native._lib, native._tried = None, True
+    try:
+        r2 = JxlImage.from_bytes(cmyk_layers_jxl).render_frame(0)
+        p2 = [np.asarray(p) for p in (*r2.planes, *r2.extra)]
+    finally:
+        native._lib, native._tried = old
+
+    assert len(p1) == len(p2)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)

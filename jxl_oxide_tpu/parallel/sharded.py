@@ -40,7 +40,9 @@ def decode_mesh_multihost(n_hosts: int, chips_per_host: int) -> Mesh:
     ICI (fine row bands). Halo rows cross DCN only at host-band borders;
     all other exchanges ride ICI (SURVEY 5 distributed-backend mapping).
     On a real v5p slice, pass jax.devices() ordered host-major."""
-    devices = np.array(jax.devices()[: n_hosts * chips_per_host])
+    devices = np.empty(n_hosts * chips_per_host, dtype=object)
+    for i, d in enumerate(jax.devices()[: n_hosts * chips_per_host]):
+        devices[i] = d
     return Mesh(
         devices.reshape(n_hosts, chips_per_host),
         axis_names=("hosts", "chips"),

@@ -74,3 +74,46 @@ def test_nonsquare_odd_sizes():
         img = RNG.integers(0, 256, shape, dtype=np.int32)
         out = decode_modular(encode_jxl_modular([img]))
         assert np.array_equal(out[0], img), shape
+
+
+def test_ma_tree_decision_nodes():
+    """Multi-node MA tree: decision on property 3 (x) routes pixels to two
+    leaves with different offsets/multipliers (ma.rs FlatMaTree walk; the
+    C++ walk_tree on the native path)."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    h, w = 6, 8
+    rng = np.random.default_rng(41)
+    target = rng.integers(0, 100, (h, w)).astype(np.int64)
+    # leaf A (x > 3): val = res * 2 + 7 ; leaf B (x <= 3): val = res
+    target[:, 4:] = 7 + 2 * ((target[:, 4:] - 7) // 2).clip(0)
+
+    def pack(v):
+        return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+    tree_tokens = [
+        4, pack(3),               # decision: prop 3 (x) > 3 ?
+        0, 0, pack(7), 1, 0,      # leaf A: Zero pred, offset 7, mul 2
+        0, 0, 0, 0, 0,            # leaf B: Zero pred, offset 0, mul 1
+    ]
+
+    def token_fn(channels):
+        toks = []
+        for arr in channels:
+            for y in range(h):
+                for x in range(w):
+                    v = int(arr[y, x])
+                    res = (v - 7) // 2 if x > 3 else v
+                    toks.append(pack(res))
+        return toks
+
+    data = encode_jxl_modular(
+        [target], bit_depth=8, grayscale=True,
+        custom_tree=(tree_tokens, 2, token_fn),
+    )
+    got = np.round(
+        np.asarray(JxlImage.from_bytes(data).render_frame(0).planes[0]) * 255
+    ).astype(np.int64)
+    np.testing.assert_array_equal(got, target)

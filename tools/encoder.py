@@ -266,6 +266,19 @@ def write_ma_config(w: BitWriter, predictor: int):
     return sample_enc
 
 
+def write_ma_config_tree(w: BitWriter, tree_tokens: list[int], num_leaves: int):
+    """General MA tree writer: tree_tokens in MaConfig.parse order (BFS:
+    prop+1 [, packed value | predictor, packed offset, mul_log, mul_bits]).
+    Returns the sample-token encoder (num_leaves contexts -> cluster 0)."""
+    tree_cfg = IntegerConfig(split_exponent=5, msb_in_token=0, lsb_in_token=0)
+    tree_enc = AnsStreamEncoder(6, 64, 6, tree_cfg)
+    tree_enc.write_header(w)
+    tree_enc.encode_tokens(w, tree_tokens)
+    sample_enc = AnsStreamEncoder(num_leaves, 256, 8, DEFAULT_CFG)
+    sample_enc.write_header(w)
+    return sample_enc
+
+
 def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | None = None,
                          squeeze_h: bool = False, palette_spec: dict | None = None):
     w.write_bool(use_global_tree)
@@ -403,6 +416,7 @@ def encode_jxl_modular(
     image_size: tuple | None = None,
     squeeze: bool = False,
     palette_spec: dict | None = None,
+    custom_tree: tuple | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -600,11 +614,17 @@ def encode_jxl_modular(
             _encode_noise(lf, noise_lut)
         lf.write_bool(True)  # lf_dequant all_default
         lf.write_bool(True)  # has global MA tree
-        sample_enc = write_ma_config(lf, predictor)
+        if custom_tree is not None:
+            tree_tokens, num_leaves, token_fn = custom_tree
+            sample_enc = write_ma_config_tree(lf, tree_tokens, num_leaves)
+        else:
+            sample_enc = write_ma_config(lf, predictor)
         write_modular_header(lf, use_global_tree=True,
                              rct_begin=0 if rct else None,
                              squeeze_h=squeeze, palette_spec=palette_spec)
-        if global_channels:
+        if custom_tree is not None:
+            sample_enc.encode_tokens(lf, token_fn(global_channels))
+        elif global_channels:
             encode_stream_tokens(lf, sample_enc, global_channels, predictor)
         else:
             # empty global stream: begin + finalize only

@@ -216,3 +216,29 @@ def test_two_pass_progressive_accumulation():
     imgp.feed_bytes(d2[: len(d2) * 3 // 4])
     r = imgp.render_loading_frame()
     assert np.stack(r.image_planar(), -1).shape == (h, w, 3)
+
+
+def test_custom_dequant_dct_params():
+    """Non-default dequant matrix set: DCT8 encoded via the "DCT params"
+    mode (dequant.rs encoding 6, distance-band interpolation); decoder must
+    reproduce the encoder's quantization model."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+
+    h = w = 64
+    rng = np.random.default_rng(11)
+    small = rng.random((h // 8 + 1, w // 8 + 1, 3)).astype(np.float32)
+    img = np.kron(small, np.ones((8, 8, 1), dtype=np.float32))[:h, :w]
+    params = [[2816.0, -1.0], [1024.0, -0.5], [256.0, -0.75]]
+    data = encode_jxl_vardct(img, global_scale=4096, dct8_params=params)
+    out = np.stack(
+        JxlImage.from_bytes(data).render_frame(0).image_planar(), -1
+    )
+    mse = float(np.mean((out - np.clip(img, 0, 1)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, psnr

@@ -72,6 +72,7 @@ def encode_jxl_vardct(
     use_lf_frame: bool = False,
     lf_levels: int = 1,
     num_passes: int = 1,
+    dct8_params: list | None = None,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -104,7 +105,8 @@ def encode_jxl_vardct(
                      frame_kind="use_lf")
     else:
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
-                     frame_kind="regular", num_passes=num_passes)
+                     frame_kind="regular", num_passes=num_passes,
+                     dct8_params=dct8_params)
     return out.to_bytes()
 
 
@@ -137,6 +139,7 @@ def _write_frame(
     lf_level: int = 1,
     num_passes: int = 1,
     pass_shift: int = 2,
+    dct8_params: list | None = None,
 ) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
@@ -149,7 +152,23 @@ def _write_frame(
     padded[:h, w:] = padded[:h, w - 1 : w]
     padded[h:, w:] = padded[h - 1, w - 1]
 
-    dms = DequantMatrixSet.default()
+    if dct8_params is not None:
+        from jxl_oxide_tpu.models.vardct import (
+            _DCT_SELECT_LIST,
+            _default_dct_params,
+            _params_to_matrix,
+        )
+
+        mats = [
+            _params_to_matrix(
+                sel,
+                ("dct", dct8_params) if i == 0 else _default_dct_params(sel),
+            )
+            for i, sel in enumerate(_DCT_SELECT_LIST)
+        ]
+        dms = DequantMatrixSet(mats)
+    else:
+        dms = DequantMatrixSet.default()
     opsin = OpsinInverseMatrix()
     qb = opsin.quant_bias
     qbn = opsin.quant_bias_numerator
@@ -288,7 +307,21 @@ def _write_frame(
     lf_group_sec = sec
     sec = lf_group_sec if single else BitWriter()
     hf_global_sec = sec
-    sec.write_bool(True)  # dequant all_default
+    if dct8_params is None:
+        sec.write_bool(True)  # dequant all_default
+    else:
+        # non-default set: DCT8 via "DCT params" encoding (mode 6), the
+        # other 16 param classes from the library defaults (mode 0)
+        sec.write_bool(False)
+        sec.write(6, 3)
+        num = len(dct8_params[0])
+        sec.write(num - 1, 4)
+        for chan in dct8_params:
+            vals = [chan[0] / 64.0] + list(chan[1:])
+            for v in vals:
+                sec.write(int(np.float16(v).view(np.uint16)), 16)
+        for _ in range(16):
+            sec.write(0, 3)  # library default
     # num_hf_presets bits = ceil_log2(num_groups); write 0 -> 1 preset
     hfp_bits = max(num_groups - 1, 0).bit_length()
     if hfp_bits:

@@ -408,6 +408,137 @@ def _write_frame(
         out.extend(s_)
 
 
+
+
+def encode_jxl_vardct_mixed(
+    h: int,
+    w: int,
+    sel_grid: np.ndarray,   # [bh, bw] int, -1 = covered by another varblock
+    mul_grid: np.ndarray,   # [bh, bw] int hf_mul at varblock origins
+    coeff: np.ndarray,      # [3, bh*8, bw*8] int, stored (decoder) layout
+    lf_q: np.ndarray,       # [3, bh, bw] int quantized LF
+    global_scale: int = 4096,
+) -> bytes:
+    """Synthesize a single-group VarDCT codestream with an explicit
+    varblock layout (any of the 27 transform types). Coefficients are
+    given in the decoder's stored plane layout; LF as quantized values.
+    Used to exercise the general inverse-transform pipeline end-to-end."""
+    assert h <= 256 and w <= 256
+    bh, bw = -(-h // 8), -(-w // 8)
+    assert sel_grid.shape == (bh, bw)
+    quant_lf = 16
+
+    out = BitWriter()
+    _write_image_header(out, h, w)
+    out.zero_pad_to_byte()
+    out.write_bool(False)  # not all_default
+    out.write(0, 2)  # regular frame
+    out.write(0, 1)  # VarDCT
+    _write_u64(out, 0x80)  # skip adaptive LF smoothing
+    out.write_bool(False)  # do_ycbcr
+    out.write_u32_sel(0, 0, 0)  # upsampling
+    out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    out.write_bool(False)  # have_crop
+    out.write_u32_sel(0, 0, 0)  # blending Replace
+    out.write_bool(True)  # is_last
+    out.write_u32_sel(0, 0, 0)  # name len 0
+    out.write_bool(False)  # restoration filter not default
+    out.write_bool(False)  # gabor off
+    out.write(0, 2)  # epf iters 0
+    out.write_u64_zero()  # rf extensions
+    out.write_u64_zero()  # frame extensions
+
+    sec = BitWriter()
+    # LfGlobal: defaults + quantizer
+    sec.write_bool(True)  # lf_dequant all_default
+    if global_scale <= 2048:
+        sec.write(0, 2)
+        sec.write(global_scale - 1, 11)
+    elif global_scale <= 4096:
+        sec.write(1, 2)
+        sec.write(global_scale - 2049, 11)
+    else:
+        sec.write(2, 2)
+        sec.write(global_scale - 4097, 12)
+    sec.write(0, 2)  # quant_lf = 16 (selector 0)
+    sec.write_bool(True)  # HfBlockContext default
+    sec.write_bool(True)  # LfChannelCorrelation all_default
+    sec.write_bool(False)  # no global MA tree
+
+    # LfGroup: LfCoeff + HfMetadata
+    sec.write(0, 2)  # extra_precision = 0
+    _encode_local_modular(sec, [lf_q[1], lf_q[0], lf_q[2]])
+
+    # varblock scan order (decoder origin scan): row-major origins
+    varblocks = []
+    for y in range(bh):
+        for x in range(bw):
+            if sel_grid[y, x] >= 0:
+                varblocks.append((x, y, int(sel_grid[y, x]),
+                                  int(mul_grid[y, x])))
+    nb_blocks = len(varblocks)
+    nbits = max(bh * bw - 1, 0).bit_length()
+    sec.write(nb_blocks - 1, nbits)
+    w64, h64 = -(-w // 64), -(-h // 64)
+    x_from_y = np.zeros((h64, w64), dtype=np.int64)
+    b_from_y = np.zeros((h64, w64), dtype=np.int64)
+    block_info = np.zeros((2, nb_blocks), dtype=np.int64)
+    for i, (_x, _y, sel, mul) in enumerate(varblocks):
+        block_info[0, i] = sel
+        block_info[1, i] = mul - 1
+    sharpness = np.zeros((bh, bw), dtype=np.int64)
+    _encode_local_modular(sec, [x_from_y, b_from_y, block_info, sharpness])
+
+    # HfGlobal: default matrices, 1 preset, 1 HfPass with natural orders
+    sec.write_bool(True)  # dequant all_default
+    sec.write(2, 2)  # used_orders = 0
+    num_clusters_ctx = 495 * 15
+    hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+    hf_enc.write_header(sec)
+
+    # HF tokens mirroring write_hf_coeff scan (models/vardct.py)
+    tokens = []
+    for x, y, sel, _mul in varblocks:
+        w8, h8 = TransformType.SELECT_SIZE[sel]
+        num_blocks = w8 * h8
+        order_id = TransformType.ORDER_ID[sel]
+        order = natural_order(order_id)
+        transpose = TransformType.need_transpose(sel)
+        for c in (1, 0, 2):
+            vals = []
+            for (dx, dy) in order[num_blocks:]:
+                if transpose:
+                    px, py = dy, dx
+                else:
+                    px, py = dx, dy
+                vals.append(int(coeff[c, y * 8 + py, x * 8 + px]))
+            non_zeros = sum(1 for v in vals if v != 0)
+            tokens.append(non_zeros)
+            remaining = non_zeros
+            for v in vals:
+                if remaining == 0:
+                    break
+                tokens.append(_pack_signed(v))
+                if v != 0:
+                    remaining -= 1
+    hf_enc.encode_tokens(sec, tokens)
+
+    # single-entry TOC
+    out.write_bool(False)
+    out.zero_pad_to_byte()
+    size = len(sec.to_bytes())
+    if size < 1024:
+        out.write(0, 2)
+        out.write(size, 10)
+    else:
+        out.write(1, 2)
+        out.write(size - 1024, 14)
+    out.zero_pad_to_byte()
+    sec.zero_pad_to_byte()
+    out.extend(sec)
+    return out.to_bytes()
+
+
 if __name__ == "__main__":
     rng = np.random.default_rng(0)
     img = rng.random((64, 64, 3), dtype=np.float32)

@@ -371,3 +371,58 @@ def test_mixed_transform_native_python_equal():
         native._lib, native._tried = old
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_large_transform_types_end_to_end():
+    """Large varblocks (DCT256, DCT128, DCT64, DCT32X64) through the
+    bitstream, vs the spec-tested inverse transforms."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_mixed
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.headers.image import OpsinInverseMatrix
+    from jxl_oxide_tpu.models.vardct import DequantMatrixSet, TransformType as T
+    from jxl_oxide_tpu.ops.varblock import inverse_varblock_batch
+
+    h = w = 256
+    bh = bw = 32
+    sel_grid = np.full((bh, bw), -1, dtype=np.int64)
+    sel_grid[0, 0] = T.DCT256          # 32x32 blocks
+    rng = np.random.default_rng(23)
+    coeff = np.zeros((3, h, w), dtype=np.int64)
+    mask = rng.random((3, h, w)) < 0.02
+    coeff[mask] = rng.integers(-9, 10, int(mask.sum()))
+    lf_q = rng.integers(-30, 30, (3, bh, bw))
+    gs = 4096
+    data = encode_jxl_vardct_mixed(
+        h, w, sel_grid, np.ones((bh, bw), dtype=np.int64), coeff, lf_q, gs
+    )
+    got = np.stack([
+        np.asarray(p)
+        for p in JxlImage.from_bytes(data).render_frame(0).planes
+    ])
+
+    opsin = OpsinInverseMatrix()
+    qb = np.asarray(opsin.quant_bias, dtype=np.float64)
+    qbn = opsin.quant_bias_numerator
+    dms = DequantMatrixSet.default()
+    m_lf = (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)
+    lf_deq = np.stack([
+        lf_q[c] * (m_lf[c] * 512.0 / (gs * 16)) for c in range(3)
+    ])
+    lf_deq[2] += lf_deq[1]
+    q = coeff.astype(np.float64)
+    deq = np.zeros_like(q)
+    for c in range(3):
+        mat = dms.get(c, T.DCT256, T.need_transpose(T.DCT256))
+        safe = np.where(q[c] == 0, 1.0, q[c])
+        biased = np.where(np.abs(q[c]) <= 1.0, q[c] * qb[c], q[c] - qbn / safe)
+        deq[c] = biased * mat * (65536.0 / gs)
+    deq[2] += deq[1]
+    want = np.asarray(inverse_varblock_batch(
+        deq.astype(np.float32), lf_deq.astype(np.float32), T.DCT256
+    ))
+    np.testing.assert_allclose(got, want, atol=4e-4)

@@ -530,9 +530,12 @@ def encode_jxl_vardct_mixed(
     if size < 1024:
         out.write(0, 2)
         out.write(size, 10)
-    else:
+    elif size < 17408:
         out.write(1, 2)
         out.write(size - 1024, 14)
+    else:
+        out.write(2, 2)
+        out.write(size - 17408, 22)
     out.zero_pad_to_byte()
     sec.zero_pad_to_byte()
     out.extend(sec)

@@ -430,3 +430,26 @@ def test_native_python_decode_equivalence(cmyk_layers_jxl):
     assert len(p1) == len(p2)
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_modular_restoration_filters():
+    """Gaborish + EPF on a Modular frame (EPF sigma = sigma_for_modular,
+    filter/epf.rs:10-291): decode equals filters applied to raw samples."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu.ops.filters import apply_epf, apply_gabor
+
+    rng = np.random.default_rng(37)
+    chans = [rng.integers(0, 256, (24, 24), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8, gabor=True, epf_iters=2)
+    r = JxlImage.from_bytes(data).render_frame(0)
+    got = np.stack([np.asarray(p) for p in r.planes])
+
+    from jxl_oxide_tpu.headers.frame import EpfParams, Gabor
+
+    color = [c.astype(np.float32) / 255.0 for c in chans]
+    color = [np.asarray(p) for p in apply_gabor(color, Gabor().weights)]
+    epf = EpfParams(iters=2)
+    sigma = np.full((24, 24), epf.sigma_for_modular, dtype=np.float32)
+    out = np.asarray(apply_epf(color, sigma, epf))
+    np.testing.assert_allclose(got, out, atol=1e-5)

@@ -417,6 +417,8 @@ def encode_jxl_modular(
     squeeze: bool = False,
     palette_spec: dict | None = None,
     custom_tree: tuple | None = None,
+    gabor: bool = False,
+    epf_iters: int = 0,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -575,10 +577,19 @@ def encode_jxl_modular(
             out.write_bool(False)  # save_before_ct
         # else: save_before_ct skipped (resets_canvas branch)
         out.write_u32_sel(0, 0, 0)  # name len = 0
-        # RestorationFilter: not default; gab off; epf iters 0
+        # RestorationFilter: not default
         out.write_bool(False)
-        out.write_bool(False)  # gab off
-        out.write(0, 2)  # epf iters 0
+        if gabor:
+            out.write_bool(True)   # gab on
+            out.write_bool(False)  # default weights
+        else:
+            out.write_bool(False)  # gab off
+        out.write(epf_iters, 2)
+        if epf_iters:
+            # modular encoding: no sharp_lut bool; sigma_for_modular f16
+            out.write_bool(False)  # channel_scale default
+            out.write_bool(False)  # sigma default
+            out.write(0x3C00, 16)  # sigma_for_modular = 1.0 (f16)
         out.write_u64_zero()  # rf extensions
         out.write_u64_zero()  # frame extensions
 

@@ -91,7 +91,8 @@ def _gabor_local(plane, weights):
 
 
 def sharded_vardct_pipeline(mesh: Mesh, height: int, width: int,
-                            gabor_weights=(0.115169525, 0.061248592)):
+                            gabor_weights=(0.115169525, 0.061248592),
+                            epf_params=None):
     """Build the jitted sharded decode step for a DCT8-tiled frame.
 
     Returns (fn, shardings) where fn(coeff[3,H,W] i32, lf[3,H/8,W/8] f32,
@@ -129,6 +130,21 @@ def sharded_vardct_pipeline(mesh: Mesh, height: int, width: int,
         out = jnp.stack([
             _gabor_local(padded[ch], gabor_weights) for ch in range(3)
         ])
+
+        if epf_params is not None:
+            # EPF needs a 3px stencil halo across up to 3 passes; use an
+            # 8-row halo so the border_sad_mul y%8 pattern stays aligned,
+            # then crop. Edge shards mirror = the reference's symmetric
+            # region padding (frame/lib.rs:626-649 contract).
+            from ..ops.filters import apply_epf
+
+            ext = halo_exchange_rows(out, 8, axis)
+            sigma_loc = jnp.full(
+                (h_loc, w), np.float32(epf_params.sigma_for_modular)
+            )
+            sig_ext = halo_exchange_rows(sigma_loc[None], 8, axis)[0]
+            filtered = apply_epf(list(ext), sig_ext, epf_params)
+            out = jnp.stack(list(filtered))[:, 8:-8, :]
         return out
 
     spec3 = P(None, axis, None)

@@ -117,3 +117,40 @@ def test_multihost_mesh_equivalence():
     out2 = np.asarray(fn2(*(jax.device_put(a, s) for a, s in zip(args, sh2))))
 
     np.testing.assert_allclose(out1, out2, atol=1e-5)
+
+
+def test_sharded_epf_matches_single_device():
+    """EPF across shards with an 8-row ICI halo equals the single-device
+    whole-plane EPF (3px stencil contract, frame/lib.rs:626-649)."""
+    import jax
+
+    from jxl_oxide_tpu.headers.frame import EpfParams
+    from jxl_oxide_tpu.ops.filters import apply_epf, apply_gabor
+    from jxl_oxide_tpu.parallel.sharded import (
+        decode_mesh,
+        sharded_vardct_pipeline,
+    )
+
+    h, w = 128, 64
+    epf = EpfParams(iters=3)
+    rng = np.random.default_rng(43)
+    coeff = rng.integers(-30, 30, (3, h, w)).astype(np.int32)
+    lf = rng.normal(size=(3, h // 8, w // 8)).astype(np.float32)
+    dmap = rng.uniform(0.5, 2.0, (3, h, w)).astype(np.float32)
+    kx = rng.normal(size=(h, w)).astype(np.float32) * 0.1
+    kb = rng.normal(size=(h, w)).astype(np.float32) * 0.1
+    args = (coeff, lf, dmap, kx, kb)
+
+    mesh = decode_mesh(8)
+    fn, sh = sharded_vardct_pipeline(mesh, h, w, epf_params=epf)
+    sharded = np.asarray(
+        fn(*(jax.device_put(a, s) for a, s in zip(args, sh)))
+    )
+
+    # single-device reference: same pre-filter pipeline without EPF,
+    # then whole-plane EPF
+    fn0, sh0 = sharded_vardct_pipeline(decode_mesh(1), h, w)
+    base = np.asarray(fn0(*args))
+    sigma = np.full((h, w), epf.sigma_for_modular, dtype=np.float32)
+    want = np.asarray(apply_epf(list(base), sigma, epf))
+    np.testing.assert_allclose(sharded, want, atol=2e-5)

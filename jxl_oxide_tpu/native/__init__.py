@@ -4,6 +4,14 @@ The native library runs the per-sample entropy hot loops (rANS/prefix +
 LZ77 + MA-tree modular decode); Python parses all headers/tables and
 serializes them to flat arrays here. Falls back to the pure-Python decode
 paths when compilation is unavailable (set JXL_TPU_NO_NATIVE=1 to force).
+
+Behavioral parity (bit-exact vs the Python paths, which cite the spec
+sites): jxl-coding/src/{ans.rs,prefix.rs,lib.rs} (symbol loops),
+jxl-modular/src/{image.rs,predictor.rs,ma.rs} (modular decode + weighted
+predictor), jxl-vardct/src/hf_coeff.rs (HF coefficient decode),
+jxl-color/src/icc/decode.rs (ICC byte stream). The reference's analog of
+this layer is its per-arch SIMD modules (e.g. jxl-modular squeeze.rs
+SIMD, jxl-render x86_64/aarch64 kernels).
 """
 
 from __future__ import annotations

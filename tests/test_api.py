@@ -453,3 +453,24 @@ def test_modular_restoration_filters():
     sigma = np.full((24, 24), epf.sigma_for_modular, dtype=np.float32)
     out = np.asarray(apply_epf(color, sigma, epf))
     np.testing.assert_allclose(got, out, atol=1e-5)
+
+
+def test_permuted_toc():
+    """Entropy-coded TOC permutation (data/toc.rs:194-270): sections laid
+    out in permuted bitstream order decode identically."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(47)
+    chans = [rng.integers(0, 256, (300, 300), dtype=np.int64)
+             for _ in range(3)]
+    plain = encode_jxl_modular(chans, bit_depth=8, group_size_shift=1)
+    base = JxlImage.from_bytes(plain).render_frame(0).to_u8()
+
+    # entry_count = 1 lf_global + 1 lf_group + 1 hf_global + 4 groups = 7
+    perm = [6, 0, 5, 1, 4, 2, 3]
+    permuted = encode_jxl_modular(
+        chans, bit_depth=8, group_size_shift=1, toc_permutation=perm,
+    )
+    assert permuted != plain
+    out = JxlImage.from_bytes(permuted).render_frame(0).to_u8()
+    np.testing.assert_array_equal(out, base)

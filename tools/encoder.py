@@ -419,6 +419,7 @@ def encode_jxl_modular(
     custom_tree: tuple | None = None,
     gabor: bool = False,
     epf_iters: int = 0,
+    toc_permutation: list | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -661,7 +662,27 @@ def encode_jxl_modular(
         section_bytes = [s.to_bytes() for s in sections]
 
         # --- TOC ---
-        out.write_bool(False)  # not permuted
+        if toc_permutation is not None:
+            p = list(toc_permutation)
+            assert sorted(p) == list(range(len(section_bytes)))
+            out.write_bool(True)  # permuted TOC
+            perm_enc = AnsStreamEncoder(8, 64, 6, DEFAULT_CFG)
+            perm_enc.write_header(out)
+            lehmer = []
+            temp = list(range(len(p)))
+            for target in p:
+                v = temp.index(target)
+                lehmer.append(v)
+                temp.pop(v)
+            perm_enc.encode_tokens(out, [len(p)] + lehmer)
+            # bitstream slot s holds original section o with p[o] == s
+            inv = [0] * len(p)
+            for o, slot in enumerate(p):
+                inv[slot] = o
+            section_bytes = [section_bytes[inv[slot]]
+                             for slot in range(len(p))]
+        else:
+            out.write_bool(False)  # not permuted
         out.zero_pad_to_byte()
         for sb in section_bytes:
             _write_toc_size(out, len(sb))

@@ -53,9 +53,17 @@ def _parse_integer_samples(arr: np.ndarray, bit_depth) -> np.ndarray:
     return arr.astype(np.float32) / np.float32(div)
 
 
-def _upsample2x_nn(plane: np.ndarray, axis: int, size: int) -> np.ndarray:
-    out = np.repeat(plane, 2, axis=axis)
-    return out.take(range(size), axis=axis)
+def _upsample2x_triangle(plane: np.ndarray, axis: int, size: int) -> np.ndarray:
+    """JPEG chroma 2x upsample with the 0.25/0.75 triangle filter
+    (filter/ycbcr.rs apply_jpeg_upsampling_single): out[2j] leans on the
+    previous sample, out[2j+1] on the next, edges clamped."""
+    p = np.moveaxis(np.asarray(plane, dtype=np.float32), axis, 0)
+    prev = np.concatenate([p[:1], p[:-1]], axis=0)
+    nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+    a = 0.25 * prev + 0.75 * p
+    b = 0.75 * p + 0.25 * nxt
+    out = np.stack([a, b], axis=1).reshape((2 * p.shape[0],) + p.shape[1:])
+    return np.moveaxis(out, 0, axis).take(range(size), axis=axis)
 
 
 @traced("Render frame")
@@ -117,9 +125,9 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRen
             vs = vscale and ups[i] not in (1, 2)
             p = color[i]
             if hs:
-                p = _upsample2x_nn(p, 1, w)
+                p = _upsample2x_triangle(p, 1, w)
             if vs:
-                p = _upsample2x_nn(p, 0, h)
+                p = _upsample2x_triangle(p, 0, h)
             color[i] = p[:h, :w]
 
     # crop to frame size (VarDCT planes are already cropped per channel but

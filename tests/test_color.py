@@ -349,3 +349,28 @@ def test_parse_icc_synthesize_roundtrip():
         if enc.colour_space == ColourSpace.RGB:
             assert back.primaries.kind == enc.primaries.kind
         assert back.rendering_intent == enc.rendering_intent
+
+
+def test_jpeg_chroma_upsample_triangle():
+    """2x chroma upsample matches the reference's scalar 0.25/0.75
+    interpolation (filter/ycbcr.rs:12-55)."""
+    from jxl_oxide_tpu.render.render import _upsample2x_triangle
+
+    rng = np.random.default_rng(51)
+    row = rng.normal(size=(1, 5)).astype(np.float32)
+
+    def scalar_h(r):
+        out = []
+        n = len(r)
+        for j in range(n):
+            prev = r[j - 1] if j > 0 else r[0]
+            nxt = r[j + 1] if j + 1 < n else r[-1]
+            out.append(0.25 * prev + 0.75 * r[j])
+            out.append(0.75 * r[j] + 0.25 * nxt)
+        return out
+
+    got = _upsample2x_triangle(row, 1, 10)[0]
+    np.testing.assert_allclose(got, scalar_h(list(row[0])), rtol=1e-6)
+    # odd target width truncates the trailing sample
+    got9 = _upsample2x_triangle(row, 1, 9)[0]
+    np.testing.assert_allclose(got9, scalar_h(list(row[0]))[:9], rtol=1e-6)

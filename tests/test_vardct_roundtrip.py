@@ -426,3 +426,75 @@ def test_large_transform_types_end_to_end():
         deq.astype(np.float32), lf_deq.astype(np.float32), T.DCT256
     ))
     np.testing.assert_allclose(got, want, atol=4e-4)
+
+
+def test_ycbcr_420_end_to_end():
+    """4:2:0 do_ycbcr VarDCT stream: subsampled staged pipeline + triangle
+    chroma upsampling + BT.601 conversion, vs an independent per-channel
+    reconstruction (vardct/mod.rs subsampled path, filter/ycbcr.rs)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_420
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.headers.image import OpsinInverseMatrix
+    from jxl_oxide_tpu.models.vardct import DequantMatrixSet, TransformType as T
+    from jxl_oxide_tpu.ops.color import ycbcr_to_rgb
+    from jxl_oxide_tpu.ops.dct import idct2d
+    from jxl_oxide_tpu.render.render import _upsample2x_triangle
+
+    h = w = 64
+    bh, bw = h // 8, w // 8
+    rng = np.random.default_rng(53)
+    # coeff[c] at channel res: y full, x/b half
+    shapes = [(h // 2, w // 2), (h, w), (h // 2, w // 2)]
+    coeff = []
+    for sh in shapes:
+        c = np.zeros(sh, dtype=np.int64)
+        m = rng.random(sh) < 0.1
+        c[m] = rng.integers(-12, 13, int(m.sum()))
+        coeff.append(c)
+    # coeff[c] indexed c in (0=x half, 1=y full, 2=b half)
+    lf_q = [
+        rng.integers(-30, 30, (bh // 2, bw // 2)),
+        rng.integers(-30, 30, (bh, bw)),
+        rng.integers(-30, 30, (bh // 2, bw // 2)),
+    ]
+    gs = 4096
+    data = encode_jxl_vardct_420(h, w, coeff, lf_q, gs)
+    r = JxlImage.from_bytes(data).render_frame(0)
+    got = np.stack([np.asarray(p) for p in r.planes])
+
+    # independent reconstruction per channel
+    opsin = OpsinInverseMatrix()
+    qb = np.asarray(opsin.quant_bias, dtype=np.float64)
+    qbn = opsin.quant_bias_numerator
+    dms = DequantMatrixSet.default()
+    m_lf = (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)
+    chans = []
+    for c in range(3):
+        ch_h, ch_w = coeff[c].shape
+        q = coeff[c].astype(np.float64)
+        mat = dms.get(c, T.DCT8, True)
+        safe = np.where(q == 0, 1.0, q)
+        biased = np.where(np.abs(q) <= 1.0, q * qb[c], q - qbn / safe)
+        # tile the 8x8 matrix across blocks
+        tiled = np.tile(mat, (ch_h // 8, ch_w // 8))
+        deq = biased * tiled * (65536.0 / gs)
+        lf = lf_q[c] * (m_lf[c] * 512.0 / (gs * 16))
+        blocks = deq.reshape(ch_h // 8, 8, ch_w // 8, 8).transpose(0, 2, 1, 3)
+        # stored layout is transposed: stored[row=u, col=v] = coeff F[u, v]
+        blocks[:, :, 0, 0] = lf
+        pix = idct2d(blocks)
+        chans.append(
+            pix.transpose(0, 2, 1, 3).reshape(ch_h, ch_w).astype(np.float32)
+        )
+    # chroma upsample (triangle) then ycbcr -> rgb
+    for c in (0, 2):
+        p = _upsample2x_triangle(chans[c], 1, w)
+        chans[c] = _upsample2x_triangle(p, 0, h)
+    rr, gg, bb = ycbcr_to_rgb(chans[0], chans[1], chans[2])
+    want = np.stack([np.asarray(rr), np.asarray(gg), np.asarray(bb)])
+    np.testing.assert_allclose(got, want, atol=3e-4)

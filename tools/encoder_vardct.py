@@ -32,6 +32,7 @@ from encoder import (  # noqa: E402
 
 from jxl_oxide_tpu.headers.image import OpsinInverseMatrix  # noqa: E402
 from jxl_oxide_tpu.models.vardct import (  # noqa: E402
+    jpeg_shifts,
     DequantMatrixSet,
     TransformType,
     natural_order,
@@ -525,6 +526,123 @@ def encode_jxl_vardct_mixed(
 
     # single-entry TOC
     out.write_bool(False)
+    out.zero_pad_to_byte()
+    size = len(sec.to_bytes())
+    if size < 1024:
+        out.write(0, 2)
+        out.write(size, 10)
+    elif size < 17408:
+        out.write(1, 2)
+        out.write(size - 1024, 14)
+    else:
+        out.write(2, 2)
+        out.write(size - 17408, 22)
+    out.zero_pad_to_byte()
+    sec.zero_pad_to_byte()
+    out.extend(sec)
+    return out.to_bytes()
+
+
+
+
+def encode_jxl_vardct_420(
+    h: int,
+    w: int,
+    coeff: list,     # [y, x, b]-indexable: coeff[c] at each channel's res
+    lf_q: list,      # per-channel quantized LF at channel res
+    global_scale: int = 4096,
+) -> bytes:
+    """Synthesize a do_ycbcr 4:2:0 VarDCT codestream (jpeg_upsampling
+    (0, 1, 0): y full-res, x/b half-res) with all-DCT8 varblocks. Drives
+    the subsampled decode path (vardct staged pipeline + JPEG chroma
+    upsampling)."""
+    assert h <= 256 and w <= 256 and h % 16 == 0 and w % 16 == 0
+    bh, bw = h // 8, w // 8
+    shifts = jpeg_shifts((0, 1, 0))
+
+    out = BitWriter()
+    _write_image_header(out, h, w)
+    out.zero_pad_to_byte()
+    out.write_bool(False)  # not all_default
+    out.write(0, 2)  # regular frame
+    out.write(0, 1)  # VarDCT
+    _write_u64(out, 0x80)  # skip adaptive LF smoothing
+    out.write_bool(True)  # do_ycbcr
+    for ups in (0, 1, 0):
+        out.write(ups, 2)  # jpeg_upsampling
+    out.write_u32_sel(0, 0, 0)  # upsampling
+    out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    out.write_bool(False)  # have_crop
+    out.write_u32_sel(0, 0, 0)  # blending Replace
+    out.write_bool(True)  # is_last
+    out.write_u32_sel(0, 0, 0)  # name len 0
+    out.write_bool(False)  # restoration filter not default
+    out.write_bool(False)  # gabor off
+    out.write(0, 2)  # epf iters 0
+    out.write_u64_zero()
+    out.write_u64_zero()
+
+    sec = BitWriter()
+    sec.write_bool(True)  # lf_dequant all_default
+    if global_scale <= 2048:
+        sec.write(0, 2)
+        sec.write(global_scale - 1, 11)
+    else:
+        sec.write(1, 2)
+        sec.write(global_scale - 2049, 11)
+    sec.write(0, 2)  # quant_lf = 16
+    sec.write_bool(True)  # HfBlockContext default
+    sec.write_bool(True)  # LfChannelCorrelation all_default
+    sec.write_bool(False)  # no global MA tree
+
+    # LfCoeff: channels in (y, x, b) stream order at shifted sizes
+    sec.write(0, 2)  # extra_precision
+    _encode_local_modular(sec, [lf_q[1], lf_q[0], lf_q[2]])
+
+    # HfMetadata: full-res grids, all DCT8
+    nb_blocks = bh * bw
+    nbits = max(nb_blocks - 1, 0).bit_length()
+    sec.write(nb_blocks - 1, nbits)
+    w64, h64 = -(-w // 64), -(-h // 64)
+    _encode_local_modular(sec, [
+        np.zeros((h64, w64), dtype=np.int64),
+        np.zeros((h64, w64), dtype=np.int64),
+        np.zeros((2, nb_blocks), dtype=np.int64),
+        np.zeros((bh, bw), dtype=np.int64),
+    ])
+
+    sec.write_bool(True)  # dequant all_default
+    sec.write(2, 2)  # used_orders = 0
+    num_clusters_ctx = 495 * 15
+    hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+    hf_enc.write_header(sec)
+
+    order = natural_order(0)
+    tokens = []
+    for y in range(bh):
+        for x in range(bw):
+            for c in (1, 0, 2):
+                hs, vs = shifts[c]
+                sx, sy = x >> hs, y >> vs
+                if hs or vs:
+                    if (sx << hs) != x or (sy << vs) != y:
+                        continue
+                # DCT8 need_transpose: decoder writes [sy*8+dx, sx*8+dy]
+                # for order entry (dx, dy)
+                vals = [int(coeff[c][sy * 8 + dx_, sx * 8 + dy_])
+                        for (dx_, dy_) in order[1:]]
+                non_zeros = sum(1 for v in vals if v != 0)
+                tokens.append(non_zeros)
+                remaining = non_zeros
+                for v in vals:
+                    if remaining == 0:
+                        break
+                    tokens.append(_pack_signed(v))
+                    if v != 0:
+                        remaining -= 1
+    hf_enc.encode_tokens(sec, tokens)
+
+    out.write_bool(False)  # TOC not permuted
     out.zero_pad_to_byte()
     size = len(sec.to_bytes())
     if size < 1024:

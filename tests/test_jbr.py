@@ -268,3 +268,128 @@ def test_tail_data_preserved():
                             np.zeros((8, 8), np.int32), quant)
     jpeg = reconstruct_jpeg(jbrd, frame)
     assert jpeg.endswith(tail)
+
+
+def make_jbrd_box_color_420(markers, tail=b"") -> bytes:
+    """Craft a 3-component (YCbCr, 4:2:0) sequential jbrd header."""
+    w = BitWriter()
+    w.write_bool(False)  # is_gray = False
+    for m in markers:
+        w.write(m - 0xC0, 6)
+    w.write(1, 2)  # num_quant_tables - 1 = 1 (luma + chroma)
+    for idx, last in ((0, False), (1, True)):
+        w.write(0, 1)       # precision 0
+        w.write(idx, 2)     # table index
+        w.write_bool(last)
+    w.write(1, 2)  # comp_type = 1 -> ids [1, 2, 3]
+    for q_idx in (0, 1, 1):
+        w.write(q_idx, 2)
+    # num_huff = 4: U32(4, 2+u(3), ...) -> sel 1, u3 = 2
+    w.write(1, 2)
+    w.write(2, 3)
+    _write_huffman_code(w, False, 0, False, DC_COUNTS, DC_VALUES)
+    _write_huffman_code(w, True, 0, False, AC_COUNTS, AC_VALUES)
+    _write_huffman_code(w, False, 1, False, DC_COUNTS, DC_VALUES)
+    _write_huffman_code(w, True, 1, True, AC_COUNTS, AC_VALUES)
+    # ScanInfo: 3 comps, ss=0 se=63
+    w.write(2, 2)  # num_comps - 1
+    w.write(0, 6)
+    w.write(63, 6)
+    w.write(0, 4)
+    w.write(0, 4)
+    for comp, tbl in ((0, 0), (1, 1), (2, 1)):
+        w.write(comp, 2)
+        w.write(tbl, 2)  # ac table
+        w.write(tbl, 2)  # dc table
+    w.write(0, 2)  # last_needed_pass
+    w.write(0, 2)  # no reset points
+    w.write(0, 2)  # no extra zero runs
+    if len(tail) == 0:
+        w.write(0, 2)
+    else:
+        w.write(1, 2)
+        w.write(len(tail) - 1, 8)
+    w.write_bool(False)  # no padding bits
+    w.zero_pad_to_byte()
+    return w.to_bytes() + brotli_compress(tail)
+
+
+def test_reconstruct_color_420():
+    """Interleaved 4:2:0 MCU scan (2x2 luma + Cb + Cr per MCU,
+    reconstruct.rs MCU loop): libjpeg (PIL) must decode the result with
+    the expected per-block means."""
+    from PIL import Image
+
+    width = height = 32
+    quant = np.full((8, 8), 16, dtype=np.int32)
+    y_dc = np.array(
+        [[-2, 1, 4, -1], [3, 0, -4, 2], [1, 1, 0, -3], [2, -1, 3, 0]],
+        dtype=np.int32,
+    )
+    cb_dc = np.array([[4, -4], [2, -2]], dtype=np.int32)
+    cr_dc = np.array([[-3, 3], [-1, 1]], dtype=np.int32)
+
+    frame_header = types.SimpleNamespace(
+        encoding=Encoding.VARDCT,
+        do_ycbcr=True,
+        jpeg_upsampling=(0, 1, 0),  # y full, x/b half
+        flags=_Flags(),
+        width=width,
+        height=height,
+        lf_groups_per_row=1,
+        lf_group_dim=2048,
+    )
+    image_header = types.SimpleNamespace(
+        metadata=types.SimpleNamespace(xyb_encoded=False),
+        size=types.SimpleNamespace(width=width, height=height),
+    )
+    state = types.SimpleNamespace(
+        coeff_planes=[
+            np.zeros((16, 16), dtype=np.int32),  # x (Cb) half res
+            np.zeros((32, 32), dtype=np.int32),  # y full res
+            np.zeros((16, 16), dtype=np.int32),  # b (Cr)
+        ],
+        lf_quant_planes=[cb_dc, y_dc, cr_dc],
+        plane_shapes=[(16, 16), (32, 32), (16, 16)],
+        width_rounded=32,
+        height_rounded=32,
+        lf_groups={},
+        header=frame_header,
+    )
+    hf_global = types.SimpleNamespace(
+        dequant_matrices=types.SimpleNamespace(
+            jpeg_quant_values=[list(quant.ravel())] * 3
+        )
+    )
+    frame = types.SimpleNamespace(
+        header=frame_header,
+        image_header=image_header,
+        _vardct_state=state,
+        _hf_global=hf_global,
+    )
+
+    markers = [0xC0, 0xC4, 0xDB, 0xDA, 0xD9]
+    jbrd = JpegBitstreamData(make_jbrd_box_color_420(markers))
+    jpeg = reconstruct_jpeg(jbrd, frame)
+    img = Image.open(io.BytesIO(jpeg))
+    assert img.size == (32, 32)
+    ycc = np.asarray(img.convert("YCbCr"), dtype=np.float64)
+    for by in range(4):
+        for bx in range(4):
+            block = ycc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+            want = np.clip(y_dc[by, bx] * 16 / 8.0 + 128.0, 0, 255)
+            np.testing.assert_allclose(block.mean(), want, atol=2.0)
+    for by in range(2):
+        for bx in range(2):
+            cb = ycc[by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16, 1]
+            cr = ycc[by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16, 2]
+            np.testing.assert_allclose(
+                cb.mean(),
+                np.clip(cb_dc[by, bx] * 16 / 8.0 + 128.0, 0, 255),
+                atol=3.0,
+            )
+            np.testing.assert_allclose(
+                cr.mean(),
+                np.clip(cr_dc[by, bx] * 16 / 8.0 + 128.0, 0, 255),
+                atol=3.0,
+            )

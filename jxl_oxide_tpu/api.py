@@ -502,20 +502,27 @@ class JxlImage:
         )
         return self._postprocess(kf, crop=self._image_region)
 
+    _ct_cache: dict = {}
+
     def _cached_transform(self, source, target, meta):
         """Memoized ColorTransform (reference caches it on RenderContext,
-        render/lib.rs:57): keeps the jitted op-list program warm across
-        renders/frames."""
-        key = (repr(source), repr(target))
-        cached = getattr(self, "_ct_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        from .color.convert import ColorTransform
-
-        tr = ColorTransform.build(
-            source, target, meta.opsin_inverse_matrix, meta.tone_mapping
+        render/lib.rs:57). Process-wide: the jitted op-list program stays
+        warm across images with the same encoding pair, not just across
+        renders of one image."""
+        key = (
+            repr(source), repr(target),
+            repr(meta.opsin_inverse_matrix), repr(meta.tone_mapping),
         )
-        self._ct_cache = (key, tr)
+        tr = JxlImage._ct_cache.get(key)
+        if tr is None:
+            from .color.convert import ColorTransform
+
+            tr = ColorTransform.build(
+                source, target, meta.opsin_inverse_matrix, meta.tone_mapping
+            )
+            if len(JxlImage._ct_cache) > 64:
+                JxlImage._ct_cache.clear()
+            JxlImage._ct_cache[key] = tr
         return tr
 
     @traced("Transform to requested color encoding")

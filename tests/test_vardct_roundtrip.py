@@ -498,3 +498,87 @@ def test_ycbcr_420_end_to_end():
     rr, gg, bb = ycbcr_to_rgb(chans[0], chans[1], chans[2])
     want = np.stack([np.asarray(rr), np.asarray(gg), np.asarray(bb)])
     np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_raw_dequant_matrix_and_jpeg_quant_detection():
+    """Raw (modular-coded) dequant matrix encoding (dequant.rs mode 7):
+    decode uses value * denominator, and denominator 1/2040 populates
+    jpeg_quant_values for JPEG reconstruction."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_mixed
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.headers.image import OpsinInverseMatrix
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+    from jxl_oxide_tpu.ops.dct import idct2d
+
+    h = w = 16
+    sel_grid = np.zeros((2, 2), dtype=np.int64)  # all DCT8
+    mul_grid = np.ones((2, 2), dtype=np.int64)
+    rng = np.random.default_rng(61)
+    coeff = np.zeros((3, 16, 16), dtype=np.int64)
+    m = rng.random((3, 16, 16)) < 0.2
+    coeff[m] = rng.integers(-9, 10, int(m.sum()))
+    lf_q = rng.integers(-20, 20, (3, 2, 2))
+    qmat = rng.integers(8, 64, (3, 8, 8))
+    denom = 1.0 / 2040.0
+    gs = 4096
+    data = encode_jxl_vardct_mixed(
+        h, w, sel_grid, mul_grid, coeff, lf_q, gs,
+        raw_dct8=(denom, qmat),
+    )
+    img = JxlImage.from_bytes(data)
+    r = img.render_frame(0)
+    got = np.stack([np.asarray(p) for p in r.planes])
+
+    # jpeg quant values detected (raster order of the raw matrix)
+    hf_global = img._frames[0]._hf_global
+    assert hf_global.dequant_matrices.jpeg_quant_values is not None
+    for c in range(3):
+        assert hf_global.dequant_matrices.jpeg_quant_values[c] == list(
+            qmat[c].ravel()
+        )
+
+    # independent reconstruction with matrix = qmat * denom
+    opsin = OpsinInverseMatrix()
+    qb = np.asarray(opsin.quant_bias, dtype=np.float64)
+    qbn = opsin.quant_bias_numerator
+    denom16 = float(np.float16(denom))
+    m_lf = (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)
+    want = np.zeros((3, h, w))
+    for by in range(2):
+        for bx in range(2):
+            q = coeff[:, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            )
+            for c in range(3):
+                mat = (qmat[c] * denom16).T  # need_transpose(DCT8)
+                safe = np.where(q[c] == 0, 1.0, q[c])
+                biased = np.where(
+                    np.abs(q[c]) <= 1.0, q[c] * qb[c], q[c] - qbn / safe
+                )
+                deq = biased * mat * (65536.0 / gs)
+                if c == 2:
+                    pass  # b CfL added after all channels below
+                q[c] = deq
+            q[0] += 0.0 * q[1]
+            q[2] += 1.0 * q[1]
+            for c in range(3):
+                blk = q[c].copy()
+                blk[0, 0] = lf_q[c, by, bx] * (m_lf[c] * 512.0 / (gs * 16))
+                if c == 0:
+                    blk[0, 0] += 0.0 * (
+                        lf_q[1, by, bx] * (m_lf[1] * 512.0 / (gs * 16))
+                    )
+                if c == 2:
+                    blk[0, 0] = (
+                        lf_q[2, by, bx] * (m_lf[2] * 512.0 / (gs * 16))
+                        + lf_q[1, by, bx] * (m_lf[1] * 512.0 / (gs * 16))
+                    )
+                want[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct2d(
+                    blk.astype(np.float32)
+                )
+    np.testing.assert_allclose(got, want, atol=2e-4)

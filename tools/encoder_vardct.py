@@ -419,6 +419,7 @@ def encode_jxl_vardct_mixed(
     coeff: np.ndarray,      # [3, bh*8, bw*8] int, stored (decoder) layout
     lf_q: np.ndarray,       # [3, bh, bw] int quantized LF
     global_scale: int = 4096,
+    raw_dct8: tuple | None = None,  # (denominator, int matrix [3, 8, 8])
 ) -> bytes:
     """Synthesize a single-group VarDCT codestream with an explicit
     varblock layout (any of the 27 transform types). Coefficients are
@@ -490,8 +491,17 @@ def encode_jxl_vardct_mixed(
     sharpness = np.zeros((bh, bw), dtype=np.int64)
     _encode_local_modular(sec, [x_from_y, b_from_y, block_info, sharpness])
 
-    # HfGlobal: default matrices, 1 preset, 1 HfPass with natural orders
-    sec.write_bool(True)  # dequant all_default
+    # HfGlobal: dequant matrices, 1 preset, 1 HfPass with natural orders
+    if raw_dct8 is None:
+        sec.write_bool(True)  # dequant all_default
+    else:
+        denominator, raw_vals = raw_dct8
+        sec.write_bool(False)
+        sec.write(7, 3)  # encoding mode 7: Raw (modular-coded)
+        sec.write(int(np.float16(denominator).view(np.uint16)), 16)
+        _encode_local_modular(sec, [np.asarray(raw_vals[c]) for c in range(3)])
+        for _ in range(16):
+            sec.write(0, 3)  # library defaults
     sec.write(2, 2)  # used_orders = 0
     num_clusters_ctx = 495 * 15
     hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)

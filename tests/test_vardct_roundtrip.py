@@ -582,3 +582,41 @@ def test_raw_dequant_matrix_and_jpeg_quant_detection():
                     blk.astype(np.float32)
                 )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_custom_hf_block_context():
+    """Non-default HfBlockContext (lf/qf thresholds + entropy-coded
+    cluster map, jxl-vardct lf.rs:59-116): context classification must not
+    desync the coefficient decode."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_mixed
+
+    from jxl_oxide_tpu import JxlImage
+
+    h = w = 32
+    sel_grid = np.zeros((4, 4), dtype=np.int64)
+    mul_grid = np.ones((4, 4), dtype=np.int64)
+    mul_grid[1:, 1:] = 5  # cross the qf threshold
+    rng = np.random.default_rng(67)
+    coeff = np.zeros((3, 32, 32), dtype=np.int64)
+    m = rng.random((3, 32, 32)) < 0.15
+    coeff[m] = rng.integers(-8, 9, int(m.sum()))
+    lf_q = rng.integers(-25, 25, (3, 4, 4))
+
+    base = encode_jxl_vardct_mixed(
+        h, w, sel_grid, mul_grid, coeff, lf_q,
+    )
+    custom = encode_jxl_vardct_mixed(
+        h, w, sel_grid, mul_grid, coeff, lf_q,
+        hf_block_ctx=([3], ((0,), (-5, 5), ())),
+    )
+    assert custom != base
+    p1 = [np.asarray(p)
+          for p in JxlImage.from_bytes(base).render_frame(0).planes]
+    p2 = [np.asarray(p)
+          for p in JxlImage.from_bytes(custom).render_frame(0).planes]
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)

@@ -420,6 +420,7 @@ def encode_jxl_vardct_mixed(
     lf_q: np.ndarray,       # [3, bh, bw] int quantized LF
     global_scale: int = 4096,
     raw_dct8: tuple | None = None,  # (denominator, int matrix [3, 8, 8])
+    hf_block_ctx: tuple | None = None,  # (qf_thresholds, lf_thresholds)
 ) -> bytes:
     """Synthesize a single-group VarDCT codestream with an explicit
     varblock layout (any of the 27 transform types). Coefficients are
@@ -463,7 +464,36 @@ def encode_jxl_vardct_mixed(
         sec.write(2, 2)
         sec.write(global_scale - 4097, 12)
     sec.write(0, 2)  # quant_lf = 16 (selector 0)
-    sec.write_bool(True)  # HfBlockContext default
+    if hf_block_ctx is None:
+        sec.write_bool(True)  # HfBlockContext default
+        num_block_clusters = 15
+    else:
+        qf_thr, lf_thr = hf_block_ctx
+        sec.write_bool(False)
+        for c in range(3):
+            thr = lf_thr[c]
+            sec.write(len(thr), 4)
+            for t in thr:
+                pv = _pack_signed(int(t))
+                if pv < 16:
+                    sec.write(0, 2)
+                    sec.write(pv, 4)
+                else:
+                    sec.write(1, 2)
+                    sec.write(pv - 16, 8)
+        sec.write(len(qf_thr), 4)
+        for t in qf_thr:
+            v = int(t) - 1
+            if v < 4:
+                sec.write(0, 2)
+                sec.write(v, 2)
+            else:
+                sec.write(1, 2)
+                sec.write(v - 4, 3)
+        # cluster map: simple, nbits = 0 -> every context -> cluster 0
+        sec.write_bool(True)
+        sec.write(0, 2)
+        num_block_clusters = 1
     sec.write_bool(True)  # LfChannelCorrelation all_default
     sec.write_bool(False)  # no global MA tree
 
@@ -503,7 +533,7 @@ def encode_jxl_vardct_mixed(
         for _ in range(16):
             sec.write(0, 3)  # library defaults
     sec.write(2, 2)  # used_orders = 0
-    num_clusters_ctx = 495 * 15
+    num_clusters_ctx = 495 * num_block_clusters
     hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
     hf_enc.write_header(sec)
 

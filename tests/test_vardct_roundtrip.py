@@ -620,3 +620,39 @@ def test_custom_hf_block_context():
           for p in JxlImage.from_bytes(custom).render_frame(0).planes]
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_custom_coefficient_order():
+    """Lehmer-permuted HF coefficient orders (hf_pass.rs:26-95 +
+    permutation.rs): a shuffled DCT8 order round-trips."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_mixed
+
+    from jxl_oxide_tpu import JxlImage
+
+    h = w = 16
+    sel_grid = np.zeros((2, 2), dtype=np.int64)
+    mul_grid = np.ones((2, 2), dtype=np.int64)
+    rng = np.random.default_rng(71)
+    coeff = np.zeros((3, 16, 16), dtype=np.int64)
+    m = rng.random((3, 16, 16)) < 0.3
+    coeff[m] = rng.integers(-7, 8, int(m.sum()))
+    lf_q = rng.integers(-15, 15, (3, 2, 2))
+
+    base = encode_jxl_vardct_mixed(h, w, sel_grid, mul_grid, coeff, lf_q)
+    # permute: keep position 0 (DC slot), shuffle the rest
+    perm = [0] + list(1 + rng.permutation(63))
+    shuffled = encode_jxl_vardct_mixed(
+        h, w, sel_grid, mul_grid, coeff, lf_q,
+        custom_orders={0: perm},
+    )
+    assert shuffled != base
+    p1 = [np.asarray(p)
+          for p in JxlImage.from_bytes(base).render_frame(0).planes]
+    p2 = [np.asarray(p)
+          for p in JxlImage.from_bytes(shuffled).render_frame(0).planes]
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)

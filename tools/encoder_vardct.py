@@ -421,6 +421,7 @@ def encode_jxl_vardct_mixed(
     global_scale: int = 4096,
     raw_dct8: tuple | None = None,  # (denominator, int matrix [3, 8, 8])
     hf_block_ctx: tuple | None = None,  # (qf_thresholds, lf_thresholds)
+    custom_orders: dict | None = None,  # {order_id: perm over natural order}
 ) -> bytes:
     """Synthesize a single-group VarDCT codestream with an explicit
     varblock layout (any of the 27 transform types). Coefficients are
@@ -532,7 +533,32 @@ def encode_jxl_vardct_mixed(
         _encode_local_modular(sec, [np.asarray(raw_vals[c]) for c in range(3)])
         for _ in range(16):
             sec.write(0, 3)  # library defaults
-    sec.write(2, 2)  # used_orders = 0
+    if custom_orders is None:
+        sec.write(2, 2)  # used_orders = 0
+    else:
+        mask = 0
+        for oid in custom_orders:
+            mask |= 1 << oid
+        sec.write(3, 2)  # used_orders selector 3: u(13)
+        sec.write(mask, 13)
+        perm_enc = AnsStreamEncoder(8, 64, 6, DEFAULT_CFG)
+        perm_enc.write_header(sec)
+        toks = []
+        for oid in range(13):
+            if not (mask & (1 << oid)):
+                continue
+            perm = list(custom_orders[oid])
+            size = len(perm)
+            skip = size // 64
+            for _c in range(3):
+                # Lehmer: end count + codes (permutation.rs:4-43)
+                toks.append(size - skip)
+                temp = list(range(skip, size))
+                for target in perm[skip:]:
+                    v = temp.index(target)
+                    toks.append(v)
+                    temp.pop(v)
+        perm_enc.encode_tokens(sec, toks)
     num_clusters_ctx = 495 * num_block_clusters
     hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
     hf_enc.write_header(sec)
@@ -543,7 +569,11 @@ def encode_jxl_vardct_mixed(
         w8, h8 = TransformType.SELECT_SIZE[sel]
         num_blocks = w8 * h8
         order_id = TransformType.ORDER_ID[sel]
-        order = natural_order(order_id)
+        nat = natural_order(order_id)
+        if custom_orders is not None and order_id in custom_orders:
+            order = [nat[i] for i in custom_orders[order_id]]
+        else:
+            order = nat
         transpose = TransformType.need_transpose(sel)
         for c in (1, 0, 2):
             vals = []

@@ -656,3 +656,82 @@ def test_custom_coefficient_order():
           for p in JxlImage.from_bytes(shuffled).render_frame(0).planes]
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_custom_cfl_correlations():
+    """Non-default LfChannelCorrelation + per-64x64 CfL grids (lf.rs:94-111,
+    hf_metadata x_from_y/b_from_y): kx/kb = base + grid/colour_factor
+    applied to both LF and HF."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_mixed
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.headers.image import OpsinInverseMatrix
+    from jxl_oxide_tpu.models.vardct import DequantMatrixSet, TransformType as T
+    from jxl_oxide_tpu.ops.dct import idct2d
+
+    h = w = 64  # one 64x64 CfL tile
+    bh = bw = 8
+    rng = np.random.default_rng(73)
+    coeff = np.zeros((3, 64, 64), dtype=np.int64)
+    m = rng.random((3, 64, 64)) < 0.15
+    coeff[m] = rng.integers(-8, 9, int(m.sum()))
+    lf_q = rng.integers(-20, 20, (3, bh, bw))
+    cf, base_x, base_b = 100, 0.25, -0.5
+    xf_lf, bf_lf = 150, 100
+    xg = np.array([[30]])
+    bg = np.array([[-20]])
+    gs = 4096
+    data = encode_jxl_vardct_mixed(
+        h, w, np.zeros((bh, bw), dtype=np.int64),
+        np.ones((bh, bw), dtype=np.int64), coeff, lf_q, gs,
+        lf_chan_corr=(cf, base_x, base_b, xf_lf, bf_lf),
+        cfl_grids=(xg, bg),
+    )
+    got = np.stack([
+        np.asarray(p)
+        for p in JxlImage.from_bytes(data).render_frame(0).planes
+    ])
+
+    base_x16 = float(np.float16(base_x))
+    base_b16 = float(np.float16(base_b))
+    # HF CfL uses the per-tile grids; LF CfL uses x/b_factor_lf
+    kx_hf = base_x16 + 30 / cf
+    kb_hf = base_b16 + (-20) / cf
+    kx_lf = base_x16 + (150 - 128) / cf
+    kb_lf = base_b16 + (100 - 128) / cf
+
+    opsin = OpsinInverseMatrix()
+    qb = np.asarray(opsin.quant_bias, dtype=np.float64)
+    qbn = opsin.quant_bias_numerator
+    dms = DequantMatrixSet.default()
+    m_lf = (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)
+    lf = np.stack([lf_q[c] * (m_lf[c] * 512.0 / (gs * 16)) for c in range(3)])
+    lf = np.stack([lf[0] + kx_lf * lf[1], lf[1], lf[2] + kb_lf * lf[1]])
+    want = np.zeros((3, h, w))
+    for by in range(bh):
+        for bx in range(bw):
+            q = coeff[:, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            )
+            deq = np.zeros_like(q)
+            for c in range(3):
+                mat = dms.get(c, T.DCT8, True)
+                safe = np.where(q[c] == 0, 1.0, q[c])
+                biased = np.where(
+                    np.abs(q[c]) <= 1.0, q[c] * qb[c], q[c] - qbn / safe
+                )
+                deq[c] = biased * mat * (65536.0 / gs)
+            deq = np.stack([
+                deq[0] + kx_hf * deq[1], deq[1], deq[2] + kb_hf * deq[1],
+            ])
+            for c in range(3):
+                blk = deq[c].copy()
+                blk[0, 0] = lf[c, by, bx]
+                want[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct2d(
+                    blk.astype(np.float32)
+                )
+    np.testing.assert_allclose(got, want, atol=2e-4)

@@ -422,6 +422,8 @@ def encode_jxl_vardct_mixed(
     raw_dct8: tuple | None = None,  # (denominator, int matrix [3, 8, 8])
     hf_block_ctx: tuple | None = None,  # (qf_thresholds, lf_thresholds)
     custom_orders: dict | None = None,  # {order_id: perm over natural order}
+    lf_chan_corr: tuple | None = None,  # (cf, base_x, base_b, xf_lf, bf_lf)
+    cfl_grids: tuple | None = None,     # (x_from_y, b_from_y) int grids
 ) -> bytes:
     """Synthesize a single-group VarDCT codestream with an explicit
     varblock layout (any of the 27 transform types). Coefficients are
@@ -495,7 +497,22 @@ def encode_jxl_vardct_mixed(
         sec.write_bool(True)
         sec.write(0, 2)
         num_block_clusters = 1
-    sec.write_bool(True)  # LfChannelCorrelation all_default
+    if lf_chan_corr is None:
+        sec.write_bool(True)  # LfChannelCorrelation all_default
+    else:
+        cf, base_x, base_b, xf_lf, bf_lf = lf_chan_corr
+        sec.write_bool(False)
+        if cf == 84:
+            sec.write(0, 2)
+        elif cf == 256:
+            sec.write(1, 2)
+        else:
+            sec.write(2, 2)
+            sec.write(cf - 2, 8)
+        sec.write(int(np.float16(base_x).view(np.uint16)), 16)
+        sec.write(int(np.float16(base_b).view(np.uint16)), 16)
+        sec.write(xf_lf, 8)
+        sec.write(bf_lf, 8)
     sec.write_bool(False)  # no global MA tree
 
     # LfGroup: LfCoeff + HfMetadata
@@ -513,8 +530,13 @@ def encode_jxl_vardct_mixed(
     nbits = max(bh * bw - 1, 0).bit_length()
     sec.write(nb_blocks - 1, nbits)
     w64, h64 = -(-w // 64), -(-h // 64)
-    x_from_y = np.zeros((h64, w64), dtype=np.int64)
-    b_from_y = np.zeros((h64, w64), dtype=np.int64)
+    if cfl_grids is not None:
+        x_from_y = np.asarray(cfl_grids[0], dtype=np.int64)
+        b_from_y = np.asarray(cfl_grids[1], dtype=np.int64)
+        assert x_from_y.shape == (h64, w64)
+    else:
+        x_from_y = np.zeros((h64, w64), dtype=np.int64)
+        b_from_y = np.zeros((h64, w64), dtype=np.int64)
     block_info = np.zeros((2, nb_blocks), dtype=np.int64)
     for i, (_x, _y, sel, mul) in enumerate(varblocks):
         block_info[0, i] = sel

@@ -735,3 +735,37 @@ def test_custom_cfl_correlations():
                     blk.astype(np.float32)
                 )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_extra_precision_and_quant_lf():
+    """extra_precision scales LF dequant by 2^(9-ep) and quant_lf divides
+    the LF scale (lf.rs:118-182, copy_lf_dequant vardct/mod.rs:387-413)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_mixed
+
+    from jxl_oxide_tpu import JxlImage
+
+    h = w = 16
+    sel_grid = np.zeros((2, 2), dtype=np.int64)
+    mul_grid = np.ones((2, 2), dtype=np.int64)
+    coeff = np.zeros((3, 16, 16), dtype=np.int64)
+    lf_q = np.full((3, 2, 2), 8)
+    gs = 4096
+
+    def dc_mean(data):
+        r = JxlImage.from_bytes(data).render_frame(0)
+        return float(np.asarray(r.planes[1]).mean())
+
+    base = dc_mean(encode_jxl_vardct_mixed(
+        h, w, sel_grid, mul_grid, coeff, lf_q, gs))
+    # extra_precision=2: lf values carry 2 extra fraction bits -> /4
+    ep = dc_mean(encode_jxl_vardct_mixed(
+        h, w, sel_grid, mul_grid, coeff, lf_q, gs, extra_precision=2))
+    np.testing.assert_allclose(ep, base / 4.0, rtol=1e-5)
+    # quant_lf=32: LF scale halves
+    ql = dc_mean(encode_jxl_vardct_mixed(
+        h, w, sel_grid, mul_grid, coeff, lf_q, gs, quant_lf=32))
+    np.testing.assert_allclose(ql, base / 2.0, rtol=1e-5)

@@ -424,6 +424,8 @@ def encode_jxl_vardct_mixed(
     custom_orders: dict | None = None,  # {order_id: perm over natural order}
     lf_chan_corr: tuple | None = None,  # (cf, base_x, base_b, xf_lf, bf_lf)
     cfl_grids: tuple | None = None,     # (x_from_y, b_from_y) int grids
+    extra_precision: int = 0,
+    quant_lf: int = 16,
 ) -> bytes:
     """Synthesize a single-group VarDCT codestream with an explicit
     varblock layout (any of the 27 transform types). Coefficients are
@@ -432,7 +434,6 @@ def encode_jxl_vardct_mixed(
     assert h <= 256 and w <= 256
     bh, bw = -(-h // 8), -(-w // 8)
     assert sel_grid.shape == (bh, bw)
-    quant_lf = 16
 
     out = BitWriter()
     _write_image_header(out, h, w)
@@ -466,7 +467,15 @@ def encode_jxl_vardct_mixed(
     else:
         sec.write(2, 2)
         sec.write(global_scale - 4097, 12)
-    sec.write(0, 2)  # quant_lf = 16 (selector 0)
+    # quant_lf U32(16, 1+u(5), 1+u(8), 1+u(16))
+    if quant_lf == 16:
+        sec.write(0, 2)
+    elif quant_lf <= 32:
+        sec.write(1, 2)
+        sec.write(quant_lf - 1, 5)
+    else:
+        sec.write(2, 2)
+        sec.write(quant_lf - 1, 8)
     if hf_block_ctx is None:
         sec.write_bool(True)  # HfBlockContext default
         num_block_clusters = 15
@@ -516,7 +525,7 @@ def encode_jxl_vardct_mixed(
     sec.write_bool(False)  # no global MA tree
 
     # LfGroup: LfCoeff + HfMetadata
-    sec.write(0, 2)  # extra_precision = 0
+    sec.write(extra_precision, 2)
     _encode_local_modular(sec, [lf_q[1], lf_q[0], lf_q[2]])
 
     # varblock scan order (decoder origin scan): row-major origins

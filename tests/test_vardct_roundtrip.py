@@ -769,3 +769,33 @@ def test_extra_precision_and_quant_lf():
     ql = dc_mean(encode_jxl_vardct_mixed(
         h, w, sel_grid, mul_grid, coeff, lf_q, gs, quant_lf=32))
     np.testing.assert_allclose(ql, base / 2.0, rtol=1e-5)
+
+
+def test_xyb_vardct_roundtrip():
+    """xyb_encoded VarDCT (the flagship photo path): x/b_qm_scale dequant,
+    device XYB->linear-sRGB (xyb.rs:34-60 + opsin matrix) and the sRGB
+    transfer function. PSNR vs the source after a full encode/decode."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+
+    h = w = 128
+    rng = np.random.default_rng(81)
+    small = rng.uniform(0.1, 0.9, (h // 8 + 1, w // 8 + 1, 3)).astype(
+        np.float32
+    )
+    img = np.kron(small, np.ones((8, 8, 1), dtype=np.float32))[:h, :w]
+    for xq, bq in ((3, 2), (4, 3)):
+        data = encode_jxl_vardct(
+            img, global_scale=2048, xyb=True, x_qm_scale=xq, b_qm_scale=bq,
+        )
+        jx = JxlImage.from_bytes(data)
+        assert jx.image_header.metadata.xyb_encoded
+        out = np.stack(jx.render_frame(0).image_planar(), -1)
+        mse = float(np.mean((out - img) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 38.0, (xq, bq, psnr)

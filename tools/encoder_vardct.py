@@ -74,6 +74,9 @@ def encode_jxl_vardct(
     lf_levels: int = 1,
     num_passes: int = 1,
     dct8_params: list | None = None,
+    xyb: bool = False,
+    x_qm_scale: int = 3,
+    b_qm_scale: int = 2,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -81,7 +84,24 @@ def encode_jxl_vardct(
     references it (flags.use_lf_frame)."""
     h, w, _ = rgb.shape
     out = BitWriter()
-    _write_image_header(out, h, w)
+    _write_image_header(out, h, w, xyb=xyb)
+    if xyb:
+        # forward XYB (inverse of xyb.rs:34-60 + opsin inverse matrix)
+        from jxl_oxide_tpu.ops.color import srgb_to_linear
+
+        oim = OpsinInverseMatrix()
+        inv = np.array(oim.inv_mat, dtype=np.float64).reshape(3, 3)
+        fwd = np.linalg.inv(inv)
+        ob = np.asarray(oim.opsin_bias, dtype=np.float64)
+        cbrt_ob = np.cbrt(ob)
+        lin = np.asarray(srgb_to_linear(rgb.astype(np.float32)), np.float64)
+        mix = np.einsum("ij,hwj->hwi", fwd, lin)
+        # out_c = (g_c^3 + ob_c) (itscale = 1) => g_c = cbrt(out_c - ob_c)
+        g = np.cbrt(mix - ob[None, None, :])
+        y_p = 0.5 * (g[..., 0] + g[..., 1]) + 0.5 * (cbrt_ob[0] + cbrt_ob[1])
+        x_p = 0.5 * (g[..., 0] - g[..., 1]) + 0.5 * (cbrt_ob[0] - cbrt_ob[1])
+        b_p = g[..., 2] + cbrt_ob[2]
+        rgb = np.stack([x_p, y_p, b_p], axis=-1).astype(np.float32)
     if use_lf_frame:
         def down8(img):
             ih, iw, _ = img.shape
@@ -107,11 +127,13 @@ def encode_jxl_vardct(
     else:
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
                      frame_kind="regular", num_passes=num_passes,
-                     dct8_params=dct8_params)
+                     dct8_params=dct8_params, xyb=xyb,
+                     x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale)
     return out.to_bytes()
 
 
-def _write_image_header(out: BitWriter, h: int, w: int) -> None:
+def _write_image_header(out: BitWriter, h: int, w: int,
+                        xyb: bool = False) -> None:
     out.write(0x0AFF, 16)
     out.write_bool(False)
     _write_size_u32(out, h)
@@ -122,7 +144,7 @@ def _write_image_header(out: BitWriter, h: int, w: int) -> None:
     _write_bit_depth(out, 8)
     out.write_bool(True)  # modular_16bit_buffers
     out.write_u32_sel(0, 0, 0)  # num_extra = 0
-    out.write_bool(False)  # xyb_encoded = false
+    out.write_bool(xyb)  # xyb_encoded
     out.write_bool(True)  # colour_encoding all_default (sRGB)
     out.write_u64_zero()  # extensions
     out.write_bool(True)  # default_m
@@ -141,6 +163,9 @@ def _write_frame(
     num_passes: int = 1,
     pass_shift: int = 2,
     dct8_params: list | None = None,
+    xyb: bool = False,
+    x_qm_scale: int = 3,
+    b_qm_scale: int = 2,
 ) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
@@ -176,6 +201,9 @@ def _write_frame(
     lf_dequant = (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)
 
     hf_mul = 1
+    qm = [0.8 ** (x_qm_scale - 2) if xyb else 1.0,
+          1.0,
+          0.8 ** (b_qm_scale - 2) if xyb else 1.0]
     scale_inv = global_scale * quant_lf
     lf_scales = [m * 512.0 / scale_inv for m in lf_dequant]
     # forward DCT of every block, per channel: F[c][by, bx, 8, 8] (stored
@@ -196,7 +224,7 @@ def _write_frame(
     # HF quantization. Decoder: bias(q) * matrix_tr * mul -> CfL -> IDCT.
     def dequant(q, c):
         matrix = dms.get(c, TransformType.DCT8, transposed=True)
-        mul = 65536.0 / (global_scale * hf_mul)
+        mul = 65536.0 / (global_scale * hf_mul) * qm[c]
         qf = q.astype(np.float64)
         biased = np.where(
             np.abs(qf) <= 1.0, qf * qb[c], qf - qbn / np.where(qf == 0, 1, qf)
@@ -206,7 +234,7 @@ def _write_frame(
     q = np.zeros((3, bh, bw, 8, 8), dtype=np.int64)
     for c in (1, 0, 2):
         matrix = dms.get(c, TransformType.DCT8, transposed=True)
-        mul = 65536.0 / (global_scale * hf_mul)
+        mul = 65536.0 / (global_scale * hf_mul) * qm[c]
         target = F[c].astype(np.float64)
         if c == 2:
             target = target - dequant(q[1], 1)  # kb = 1: subtract y plane
@@ -225,9 +253,13 @@ def _write_frame(
     out.write(1 if is_lf else 0, 2)  # frame_type
     out.write(0, 1)  # encoding = VarDCT
     _write_u64(out, 0xA0 if use_lf else 0x80)  # skip_alf (+use_lf_frame)
-    out.write_bool(False)  # do_ycbcr
+    if not xyb:
+        out.write_bool(False)  # do_ycbcr (absent when xyb_encoded)
     if not use_lf:
         out.write_u32_sel(0, 0, 0)  # upsampling = 1
+    if xyb:
+        out.write(x_qm_scale, 3)
+        out.write(b_qm_scale, 3)
     if num_passes == 1:
         out.write_u32_sel(0, 0, 0)  # num_passes = 1
     else:

@@ -117,3 +117,41 @@ def test_ma_tree_decision_nodes():
         np.asarray(JxlImage.from_bytes(data).render_frame(0).planes[0]) * 255
     ).astype(np.int64)
     np.testing.assert_array_equal(got, target)
+
+
+def test_modular_xyb_decode():
+    """xyb_encoded Modular: stream order [y, x, b], b += y, m/128 scaling
+    (convert_modular_xyb, jxl-render image.rs:148-188), then the device
+    XYB->sRGB transform."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.headers.image import OpsinInverseMatrix
+    from jxl_oxide_tpu.ops.color import (
+        apply_matrix3, linear_to_srgb, xyb_to_mixed_lms,
+    )
+
+    rng = np.random.default_rng(83)
+    # y plane with small x/b deviations (realistic xyb magnitudes)
+    y_ch = rng.integers(60, 200, (12, 16))
+    x_ch = rng.integers(-6, 7, (12, 16))
+    b_ch = rng.integers(-10, 11, (12, 16)) + y_ch  # stored b has y added?
+    b_stored = b_ch - y_ch  # decoder adds y back
+    data = encode_jxl_modular(
+        [y_ch, x_ch, b_stored], bit_depth=8, grayscale=False, xyb=True,
+    )
+    jx = JxlImage.from_bytes(data)
+    assert jx.image_header.metadata.xyb_encoded
+    out = np.stack(jx.render_frame(0).image_planar(), -1)
+
+    m = [v / 128.0 for v in (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)]
+    xf = (x_ch * m[0]).astype(np.float32)
+    yf = (y_ch * m[1]).astype(np.float32)
+    bf = (b_ch * m[2]).astype(np.float32)
+    oim = OpsinInverseMatrix()
+    l_, m_, s_ = xyb_to_mixed_lms(xf, yf, bf, oim.opsin_bias, 255.0)
+    r, g, b = apply_matrix3(l_, m_, s_, np.array(oim.inv_mat))
+    want = np.stack([
+        np.asarray(linear_to_srgb(c)) for c in (r, g, b)
+    ], -1)
+    np.testing.assert_allclose(out, want, atol=1e-5)

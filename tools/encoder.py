@@ -420,6 +420,7 @@ def encode_jxl_modular(
     gabor: bool = False,
     epf_iters: int = 0,
     toc_permutation: list | None = None,
+    xyb: bool = False,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -493,7 +494,7 @@ def encode_jxl_modular(
         out.write_u32_sel(0, 0, 0)  # name len 0
         for v in spot_colour:  # (r, g, b, solidity) f16s
             out.write(int(np.float16(v).view(np.uint16)), 16)
-    out.write_bool(False)  # xyb_encoded = false
+    out.write_bool(xyb)  # xyb_encoded
     # colour_encoding
     if grayscale:
         out.write_bool(False)  # not all_default
@@ -534,7 +535,8 @@ def encode_jxl_modular(
         else:
             out.write(1, 2)  # U64 selector: 1 + u(4)
             out.write(flags - 1, 4)
-        out.write_bool(False)  # do_ycbcr (xyb false -> read)
+        if not xyb:
+            out.write_bool(False)  # do_ycbcr (absent when xyb_encoded)
         out.write({1: 0, 2: 1, 4: 2, 8: 3}[upsampling], 2)  # upsampling
         for _ in range(num_extra):
             out.write_u32_sel(0, 0, 0)  # ec_upsampling = 1

@@ -29,7 +29,9 @@ def _bench_end_to_end():
     rng = np.random.default_rng(0)
     small = rng.random((h // 8 + 1, w // 8 + 1, 3)).astype(np.float32)
     img = np.kron(small, np.ones((8, 8, 1), dtype=np.float32))[:h, :w]
-    data = encode_jxl_vardct(np.clip(img, 0, 1), global_scale=4096)
+    # xyb_encoded: the flagship photo path, including the device-side
+    # XYB -> sRGB color transform and u8 quantization
+    data = encode_jxl_vardct(np.clip(img, 0, 1), global_scale=4096, xyb=True)
 
     def decode_once():
         # full public path: bytes -> header -> entropy decode -> fused

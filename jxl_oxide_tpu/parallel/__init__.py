@@ -1,10 +1,36 @@
 """Multi-chip decode parallelism: meshes, halo exchange, sharded pipeline.
 
-The reference is single-host shared-memory (rayon, SURVEY.md §2.5); the TPU
-equivalent shards the pixel grid across a device mesh and exchanges tile
-halos over ICI (SURVEY.md §2.16 P1/P7). See sharded.py.
+The reference is single-host shared-memory (rayon, SURVEY.md 2.5); the TPU
+equivalent re-expresses each of its parallelism axes (SURVEY.md 2.16):
+
+- P1/P2 (group/LF-group data parallelism): host-side, one thread per TOC
+  section (render/frame.py, render/vardct.py); device-side, the pixel grid
+  shards across a mesh (sharded.py).
+- P3 (frame pipelining): decodes of independent images/frames overlap --
+  the host entropy stage of one runs while device work and transfers of
+  others are in flight (jax async dispatch; see bench.py's pipelined
+  throughput). Within one animation, frames are sequential by blending
+  dependency, as in the reference's handle graph.
+- P4 (channel parallelism): vmapped/stacked channel axes in the fused
+  pipeline (ops/vardct_pipeline.py).
+- P5 (SIMD): XLA VPU/MXU vectorization + hand-written Pallas kernels
+  (ops/pallas/).
+- P6 (progressive passes): sequential on-device accumulation.
+- P7 (halo exchange): 1px gaborish / 3px EPF halos travel over ICI via
+  lax.ppermute (halo_exchange_rows); the 2-D hosts x chips mesh keeps
+  most exchanges on ICI, crossing DCN only at host-band borders.
 """
 
-from .sharded import decode_mesh, halo_exchange_rows, sharded_vardct_pipeline
+from .sharded import (
+    decode_mesh,
+    decode_mesh_multihost,
+    halo_exchange_rows,
+    sharded_vardct_pipeline,
+)
 
-__all__ = ["decode_mesh", "halo_exchange_rows", "sharded_vardct_pipeline"]
+__all__ = [
+    "decode_mesh",
+    "decode_mesh_multihost",
+    "halo_exchange_rows",
+    "sharded_vardct_pipeline",
+]

@@ -174,3 +174,40 @@ def test_lz77_special_distances():
         want.append(want[src])
         src += 1
     assert vals == want
+
+
+def test_prefix_code_stream():
+    """Brotli-style prefix-code path (prefix.rs simple form): 2-symbol
+    1-bit canonical code, literal hybrid-uint tokens."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder import BitWriter
+
+    from jxl_oxide_tpu.coding.entropy import Decoder, add_log2_ceil
+    from jxl_oxide_tpu.io.bitstream import Bitstream
+
+    w = BitWriter()
+    w.write_bool(False)  # lz77 off
+    w.write_bool(True)   # use_prefix_code
+    w.write(15, add_log2_ceil(15))  # IntegerConfig: split_exponent = 15
+    # alphabet size 16: bool(True), n=3, 1+8+7 = 16
+    w.write_bool(True)
+    w.write(3, 4)
+    w.write(7, 3)
+    # PrefixHistogram: hskip=1 -> simple form, 2 symbols {5, 9}, 1 bit each
+    w.write(1, 2)
+    w.write(1, 2)  # nsym - 1
+    w.write(5, 4)
+    w.write(9, 4)
+    # canonical: symbol 5 -> bit 0, symbol 9 -> bit 1
+    for bit in (0, 1, 1, 0, 0, 1):
+        w.write(bit, 1)
+
+    bs = Bitstream(w.to_bytes())
+    dec = Decoder(bs, 1)
+    dec.begin(bs)
+    vals = [dec.read_varint(bs, 0) for _ in range(6)]
+    dec.finalize()
+    assert vals == [5, 9, 9, 5, 5, 9]

@@ -211,3 +211,28 @@ def test_prefix_code_stream():
     vals = [dec.read_varint(bs, 0) for _ in range(6)]
     dec.finalize()
     assert vals == [5, 9, 9, 5, 5, 9]
+
+
+def test_cluster_map_mtf():
+    """Entropy-coded cluster map with move-to-front (lib.rs:688-749)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder import AnsStreamEncoder, BitWriter, DEFAULT_CFG
+
+    from jxl_oxide_tpu.coding.entropy import read_clusters
+    from jxl_oxide_tpu.io.bitstream import Bitstream
+
+    w = BitWriter()
+    w.write_bool(False)  # not simple
+    w.write_bool(True)   # use_mtf
+    enc = AnsStreamEncoder(1, 32, 5, DEFAULT_CFG)
+    enc.write_header(w)
+    # desired clusters [0, 1, 0, 2] -> MTF tokens [0, 1, 1, 2]
+    enc.encode_tokens(w, [0, 1, 1, 2])
+
+    bs = Bitstream(w.to_bytes())
+    num_clusters, clusters = read_clusters(bs, 4)
+    assert clusters == [0, 1, 0, 2]
+    assert num_clusters == 3

@@ -236,3 +236,66 @@ def test_cluster_map_mtf():
     num_clusters, clusters = read_clusters(bs, 4)
     assert clusters == [0, 1, 0, 2]
     assert num_clusters == 3
+
+
+def test_ans_histogram_forms():
+    """ANS histogram encodings beyond 'evenly distributed' (ans.rs:48-178):
+    binary two-symbol, unary single-symbol, and the compressed form with
+    prefix-coded log counts and omitted max entry."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder import BitWriter
+
+    from jxl_oxide_tpu.coding.entropy import AnsHistogram
+    from jxl_oxide_tpu.io.bitstream import Bitstream
+
+    # binary: dist[2] = 1000, dist[5] = 3096
+    w = BitWriter()
+    w.write_bool(True)
+    w.write_bool(True)
+    for v in (2, 5):  # u8-coded symbols
+        w.write_bool(True)
+        n = v.bit_length() - 1
+        w.write(n, 3)
+        w.write(v - (1 << n), n)
+    w.write(1000, 12)
+    h = AnsHistogram(Bitstream(w.to_bytes()), 5)
+    assert h.dist[2] == 1000 and h.dist[5] == 4096 - 1000
+
+    # unary: all mass on symbol 3
+    w = BitWriter()
+    w.write_bool(True)
+    w.write_bool(False)
+    w.write_bool(True)
+    w.write(1, 3)
+    w.write(1, 1)  # u8-coded: 2 + 1 = 3
+    h = AnsHistogram(Bitstream(w.to_bytes()), 5)
+    assert h.dist[3] == 4096 and h.single_symbol == 3
+
+    # compressed: dist [1024, 512, 2048(omitted), 512], shift 13
+    w = BitWriter()
+    w.write_bool(False)
+    w.write_bool(False)
+    for _ in range(3):
+        w.write_bool(True)  # length = 3
+    w.write(6, 3)  # shift = 6 + 7 = 13
+    w.write_bool(True)  # alphabet_size - 3 = 1 (u8-coded)
+    w.write(0, 3)
+    # log-count codes (kLogCountLut inverse)
+    # c=11: 3-bit 1 then F,F,T ; c=10: 3-bit 0 ; c=12: 3-bit 1 then FFFF
+    w.write(1, 3); w.write_bool(False); w.write_bool(False); w.write_bool(True)
+    w.write(0, 3)
+    w.write(1, 3)
+    for _ in range(4):
+        w.write_bool(False)
+    w.write(0, 3)
+    # extra value bits follow per non-omitted entry in order:
+    # idx0 c=11 -> zeros=10, bitcount=10, value bits 0
+    # idx1 c=10 -> zeros=9, bits 0 ; idx3 same
+    w.write(0, 10)
+    w.write(0, 9)
+    w.write(0, 9)
+    h = AnsHistogram(Bitstream(w.to_bytes()), 5)
+    assert list(h.dist[:4]) == [1024, 512, 2048, 512], list(h.dist[:4])

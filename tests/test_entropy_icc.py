@@ -299,3 +299,42 @@ def test_ans_histogram_forms():
     w.write(0, 9)
     h = AnsHistogram(Bitstream(w.to_bytes()), 5)
     assert list(h.dist[:4]) == [1024, 512, 2048, 512], list(h.dist[:4])
+
+
+def test_prefix_code_complex_form():
+    """Complex prefix-code form (prefix.rs parse_complex): code-length
+    code with a single-symbol shortcut, flat 2-bit symbol code."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder import BitWriter
+
+    from jxl_oxide_tpu.coding.entropy import PrefixHistogram
+    from jxl_oxide_tpu.io.bitstream import Bitstream
+
+    def build(stream_bits):
+        w = BitWriter()
+        w.write(0, 2)  # hskip = 0 -> complex form
+        # code-length code: only cl-symbol '2' nonzero (single-symbol
+        # shortcut after scanning all 18 entries). Order starts (1, 2, ...)
+        w.write(0, 2)  # cl sym 1: length 0
+        w.write(3, 2)  # cl sym 2: extension
+        w.write_bool(True)
+        w.write_bool(True)  # -> length 5
+        for _ in range(16):
+            w.write(0, 2)  # remaining cl symbols: 0
+        # 4 symbol lengths, all '2', zero bits each (single-symbol cl code)
+        for b, n in stream_bits:
+            w.write(b, n)
+        return Bitstream(w.to_bytes())
+
+    bs = build([])
+    hist = PrefixHistogram.parse(bs, 4)
+    decoded = []
+    for b in range(4):
+        bs2 = build([(b, 2)])
+        PrefixHistogram.parse(bs2, 4)
+        decoded.append(hist.read_symbol(bs2))
+    assert sorted(decoded) == [0, 1, 2, 3]
+    assert decoded[0] == 0  # canonical: symbol 0 <- code 00

@@ -247,3 +247,145 @@ def test_all_predictors_against_reference_model():
             ) * 255
         ).astype(np.int64)
         np.testing.assert_array_equal(got, target, err_msg=f"predictor {p}")
+
+
+class _RefWp:
+    """Independent reimplementation of the self-correcting (weighted)
+    predictor from predictor.rs:136-443, used only as a test oracle."""
+
+    DIV = [0] + [(1 << 24) // i for i in range(1, 65)]
+    P1, P2 = 16, 10
+    P3 = (7, 7, 7, 0, 0)
+    W = (13, 12, 12, 12)
+
+    def __init__(self, width):
+        self.width = width
+        self.x = 0
+        self.te_row = [0] * width
+        self.se_row = [[0, 0, 0, 0] for _ in range(width)]
+        self.te_w = self.te_nw = self.te_n = self.te_ne = 0
+        self.se_nw_ww = [0, 0, 0, 0]
+        self.se_n_w = [0, 0, 0, 0]
+        self.se_ne = [0, 0, 0, 0]
+        self.y = 0
+
+    def predict(self, n, nw, ne, w, nn):
+        M = (1 << 32)
+        n3, nw3, ne3, w3, nn3 = (v << 3 for v in (n, nw, ne, w, nn))
+        p3a, p3b, p3c, p3d, p3e = self.P3
+        sub = [
+            w3 + ne3 - n3,
+            n3 - (((self.te_w + self.te_n + self.te_ne) * self.P1) >> 5),
+            w3 - (((self.te_w + self.te_n + self.te_nw) * self.P2) >> 5),
+            n3 - ((self.te_nw * p3a + self.te_n * p3b + self.te_ne * p3c
+                   + (nn3 - n3) * p3d + (nw3 - w3) * p3e) >> 5),
+        ]
+        se_sum = [
+            (self.se_nw_ww[i] + self.se_n_w[i] + self.se_ne[i]) % M
+            for i in range(4)
+        ]
+        weight = []
+        for s, maxw in zip(se_sum, self.W):
+            shift = max(((s + 1) >> 5), 1).bit_length() - 1
+            weight.append(4 + ((maxw * self.DIV[(s >> shift) + 1]) >> shift))
+        logw = (sum(weight) >> 4).bit_length() - 1
+        weight = [v >> logw for v in weight]
+        sw = sum(weight)
+        s = (sw >> 1) - 1
+        for sp, wv in zip(sub, weight):
+            s += sp * wv
+        pred = (s * self.DIV[sw]) >> 24
+        if ((self.te_n ^ self.te_w) | (self.te_n ^ self.te_nw)) <= 0:
+            pred = max(min(pred, max(n3, w3, ne3)), min(n3, w3, ne3))
+        self._sub = sub
+        self._pred = pred
+        return pred
+
+    def record(self, sample):
+        te = self._pred - (sample << 3)
+        se = [((abs(sp - (sample << 3)) + 3) >> 3) for sp in self._sub]
+        self.te_row[self.x] = te
+        self.se_row[self.x] = se
+        self.x += 1
+        if self.x >= self.width:
+            self.y += 1
+            self.x = 0
+            self.te_w = 0
+            self.te_n = self.te_row[0]
+            self.te_nw = self.te_n
+            self.se_n_w = list(self.se_row[0])
+            self.se_nw_ww = list(self.se_n_w)
+            if self.width <= 1:
+                self.te_ne = self.te_n
+                self.se_ne = list(self.se_n_w)
+            else:
+                self.te_ne = self.te_row[1]
+                self.se_ne = list(self.se_row[1])
+        else:
+            self.te_w = te
+            self.te_nw = self.te_n
+            self.te_n = self.te_ne
+            self.se_nw_ww = self.se_n_w
+            self.se_n_w = [a + b for a, b in zip(self.se_ne, se)]
+            if self.x + 1 >= self.width:
+                self.te_ne = self.te_n
+                self.se_ne = list(self.se_n_w)
+            elif self.y != 0:
+                self.te_ne = self.te_row[self.x + 1]
+                self.se_ne = list(self.se_row[self.x + 1])
+
+
+def test_weighted_predictor_against_reference_model():
+    """Predictor 6 (self-correcting / weighted, predictor.rs:136-443)
+    validated end-to-end against the independent oracle above."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    h, w = 8, 11
+    rng = np.random.default_rng(97)
+    target = rng.integers(0, 256, (h, w)).astype(np.int64)
+
+    def neighbors(img, y, x):
+        def row(r, c):
+            return int(img[r, c])
+
+        if y == 0 and x == 0:
+            wv = nv = nwv = 0
+        elif x == 0:
+            wv = nv = nwv = row(y - 1, 0)
+        elif y == 0:
+            wv = row(y, x - 1)
+            nv = nwv = wv
+        else:
+            wv = row(y, x - 1)
+            nv = row(y - 1, x)
+            nwv = row(y - 1, x - 1)
+        ne = row(y - 1, x + 1) if (y > 0 and x + 1 < w) else nv
+        nn = row(y - 2, x) if y >= 2 else nv
+        return wv, nv, nwv, ne, nn
+
+    wp = _RefWp(w)
+    toks = []
+
+    def pack(v):
+        return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+    for y in range(h):
+        for x in range(w):
+            W, N, NW, NE, NN = neighbors(target, y, x)
+            pred8 = wp.predict(N, NW, NE, W, NN)
+            pred = (pred8 + 3) >> 3
+            res = int(target[y, x]) - pred
+            toks.append(pack(res))
+            wp.record(int(target[y, x]))
+
+    tree_tokens = [0, 6, 0, 0, 0]  # single leaf, weighted predictor
+    data = encode_jxl_modular(
+        [target], bit_depth=8, grayscale=True,
+        custom_tree=(tree_tokens, 1, lambda _chans: toks),
+    )
+    got = np.round(
+        np.asarray(JxlImage.from_bytes(data).render_frame(0).planes[0]) * 255
+    ).astype(np.int64)
+    np.testing.assert_array_equal(got, target)

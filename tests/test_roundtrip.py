@@ -389,3 +389,112 @@ def test_weighted_predictor_against_reference_model():
         np.asarray(JxlImage.from_bytes(data).render_frame(0).planes[0]) * 255
     ).astype(np.int64)
     np.testing.assert_array_equal(got, target)
+
+
+def test_ma_tree_prev_channel_property():
+    """MA properties >= 16 reference previously-decoded channels
+    (ma.rs prev-channel refs; get_extra in modular_predict.py): channel 1
+    branches on channel 0's co-located value."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    h, w = 6, 8
+    rng = np.random.default_rng(101)
+    ch0 = rng.integers(0, 256, (h, w)).astype(np.int64)
+    ch1 = rng.integers(0, 256, (h, w)).astype(np.int64)
+    thresh = 128
+
+    def pack(v):
+        return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+    # prop 17 = previous channel value; > thresh -> leaf A (offset 50)
+    tree_tokens = [
+        18, pack(thresh),
+        0, 0, pack(50), 0, 0,   # leaf A: Zero + 50
+        0, 0, 0, 0, 0,          # leaf B: Zero
+    ]
+
+    def token_fn(channels):
+        toks = []
+        for ci, arr in enumerate(channels):
+            for y in range(h):
+                for x in range(w):
+                    prev = int(channels[ci - 1][y, x]) if ci > 0 else 0
+                    off = 50 if prev > thresh else 0
+                    toks.append(pack(int(arr[y, x]) - off))
+        return toks
+
+    data = encode_jxl_modular(
+        [ch0, ch1, ch0], bit_depth=8, grayscale=False,
+        custom_tree=(tree_tokens, 2, token_fn),
+    )
+    r = JxlImage.from_bytes(data).render_frame(0)
+    got = [np.round(np.asarray(p) * 255).astype(np.int64) for p in r.planes]
+    np.testing.assert_array_equal(got[0], ch0)
+    np.testing.assert_array_equal(got[1], ch1)
+    np.testing.assert_array_equal(got[2], ch0)
+
+
+def test_ma_tree_max_error_property():
+    """Property 15 (weighted-predictor max_error, predictor.rs:384-390)
+    drives tree decisions; validated against the independent WP oracle."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    h, w = 6, 9
+    rng = np.random.default_rng(103)
+    target = rng.integers(0, 256, (h, w)).astype(np.int64)
+
+    def pack(v):
+        return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+    # decision: max_error (prop 15) > 0 -> leaf A offset 9, else leaf B
+    tree_tokens = [
+        16, pack(0),
+        0, 0, pack(9), 0, 0,
+        0, 0, 0, 0, 0,
+    ]
+
+    def neighbors(img, y, x):
+        def row(r, c):
+            return int(img[r, c])
+
+        if y == 0 and x == 0:
+            wv = nv = nwv = 0
+        elif x == 0:
+            wv = nv = nwv = row(y - 1, 0)
+        elif y == 0:
+            wv = row(y, x - 1)
+            nv = nwv = wv
+        else:
+            wv = row(y, x - 1)
+            nv = row(y - 1, x)
+            nwv = row(y - 1, x - 1)
+        ne = row(y - 1, x + 1) if (y > 0 and x + 1 < w) else nv
+        nn = row(y - 2, x) if y >= 2 else nv
+        return wv, nv, nwv, ne, nn
+
+    wp = _RefWp(w)
+    toks = []
+    for y in range(h):
+        for x in range(w):
+            max_err = wp.te_w
+            for e in (wp.te_n, wp.te_nw, wp.te_ne):
+                if abs(e) > abs(max_err):
+                    max_err = e
+            W, N, NW, NE, NN = neighbors(target, y, x)
+            wp.predict(N, NW, NE, W, NN)
+            off = 9 if max_err > 0 else 0
+            toks.append(pack(int(target[y, x]) - off))
+            wp.record(int(target[y, x]))
+
+    data = encode_jxl_modular(
+        [target], bit_depth=8, grayscale=True,
+        custom_tree=(tree_tokens, 2, lambda _c: toks),
+    )
+    got = np.round(
+        np.asarray(JxlImage.from_bytes(data).render_frame(0).planes[0]) * 255
+    ).astype(np.int64)
+    np.testing.assert_array_equal(got, target)

@@ -150,9 +150,10 @@ class RenderContext:
         if lf_global is not None and (
             lf_global.patches or lf_global.splines or lf_global.noise
         ):
-            # features mutate planes in place on host
-            fr.color = [np.asarray(p, dtype=np.float32) for p in fr.color]
-            fr.extra = [np.asarray(p, dtype=np.float32) for p in fr.extra]
+            # features mutate planes in place on host; np.array copies
+            # (np.asarray of a device array is a read-only view)
+            fr.color = [np.array(p, dtype=np.float32) for p in fr.color]
+            fr.extra = [np.array(p, dtype=np.float32) for p in fr.extra]
             base_corr = None
             if lf_global.vardct is not None:
                 cc = lf_global.vardct.lf_chan_corr
@@ -195,8 +196,8 @@ class RenderContext:
             canvas_color = [p.astype(np.float32).copy() for p in fr.color]
             canvas_extra = [p.astype(np.float32).copy() for p in fr.extra]
         else:
-            fr.color = [np.asarray(p, dtype=np.float32) for p in fr.color]
-            fr.extra = [np.asarray(p, dtype=np.float32) for p in fr.extra]
+            fr.color = [np.array(p, dtype=np.float32) for p in fr.color]
+            fr.extra = [np.array(p, dtype=np.float32) for p in fr.extra]
             base = self.reference[source]
             if base is not None:
                 canvas_color = [p.copy() for p in base[0]]

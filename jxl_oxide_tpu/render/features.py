@@ -429,6 +429,11 @@ def render_noise(planes, header, visible: int, invisible: int,
 
 
 def _interp_lut(lut9: np.ndarray, v: np.ndarray) -> np.ndarray:
-    vi = np.minimum(v.astype(np.int32), 7)
-    frac = v - vi
+    # Rust's float->usize cast saturates (noise.rs:70-72); numpy's wraps.
+    # Corrupted streams can yield NaN/huge sample values, so saturate
+    # explicitly before the integer index (frac stays unclamped above 7,
+    # matching the reference's in_x_frac for large in_scaled).
+    v = np.nan_to_num(v, nan=0.0, posinf=np.float32(1e9), neginf=0.0)
+    vi = np.minimum(v, 7.0).astype(np.int32)
+    frac = v - vi  # unclamped remainder, as in the reference
     return (lut9[vi + 1] - lut9[vi]) * frac + lut9[vi]

@@ -205,7 +205,7 @@ class JxlImage:
         )
         self._parser = ContainerParser()
         self._codestream = bytearray()
-        self._aux_boxes: list[tuple[bytes, bytes]] = []
+        self._aux_boxes: list[tuple[bytes, bytes, bool]] = []
         self._aux_current: list[bytes] | None = None
         self._aux_type: bytes = b""
         self.image_header: ImageHeader | None = None
@@ -257,13 +257,15 @@ class JxlImage:
         elif ev.kind == "aux_start":
             self._aux_current = []
             self._aux_type = ev.box_type
+            self._aux_brotli = bool(getattr(ev, "brotli", False))
         elif ev.kind == "aux_data":
             if self._aux_current is not None:
                 self._aux_current.append(ev.data)
         elif ev.kind == "aux_end":
             if self._aux_current is not None:
                 self._aux_boxes.append(
-                    (self._aux_type, b"".join(self._aux_current))
+                    (self._aux_type, b"".join(self._aux_current),
+                     self._aux_brotli)
                 )
                 self._aux_current = None
 
@@ -396,15 +398,17 @@ class JxlImage:
     # -- aux boxes / JPEG reconstruction ------------------------------------
 
     def aux_box(self, box_type: bytes) -> bytes | None:
-        """Raw payload of the first aux box of the given type (brob boxes
-        are decompressed transparently)."""
-        for ty, payload in self._aux_boxes:
-            if ty == b"brob" and payload[:4] == box_type:
+        """Payload of the first aux box of the given type; brob-wrapped
+        boxes (surfaced by the container parser under their inner type)
+        decompress transparently (aux_box.rs brob handling)."""
+        for ty, payload, is_brotli in self._aux_boxes:
+            if ty != box_type:
+                continue
+            if is_brotli:
                 from .utils.brotli import brotli_decompress
 
-                return brotli_decompress(payload[4:])
-            if ty == box_type:
-                return payload
+                return brotli_decompress(payload)
+            return payload
         return None
 
     @property

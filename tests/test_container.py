@@ -1,5 +1,6 @@
 """Container parser tests, including the real cmyk_layers.jxl fixture."""
 
+import numpy as np
 import pytest
 
 from jxl_oxide_tpu.io.container import BitstreamKind, ContainerParser
@@ -81,3 +82,36 @@ def test_invalid_signature():
     p = ContainerParser()
     with pytest.raises(JxlBitstreamError):
         p.feed(b"GIF89a")
+
+
+def test_brob_box_and_metadata_accessors():
+    """brob (brotli-compressed) aux boxes decompress transparently through
+    JxlImage.aux_box; Exif/XMP accessors apply the tiff-offset rule
+    (aux_box.rs:16-360)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder import encode_jxl_modular
+    from test_jbr import brotli_compress
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.io.container import CONTAINER_SIG
+
+    codestream = encode_jxl_modular(
+        [np.zeros((8, 8), dtype=np.int64)], bit_depth=8, grayscale=True
+    )
+    exif_payload = (0).to_bytes(4, "big") + b"II*\x00EXIFBODY"
+    xmp = b"<x:xmpmeta/>"
+    data = (
+        CONTAINER_SIG
+        + _box(b"Exif", exif_payload)
+        + _box(b"brob", b"xml " + brotli_compress(xmp))
+        + _box(b"jxlc", codestream)
+    )
+    img = JxlImage.from_bytes(data)
+    assert img.aux_box(b"Exif") == exif_payload
+    assert img.raw_exif_data == b"II*\x00EXIFBODY"
+    assert img.aux_box(b"xml ") == xmp
+    assert img.raw_xmp == xmp
+    img.render_frame(0)

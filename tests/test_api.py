@@ -474,3 +474,12 @@ def test_permuted_toc():
     assert permuted != plain
     out = JxlImage.from_bytes(permuted).render_frame(0).to_u8()
     np.testing.assert_array_equal(out, base)
+
+
+def test_render_idempotent_and_cached():
+    """Repeated render_frame calls return identical pixels (keyframe
+    renders are cached on the context, render/lib.rs handle reuse)."""
+    img = JxlImage.open(CMYK)
+    a = img.render_frame(0).to_u8()
+    b = img.render_frame(0).to_u8()
+    np.testing.assert_array_equal(a, b)

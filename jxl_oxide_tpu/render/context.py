@@ -97,11 +97,10 @@ class RenderContext:
 
     def __init__(self, image_header):
         self.image_header = image_header
+        # canvas lives in CODED space; orientation applies at output
+        # (region.rs apply_orientation, Render._apply_orientation)
         self.width = image_header.size.width
         self.height = image_header.size.height
-        meta = image_header.metadata
-        if meta.orientation >= 5:
-            self.width, self.height = self.height, self.width
         self.reference = [None] * 4  # saved frames (color+extra plane lists)
         self.lf_frames = [None] * 4
         self.keyframes: list[KeyframeRender] = []

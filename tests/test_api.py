@@ -483,3 +483,30 @@ def test_render_idempotent_and_cached():
     a = img.render_frame(0).to_u8()
     b = img.render_frame(0).to_u8()
     np.testing.assert_array_equal(a, b)
+
+
+def test_all_orientations():
+    """EXIF orientations 1-8 applied at output (region.rs
+    apply_orientation): each maps the stored plane to the display frame."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(111)
+    chans = [rng.integers(0, 256, (10, 14), dtype=np.int64)
+             for _ in range(3)]
+    stored = np.stack([c.astype(np.uint8) for c in chans], -1)
+    expect = {
+        1: stored,
+        2: stored[:, ::-1],
+        3: stored[::-1, ::-1],
+        4: stored[::-1, :],
+        5: stored.transpose(1, 0, 2),
+        6: stored.transpose(1, 0, 2)[:, ::-1],
+        7: stored.transpose(1, 0, 2)[::-1, ::-1],
+        8: stored.transpose(1, 0, 2)[::-1, :],
+    }
+    for o in range(1, 9):
+        data = encode_jxl_modular(chans, bit_depth=8, orientation=o)
+        img = JxlImage.from_bytes(data)
+        assert img.image_header.metadata.orientation == o
+        out = img.render_frame(0).to_u8()
+        np.testing.assert_array_equal(out, expect[o], err_msg=f"orient {o}")

@@ -421,6 +421,7 @@ def encode_jxl_modular(
     epf_iters: int = 0,
     toc_permutation: list | None = None,
     xyb: bool = False,
+    orientation: int = 1,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -464,7 +465,7 @@ def encode_jxl_modular(
     out.write_bool(False)
     if animation_frames is not None:
         out.write_bool(True)   # extra_fields
-        out.write(0, 3)        # orientation - 1 = 0
+        out.write(orientation - 1, 3)
         out.write_bool(False)  # no intrinsic size
         out.write_bool(False)  # no preview
         out.write_bool(True)   # animation
@@ -473,6 +474,12 @@ def encode_jxl_modular(
         out.write(0, 2)  # tps_denominator = 1
         out.write(0, 2)  # num_loops = 0
         out.write_bool(False)  # have_timecodes
+    elif orientation != 1:
+        out.write_bool(True)   # extra_fields
+        out.write(orientation - 1, 3)
+        out.write_bool(False)  # no intrinsic size
+        out.write_bool(False)  # no preview
+        out.write_bool(False)  # no animation
     else:
         out.write_bool(False)  # no extra_fields
     _write_bit_depth(out, bit_depth)
@@ -507,8 +514,8 @@ def encode_jxl_modular(
         _write_enum(out, 1)  # relative intent
     else:
         out.write_bool(True)  # all_default -> sRGB
-    if animation_frames is not None:
-        out.write_bool(True)  # tone_mapping all_default
+    if animation_frames is not None or orientation != 1:
+        out.write_bool(True)  # tone_mapping all_default (extra_fields set)
     out.write_u64_zero()  # extensions
     out.write_bool(True)  # default_m
     out.zero_pad_to_byte()  # frames start byte-aligned (Frame::parse)

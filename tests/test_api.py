@@ -510,3 +510,39 @@ def test_all_orientations():
         assert img.image_header.metadata.orientation == o
         out = img.render_frame(0).to_u8()
         np.testing.assert_array_equal(out, expect[o], err_msg=f"orient {o}")
+
+
+def test_cropped_frame_composition():
+    """have_crop frames composite at (x0, y0) on the canvas
+    (header.rs crop fields + blend.rs offsets)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(113)
+    chans = [rng.integers(0, 256, (12, 16), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(
+        chans, bit_depth=8, image_size=(24, 32), crop=(5, 3, 16, 12),
+    )
+    img = JxlImage.from_bytes(data)
+    out = img.render_frame(0).to_u8()
+    assert out.shape == (24, 32, 3)
+    want = np.zeros((24, 32, 3), dtype=np.uint8)
+    want[3:15, 5:21] = np.stack([c.astype(np.uint8) for c in chans], -1)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_cropped_frame_negative_offset():
+    """Negative crop origin clips against the canvas edge."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(115)
+    chans = [rng.integers(0, 256, (8, 8), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(
+        chans, bit_depth=8, image_size=(10, 10), crop=(-3, -2, 8, 8),
+    )
+    out = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    want = np.zeros((10, 10, 3), dtype=np.uint8)
+    want[:6, :5] = np.stack(
+        [c.astype(np.uint8) for c in chans], -1
+    )[2:, 3:]
+    np.testing.assert_array_equal(out, want)

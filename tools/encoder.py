@@ -422,6 +422,7 @@ def encode_jxl_modular(
     toc_permutation: list | None = None,
     xyb: bool = False,
     orientation: int = 1,
+    crop: tuple | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -523,7 +524,7 @@ def encode_jxl_modular(
     def _write_one_frame(enc_channels, duration, is_last, frame_type=0,
                          save_as_reference=0, patch_spec=None,
                          noise_lut=None, splines_spec=None,
-                         blend=False):
+                         blend=False, crop=None):
         out.zero_pad_to_byte()
         # --- FrameHeader ---
         out.write_bool(False)  # not all_default
@@ -550,7 +551,32 @@ def encode_jxl_modular(
         out.write(group_size_shift, 2)
         if frame_type != 2:  # ReferenceOnly has no Passes
             out.write_u32_sel(0, 0, 0)  # num_passes = 1
-        out.write_bool(False)  # have_crop
+        if crop is None:
+            out.write_bool(False)  # have_crop
+        else:
+            out.write_bool(True)
+            cx0, cy0, cw, chh = crop
+
+            def _crop_u32(v):
+                # U32(u(8), 256+u(11), 2304+u(14), 18688+u(30))
+                if v < 256:
+                    out.write(0, 2)
+                    out.write(v, 8)
+                elif v < 2304:
+                    out.write(1, 2)
+                    out.write(v - 256, 11)
+                else:
+                    out.write(2, 2)
+                    out.write(v - 2304, 14)
+
+            def _pk(v):
+                return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+            if frame_type != 2:
+                _crop_u32(_pk(cx0))
+                _crop_u32(_pk(cy0))
+            _crop_u32(cw)
+            _crop_u32(chh)
         if frame_type in (0, 3):  # is_normal: blending/duration/is_last
             if blend:
                 # BlendingInfo: mode Blend(2), alpha 0, no clamp, source 0
@@ -567,8 +593,12 @@ def encode_jxl_modular(
                     out.write(1, 2)  # source (follows main resets_canvas)
             else:
                 out.write_u32_sel(0, 0, 0)  # blending mode Replace
+                if crop is not None:
+                    out.write(0, 2)  # source (crop Replace keeps canvas)
                 for _ in range(num_extra):
                     out.write_u32_sel(0, 0, 0)  # EC blending Replace
+                    if crop is not None:
+                        out.write(0, 2)  # EC source
             if animation_frames is not None:
                 # duration U32(0, 1, U(8), U(32))
                 if duration == 0:
@@ -720,7 +750,8 @@ def encode_jxl_modular(
                              save_as_reference=1 if animation_blend else 0)
     else:
         _write_one_frame(enc_channels, duration=0, is_last=True,
-                         noise_lut=noise_lut, splines_spec=splines_spec)
+                         noise_lut=noise_lut, splines_spec=splines_spec,
+                         crop=crop)
     return out.to_bytes()
 
 

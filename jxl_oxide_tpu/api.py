@@ -161,6 +161,46 @@ class ImageStream:
         return n
 
 
+def _orient_region_inverse(
+    region: tuple[int, int, int, int], coded_w: int, coded_h: int,
+    orientation: int,
+) -> tuple[int, int, int, int]:
+    """Map a display-space rect (left, top, w, h) into coded space: the
+    inverse of _apply_orientation on regions (region.rs apply_orientation
+    with inverse=true; jxl-oxide lib.rs:718-724 orients the requested
+    region before cropping)."""
+    left, top, width, height = region
+    o = orientation
+    if o == 1:
+        r = (left, top, width, height)
+    elif o == 2:
+        r = (coded_w - left - width, top, width, height)
+    elif o == 3:
+        r = (coded_w - left - width, coded_h - top - height, width, height)
+    elif o == 4:
+        r = (left, coded_h - top - height, width, height)
+    elif o == 5:
+        # display = coded.T: display (y, x) = coded (x, y)
+        r = (top, left, height, width)
+    elif o == 6:
+        # display = coded.T[:, ::-1]: display (y, x) = coded (H-1-x, y)
+        r = (top, coded_h - left - width, height, width)
+    elif o == 7:
+        # display = coded.T[::-1, ::-1]: display (y, x) = coded (H-1-x, W-1-y)
+        r = (coded_w - top - height, coded_h - left - width, height, width)
+    elif o == 8:
+        # display = coded.T[::-1, :]: display (y, x) = coded (x, W-1-y)
+        r = (coded_w - top - height, left, height, width)
+    else:
+        raise JxlValidationError(f"invalid orientation {orientation}")
+    # clamp to the coded plane
+    l, t, w, h = r
+    l2, t2 = max(0, l), max(0, t)
+    w = max(0, min(l + w, coded_w) - l2)
+    h = max(0, min(t + h, coded_h) - t2)
+    return l2, t2, w, h
+
+
 def _apply_orientation(plane: np.ndarray, orientation: int) -> np.ndarray:
     """EXIF orientation 1-8 (region.rs apply_orientation)."""
     if orientation == 1:
@@ -607,7 +647,13 @@ class JxlImage:
                 color = list(tr.run(color))
 
         if crop is not None:
-            left, top, width, height = crop
+            # The requested region is in oriented/display space; map it
+            # through the inverse orientation before slicing the coded
+            # planes (jxl-oxide lib.rs:718-724 render_frame_cropped).
+            ch, cw = np.asarray(color[0]).shape
+            left, top, width, height = _orient_region_inverse(
+                crop, cw, ch, meta.orientation
+            )
             color = [p[top : top + height, left : left + width] for p in color]
             extra = [p[top : top + height, left : left + width] for p in extra]
         return Render(

@@ -546,3 +546,33 @@ def test_cropped_frame_negative_offset():
         [c.astype(np.uint8) for c in chans], -1
     )[2:, 3:]
     np.testing.assert_array_equal(out, want)
+
+
+def test_crop_all_orientations():
+    """Crop regions are given in oriented/display space: for every
+    orientation, a cropped render must equal the same crop of the full
+    oriented render (jxl-oxide lib.rs:718-724 render_frame_cropped maps
+    the region through the inverse orientation before decoding)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(301)
+    chans = [rng.integers(0, 256, (24, 32), dtype=np.int64)
+             for _ in range(3)]
+    for o in range(1, 9):
+        data = encode_jxl_modular(chans, bit_depth=8, orientation=o)
+        img = JxlImage.from_bytes(data)
+        full = img.render_frame(0).to_u8()
+        dh, dw = full.shape[:2]
+        for _ in range(3):
+            w = int(rng.integers(4, dw - 2))
+            h = int(rng.integers(4, dh - 2))
+            left = int(rng.integers(0, dw - w))
+            top = int(rng.integers(0, dh - h))
+            img2 = JxlImage.from_bytes(data)
+            img2.set_image_region(left, top, w, h)
+            crop = img2.render_frame(0).to_u8()
+            assert crop.shape == (h, w, 3), (o, crop.shape, (h, w))
+            np.testing.assert_array_equal(
+                crop, full[top : top + h, left : left + w],
+                err_msg=f"orientation {o} rect {(left, top, w, h)}",
+            )

@@ -197,62 +197,67 @@ class RenderContext:
         else:
             fr.color = [np.array(p, dtype=np.float32) for p in fr.color]
             fr.extra = [np.array(p, dtype=np.float32) for p in fr.extra]
-            base = self.reference[source]
-            if base is not None:
-                canvas_color = [p.copy() for p in base[0]]
-                canvas_extra = [p.copy() for p in base[1]]
-                if len(canvas_color) < ncolor:
-                    canvas_color = [canvas_color[0].copy() for _ in range(ncolor)]
-            else:
-                canvas_color = [
-                    np.zeros((self.height, self.width), dtype=np.float32)
-                    for _ in range(ncolor)
-                ]
-                canvas_extra = [
-                    np.zeros((self.height, self.width), dtype=np.float32)
-                    for _ in range(nextra)
-                ]
 
-            # alpha planes for Blend modes
-            def alpha_planes(alpha_idx):
-                base_a = (
-                    canvas_extra[alpha_idx]
-                    if alpha_idx < len(canvas_extra)
-                    else None
+            # Each blended channel derives its base slot, base alpha, and
+            # premultiplied flag from its OWN BlendingInfo (blend.rs:218-232,
+            # 353-354): color channels from binfo, each EC from its
+            # ec_blending_info — sources and alpha channels may differ.
+            def _base_color(src, ci):
+                base = self.reference[src]
+                if base is None or not base[0]:
+                    return np.zeros((self.height, self.width), dtype=np.float32)
+                planes = base[0]
+                return planes[ci if ci < len(planes) else 0].copy()
+
+            def _base_extra(src, ei):
+                base = self.reference[src]
+                if base is None or ei >= len(base[1]):
+                    return np.zeros((self.height, self.width), dtype=np.float32)
+                return base[1][ei].copy()
+
+            def _base_alpha(src, alpha_idx):
+                base = self.reference[src]
+                if base is None or alpha_idx >= len(base[1]):
+                    return None
+                return base[1][alpha_idx]
+
+            def _alpha_ctx(info):
+                """(base_alpha, new_alpha, premultiplied) for one blend."""
+                if not info.mode.use_alpha:
+                    return None, None, False
+                ai = info.alpha_channel
+                base_a = _base_alpha(info.source, ai)
+                new_a = fr.extra[ai] if ai < len(fr.extra) else None
+                premul = bool(
+                    meta.ec_info
+                    and ai < len(meta.ec_info)
+                    and meta.ec_info[ai].alpha_associated
                 )
-                new_a = fr.extra[alpha_idx] if alpha_idx < len(fr.extra) else None
-                return base_a, new_a
+                return base_a, new_a, premul
 
-            premul = None
-            if meta.ec_info and binfo.mode.use_alpha:
-                info = meta.ec_info[binfo.alpha_channel]
-                premul = getattr(info, "alpha_associated", False)
+            canvas_color = [_base_color(binfo.source, ci) for ci in range(ncolor)]
+            canvas_extra = [
+                _base_extra(header.ec_blending_info[ei].source, ei)
+                for ei in range(nextra)
+            ]
 
+            base_a, new_a, premul = _alpha_ctx(binfo)
             for ci in range(ncolor):
-                base_a, new_a = (
-                    alpha_planes(binfo.alpha_channel)
-                    if binfo.mode.use_alpha
-                    else (None, None)
-                )
                 _blend_planes(
                     canvas_color[ci], fr.color[ci].astype(np.float32),
                     binfo.mode, header.x0, header.y0,
-                    base_a, new_a, binfo.clamp, bool(premul), False,
+                    base_a, new_a, binfo.clamp, premul, False,
                 )
             for ei in range(nextra):
                 einfo = header.ec_blending_info[ei]
-                base_a, new_a = (
-                    alpha_planes(einfo.alpha_channel)
-                    if einfo.mode.use_alpha
-                    else (None, None)
-                )
+                base_a, new_a, premul = _alpha_ctx(einfo)
                 is_alpha = (
                     einfo.mode.use_alpha and ei == einfo.alpha_channel
                 )
                 _blend_planes(
                     canvas_extra[ei], fr.extra[ei].astype(np.float32),
                     einfo.mode, header.x0, header.y0,
-                    base_a, new_a, einfo.clamp, bool(premul), is_alpha,
+                    base_a, new_a, einfo.clamp, premul, is_alpha,
                 )
 
         if header.can_reference:

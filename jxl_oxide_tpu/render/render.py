@@ -180,8 +180,12 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRen
         if (eh, ew) != (target_h, target_w):
             from ..ops.upsample import upsample_nonseparable
 
-            factor = max(-(-target_w // ew), -(-target_h // eh))
-            factor = 1 << max(factor - 1, 0).bit_length()
+            # EC planes decode at ec_upsampling << dim_shift reduced
+            # resolution (render.rs:110-118 upsampling_factor); derive the
+            # factor from the headers, not from shape ratios.
+            factor = (
+                header.ec_upsampling[i] if i < len(header.ec_upsampling) else 1
+            ) << meta.ec_info[i].dim_shift
             extra[i] = upsample_nonseparable(extra[i], factor, meta)[
                 :target_h, :target_w
             ]

@@ -576,3 +576,29 @@ def test_crop_all_orientations():
                 crop, full[top : top + h, left : left + w],
                 err_msg=f"orientation {o} rect {(left, top, w, h)}",
             )
+
+
+def test_extra_channel_dim_shift():
+    """An EC with dim_shift != 0 decodes at reduced resolution and is
+    upsampled by ec_upsampling << dim_shift (util.rs:70); the factor comes
+    from the headers, not from plane-shape ratios."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(422)
+    h, w = 24, 32
+    chans = [rng.integers(0, 256, (h, w), dtype=np.int64) for _ in range(3)]
+    alpha_small = rng.integers(0, 256, (h // 2, w // 2), dtype=np.int64)
+    data = encode_jxl_modular(
+        chans + [alpha_small], bit_depth=8, extra_alpha=True,
+        alpha_dim_shift=1,
+    )
+    img = JxlImage.from_bytes(data)
+    meta = img.image_header.metadata
+    assert meta.ec_info[0].dim_shift == 1
+    r = img.render_frame(0)
+    out = r.to_u8()
+    assert out.shape == (h, w, 4)
+    for c in range(3):
+        np.testing.assert_array_equal(out[..., c], chans[c].astype(np.uint8))
+    # upsampled alpha: full-size, locally correlated with the source
+    assert r.extra[0].shape == (h, w)

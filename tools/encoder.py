@@ -423,6 +423,7 @@ def encode_jxl_modular(
     xyb: bool = False,
     orientation: int = 1,
     crop: tuple | None = None,
+    alpha_dim_shift: int = 0,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -436,7 +437,8 @@ def encode_jxl_modular(
     if grayscale is None:
         grayscale = n_color == 1
     if palette_spec is None and not squeeze:
-        assert all(c.shape == (ch_h, ch_w) for c in channels)
+        n_full = n_ch - (1 if (extra_alpha and alpha_dim_shift) else 0)
+        assert all(c.shape == (ch_h, ch_w) for c in channels[:n_full])
 
     if rct:
         assert n_ch == 3
@@ -493,7 +495,25 @@ def encode_jxl_modular(
     else:
         out.write_u32_sel(0, 0, 0)  # num_extra = 0
     if extra_alpha:
-        out.write_bool(True)  # d_alpha: default alpha channel
+        if alpha_dim_shift == 0:
+            out.write_bool(True)  # d_alpha: default alpha channel
+        else:
+            # full ExtraChannelInfo with a nonzero dim_shift: the alpha
+            # channel is coded at (w, h) >> dim_shift and upsampled at
+            # render time by ec_upsampling << dim_shift
+            out.write_bool(False)
+            _write_enum(out, 0)  # Alpha
+            _write_bit_depth(out, bit_depth)
+            # dim_shift U32(0, 3, 4, 1+u(3))
+            if alpha_dim_shift == 3:
+                out.write(1, 2)
+            elif alpha_dim_shift == 4:
+                out.write(2, 2)
+            else:
+                out.write(3, 2)
+                out.write(alpha_dim_shift - 1, 3)
+            out.write_u32_sel(0, 0, 0)  # name len 0
+            out.write_bool(False)  # alpha_associated
     if spot_colour:
         out.write_bool(False)  # not default
         _write_enum(out, 2)  # SpotColour

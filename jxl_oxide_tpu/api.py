@@ -230,7 +230,13 @@ class JxlImage:
 
     def __init__(self, approx_memory_limit: int | None = None,
                  num_threads: int | None = None,
-                 force_wide_buffers: bool = False):
+                 force_wide_buffers: bool = False,
+                 mesh=None):
+        # mesh: a jax.sharding.Mesh; when given, VarDCT frames decode
+        # through the sharded fused pipeline (group-row bands over the
+        # mesh with ICI halo exchange, parallel/sharded.py). Output is
+        # identical to the single-device path.
+        self._decode_mesh = mesh
         # force_wide_buffers: accepted for API parity with
         # JxlImageBuilder (lib.rs:199-234); buffers here are always wide
         # (int32/int64 host planes), so this is a no-op.
@@ -498,9 +504,17 @@ class JxlImage:
 
     def _render_all(self) -> list[KeyframeRender]:
         if self._keyframes is None:
+            import contextlib
+
+            from .parallel import use_decode_mesh
             from .utils.alloc import use_tracker
 
-            with use_tracker(self._tracker):
+            mesh_ctx = (
+                use_decode_mesh(self._decode_mesh)
+                if self._decode_mesh is not None
+                else contextlib.nullcontext()
+            )
+            with use_tracker(self._tracker), mesh_ctx:
                 ctx = RenderContext(self.image_header)
                 for frame in self._frames:
                     ctx.add_frame(frame)

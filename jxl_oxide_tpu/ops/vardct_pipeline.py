@@ -23,6 +23,8 @@ __all__ = [
     "cfl_plane",
     "adaptive_lf_smoothing",
     "transform_buckets",
+    "build_fused_pipeline",
+    "build_fused_pipeline_sharded",
 ]
 
 
@@ -272,3 +274,216 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
         return out
 
     return jax.jit(pipeline)
+
+
+def _smooth_local(lf_planes, lf_scale, axis, vloc_lf: int, lh_valid: int,
+                  lw_valid: int, lh_loc: int):
+    """Adaptive LF smoothing on a row-sharded LF plane stack [3, lh_loc, lw]:
+    same arithmetic (and operand order) as adaptive_lf_smoothing, with the
+    1-row vertical neighborhood coming from mesh neighbors and the interior
+    mask computed in GLOBAL coordinates (borders keep the unsmoothed value,
+    generic/mod.rs:10-105)."""
+    from ..parallel.sharded import halo_pad_rows
+
+    padded_rows = halo_pad_rows(lf_planes, 1, axis, vloc_lf)
+    p = jnp.pad(padded_rows, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    c = p[:, 1:-1, 1:-1]
+    west = p[:, 1:-1, :-2]
+    east = p[:, 1:-1, 2:]
+    north = p[:, :-2, 1:-1]
+    south = p[:, 2:, 1:-1]
+    side = west + east + north + south
+    diag = p[:, :-2, :-2] + p[:, :-2, 2:] + p[:, 2:, :-2] + p[:, 2:, 2:]
+    scale_self = 0.052262735
+    scale_side = 0.2034514
+    scale_diag = 0.03348292
+    was = c * scale_self + side * scale_side + diag * scale_diag
+
+    gap = jnp.full(lf_planes.shape[1:], 0.5, dtype=jnp.float32)
+    for ch in range(3):
+        gap = jnp.maximum(gap, jnp.abs(was[ch] - lf_planes[ch]) / lf_scale[ch])
+    gap_scale = jnp.maximum(3.0 - 4.0 * gap, 0.0)
+
+    idx = jax.lax.axis_index(axis)
+    row0 = idx * lh_loc
+    lw = lf_planes.shape[2]
+    yy = row0 + jnp.arange(lh_loc)[:, None]
+    xx = jnp.arange(lw)[None, :]
+    interior = (
+        (yy > 0) & (yy < lh_valid - 1) & (xx > 0) & (xx < lw_valid - 1)
+    )
+    out = []
+    for ch in range(3):
+        smoothed = (was[ch] - lf_planes[ch]) * gap_scale + lf_planes[ch]
+        out.append(jnp.where(interior, smoothed, lf_planes[ch]))
+    return jnp.stack(out)
+
+
+def build_fused_pipeline_sharded(
+    mesh, axis, local_plane_shape, local_lf_shape, bucket_meta,
+    matrices, quant_bias, quant_bias_numerator,
+    global_scale, qm_scale, lf_scale,
+    skip_smoothing: bool,
+    vloc: int, vloc_lf: int, lf_valid: tuple,
+    cfl_lf_k=(0.0, 1.0), cfl_colour_factor=84,
+    cfl_base=(0.0, 1.0),
+    gabor_weights=None, epf_params=None,
+):
+    """The fused per-frame device pipeline under shard_map: the REAL
+    decoder program (bucketed varblock transforms, per-block dequant, CfL
+    grids, LF smoothing, gaborish, EPF sigma grids) sharded by rows of
+    groups across the mesh — the reference's per-group data parallelism
+    (jxl-render/src/vardct/mod.rs:250-376) as SPMD, with the halo contract
+    of jxl-frame/src/lib.rs:626-649 carried by lax.ppermute row exchanges.
+
+    Shapes are LOCAL (per shard): plane rows are padded to
+    n_shards * H_loc with H_loc a multiple of group_dim, so no varblock
+    crosses a shard boundary (varblocks never leave their 256x256 group).
+    Bucket positions/muls arrive as runtime inputs sharded on a leading
+    mesh axis, padded per shard to a common count with off-plane sentinel
+    positions (gather reads garbage that the mode="drop" scatter then
+    discards). vloc/vloc_lf: valid rows in the LAST shard (static).
+
+    Returns (jitted_fn, in_shardings): fn(coeff [3, Hp, W] int, lf_quant
+    [3, LHp, LW], lf_scale_arr [3], x_grid/b_grid [h64p, w64] int,
+    sigma_blocks [bhp, bw] f32, *bucket_args) -> [3, Hp, W] f32 where the
+    leading-global row dimension is sharded over `axis`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..parallel.sharded import halo_pad_rows
+
+    H_loc, W = local_plane_shape
+    LH_loc, LW = local_lf_shape
+    lh_valid, lw_valid = lf_valid
+
+    def pipeline(coeff, lf_quant, lf_scale_arr, x_grid, b_grid,
+                 sigma_blocks, *bucket_args):
+        # --- LF: dequant + CfL + smoothing (local rows) ---
+        lf_planes = lf_quant.astype(jnp.float32) * lf_scale_arr[:, None, None]
+        kx0, kb0 = cfl_lf_k
+        lf_planes = jnp.stack([
+            lf_planes[0] + np.float32(kx0) * lf_planes[1],
+            lf_planes[1],
+            lf_planes[2] + np.float32(kb0) * lf_planes[1],
+        ])
+        if not skip_smoothing:
+            lf_planes = _smooth_local(
+                lf_planes, lf_scale, axis, vloc_lf, lh_valid, lw_valid,
+                LH_loc,
+            )
+
+        # --- HF CfL factor maps from per-64x64 grids (shard-local rows) ---
+        kx_map = (np.float32(cfl_base[0])
+                  + x_grid.astype(jnp.float32) / np.float32(cfl_colour_factor))
+        kb_map = (np.float32(cfl_base[1])
+                  + b_grid.astype(jnp.float32) / np.float32(cfl_colour_factor))
+        kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H_loc, :W]
+        kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H_loc, :W]
+
+        coeff_flat = coeff.reshape(3, -1)
+        lf_flat = lf_planes.reshape(3, -1)
+        kx_flat = kx_map.reshape(-1)
+        kb_flat = kb_map.reshape(-1)
+        out_flat = jnp.zeros((3, H_loc * W), dtype=jnp.float32)
+        qbn = np.float32(quant_bias_numerator)
+
+        for i, (sel, n) in enumerate(bucket_meta):
+            pos = bucket_args[2 * i][0]       # [n, 2] local (sbx, sby)
+            muls = bucket_args[2 * i + 1][0]  # [n] f32 hf_mul
+            from ..models.vardct import TransformType as _T
+
+            bw, bh = _T.SELECT_SIZE[sel]
+            h, w = bh * 8, bw * 8
+            dy = jnp.arange(h)[:, None]
+            dx = jnp.arange(w)[None, :]
+            rows = pos[:, 1, None, None] * 8 + dy
+            cols = pos[:, 0, None, None] * 8 + dx
+            idx = rows * W + cols  # [n, h, w]; pad entries strongly negative
+            ldy = jnp.arange(bh)[:, None]
+            ldx = jnp.arange(bw)[None, :]
+            lf_idx = (pos[:, 1, None, None] + ldy) * LW + (pos[:, 0, None, None] + ldx)
+
+            q = jnp.take(coeff_flat, idx, axis=1, mode="clip").astype(jnp.float32)
+            safe_q = jnp.where(q == 0.0, 1.0, q)
+            qb = jnp.asarray(quant_bias, dtype=jnp.float32)[:, None, None, None]
+            biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
+            mat = jnp.asarray(matrices[sel])  # [3, h, w] constant
+            scale = (np.float32(65536.0 / global_scale)
+                     * jnp.asarray(qm_scale, dtype=jnp.float32)[:, None]
+                     / muls[None, :])  # [3, n]
+            deq = biased * mat[:, None] * scale[:, :, None, None]
+            kxg = jnp.take(kx_flat, idx, mode="clip")
+            kbg = jnp.take(kb_flat, idx, mode="clip")
+            deq = jnp.stack([
+                deq[0] + kxg * deq[1],
+                deq[1],
+                deq[2] + kbg * deq[1],
+            ])
+            lf_g = jnp.take(lf_flat, lf_idx, axis=1, mode="clip")
+            pix = inverse_varblock_batch(
+                deq.reshape((3 * n, h, w)),
+                lf_g.reshape((3 * n, bh, bw)),
+                sel,
+            ).reshape(3, n, h, w)
+            out_flat = jax.vmap(
+                lambda o, v: o.at[idx.reshape(-1)].set(
+                    v.reshape(-1), mode="drop"
+                )
+            )(out_flat, pix)
+
+        out = out_flat.reshape(3, H_loc, W)
+
+        # --- restoration filters with ICI halo exchange ---
+        if gabor_weights is not None:
+            from .filters import gabor
+
+            padded = halo_pad_rows(out, 1, axis, vloc)
+            out = jnp.stack([
+                gabor(padded[c], tuple(gabor_weights[c]), prepad_rows=1)
+                for c in range(3)
+            ])
+        if epf_params is not None:
+            from .filters import epf_step
+
+            sigma = jnp.repeat(
+                jnp.repeat(sigma_blocks, 8, 0), 8, 1
+            )[:H_loc, :W]
+            cs = tuple(epf_params.channel_scale)
+            bsm = float(epf_params.border_sad_mul)
+
+            def pass_(x, step, mult):
+                # each pass exchanges 3 fresh halo rows: the next pass's
+                # vertical neighborhood is the PREVIOUS pass's output, as
+                # in the sequential whole-plane passes (filter/epf.rs)
+                padded = halo_pad_rows(x, 3, axis, vloc)
+                return epf_step(padded, sigma, step, cs, mult, bsm,
+                                prepad_rows=3)
+
+            if epf_params.iters == 3:
+                out = pass_(out, 0, float(epf_params.pass0_sigma_scale))
+            if epf_params.iters >= 1:
+                out = pass_(out, 1, 1.0)
+            if epf_params.iters >= 2:
+                out = pass_(out, 2, float(epf_params.pass2_sigma_scale))
+        return out
+
+    spec_c = P(None, axis, None)
+    spec_grid = P(axis, None)
+    in_specs = [spec_c, spec_c, P(None), spec_grid, spec_grid, spec_grid]
+    for _ in bucket_meta:
+        in_specs.append(P(axis, None, None))  # pos [n_sh, n, 2]
+        in_specs.append(P(axis, None))        # muls [n_sh, n]
+    fn = shard_map(
+        pipeline,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=spec_c,
+    )
+    shardings = tuple(NamedSharding(mesh, s) for s in in_specs)
+    return jax.jit(fn), shardings

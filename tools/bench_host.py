@@ -1,0 +1,122 @@
+"""Host entropy-stage microbenchmark: times ONLY the CPU symbol-decode
+stage (TOC section parse -> HF coefficient planes) with no device work,
+isolating the component the end-to-end bench can hide behind the link
+(reference throughput reporting: jxl-oxide-cli/src/decode.rs:164-209).
+
+Usage: python tools/bench_host.py [--threads N] [--size 1024] [--reps 3]
+Prints one JSON line: {"host_entropy_mpps": ..., "threads": N, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def make_stream(size: int, dense: bool = True) -> bytes:
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(3)
+    if dense:
+        rgb = rng.random((size, size, 3)).astype(np.float32)
+    else:
+        base = rng.random((size // 16, size // 16, 3)).astype(np.float32)
+        rgb = np.repeat(np.repeat(base, 16, 0), 16, 1)
+    return encode_jxl_vardct(rgb)
+
+
+def host_stage(data: bytes, threads: int):
+    """Run the host entropy stage once; returns (seconds, megapixels)."""
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.io.bitstream import Bitstream
+    from jxl_oxide_tpu.render.vardct import (
+        HfGlobal,
+        VardctFrameState,
+        parse_lf_group,
+    )
+
+    img = JxlImage(num_threads=threads)
+    img.feed_bytes(data)
+    img.finish()
+    frame = img._frames[0]
+    header = frame.header
+    lf_global = frame.parse_lf_global()
+    gmodular = lf_global.gmodular
+    modular = gmodular.modular
+    if modular is not None:
+        mlf_groups, pass_groups = modular.prepare_groups(frame.pass_shifts)
+    else:
+        mlf_groups, pass_groups = {}, [{}]
+
+    t0 = time.perf_counter()
+    state = VardctFrameState(frame)
+    for lf_idx in range(header.num_lf_groups):
+        entry = frame.toc.entry_for("lf_group", lf_idx)
+        bs = Bitstream(frame.section_bytes(entry))
+        state.place_lf_group(
+            lf_idx,
+            parse_lf_group(bs, frame.image_header, header, lf_global,
+                           lf_idx, mlf_groups.get(lf_idx)),
+        )
+    entry = frame.toc.entry_for("hf_global")
+    hf_global = HfGlobal(Bitstream(frame.section_bytes(entry)),
+                         frame.image_header, header, lf_global)
+
+    jobs = [
+        (p, g)
+        for p in range(header.passes.num_passes)
+        for g in range(header.num_groups)
+    ]
+
+    def do_job(job):
+        p, g = job
+        entry = frame.toc.entry_for("group_pass", g, p)
+        bs = Bitstream(frame.section_bytes(entry))
+        state.decode_pass_group_hf(bs, hf_global, p, g)
+
+    if threads > 1:
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(do_job, jobs))
+    else:
+        for job in jobs:
+            do_job(job)
+    dt = time.perf_counter() - t0
+    mp = header.sample_width() * header.sample_height() / 1e6
+    return dt, mp, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sparse", action="store_true")
+    args = ap.parse_args()
+
+    data = make_stream(args.size, dense=not args.sparse)
+    best = None
+    for _ in range(args.reps):
+        dt, mp, _ = host_stage(data, args.threads)
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({
+        "host_entropy_mpps": round(mp / best, 2),
+        "ms": round(best * 1e3, 1),
+        "threads": args.threads,
+        "size": args.size,
+        "dense": not args.sparse,
+        "stream_bytes": len(data),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -798,3 +798,211 @@ if __name__ == "__main__":
     img = rng.random((64, 64, 3), dtype=np.float32)
     data = encode_jxl_vardct(img)
     print(f"encoded {len(data)} bytes")
+
+
+def encode_jxl_vardct_tiled(
+    h: int,
+    w: int,
+    sel_grid: np.ndarray,    # [bh, bw] int, -1 = covered by another varblock
+    mul_grid: np.ndarray,    # [bh, bw] int hf_mul at varblock origins
+    coeff: np.ndarray,       # [3, bh*8, bw*8] int, stored (decoder) layout
+    lf_q: np.ndarray,        # [3, bh, bw] int quantized LF
+    global_scale: int = 4096,
+    quant_lf: int = 16,
+    gabor: bool = False,
+    epf_iters: int = 0,
+    sharpness: np.ndarray | None = None,  # [bh, bw] 0..7 (EPF sigma input)
+    cfl_grids: tuple | None = None,       # (x_from_y, b_from_y) int grids
+    skip_lf_smoothing: bool = True,
+) -> bytes:
+    """Synthesize a MULTI-GROUP (and multi-LF-group) VarDCT codestream
+    with an explicit varblock layout over the whole image: the general
+    tiled bitstream shape of the format (TOC sections per 2048px LF group
+    and per pass x 256px group, jxl-frame/src/data/toc.rs), used to
+    exercise group-parallel and mesh-sharded decode on images >= 4096x4096
+    with mixed transform types, EPF sigma grids, and gaborish."""
+    bh, bw = -(-h // 8), -(-w // 8)
+    assert sel_grid.shape == (bh, bw)
+    gd, lgd = 256, 2048          # group dim (px), LF group dim (px)
+    gdb, lgdb = gd // 8, lgd // 8  # in blocks
+    gpr, gpc = -(-w // gd), -(-h // gd)
+    lgpr, lgpc = -(-w // lgd), -(-h // lgd)
+    num_groups = gpr * gpc
+    num_lf_groups = lgpr * lgpc
+    single = num_groups == 1
+
+    out = BitWriter()
+    _write_image_header(out, h, w)
+
+    # --- FrameHeader (VarDCT) ---
+    out.zero_pad_to_byte()
+    out.write_bool(False)  # not all_default
+    out.write(0, 2)  # regular frame
+    out.write(0, 1)  # VarDCT
+    _write_u64(out, 0x80 if skip_lf_smoothing else 0)
+    out.write_bool(False)  # do_ycbcr
+    out.write_u32_sel(0, 0, 0)  # upsampling
+    out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    out.write_bool(False)  # have_crop
+    out.write_u32_sel(0, 0, 0)  # blending Replace
+    out.write_bool(True)  # is_last
+    out.write_u32_sel(0, 0, 0)  # name len 0
+    out.write_bool(False)  # restoration filter not default
+    if gabor:
+        out.write_bool(True)   # gab on
+        out.write_bool(False)  # default weights
+    else:
+        out.write_bool(False)
+    out.write(epf_iters, 2)
+    if epf_iters:
+        out.write_bool(False)  # sharp_lut default
+        out.write_bool(False)  # channel_scale default
+        out.write_bool(False)  # sigma default
+    out.write_u64_zero()  # rf extensions
+    out.write_u64_zero()  # frame extensions
+
+    if sharpness is None:
+        sharpness = np.zeros((bh, bw), dtype=np.int64)
+    if cfl_grids is not None:
+        x_from_y_all = np.asarray(cfl_grids[0], dtype=np.int64)
+        b_from_y_all = np.asarray(cfl_grids[1], dtype=np.int64)
+    else:
+        w64, h64 = -(-w // 64), -(-h // 64)
+        x_from_y_all = np.zeros((h64, w64), dtype=np.int64)
+        b_from_y_all = np.zeros((h64, w64), dtype=np.int64)
+
+    # --- LfGlobal section ---
+    lf_global = BitWriter()
+    lf_global.write_bool(True)  # lf_dequant all_default
+    if global_scale <= 2048:
+        lf_global.write(0, 2)
+        lf_global.write(global_scale - 1, 11)
+    elif global_scale <= 4096:
+        lf_global.write(1, 2)
+        lf_global.write(global_scale - 2049, 11)
+    elif global_scale <= 8192:
+        lf_global.write(2, 2)
+        lf_global.write(global_scale - 4097, 12)
+    else:
+        lf_global.write(3, 2)
+        lf_global.write(global_scale - 8193, 16)
+    assert quant_lf == 16
+    lf_global.write(0, 2)
+    lf_global.write_bool(True)  # HfBlockContext default (15 clusters)
+    lf_global.write_bool(True)  # LfChannelCorrelation all_default
+    lf_global.write_bool(False)  # no global MA tree
+    # GlobalModular: zero channels -> no modular header
+
+    # --- per-LF-group sections: LfCoeff + HfMetadata (local grids) ---
+    lf_group_secs = []
+    for lgy in range(lgpc):
+        for lgx in range(lgpr):
+            sec = BitWriter()
+            by0, bx0 = lgy * lgdb, lgx * lgdb
+            lbh = min(lgdb, bh - by0)
+            lbw = min(lgdb, bw - bx0)
+            lsel = sel_grid[by0 : by0 + lbh, bx0 : bx0 + lbw]
+            lmul = mul_grid[by0 : by0 + lbh, bx0 : bx0 + lbw]
+            llf = lf_q[:, by0 : by0 + lbh, bx0 : bx0 + lbw]
+            sec.write(0, 2)  # extra_precision = 0
+            _encode_local_modular(sec, [llf[1], llf[0], llf[2]])
+            varblocks = []
+            for y in range(lbh):
+                for x in range(lbw):
+                    if lsel[y, x] >= 0:
+                        varblocks.append(
+                            (x, y, int(lsel[y, x]), int(lmul[y, x]))
+                        )
+            nb = len(varblocks)
+            nbits = max(lbh * lbw - 1, 0).bit_length()
+            sec.write(nb - 1, nbits)
+            # local CfL grids (per 64px of this LF group)
+            c64y0, c64x0 = lgy * (lgd // 64), lgx * (lgd // 64)
+            lh64 = -(-min(lgd, h - lgy * lgd) // 64)
+            lw64 = -(-min(lgd, w - lgx * lgd) // 64)
+            lxf = x_from_y_all[c64y0 : c64y0 + lh64, c64x0 : c64x0 + lw64]
+            lbf = b_from_y_all[c64y0 : c64y0 + lh64, c64x0 : c64x0 + lw64]
+            block_info = np.zeros((2, nb), dtype=np.int64)
+            for i, (_x, _y, sel, mul) in enumerate(varblocks):
+                block_info[0, i] = sel
+                block_info[1, i] = mul - 1
+            lsharp = sharpness[by0 : by0 + lbh, bx0 : bx0 + lbw]
+            _encode_local_modular(sec, [lxf, lbf, block_info, lsharp])
+            lf_group_secs.append(sec)
+
+    # --- HfGlobal: default dequant, 1 preset, 1 HfPass natural orders ---
+    hf_global = BitWriter()
+    hf_global.write_bool(True)  # dequant all_default
+    hfp_bits = max(num_groups - 1, 0).bit_length()
+    if hfp_bits:
+        hf_global.write(0, hfp_bits)  # 1 preset
+    num_clusters_ctx = 495 * 15
+    hf_global.write(2, 2)  # used_orders = 0
+    hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+    hf_enc.write_header(hf_global)
+
+    # --- per-group HF token streams ---
+    def group_tokens(gx, gy):
+        tokens: list[int] = []
+        by0, bx0 = gy * gdb, gx * gdb
+        for by in range(by0, min(by0 + gdb, bh)):
+            for bx in range(bx0, min(bx0 + gdb, bw)):
+                sel = sel_grid[by, bx]
+                if sel < 0:
+                    continue
+                sel = int(sel)
+                w8, h8 = TransformType.SELECT_SIZE[sel]
+                num_blocks = w8 * h8
+                order = natural_order(TransformType.ORDER_ID[sel])
+                transpose = TransformType.need_transpose(sel)
+                for c in (1, 0, 2):
+                    vals = []
+                    for (dx, dy) in order[num_blocks:]:
+                        px, py = (dy, dx) if transpose else (dx, dy)
+                        vals.append(int(coeff[c, by * 8 + py, bx * 8 + px]))
+                    non_zeros = sum(1 for v in vals if v != 0)
+                    tokens.append(non_zeros)
+                    remaining = non_zeros
+                    for v in vals:
+                        if remaining == 0:
+                            break
+                        tokens.append(_pack_signed(v))
+                        if v != 0:
+                            remaining -= 1
+        return tokens
+
+    if single:
+        raise NotImplementedError("use encode_jxl_vardct_mixed for single-group")
+
+    group_secs = []
+    for gy in range(gpc):
+        for gx in range(gpr):
+            gsec = BitWriter()
+            genc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+            genc.encode_tokens(gsec, group_tokens(gx, gy))
+            group_secs.append(gsec)
+
+    sections = [lf_global, *lf_group_secs, hf_global, *group_secs]
+
+    # --- TOC + assemble ---
+    out.write_bool(False)  # no permutation
+    out.zero_pad_to_byte()
+    for s_ in sections:
+        size = len(s_.to_bytes())
+        if size < 1024:
+            out.write(0, 2)
+            out.write(size, 10)
+        elif size < 17408:
+            out.write(1, 2)
+            out.write(size - 1024, 14)
+        elif size < 4211712:
+            out.write(2, 2)
+            out.write(size - 17408, 22)
+        else:
+            out.write(3, 2)
+            out.write(size - 4211712, 30)
+    out.zero_pad_to_byte()
+    for s_ in sections:
+        s_.zero_pad_to_byte()
+        out.extend(s_)
+    return out.to_bytes()

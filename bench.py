@@ -1,9 +1,21 @@
-"""Benchmark: end-to-end VarDCT decode throughput on the TPU chip.
+"""Benchmark: VarDCT/Modular decode throughput on the TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} with the
-end-to-end number (host entropy stage + device pipeline, warm); the
-compute-only device pipeline throughput goes to stderr. vs_baseline is
-against the 1 Gpixel/s/chip north-star (BASELINE.json).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} where
+`value` is the flagship end-to-end throughput (host entropy stage + device
+pipeline + u8 readback, pipelined over a stream of images). Extra fields
+make each component separable (VERDICT r1: the tunnel must not hide
+regressions):
+
+  host_entropy_mpps   CPU symbol-decode stage alone (multithreaded)
+  device_mpps         device pipeline alone (compute, no host stage)
+  transfer_mbps       host->device->host round-trip bandwidth
+  e2e_device_resident pixels left on device (TPU-ingest serving mode)
+  cases               per-case MP/s over the bench corpus (the reference's
+                      criterion matrix shape: EPF 2/3, 4:2:0, progressive,
+                      mixed transforms, lossless Modular RLE/noisy;
+                      jxl-oxide-tests/benches/decode.rs:10-65)
+
+vs_baseline is against the 1 Gpixel/s/chip north-star (BASELINE.json).
 """
 
 from __future__ import annotations
@@ -18,58 +30,175 @@ sys.path.insert(0, "/root/repo/tools")
 import numpy as np
 
 
-def _bench_end_to_end():
-    from encoder_vardct import encode_jxl_vardct
-    from jxl_oxide_tpu.headers.image import ImageHeader
-    from jxl_oxide_tpu.io.bitstream import Bitstream
-    from jxl_oxide_tpu.render.frame import Frame
-    from jxl_oxide_tpu.render.vardct import decode_vardct_frame
+def _smooth_rgb(h, w, seed=0, block=8):
+    rng = np.random.default_rng(seed)
+    small = rng.random((h // block + 1, w // block + 1, 3)).astype(np.float32)
+    img = np.kron(small, np.ones((block, block, 1), dtype=np.float32))[:h, :w]
+    return np.clip(img, 0, 1)
 
+
+def _make_cases() -> dict:
+    """Bench corpus: name -> (bytes, h, w)."""
+    from encoder import encode_jxl_modular
+    from encoder_vardct import (
+        encode_jxl_vardct,
+        encode_jxl_vardct_420,
+        encode_jxl_vardct_tiled,
+    )
+
+    cases = {}
     h = w = 1024
-    rng = np.random.default_rng(0)
-    small = rng.random((h // 8 + 1, w // 8 + 1, 3)).astype(np.float32)
-    img = np.kron(small, np.ones((8, 8, 1), dtype=np.float32))[:h, :w]
-    # xyb_encoded: the flagship photo path, including the device-side
-    # XYB -> sRGB color transform and u8 quantization
-    data = encode_jxl_vardct(np.clip(img, 0, 1), global_scale=4096, xyb=True)
+    img = _smooth_rgb(h, w, seed=0)
+    cases["vardct_xyb"] = (
+        encode_jxl_vardct(img, global_scale=4096, xyb=True), h, w)
+    cases["vardct_epf2_gabor"] = (
+        encode_jxl_vardct(_smooth_rgb(512, 512, 1), gabor=True, epf_iters=2),
+        512, 512)
+    cases["vardct_epf3"] = (
+        encode_jxl_vardct(_smooth_rgb(512, 512, 2), epf_iters=3), 512, 512)
+    cases["vardct_2pass"] = (
+        encode_jxl_vardct(_smooth_rgb(512, 512, 3), num_passes=2), 512, 512)
 
-    def decode_once():
-        # full public path: bytes -> header -> entropy decode -> fused
-        # device pipeline -> XYB->sRGB color transform -> u8 readback
-        from jxl_oxide_tpu import JxlImage
+    # 4:2:0 chroma-subsampled (staged pipeline + chroma upsample):
+    # sparse HF with random quantized LF per channel resolution
+    rng = np.random.default_rng(4)
+    yv = rng.integers(-10, 11, (256, 256)).astype(np.int64)
+    yv[rng.random((256, 256)) < 0.8] = 0
+    xv = np.zeros((128, 128), dtype=np.int64)
+    bv = np.zeros((128, 128), dtype=np.int64)
+    lf_y = rng.integers(-60, 61, (32, 32)).astype(np.int64)
+    lf_x = rng.integers(-60, 61, (16, 16)).astype(np.int64)
+    lf_b = rng.integers(-60, 61, (16, 16)).astype(np.int64)
+    # channel order (x half, y full, b half)
+    cases["vardct_420"] = (
+        encode_jxl_vardct_420(256, 256, [xv, yv, bv], [lf_x, lf_y, lf_b]),
+        256, 256)
 
-        img = JxlImage.from_bytes(data)
-        return img.render_frame(0).to_u8()
+    # mixed transform types over multiple groups
+    sys.path.insert(0, "/root/repo/tests")
+    from test_parallel import _random_varblock_grid
 
-    out = decode_once()  # warm (jit compiles)
-    assert out.shape == (h, w, 3) and out.dtype == np.uint8
-    # throughput over a stream of images: host entropy decode of one image
-    # overlaps device work + transfers of others (the serving pipeline
-    # shape). Latency for a single decode is reported to stderr.
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        decode_once()
-    dt_lat = (time.perf_counter() - t0) / reps
-    print(f"single-decode latency: {dt_lat * 1e3:.1f} ms "
-          f"({h * w / dt_lat / 1e6:.2f} MP/s)", file=sys.stderr)
+    from jxl_oxide_tpu.models.vardct import TransformType as T
 
-    import concurrent.futures as cf
+    rng = np.random.default_rng(5)
+    mh, mw = 512, 512
+    bh, bw = mh // 8, mw // 8
+    sel, mul = _random_varblock_grid(
+        bh, bw, rng,
+        [T.DCT8, T.DCT2, T.DCT4, T.HORNUSS, T.DCT16, T.DCT32, T.DCT16X8,
+         T.AFV0],
+    )
+    coeff = rng.integers(-15, 16, (3, mh, mw)).astype(np.int64)
+    coeff[rng.random((3, mh, mw)) < 0.8] = 0
+    lf_q = rng.integers(-60, 61, (3, bh, bw)).astype(np.int64)
+    sharp = rng.integers(0, 8, (bh, bw)).astype(np.int64)
+    cases["vardct_mixed_epf2"] = (
+        encode_jxl_vardct_tiled(mh, mw, sel, mul, coeff, lf_q, gabor=True,
+                                epf_iters=2, sharpness=sharp),
+        mh, mw)
 
-    # best of 2 rounds: the dev chip is tunnel-attached and link load
-    # varies run to run; throughput capability = best sustained rate
+    # lossless Modular: RLE-friendly (flat runs) and noisy (entropy heavy)
+    rng = np.random.default_rng(6)
+    flat = [
+        np.repeat(rng.integers(0, 256, (1024, 32), dtype=np.int64), 32, 1)
+        for _ in range(3)
+    ]
+    cases["modular_rle"] = (encode_jxl_modular(flat, bit_depth=8), 1024, 1024)
+    noisy = [
+        rng.integers(0, 256, (512, 512), dtype=np.int64) for _ in range(3)
+    ]
+    cases["modular_noisy"] = (
+        encode_jxl_modular(noisy, bit_depth=8), 512, 512)
+    return cases
+
+
+def _decode(data: bytes) -> np.ndarray:
+    from jxl_oxide_tpu import JxlImage
+
+    return JxlImage.from_bytes(data).render_frame(0).to_u8()
+
+
+def _bench_case(data: bytes, h: int, w: int, reps: int = 6,
+                pipelined: bool = True) -> float:
+    _decode(data)  # warm (jit compile)
     best = 0.0
     for _ in range(2):
-        reps = 10
         t0 = time.perf_counter()
-        with cf.ThreadPoolExecutor(max_workers=4) as ex:
-            list(ex.map(lambda _: decode_once(), range(reps)))
+        if pipelined:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(max_workers=4) as ex:
+                list(ex.map(lambda _: _decode(data), range(reps)))
+        else:
+            for _ in range(reps):
+                _decode(data)
         dt = time.perf_counter() - t0
         best = max(best, (h * w * reps) / dt / 1e6)
     return best
 
 
-def _bench_compute_only():
+def _bench_device_resident(data: bytes, h: int, w: int, reps: int = 8) -> float:
+    """Serving mode for TPU-side consumers: pixels stay on device (no u8
+    readback over the link)."""
+    from jxl_oxide_tpu import JxlImage
+
+    def decode_dev():
+        img = JxlImage.from_bytes(data)
+        r = img.render_frame(0)
+        planes = r.planes
+        try:
+            import jax
+
+            if isinstance(planes[0], jax.Array):
+                planes[0].block_until_ready()
+        except ImportError:
+            pass
+        return planes
+
+    decode_dev()
+    import concurrent.futures as cf
+
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(lambda _: decode_dev(), range(reps)))
+        dt = time.perf_counter() - t0
+        best = max(best, (h * w * reps) / dt / 1e6)
+    return best
+
+
+def _bench_host_entropy() -> float:
+    import multiprocessing
+
+    from bench_host import host_stage, make_stream
+
+    data = make_stream(1024, dense=True)
+    threads = min(8, multiprocessing.cpu_count())
+    best = None
+    for _ in range(3):
+        dt, mp, _ = host_stage(data, threads)
+        best = dt if best is None else min(best, dt)
+    return mp / best
+
+
+def _bench_transfer() -> float:
+    import jax
+
+    x = np.zeros((64 << 20,), dtype=np.uint8)  # 64 MiB
+    d = jax.device_put(x)
+    d.block_until_ready()
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    d.block_until_ready()
+    up = 64 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    _ = np.asarray(d)
+    down = 64 / (time.perf_counter() - t0)
+    return round(min(up, down), 1)
+
+
+def _bench_compute_only() -> float:
     import jax
 
     from __graft_entry__ import _pipeline_fn, _synthetic_frame
@@ -88,15 +217,42 @@ def _bench_compute_only():
 
 
 def main() -> None:
-    compute_mpps = _bench_compute_only()
-    print(f"compute-only pipeline: {compute_mpps:.1f} Mpixel/s", file=sys.stderr)
-    e2e_mpps = _bench_end_to_end()
-    print(f"end-to-end decode: {e2e_mpps:.2f} Mpixel/s", file=sys.stderr)
+    host_mpps = _bench_host_entropy()
+    print(f"host entropy stage: {host_mpps:.1f} MP/s", file=sys.stderr)
+    device_mpps = _bench_compute_only()
+    print(f"compute-only pipeline: {device_mpps:.1f} MP/s", file=sys.stderr)
+    transfer = _bench_transfer()
+    print(f"transfer: {transfer:.1f} MiB/s", file=sys.stderr)
+
+    cases = _make_cases()
+    results = {}
+    for name, (data, h, w) in cases.items():
+        try:
+            mpps = _bench_case(data, h, w)
+        except Exception as e:  # pragma: no cover
+            print(f"case {name} failed: {e}", file=sys.stderr)
+            mpps = 0.0
+        results[name] = round(mpps, 2)
+        print(f"case {name}: {mpps:.2f} MP/s", file=sys.stderr)
+
+    flagship = cases["vardct_xyb"]
+    dev_resident = _bench_device_resident(*flagship)
+    print(f"device-resident serving: {dev_resident:.2f} MP/s", file=sys.stderr)
+
+    vals = [v for v in results.values() if v > 0]
+    geomean = float(np.exp(np.mean(np.log(vals)))) if vals else 0.0
+    e2e = results["vardct_xyb"]
     print(json.dumps({
         "metric": "vardct_decode_end_to_end",
-        "value": round(e2e_mpps, 2),
+        "value": e2e,
         "unit": "Mpixel/s",
-        "vs_baseline": round(e2e_mpps / 1000.0, 4),
+        "vs_baseline": round(e2e / 1000.0, 4),
+        "host_entropy_mpps": round(host_mpps, 1),
+        "device_mpps": round(device_mpps, 1),
+        "transfer_mbps": transfer,
+        "e2e_device_resident_mpps": round(dev_resident, 2),
+        "corpus_geomean_mpps": round(geomean, 2),
+        "cases": results,
     }))
 
 

@@ -80,6 +80,16 @@ def available() -> bool:
 class DecoderTables:
     """Flat-array serialization of a parsed Decoder (entropy.py) for C++."""
 
+    @classmethod
+    def cached(cls, decoder) -> "DecoderTables":
+        """Memoized on the decoder: per-frame specs (e.g. the shared HF
+        distribution set) serialize once, not once per group section."""
+        tables = getattr(decoder, "_native_tables", None)
+        if tables is None:
+            tables = cls(decoder)
+            decoder._native_tables = tables
+        return tables
+
     def __init__(self, decoder):
         lz = decoder.lz77 is not None
         if lz:
@@ -292,31 +302,37 @@ def decode_icc_native(bs, decoder, enc_size: int) -> bytes:
 
 def decode_hf_group_native(
     bs, hf_dist, ctx_offset: int, *, hf_block_ctx, block_sel, block_mul,
-    hshifts, vshifts, lf_quant, orders_cache, coeff_shift, out_planes
+    hshifts, vshifts, lf_quant, orders_packed, coeff_shift, out_planes
 ) -> None:
     """Native write_hf_coeff inner loop. Mutates out_planes; advances bs.pos.
 
-    orders_cache: dict-like from (order_id, channel) -> np.int32 [n, 2]
-    coordinate array (natural or permuted order).
+    orders_packed: (offsets [13*3] i32, lengths [13*3] i32, blob i32) —
+    concatenated (x, y) coefficient-order pairs per (order_id, channel),
+    prebuilt once per HfPass (models/vardct.write_hf_coeff).
     """
     from ..utils.errors import JxlBitstreamError, JxlEofError
 
     lib = get_lib()
     lib.jxlhost_decode_hf_group.restype = ctypes.c_int
-    tables = DecoderTables(hf_dist)
+    tables = DecoderTables.cached(hf_dist)
 
     def ip(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
-    qf_thr = np.asarray(hf_block_ctx.qf_thresholds, dtype=np.int32)
-    lf_thr_counts = np.array(
-        [len(t) for t in hf_block_ctx.lf_thresholds], dtype=np.int32
-    )
-    lf_thr_all = np.asarray(
-        [v for t in hf_block_ctx.lf_thresholds for v in t] or [0],
-        dtype=np.int32,
-    )
-    bcm = np.asarray(hf_block_ctx.block_ctx_map, dtype=np.int32)
+    packed_ctx = getattr(hf_block_ctx, "_native_packed", None)
+    if packed_ctx is None:
+        qf_thr = np.asarray(hf_block_ctx.qf_thresholds, dtype=np.int32)
+        lf_thr_counts = np.array(
+            [len(t) for t in hf_block_ctx.lf_thresholds], dtype=np.int32
+        )
+        lf_thr_all = np.asarray(
+            [v for t in hf_block_ctx.lf_thresholds for v in t] or [0],
+            dtype=np.int32,
+        )
+        bcm = np.asarray(hf_block_ctx.block_ctx_map, dtype=np.int32)
+        packed_ctx = (qf_thr, lf_thr_counts, lf_thr_all, bcm)
+        hf_block_ctx._native_packed = packed_ctx
+    qf_thr, lf_thr_counts, lf_thr_all, bcm = packed_ctx
 
     sel = np.ascontiguousarray(block_sel, dtype=np.int8)
     mul = np.ascontiguousarray(block_mul, dtype=np.int32)
@@ -336,18 +352,7 @@ def decode_hf_group_native(
             lf_ptrs[c] = p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
             lf_strides[c] = p.strides[0] // 4
 
-    # orders blob
-    offsets = np.full(13 * 3, 0, dtype=np.int32)
-    lengths = np.zeros(13 * 3, dtype=np.int32)
-    blobs = []
-    off = 0
-    for (oid, c), arr in orders_cache.items():
-        offsets[oid * 3 + c] = off
-        lengths[oid * 3 + c] = len(arr)
-        blobs.append(arr.reshape(-1))
-        off += arr.size
-    blob = np.concatenate(blobs) if blobs else np.zeros(2, dtype=np.int32)
-    blob = np.ascontiguousarray(blob, dtype=np.int32)
+    offsets, lengths, blob = orders_packed
 
     out_ptrs = (ctypes.POINTER(ctypes.c_int32) * 3)()
     out_strides = np.zeros(3, dtype=np.int64)

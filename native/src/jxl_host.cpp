@@ -37,15 +37,24 @@ struct BitReader {
   u64 len_bits;
   u64 pos;
 
+  // Fast path: one unaligned 64-bit load serves any n <= 57 (shift <= 7),
+  // which covers every caller (max read is 32 bits). The tail falls back
+  // to a byte loop that zero-extends past the end (ANS refill semantics;
+  // the final 0x130000 state check catches real truncation).
   inline u64 peek(int n) {
     if (n == 0) return 0;
     u64 byte0 = pos >> 3;
     int shift = (int)(pos & 7);
-    u64 window = 0;
-    u64 nbytes = (u64)((shift + n + 7) >> 3);
-    u64 avail_bytes = (len_bits + 7) / 8;
-    for (u64 i = 0; i < nbytes && byte0 + i < avail_bytes; i++)
-      window |= (u64)data[byte0 + i] << (8 * i);
+    u64 avail_bytes = (len_bits + 7) >> 3;
+    u64 window;
+    if (__builtin_expect(byte0 + 8 <= avail_bytes, 1)) {
+      std::memcpy(&window, data + byte0, 8);  // little-endian load
+    } else {
+      window = 0;
+      u64 nbytes = (u64)((shift + n + 7) >> 3);
+      for (u64 i = 0; i < nbytes && byte0 + i < avail_bytes; i++)
+        window |= (u64)data[byte0 + i] << (8 * i);
+    }
     return (window >> shift) & ((n >= 64) ? ~0ull : ((1ull << n) - 1));
   }
   inline void consume(int n) { pos += n; }

@@ -259,11 +259,12 @@ class JxlImage:
         self._frames: list[Frame] = []
         self._frames_complete = False
         self._header_bs: Bitstream | None = None
-        self._ctx: RenderContext | None = None
-        self._keyframes: list[KeyframeRender] | None = None
+        self._keyframe_cache: dict[int, KeyframeRender] = {}
         self.requested_encoding: ColourEncoding | None = None
         self.requested_icc: bytes | None = None
         self._image_region: tuple[int, int, int, int] | None = None
+        self._progressive_ctx: RenderContext | None = None
+        self._progressive_fed = 0
         from .color.cms import PilCms
 
         self._cms = PilCms()
@@ -430,13 +431,13 @@ class JxlImage:
         return self.image_header.metadata.animation is not None
 
     def request_color_encoding(self, encoding: ColourEncoding) -> None:
+        # decoded keyframes are encoding-independent (the color transform
+        # runs at postprocess time), so no cache invalidation is needed
         self.requested_encoding = encoding
-        self._keyframes = None
 
     def request_icc(self, icc: bytes) -> None:
         """Render into the color space of the given ICC profile (via CMS)."""
         self.requested_icc = icc
-        self._keyframes = None
 
     def set_cms(self, cms) -> None:
         self._cms = cms
@@ -502,62 +503,234 @@ class JxlImage:
 
     # -- rendering ----------------------------------------------------------
 
-    def _render_all(self) -> list[KeyframeRender]:
-        if self._keyframes is None:
-            import contextlib
+    # -- lazy keyframe rendering -------------------------------------------
+    #
+    # render_frame(idx) renders only the dependency cone of that keyframe
+    # (reference slots, LF frames, patch sources), releasing slots when
+    # their last cone consumer is done — the reference's refcounted lazy
+    # handle graph (jxl-render/src/lib.rs:284-440,488-607). Rendering
+    # frame 0 of a long animation decodes only frame 0's dependencies.
 
-            from .parallel import use_decode_mesh
-            from .utils.alloc import use_tracker
+    def _keyframe_global_indices(self) -> list[int]:
+        return [
+            i for i, f in enumerate(self._frames) if f.header.is_keyframe
+        ]
 
-            mesh_ctx = (
-                use_decode_mesh(self._decode_mesh)
-                if self._decode_mesh is not None
-                else contextlib.nullcontext()
+    @staticmethod
+    def _slot_reads(header) -> set[int]:
+        """Reference slots a frame may read: blend sources per channel, or
+        all four when the patches flag is set (patch targets live in
+        LfGlobal, unknown before decode — conservative, like the
+        reference's dependence wiring)."""
+        if header.flags.patches:
+            return {0, 1, 2, 3}
+        reads: set[int] = set()
+        binfo = header.blending_info
+        from .headers.frame import BlendMode
+
+        full_replace = (
+            binfo.mode == BlendMode.REPLACE
+            and not header.have_crop
+            and all(
+                e.mode == BlendMode.REPLACE for e in header.ec_blending_info
             )
-            with use_tracker(self._tracker), mesh_ctx:
-                ctx = RenderContext(self.image_header)
-                for frame in self._frames:
-                    ctx.add_frame(frame)
-            self._ctx = ctx
-            self._keyframes = ctx.keyframes
-        return self._keyframes
+        )
+        if not full_replace:
+            reads.add(binfo.source)
+            for e in header.ec_blending_info:
+                reads.add(e.source)
+        return reads
+
+    def _dependency_cone(self, target: int):
+        """Frame indices (ascending) that must render for `target`, plus
+        cached-keyframe canvases to seed reference slots from. The walk
+        stops at keyframes whose composited canvas is already cached:
+        the slot they save IS that canvas."""
+        from .headers.frame import FrameType
+
+        frames = self._frames
+        needed = {target}
+        seeds: dict[int, int] = {}  # slot -> keyframe cache idx
+        kf_indices = self._keyframe_global_indices()
+        kf_of_frame = {g: k for k, g in enumerate(kf_indices)}
+        stack = [target]
+        while stack:
+            i = stack.pop()
+            h = frames[i].header
+            if h.flags.use_lf_frame:
+                for j in range(i - 1, -1, -1):
+                    hj = frames[j].header
+                    if (
+                        hj.frame_type == FrameType.LF_FRAME
+                        and hj.lf_level == h.lf_level + 1
+                    ):
+                        if j not in needed:
+                            needed.add(j)
+                            stack.append(j)
+                        break
+            for s in self._slot_reads(h):
+                for j in range(i - 1, -1, -1):
+                    hj = frames[j].header
+                    if hj.can_reference and hj.save_as_reference == s:
+                        k = kf_of_frame.get(j)
+                        if (
+                            k is not None
+                            and self._cache_key(k) in self._keyframe_cache
+                            and j not in needed
+                        ):
+                            seeds[s] = k  # canvas == saved slot content
+                        elif j not in needed:
+                            needed.add(j)
+                            stack.append(j)
+                        break
+        return sorted(needed), seeds
+
+    def _cache_key(self, keyframe_idx: int):
+        # partial (ROI) decodes cache separately from full decodes
+        return (keyframe_idx, self._image_region)
+
+    def _coded_region(self):
+        """The requested display-space region mapped into coded image
+        coordinates (for section-level ROI pushdown)."""
+        if self._image_region is None:
+            return None
+        return _orient_region_inverse(
+            self._image_region,
+            self.image_header.size.width,
+            self.image_header.size.height,
+            self.image_header.metadata.orientation,
+        )
+
+    def _render_keyframe(self, keyframe_idx: int) -> KeyframeRender:
+        cached = self._keyframe_cache.get(self._cache_key(keyframe_idx))
+        if cached is not None:
+            return cached
+        kf_indices = self._keyframe_global_indices()
+        if keyframe_idx >= len(kf_indices):
+            raise IndexError(keyframe_idx)
+        target = kf_indices[keyframe_idx]
+        cone, seeds = self._dependency_cone(target)
+
+        import contextlib
+
+        from .parallel import use_decode_mesh
+        from .utils.alloc import use_tracker
+
+        mesh_ctx = (
+            use_decode_mesh(self._decode_mesh)
+            if self._decode_mesh is not None
+            else contextlib.nullcontext()
+        )
+        frames = self._frames
+        # slot release plan: last cone frame reading each slot
+        last_slot_read: dict[int, int] = {}
+        last_lf_read: dict[int, int] = {}
+        for i in cone:
+            h = frames[i].header
+            for s in self._slot_reads(h):
+                last_slot_read[s] = i
+            if h.flags.use_lf_frame:
+                last_lf_read[h.lf_level] = i
+        from .render.roi import use_decode_region
+
+        with use_tracker(self._tracker), mesh_ctx, use_decode_region(
+            self._coded_region()
+        ):
+            ctx = RenderContext(self.image_header)
+            for s, k in seeds.items():
+                kf = self._keyframe_cache[self._cache_key(k)]
+                ctx.set_reference(s, (
+                    [np.asarray(p, dtype=np.float32).copy() for p in kf.color],
+                    [np.asarray(p, dtype=np.float32).copy() for p in kf.extra],
+                ))
+            for i in cone:
+                frame = frames[i]
+                # header-derived counters for skipped frames (noise seeds)
+                ctx._frame_counter = i
+                prev_kfs = [g for g in kf_indices if g < i]
+                ctx._num_prev_keyframes = len(prev_kfs)
+                ctx._last_keyframe_idx = prev_kfs[-1] if prev_kfs else None
+                kf = ctx.add_frame(frame)
+                if kf is not None:
+                    self._keyframe_cache[
+                        self._cache_key(self._kf_index_of_frame(i))
+                    ] = kf
+                # release slots with no remaining cone consumers
+                for s in range(4):
+                    if (
+                        ctx.reference[s] is not None
+                        and last_slot_read.get(s, -1) <= i
+                    ):
+                        ctx.release_slot(s)
+                # LF slot `lvl` is read by frames whose lf_level == lvl
+                # (writers have lf_level == lvl + 1)
+                for lvl in range(4):
+                    if (
+                        ctx.lf_frames[lvl] is not None
+                        and last_lf_read.get(lvl, -1) <= i
+                    ):
+                        ctx.release_lf_frame(lvl)
+        result = self._keyframe_cache.get(self._cache_key(keyframe_idx))
+        if result is None:  # target was not a keyframe (should not happen)
+            raise JxlError("target frame did not produce a keyframe")
+        return result
+
+    def _kf_index_of_frame(self, global_idx: int) -> int:
+        return sum(
+            1 for i, f in enumerate(self._frames)
+            if f.header.is_keyframe and i < global_idx
+        )
 
     def render_frame(self, keyframe_idx: int = 0) -> Render:
-        kf = self._render_all()[keyframe_idx]
+        kf = self._render_keyframe(keyframe_idx)
         return self._postprocess(kf, crop=self._image_region)
 
     def set_image_region(self, left: int, top: int, width: int, height: int):
         """Request a cropped region of interest (jxl-oxide
         set_image_region). Applied to subsequent renders."""
         self._image_region = (left, top, width, height)
-        self._keyframes = None
 
     def render_loading_frame(self) -> Render:
-        """Progressive render of the last (possibly incomplete) frame
-        using whatever sections are buffered (render_loading_frame,
-        jxl-render/src/lib.rs:723-894)."""
+        """Progressive render of the currently loading frame using
+        whatever sections are buffered (render_loading_frame,
+        jxl-render/src/lib.rs:723-894).
+
+        Decode state persists across feed_bytes: each call decodes only
+        the sections that completed since the last call (the reference's
+        RenderCache), and the partial frame composites through the real
+        blend path (x0/y0 offsets, BlendingInfo against reference slots)
+        after all earlier complete frames have been composited."""
         if not self._frames:
             raise JxlEofError("no frame data buffered yet")
-        frame = self._frames[-1]
-        from .render.context import KeyframeRender
         from .render.render import render_frame as _rf
+        from .render.vardct import ProgressiveCache
 
-        fr = _rf(frame, allow_partial=True)
-        h, w = self.image_header.size.height, self.image_header.size.width
-        color = [
-            np.zeros((h, w), dtype=np.float32) for _ in fr.color
-        ]
-        extra = [np.zeros((h, w), dtype=np.float32) for _ in fr.extra]
-        for dst, src in zip(color, fr.color):
-            sh, sw = src.shape
-            dst[: min(h, sh), : min(w, sw)] = src[:h, :w]
-        for dst, src in zip(extra, fr.extra):
-            sh, sw = src.shape
-            dst[: min(h, sh), : min(w, sw)] = src[:h, :w]
-        kf = KeyframeRender(
-            color=color, extra=extra, frame=frame,
-            name=frame.header.name, duration=frame.header.duration,
-        )
+        if self._progressive_ctx is None:
+            self._progressive_ctx = RenderContext(self.image_header)
+            self._progressive_fed = 0
+        ctx = self._progressive_ctx
+        # composite newly completed frames (renders cache per frame here)
+        while self._progressive_fed < len(self._frames):
+            frame = self._frames[self._progressive_fed]
+            if not frame.is_complete:
+                break
+            ctx.add_frame(frame)
+            self._progressive_fed += 1
+
+        if self._progressive_fed >= len(self._frames):
+            # nothing loading: newest keyframe is the progressive result
+            if ctx.keyframes:
+                return self._postprocess(
+                    ctx.keyframes[-1], crop=self._image_region
+                )
+            raise JxlEofError("no renderable frame data yet")
+
+        frame = self._frames[self._progressive_fed]
+        cache = getattr(frame, "_progressive_cache", None)
+        if cache is None:
+            cache = frame._progressive_cache = ProgressiveCache()
+        fr = _rf(frame, allow_partial=True, cache=cache)
+        kf = ctx.composite_partial(fr, frame)
         return self._postprocess(kf, crop=self._image_region)
 
     _ct_cache: dict = {}

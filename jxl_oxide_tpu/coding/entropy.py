@@ -532,14 +532,29 @@ _LZ_WINDOW_MASK = _LZ_WINDOW_SIZE - 1
 
 
 class _Lz77State:
-    __slots__ = ("len_config", "window", "num_to_copy", "copy_pos", "num_decoded")
+    __slots__ = ("len_config", "window", "num_to_copy", "copy_pos",
+                 "num_decoded", "_tracker")
 
     def __init__(self, len_config: IntegerConfig):
         self.len_config = len_config
+        from ..utils.alloc import current_tracker
+
+        # 4 MiB rolling window, released on drop against the tracker that
+        # charged it (alloc_tracker.rs RAII handle semantics)
+        self._tracker = current_tracker()
+        if self._tracker is not None:
+            self._tracker.alloc(_LZ_WINDOW_SIZE * 4)
         self.window = np.zeros(_LZ_WINDOW_SIZE, dtype=np.uint32)
         self.num_to_copy = 0
         self.copy_pos = 0
         self.num_decoded = 0
+
+    def __del__(self):
+        try:
+            if self._tracker is not None:
+                self._tracker.release(_LZ_WINDOW_SIZE * 4)
+        except Exception:  # pragma: no cover - interpreter shutdown
+            pass
 
 
 # ---------------------------------------------------------------------------

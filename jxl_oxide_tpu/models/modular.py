@@ -247,6 +247,38 @@ class ModularImage:
         self.finished = True
         return self.image_channels
 
+    def snapshot(self) -> "ModularImage":
+        """Copy of the current decode state whose finish() leaves this
+        image untouched: progressive renders finish a snapshot while the
+        original keeps accepting newly arrived sections (the reference's
+        RenderCache resume contract, jxl-render/src/state.rs:17-44).
+
+        Buffers are copied and the transform grid pass is replayed on the
+        copies, rebuilding the slot/view aliasing structure."""
+        clone = object.__new__(ModularImage)
+        clone.group_dim = self.group_dim
+        clone.bit_depth = self.bit_depth
+        clone.header = self.header  # parsed, read-only
+        clone.ma_config = self.ma_config
+        clone.original_channels = self.original_channels
+        clone.image_channels = [a.copy() for a in self.image_channels]
+        clone.meta_channels = [a.copy() for a in self.meta_channels]
+        infos = [
+            ChannelInfo(c.width, c.height, c.hshift, c.vshift,
+                        c.original_width, c.original_height)
+            for c in self.original_channels
+        ]
+        slots = [Slot(arr) for arr in clone.image_channels]
+        meta_queue = list(clone.meta_channels)
+        nb_meta = 0
+        for tr in self.header.transforms:
+            nb_meta = tr.check(infos, nb_meta, slots, meta_queue)
+        clone.channels = infos
+        clone.slots = slots
+        clone.nb_meta_channels = nb_meta
+        clone.finished = False
+        return clone
+
 
 class ModularSubimage:
     """A decodable slice of a ModularImage: a set of channel views that share

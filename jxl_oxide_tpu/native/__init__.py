@@ -32,21 +32,37 @@ _lib = None
 _tried = False
 
 
+def _lib_path() -> str:
+    """Sanitized builds (JXL_TPU_NATIVE_SANITIZE=address) use a separate
+    library: ASan+UBSan instrumented, for CI sweeps over the fuzz corpus
+    (the reference confines unsafe to audited SIMD; our C++ pointer code
+    gets sanitizer coverage instead)."""
+    if os.environ.get("JXL_TPU_NATIVE_SANITIZE"):
+        return os.path.join(_LIB_DIR, "libjxl_host_asan.so")
+    return _LIB
+
+
 def _build() -> bool:
     os.makedirs(_LIB_DIR, exist_ok=True)
+    lib_path = _lib_path()
     try:
         src_mtime = os.path.getmtime(_SRC)
     except OSError:
         return False
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
+    if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= src_mtime:
         return True
+    if os.environ.get("JXL_TPU_NATIVE_SANITIZE"):
+        opt = ["-O1", "-g", "-fsanitize=address,undefined",
+               "-fno-sanitize-recover=undefined"]
+    else:
+        opt = ["-O3"]
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB + ".tmp", _SRC],
+            ["g++", *opt, "-shared", "-fPIC", "-std=c++17",
+             "-o", lib_path + ".tmp", _SRC],
             check=True, capture_output=True, timeout=300,
         )
-        os.replace(_LIB + ".tmp", _LIB)
+        os.replace(lib_path + ".tmp", lib_path)
         return True
     except Exception as e:  # pragma: no cover - toolchain issues
         print(f"jxl_oxide_tpu: native build failed: {e}", file=sys.stderr)
@@ -63,7 +79,7 @@ def get_lib():
         return None
     if not _build():
         return None
-    lib = ctypes.CDLL(_LIB)
+    lib = ctypes.CDLL(_lib_path())
     lib.jxlhost_decode_modular.restype = ctypes.c_int
     _lib = lib
     return _lib

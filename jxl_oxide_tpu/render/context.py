@@ -105,10 +105,46 @@ class RenderContext:
         self.lf_frames = [None] * 4
         self.keyframes: list[KeyframeRender] = []
         self._frame_counter = 0
-        self._keyframe_frame_indices: list[int] = []
+        # noise-seed counters (features/noise.rs frame visibility): these
+        # are header-derived, so a lazy cone render can set them directly
+        # for frames it skips over
+        self._num_prev_keyframes = 0
+        self._last_keyframe_idx: int | None = None
 
     def _num_channels(self, frame):
         return frame.header.encoded_color_channels
+
+    # -- tracked slot management (jxl-grid alloc_tracker.rs RAII release) --
+
+    @staticmethod
+    def _planes_bytes(value) -> int:
+        if value is None:
+            return 0
+        if isinstance(value, tuple):
+            planes = list(value[0]) + list(value[1])
+        else:
+            planes = list(value)
+        return sum(int(np.asarray(p).nbytes) for p in planes)
+
+    def set_reference(self, slot: int, value) -> None:
+        from ..utils.alloc import release_alloc, track_alloc
+
+        release_alloc(self._planes_bytes(self.reference[slot]))
+        track_alloc(self._planes_bytes(value))
+        self.reference[slot] = value
+
+    def release_slot(self, slot: int) -> None:
+        self.set_reference(slot, None)
+
+    def set_lf_frame(self, level: int, planes) -> None:
+        from ..utils.alloc import release_alloc, track_alloc
+
+        release_alloc(self._planes_bytes(self.lf_frames[level]))
+        track_alloc(self._planes_bytes(planes))
+        self.lf_frames[level] = planes
+
+    def release_lf_frame(self, level: int) -> None:
+        self.set_lf_frame(level, None)
 
     def add_frame(self, frame) -> KeyframeRender | None:
         """Render + composite one frame in codestream order. Returns the
@@ -128,7 +164,7 @@ class RenderContext:
                     )
                 frame._lf_frame_planes = lf_planes
             fr = render_frame(frame)
-            self.lf_frames[header.lf_level - 1] = fr.color
+            self.set_lf_frame(header.lf_level - 1, fr.color)
             self._frame_counter += 1
             return None
 
@@ -140,11 +176,56 @@ class RenderContext:
                 )
             frame._lf_frame_planes = lf_planes
 
-        fr = render_frame(frame)
-        ncolor = fr.color_channels
-        nextra = len(fr.extra)
+        # resume from the frame's progressive cache when one exists: only
+        # sections not already decoded during loading-frame renders decode
+        fr = render_frame(
+            frame, cache=getattr(frame, "_progressive_cache", None)
+        )
+        self._apply_features(fr, frame)
+        canvas_color, canvas_extra = self._composite(fr, frame)
 
-        # Features: patches -> splines -> noise (render.rs render_features)
+        if header.can_reference:
+            # reference slots are blended into / patched from on host
+            self.set_reference(header.save_as_reference, (
+                [np.asarray(p, dtype=np.float32).copy() for p in canvas_color],
+                [np.asarray(p, dtype=np.float32).copy() for p in canvas_extra],
+            ))
+
+        if header.is_keyframe:
+            kf = KeyframeRender(
+                color=canvas_color,
+                extra=canvas_extra,
+                frame=frame,
+                name=header.name,
+                duration=header.duration,
+            )
+            self.keyframes.append(kf)
+            self._num_prev_keyframes += 1
+            self._last_keyframe_idx = self._frame_counter
+            self._frame_counter += 1
+            return kf
+        self._frame_counter += 1
+        return None
+
+    def composite_partial(self, fr, frame) -> KeyframeRender:
+        """Composite a (possibly partially decoded) frame through the real
+        blend path — x0/y0 offsets, BlendingInfo against saved reference
+        slots — WITHOUT mutating context state (no slot saves, no keyframe
+        bookkeeping). The render_loading_frame contract
+        (jxl-render/src/lib.rs:723-894 + image.rs:788-845)."""
+        self._apply_features(fr, frame)
+        canvas_color, canvas_extra = self._composite(fr, frame)
+        return KeyframeRender(
+            color=canvas_color,
+            extra=canvas_extra,
+            frame=frame,
+            name=frame.header.name,
+            duration=frame.header.duration,
+        )
+
+    def _apply_features(self, fr, frame) -> None:
+        """Patches -> splines -> noise (render.rs render_features)."""
+        header = frame.header
         lf_global = getattr(frame, "lf_global", None)
         if lf_global is not None and (
             lf_global.patches or lf_global.splines or lf_global.noise
@@ -171,21 +252,26 @@ class RenderContext:
 
                 frame_idx = self._frame_counter
                 is_kf = header.is_keyframe
-                visible = len(self.keyframes) + (1 if is_kf else 0)
+                visible = self._num_prev_keyframes + (1 if is_kf else 0)
                 if is_kf:
                     invisible = 0
-                elif not self._keyframe_frame_indices:
+                elif self._last_keyframe_idx is None:
                     invisible = 1 + frame_idx
                 else:
-                    invisible = frame_idx - self._keyframe_frame_indices[-1]
+                    invisible = frame_idx - self._last_keyframe_idx
                 render_noise(
                     fr.color, header, visible, invisible, base_corr,
                     lf_global.noise.lut,
                 )
 
-        # composite onto canvas (blend.rs blend): base = source slot
+    def _composite(self, fr, frame):
+        """Blend the rendered frame onto its base canvas (blend.rs blend);
+        returns (canvas_color, canvas_extra) image-sized planes."""
+        header = frame.header
+        meta = self.image_header.metadata
+        ncolor = fr.color_channels
+        nextra = len(fr.extra)
         binfo = header.blending_info
-        source = binfo.source
         full_replace = (
             binfo.mode == BlendMode.REPLACE
             and not header.have_crop
@@ -259,28 +345,11 @@ class RenderContext:
                     einfo.mode, header.x0, header.y0,
                     base_a, new_a, einfo.clamp, premul, is_alpha,
                 )
+        from ..utils.alloc import track_alloc
 
-        if header.can_reference:
-            # reference slots are blended into / patched from on host
-            self.reference[header.save_as_reference] = (
-                [np.asarray(p, dtype=np.float32).copy() for p in canvas_color],
-                [np.asarray(p, dtype=np.float32).copy() for p in canvas_extra],
-            )
-
-        if header.is_keyframe:
-            kf = KeyframeRender(
-                color=canvas_color,
-                extra=canvas_extra,
-                frame=frame,
-                name=header.name,
-                duration=header.duration,
-            )
-            self.keyframes.append(kf)
-            self._keyframe_frame_indices.append(self._frame_counter)
-            self._frame_counter += 1
-            return kf
-        self._frame_counter += 1
-        return None
+        track_alloc(self._planes_bytes(canvas_color)
+                    + self._planes_bytes(canvas_extra))
+        return canvas_color, canvas_extra
 
     # -- patches ------------------------------------------------------------
 

@@ -234,15 +234,21 @@ class Frame:
         return self.lf_global
 
     @traced("decode channels")
-    def decode_modular_frame(self, allow_partial: bool = False) -> list[np.ndarray]:
+    def decode_modular_frame(self, allow_partial: bool = False,
+                             cache=None) -> list[np.ndarray]:
         """Full Modular frame decode: LfGlobal + LF groups + pass groups +
         inverse transforms. Returns original channel arrays (int32).
 
         With allow_partial, sections whose bytes are not fully buffered are
         skipped (their samples stay zero) — the progressive rendering
-        contract (render/lib.rs render_loading_frame)."""
+        contract (render/lib.rs render_loading_frame). With `cache` (a
+        ProgressiveCache), decode state persists across calls and only
+        newly-complete sections decode; inverse transforms run on a
+        snapshot so the state stays resumable."""
         if self.header.encoding != Encoding.MODULAR:
             raise ValueError("not a modular frame")
+        if cache is not None and not self.toc.is_single_entry:
+            return self._decode_modular_progressive(cache)
         lf_global = self.parse_lf_global()
         gmodular = lf_global.gmodular
         modular = gmodular.modular
@@ -265,9 +271,24 @@ class Frame:
             # independent bitstream writing disjoint channel views (the
             # reference's rayon grain, SURVEY.md §2.16 P1/P2); the native
             # decoder releases the GIL.
+            from .roi import (
+                frame_supports_roi,
+                get_decode_region,
+                group_intersects,
+                lf_group_intersects,
+            )
+
+            roi = get_decode_region()
+            if roi is not None and not frame_supports_roi(self):
+                roi = None
+
             jobs = []
             for lf_idx in range(header.num_lf_groups):
                 if allow_partial and not self.section_complete("lf_group", lf_idx):
+                    continue
+                if roi is not None and not lf_group_intersects(
+                    self, lf_idx, roi
+                ):
                     continue
                 sub = lf_groups.get(lf_idx)
                 entry = self.toc.entry_for("lf_group", lf_idx)
@@ -279,6 +300,10 @@ class Frame:
                         "group_pass", g_idx, pass_idx
                     ):
                         continue
+                    if roi is not None and not group_intersects(
+                        self, g_idx, roi
+                    ):
+                        continue
                     sub = (
                         pass_groups[pass_idx].get(g_idx)
                         if pass_idx < len(pass_groups)
@@ -288,10 +313,68 @@ class Frame:
                     jobs.append(
                         (self._decode_pass_group_job, entry, (pass_idx, g_idx), sub)
                     )
+            self._pass_group_jobs = sum(
+                1 for j in jobs if j[0] == self._decode_pass_group_job
+            )
             self._run_section_jobs(jobs, gmodular)
 
         if modular is not None:
             return modular.finish()
+        return []
+
+    def _decode_modular_progressive(self, cache) -> list[np.ndarray]:
+        """Incremental modular decode: only sections that completed since
+        the previous call decode; returns channels of a finished snapshot
+        (jxl-render/src/state.rs RenderCache resume)."""
+        lf_global = self.parse_lf_global()
+        gmodular = lf_global.gmodular
+        modular = gmodular.modular
+        header = self.header
+
+        if cache.groups_prepared is None:
+            if modular is not None:
+                cache.groups_prepared = modular.prepare_groups(
+                    self.pass_shifts
+                )
+            else:
+                cache.groups_prepared = ({}, [{}])
+        lf_groups, pass_groups = cache.groups_prepared
+
+        jobs = []
+        for lf_idx in range(header.num_lf_groups):
+            key = ("lf_group", lf_idx)
+            if key in cache.done or not self.section_complete(
+                "lf_group", lf_idx
+            ):
+                continue
+            entry = self.toc.entry_for("lf_group", lf_idx)
+            jobs.append(
+                (self._decode_lf_group, entry, lf_idx, lf_groups.get(lf_idx))
+            )
+            cache.done.add(key)
+        for pass_idx in range(header.passes.num_passes):
+            for g_idx in range(header.num_groups):
+                key = ("group_pass", g_idx, pass_idx)
+                if key in cache.done or not self.section_complete(
+                    "group_pass", g_idx, pass_idx
+                ):
+                    continue
+                sub = (
+                    pass_groups[pass_idx].get(g_idx)
+                    if pass_idx < len(pass_groups)
+                    else None
+                )
+                entry = self.toc.entry_for("group_pass", g_idx, pass_idx)
+                jobs.append(
+                    (self._decode_pass_group_job, entry,
+                     (pass_idx, g_idx), sub)
+                )
+                cache.done.add(key)
+        if jobs:
+            self._run_section_jobs(jobs, gmodular)
+
+        if modular is not None:
+            return modular.snapshot().finish()
         return []
 
     def _decode_pass_group_job(self, bs, key, sub, gmodular) -> None:

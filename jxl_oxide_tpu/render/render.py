@@ -67,8 +67,13 @@ def _upsample2x_triangle(plane: np.ndarray, axis: int, size: int) -> np.ndarray:
 
 
 @traced("Render frame")
-def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRender:
-    """Decode + filter one frame. Returns planes at frame sample size."""
+def render_frame(frame, lf_global=None, allow_partial: bool = False,
+                 cache=None) -> FrameRender:
+    """Decode + filter one frame. Returns planes at frame sample size.
+
+    `cache` (a render.vardct.ProgressiveCache) persists decode state
+    across calls for progressive rendering: only newly-complete sections
+    decode on each call."""
     header = frame.header
     image_header = frame.image_header
     meta = image_header.metadata
@@ -77,7 +82,9 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRen
     h = header.sample_height()
 
     if header.encoding == Encoding.MODULAR:
-        chans = frame.decode_modular_frame(allow_partial=allow_partial)
+        chans = frame.decode_modular_frame(
+            allow_partial=allow_partial, cache=cache
+        )
         lf_global = frame.lf_global
         gmodular = lf_global.gmodular
         ncolor = header.encoded_color_channels
@@ -107,7 +114,9 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False) -> FrameRen
     else:
         from .vardct import decode_vardct_frame
 
-        (cx, cy, cb), extra_int = decode_vardct_frame(frame, allow_partial=allow_partial)
+        (cx, cy, cb), extra_int = decode_vardct_frame(
+            frame, allow_partial=allow_partial, cache=cache
+        )
         color = [cx, cy, cb]
         ncolor = 3
         extra = [

@@ -1,0 +1,98 @@
+"""Region-of-interest decode pushdown.
+
+When a decode region is active, section decoders skip TOC sections whose
+groups don't intersect the padded region (the reference decodes only
+intersecting groups: jxl-render/src/region.rs + jxl-frame/src/lib.rs
+adjust_region). The region is in CODED image coordinates (the caller maps
+the display-space crop through the inverse orientation first) and is
+padded here for the filter stencils (1px gaborish + up to 6px EPF,
+jxl-frame/src/lib.rs:626-649).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+
+# (left, top, width, height) in coded image coordinates, or None
+_decode_region: contextvars.ContextVar = contextvars.ContextVar(
+    "jxl_decode_region", default=None
+)
+
+# filter stencil reach: 6px EPF (iters=3) + 1px gaborish, rounded up
+FILTER_PAD = 8
+
+
+def get_decode_region():
+    return _decode_region.get()
+
+
+@contextlib.contextmanager
+def use_decode_region(region):
+    token = _decode_region.set(region)
+    try:
+        yield
+    finally:
+        _decode_region.reset(token)
+
+
+def frame_supports_roi(frame) -> bool:
+    """Conservative gate: push the region into section selection only when
+    skipped pixels cannot influence region pixels. Patches copy arbitrary
+    rects between frames, noise reads 9 adjacent groups, frame upsampling
+    and LF frames change coordinate scales, and modular squeeze mixes
+    samples globally — all decode fully."""
+    header = frame.header
+    if header.upsampling != 1 or header.lf_level != 0:
+        return False
+    if header.flags.use_lf_frame or header.flags.noise or header.flags.patches:
+        return False
+    if any(u != 1 for u in header.ec_upsampling):
+        return False
+    if header.do_ycbcr:
+        return False
+    lf_global = getattr(frame, "lf_global", None)
+    if lf_global is not None and lf_global.gmodular.modular is not None:
+        from ..models.modular_transform import Squeeze
+
+        for tr in lf_global.gmodular.modular.header.transforms:
+            if isinstance(tr, Squeeze):
+                return False
+    return True
+
+
+def group_intersects(frame, group_idx: int, region) -> bool:
+    """Does a 256px pass group intersect the padded region (in frame
+    coordinates: the image-space region translated by -x0/-y0)?"""
+    header = frame.header
+    left, top, w, h = region
+    left -= header.x0
+    top -= header.y0
+    left -= FILTER_PAD
+    top -= FILTER_PAD
+    w += 2 * FILTER_PAD
+    h += 2 * FILTER_PAD
+    gd = header.group_dim
+    gpr = header.groups_per_row
+    gx, gy = group_idx % gpr, group_idx // gpr
+    x0, y0 = gx * gd, gy * gd
+    return not (
+        x0 >= left + w or x0 + gd <= left or y0 >= top + h or y0 + gd <= top
+    )
+
+
+def lf_group_intersects(frame, lf_group_idx: int, region) -> bool:
+    """Same for a 2048px LF group."""
+    header = frame.header
+    left, top, w, h = region
+    left -= header.x0 + FILTER_PAD
+    top -= header.y0 + FILTER_PAD
+    w += 2 * FILTER_PAD
+    h += 2 * FILTER_PAD
+    lgd = header.lf_group_dim
+    lgpr = header.lf_groups_per_row
+    gx, gy = lf_group_idx % lgpr, lf_group_idx // lgpr
+    x0, y0 = gx * lgd, gy * lgd
+    return not (
+        x0 >= left + w or x0 + lgd <= left or y0 >= top + h or y0 + lgd <= top
+    )

@@ -891,17 +891,36 @@ class VardctFrameState:
         return out
 
 
+class ProgressiveCache:
+    """Per-frame decode state persisted across feed_bytes calls: sections
+    decode exactly once, as they complete (the reference's RenderCache,
+    jxl-render/src/state.rs:17-44 + lib.rs:723-894 resume-from-cache)."""
+
+    def __init__(self):
+        self.vardct_state: VardctFrameState | None = None
+        self.hf_global: HfGlobal | None = None
+        self.done: set = set()  # ("lf_group", i) / ("group_pass", g, p)
+        self.groups_prepared = None  # (mlf_groups, pass_groups)
+
+    def sections_decoded(self) -> int:
+        return len(self.done)
+
+
 @traced("Render VarDCT")
-def decode_vardct_frame(frame, allow_partial: bool = False):
+def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
     """Full VarDCT frame decode. Returns ([x, y, b] float32 planes cropped
     to the frame sample size at channel shifts, extra-channel arrays).
 
     With allow_partial, incomplete sections are skipped: missing pass
     groups leave zero HF coefficients (LF-only preview regions), a missing
-    HfGlobal yields a pure-LF render (render_loading_frame contract)."""
+    HfGlobal yields a pure-LF render (render_loading_frame contract).
+    With a ProgressiveCache, decode state persists across calls and only
+    newly-complete sections are decoded."""
     header = frame.header
     if header.encoding != Encoding.VARDCT:
         raise ValueError("not a VarDCT frame")
+    if cache is not None and not frame.toc.is_single_entry:
+        return _decode_vardct_progressive(frame, cache)
     lf_global = frame.parse_lf_global()
     gmodular = lf_global.gmodular
     modular = gmodular.modular
@@ -943,9 +962,23 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
             )
             return lf_idx, group
 
+        # ROI pushdown: decode only sections whose groups intersect the
+        # padded region (jxl-frame/src/lib.rs:626-649 adjust_region)
+        from .roi import (
+            frame_supports_roi,
+            get_decode_region,
+            group_intersects,
+            lf_group_intersects,
+        )
+
+        roi = get_decode_region()
+        if roi is not None and not frame_supports_roi(frame):
+            roi = None
+
         lf_jobs = [
             lf_idx for lf_idx in range(header.num_lf_groups)
             if not (allow_partial and not frame.section_complete("lf_group", lf_idx))
+            and (roi is None or lf_group_intersects(frame, lf_idx, roi))
         ]
         if threaded and len(lf_jobs) > 1:
             import concurrent.futures as cf
@@ -993,7 +1026,10 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
                     or not frame.section_complete("group_pass", g_, p_)
                 ):
                     continue
+                if roi is not None and not group_intersects(frame, g_, roi):
+                    continue
                 by_group.setdefault(g_, []).append((p_, g_))
+        frame._pass_group_jobs = sum(len(v) for v in by_group.values())
 
         def _do_group(jobs):
             for job in jobs:
@@ -1028,5 +1064,92 @@ def decode_vardct_frame(frame, allow_partial: bool = False):
     extra = []
     if modular is not None:
         chans = modular.finish()
+        extra = chans[gmodular.extra_channel_from :]
+    return cropped, extra
+
+
+def _decode_vardct_progressive(frame, cache: ProgressiveCache):
+    """Incremental VarDCT decode: decode only sections that completed
+    since the previous call, accumulate into the cached frame state, and
+    run the device pipeline on the current planes. Work per call is
+    proportional to newly arrived bytes (jxl-render/src/lib.rs:723-894)."""
+    header = frame.header
+    lf_global = frame.parse_lf_global()
+    gmodular = lf_global.gmodular
+    modular = gmodular.modular
+
+    if cache.vardct_state is None:
+        cache.vardct_state = VardctFrameState(frame)
+    state = cache.vardct_state
+
+    if cache.groups_prepared is None:
+        if modular is not None:
+            cache.groups_prepared = modular.prepare_groups(frame.pass_shifts)
+        else:
+            cache.groups_prepared = ({}, [{}])
+    mlf_groups, pass_groups = cache.groups_prepared
+
+    # newly-complete LF groups
+    for lf_idx in range(header.num_lf_groups):
+        key = ("lf_group", lf_idx)
+        if key in cache.done or not frame.section_complete("lf_group", lf_idx):
+            continue
+        entry = frame.toc.entry_for("lf_group", lf_idx)
+        bs = Bitstream(frame.section_bytes(entry))
+        group = parse_lf_group(
+            bs, frame.image_header, header, lf_global, lf_idx,
+            mlf_groups.get(lf_idx),
+        )
+        state.place_lf_group(lf_idx, group)
+        # bucket/index plans depend on the set of LF groups present
+        state._bucket_cache = {}
+        cache.done.add(key)
+
+    if cache.hf_global is None and frame.section_complete("hf_global"):
+        entry = frame.toc.entry_for("hf_global")
+        bs = Bitstream(frame.section_bytes(entry))
+        with span("Parse HfGlobal"):
+            cache.hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
+    hf_global = cache.hf_global
+
+    # newly-complete pass groups: require HfGlobal and the owning LF group
+    # (its HfMetadata defines the varblock grid the section writes into);
+    # passes of one group decode in pass order
+    if hf_global is not None:
+        for g_idx in range(header.num_groups):
+            lf_key = ("lf_group", header.lf_group_idx_from_group_idx(g_idx))
+            if lf_key not in cache.done:
+                continue
+            for pass_idx in range(header.passes.num_passes):
+                key = ("group_pass", g_idx, pass_idx)
+                if key in cache.done:
+                    continue
+                if not frame.section_complete("group_pass", g_idx, pass_idx):
+                    break  # keep pass order per group
+                entry = frame.toc.entry_for("group_pass", g_idx, pass_idx)
+                bs = Bitstream(frame.section_bytes(entry))
+                state.decode_pass_group_hf(bs, hf_global, pass_idx, g_idx)
+                sub = (
+                    pass_groups[pass_idx].get(g_idx)
+                    if pass_idx < len(pass_groups)
+                    else None
+                )
+                frame._decode_pass_group(bs, pass_idx, g_idx, sub, gmodular)
+                cache.done.add(key)
+
+    frame._vardct_state = state
+    frame._hf_global = hf_global
+    xyb = state.run_device_pipeline(hf_global)
+    cropped = []
+    for c in range(3):
+        hs, vs = state.shifts[c]
+        w = _ceil_shift(state.width, hs)
+        h = _ceil_shift(state.height, vs)
+        cropped.append(xyb[c][:h, :w])
+
+    extra = []
+    if modular is not None:
+        # finish a snapshot so decode state stays resumable
+        chans = modular.snapshot().finish()
         extra = chans[gmodular.extra_channel_from :]
     return cropped, extra

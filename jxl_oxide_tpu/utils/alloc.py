@@ -13,7 +13,7 @@ import contextvars
 
 from .errors import JxlError
 
-__all__ = ["AllocTracker", "current_tracker", "track_alloc", "use_tracker"]
+__all__ = ["AllocTracker", "current_tracker", "track_alloc", "release_alloc", "use_tracker"]
 
 
 class JxlOutOfMemoryError(JxlError):
@@ -21,16 +21,26 @@ class JxlOutOfMemoryError(JxlError):
 
 
 class AllocTracker:
+    """Byte-budget tracker with release semantics and peak accounting
+    (jxl-grid/src/alloc_tracker.rs:8-51: every large allocation registers
+    a handle whose drop returns the bytes)."""
+
     def __init__(self, limit_bytes: int):
         self.limit = limit_bytes
         self.used = 0
+        self.peak = 0
 
     def alloc(self, nbytes: int) -> None:
         self.used += nbytes
+        if self.used > self.peak:
+            self.peak = self.used
         if self.used > self.limit:
             raise JxlOutOfMemoryError(
                 f"decode memory budget exceeded: {self.used} > {self.limit}"
             )
+
+    def release(self, nbytes: int) -> None:
+        self.used = max(0, self.used - nbytes)
 
 
 _tracker: contextvars.ContextVar[AllocTracker | None] = contextvars.ContextVar(
@@ -46,6 +56,12 @@ def track_alloc(nbytes: int) -> None:
     t = _tracker.get()
     if t is not None:
         t.alloc(nbytes)
+
+
+def release_alloc(nbytes: int) -> None:
+    t = _tracker.get()
+    if t is not None:
+        t.release(nbytes)
 
 
 class use_tracker:

@@ -315,8 +315,9 @@ struct WpState {
   }
 
   void predict(i32 n, i32 nw, i32 ne, i32 w, i32 nn) {
-    i64 n3 = (i64)n << 3, nw3 = (i64)nw << 3, ne3 = (i64)ne << 3,
-        w3 = (i64)w << 3, nn3 = (i64)nn << 3;
+    // multiply instead of <<: left-shifting negatives is UB pre-C++20
+    i64 n3 = (i64)n * 8, nw3 = (i64)nw * 8, ne3 = (i64)ne * 8,
+        w3 = (i64)w * 8, nn3 = (i64)nn * 8;
     subpred[0] = w3 + ne3 - n3;
     subpred[1] = n3 - (((i64)(te_w + (i64)te_n + te_ne) * wp.p1) >> 5);
     subpred[2] = w3 - (((i64)(te_w + (i64)te_n + te_nw) * wp.p2) >> 5);
@@ -358,7 +359,7 @@ struct WpState {
   }
 
   void record(i32 sample) {
-    i64 s8 = (i64)sample << 3;
+    i64 s8 = (i64)sample * 8;
     i32 true_err = wrap32(prediction - s8);
     u32 sub_err[4];
     for (int i = 0; i < 4; i++) {
@@ -930,7 +931,7 @@ int jxlhost_decode_hf_group(
             is_prev_nonzero = 0;
             continue;
           }
-          i64 coeff = (i64)unpack_signed(ucoeff) << coeff_shift;
+          i64 coeff = (i64)((u64)(i64)unpack_signed(ucoeff) << coeff_shift);
           i32 dx = order[oi * 2], dy = order[oi * 2 + 1];
           if (transpose) { i32 t = dx; dx = dy; dy = t; }
           i64 px = (i64)sx * 8 + dx;

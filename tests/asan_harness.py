@@ -1,0 +1,84 @@
+"""Subprocess harness for the sanitized native build: exercises every
+native entry point (modular decode, HF coefficient decode, ICC decode)
+over generated streams and the fuzz corpus, WITHOUT importing jax (the
+sanitizer runtime and XLA don't mix). Run by test_native_asan_clean with
+LD_PRELOAD=libasan.so and JXL_TPU_NATIVE_SANITIZE=address.
+
+Prints ASAN_OK on success; any ASan/UBSan report aborts the process.
+"""
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+import numpy as np  # noqa: E402
+
+from jxl_oxide_tpu import native  # noqa: E402
+
+assert native.available(), "sanitized native build failed"
+
+from encoder import encode_jxl_modular  # noqa: E402
+
+from jxl_oxide_tpu import JxlImage  # noqa: E402
+from jxl_oxide_tpu.utils.errors import JxlError  # noqa: E402
+
+rng = np.random.default_rng(5)
+
+# 1. modular decode (native MA-tree + predictors + LZ77 window)
+chans = [rng.integers(0, 256, (300, 280), dtype=np.int64) for _ in range(3)]
+img = JxlImage()
+img.feed_bytes(encode_jxl_modular(chans, bit_depth=8))
+img.finish()
+out = img._frames[0].decode_modular_frame()
+for c, o in zip(chans, out):
+    assert np.array_equal(c, o)
+
+# squeeze + RCT variants stress the transform/window paths
+for kw in ({"rct": True}, {"squeeze": True}):
+    chans2 = [rng.integers(0, 64, (96, 80), dtype=np.int64) for _ in range(3)]
+    im2 = JxlImage()
+    im2.feed_bytes(encode_jxl_modular(chans2, bit_depth=8, **kw))
+    im2.finish()
+    im2._frames[0].decode_modular_frame()
+
+# 2. VarDCT host stage (native HF coefficient decode), no device work
+from bench_host import host_stage, make_stream  # noqa: E402
+
+host_stage(make_stream(512, dense=True), threads=2)
+
+# 3. ICC decode (native 41-context stream) via a real container file
+cmyk = os.path.join(
+    "/root/reference/crates/jxl-oxide-tests/tests/cms/cmyk_layers.jxl"
+)
+if os.path.exists(cmyk):
+    img3 = JxlImage()
+    with open(cmyk, "rb") as f:
+        img3.feed_bytes(f.read())
+    img3.finish()
+    assert img3.embedded_icc
+
+# 4. fuzz corpus sweep: header/frame parse + modular decode where
+# applicable; only JxlError may escape
+corpus = "/root/reference/crates/jxl-oxide-tests/tests/fuzz_findings"
+if os.path.isdir(corpus):
+    for name in sorted(os.listdir(corpus)):
+        if not name.endswith(".fuzz"):
+            continue
+        with open(os.path.join(corpus, name), "rb") as f:
+            data = f.read()
+        try:
+            im = JxlImage(approx_memory_limit=128 << 20)
+            im.feed_bytes(data)
+            im.finish()
+            for fr in im._frames:
+                from jxl_oxide_tpu.headers.frame import Encoding
+
+                if fr.header.encoding == Encoding.MODULAR:
+                    fr.decode_modular_frame()
+        except JxlError:
+            pass
+
+print("ASAN_OK")

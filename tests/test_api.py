@@ -602,3 +602,263 @@ def test_extra_channel_dim_shift():
         np.testing.assert_array_equal(out[..., c], chans[c].astype(np.uint8))
     # upsampled alpha: full-size, locally correlated with the source
     assert r.extra[0].shape == (h, w)
+
+
+def test_progressive_cache_incremental_vardct():
+    """Chunked feeds decode each TOC section exactly once across
+    render_loading_frame calls (RenderCache resume, state.rs:17-44), and
+    the final progressive render equals the one-shot decode."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(61)
+    rgb = rng.random((512, 512, 3)).astype(np.float32)
+    data = encode_jxl_vardct(rgb, gabor=True)
+
+    img = JxlImage()
+    counts = []
+    step = len(data) // 9
+    for i in range(0, len(data), step):
+        img.feed_bytes(data[i : i + step])
+        if img.image_header is None or not img._frames:
+            continue
+        try:
+            img.render_loading_frame()
+        except Exception:
+            pass
+        frame = img._frames[-1]
+        cache = getattr(frame, "_progressive_cache", None)
+        if cache is not None:
+            counts.append(cache.sections_decoded())
+    img.finish()
+    final = img.render_loading_frame().to_u8()
+
+    # sections decode monotonically, once each, across calls
+    assert counts, "no progressive decodes happened"
+    assert counts == sorted(counts)
+    assert 0 < counts[0] or len(set(counts)) > 1, counts
+    n_sections = 1 + img._frames[-1].header.num_lf_groups + 1 + (
+        img._frames[-1].header.num_groups
+    )
+    assert counts[-1] <= n_sections
+
+    one_shot = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    np.testing.assert_array_equal(final, one_shot)
+
+
+def test_progressive_cache_incremental_modular():
+    """Same resume contract for a multi-group Modular frame."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(62)
+    chans = [rng.integers(0, 256, (400, 520), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8)
+
+    img = JxlImage()
+    renders = 0
+    step = len(data) // 7
+    for i in range(0, len(data), step):
+        img.feed_bytes(data[i : i + step])
+        if img.image_header is None or not img._frames:
+            continue
+        try:
+            img.render_loading_frame()
+            renders += 1
+        except Exception:
+            pass
+    img.finish()
+    final = img.render_loading_frame().to_u8()
+    assert renders >= 2
+    one_shot = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    np.testing.assert_array_equal(final, one_shot)
+
+
+def test_progressive_render_cropped_frame_offsets():
+    """A partially-fed cropped frame composites at (x0, y0) through the
+    real blend path, not pasted at the canvas origin (ADVICE r1:
+    render_loading_frame must reuse the blend machinery)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(63)
+    chans = [rng.integers(0, 256, (12, 16), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(
+        chans, bit_depth=8, image_size=(24, 32), crop=(5, 3, 16, 12),
+    )
+    img = JxlImage()
+    img.feed_bytes(data)  # whole stream in one feed; frame complete
+    out = img.render_loading_frame().to_u8()
+    want = np.zeros((24, 32, 3), dtype=np.uint8)
+    want[3:15, 5:21] = np.stack([c.astype(np.uint8) for c in chans], -1)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_lazy_keyframe_rendering():
+    """render_frame(idx) renders only the dependency cone of that
+    keyframe (jxl-render/src/lib.rs:284-440 lazy handle graph): for
+    full-replace animation frames, other frames stay undecoded."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(71)
+    fs = [
+        [rng.integers(0, 256, (16, 20), dtype=np.int64) for _ in range(3)]
+        for _ in range(3)
+    ]
+    data = encode_jxl_modular(fs[0], bit_depth=8, animation_frames=fs)
+    img = JxlImage.from_bytes(data)
+    assert img.num_keyframes == 3
+    out2 = img.render_frame(2).to_u8()
+    # frames 0 and 1 are independent (full replace): never decoded
+    assert img._frames[0].lf_global is None
+    assert img._frames[1].lf_global is None
+    np.testing.assert_array_equal(
+        out2, np.stack([c.astype(np.uint8) for c in fs[2]], -1)
+    )
+    out0 = img.render_frame(0).to_u8()
+    assert img._frames[1].lf_global is None  # still untouched
+    np.testing.assert_array_equal(
+        out0, np.stack([c.astype(np.uint8) for c in fs[0]], -1)
+    )
+
+
+def test_lazy_render_blend_dependency_out_of_order():
+    """A blended keyframe requested FIRST pulls its reference frame in
+    through the dependency cone; a later request for the reference frame
+    itself comes from the cache."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(72)
+    f1 = [rng.integers(0, 256, (16, 16), dtype=np.int64) for _ in range(3)]
+    f1.append(np.full((16, 16), 255, dtype=np.int64))
+    f2 = [rng.integers(0, 256, (16, 16), dtype=np.int64) for _ in range(3)]
+    f2.append(np.full((16, 16), 128, dtype=np.int64))
+    data = encode_jxl_modular(
+        f1, bit_depth=8, animation_frames=[f1, f2],
+        extra_alpha=True, animation_blend=True,
+    )
+    # one-shot sequential values as the oracle
+    ref = JxlImage.from_bytes(data)
+    want0 = ref.render_frame(0).to_u8()
+    want1 = ref.render_frame(1).to_u8()
+    # request keyframe 1 first: frame 0 renders as a dependency
+    img = JxlImage.from_bytes(data)
+    np.testing.assert_array_equal(img.render_frame(1).to_u8(), want1)
+    np.testing.assert_array_equal(img.render_frame(0).to_u8(), want0)
+
+
+def test_roi_pushdown_vardct_sections():
+    """A cropped decode of a 16-group VarDCT image decodes only the
+    pass-group sections intersecting the padded region
+    (jxl-frame/src/lib.rs:626-649 adjust_region), and the pixels match
+    the crop of the full decode."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(81)
+    h = w = 1024  # 4x4 groups
+    rgb = rng.random((h, w, 3)).astype(np.float32)
+    data = encode_jxl_vardct(rgb, gabor=True)
+
+    img_full = JxlImage.from_bytes(data)
+    full = img_full.render_frame(0).to_u8()
+    assert img_full._frames[0]._pass_group_jobs == 16
+
+    img = JxlImage.from_bytes(data)
+    img.set_image_region(10, 20, 100, 80)  # fits one group + padding
+    crop = img.render_frame(0).to_u8()
+    jobs = img._frames[0]._pass_group_jobs
+    assert jobs < 16, jobs  # only intersecting groups decoded
+    np.testing.assert_array_equal(crop, full[20:100, 10:110])
+
+
+def test_roi_pushdown_modular_sections():
+    """Same for a multi-group Modular image."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(82)
+    chans = [rng.integers(0, 256, (700, 700), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8)
+
+    img_full = JxlImage.from_bytes(data)
+    full = img_full.render_frame(0).to_u8()
+    total = img_full._frames[0]._pass_group_jobs
+    assert total == 9  # 3x3 groups of 256
+
+    img = JxlImage.from_bytes(data)
+    img.set_image_region(600, 600, 90, 90)  # bottom-right corner
+    crop = img.render_frame(0).to_u8()
+    assert img._frames[0]._pass_group_jobs < total
+    np.testing.assert_array_equal(crop, full[600:690, 600:690])
+
+
+def test_roi_pushdown_gated_for_squeeze():
+    """Global transforms (squeeze) disable section skipping: the crop
+    still matches the full decode."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(83)
+    chans = [rng.integers(0, 64, (300, 300), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8, squeeze=True)
+    full = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    img = JxlImage.from_bytes(data)
+    img.set_image_region(5, 7, 50, 40)
+    crop = img.render_frame(0).to_u8()
+    np.testing.assert_array_equal(crop, full[7:47, 5:55])
+
+
+def test_native_asan_clean():
+    """The native host library, rebuilt with ASan+UBSan, runs the full
+    entry-point sweep (modular, HF, ICC, fuzz corpus) without sanitizer
+    reports (the analog of the reference confining unsafe to audited
+    code, SURVEY.md §5)."""
+    import subprocess
+    import sys as _sys
+
+    asan = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    if not asan or not os.path.exists(asan):
+        pytest.skip("libasan not available")
+    env = dict(os.environ)
+    env.update({
+        "LD_PRELOAD": asan,
+        "ASAN_OPTIONS": "detect_leaks=0:abort_on_error=1",
+        "JXL_TPU_NATIVE_SANITIZE": "address",
+    })
+    env.pop("JXL_TPU_NO_NATIVE", None)
+    r = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__), "asan_harness.py")],
+        env=env, capture_output=True, timeout=570,
+    )
+    assert r.returncode == 0 and b"ASAN_OK" in r.stdout, (
+        r.stdout[-1000:], r.stderr[-3000:],
+    )
+
+
+def test_mutation_fuzz_short():
+    """A short deterministic mutation-fuzz sweep (tools/fuzz.py): every
+    mutant either decodes or raises JxlError under the 128 MiB budget
+    (the reference's continuous-fuzz contract,
+    fuzz/fuzz_targets/decode.rs:1-10)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import fuzz as fuzz_mod
+
+    rng = np.random.default_rng(99)
+    seeds = fuzz_mod.gather_seeds(rng)
+    failures = []
+    for i in range(60):
+        data = fuzz_mod.mutate(seeds[i % len(seeds)], rng)
+        fail = fuzz_mod.try_decode(data)
+        if fail is not None:
+            failures.append((i, fail))
+    assert not failures, failures

@@ -1,0 +1,138 @@
+"""Mutation fuzzer for the full decode path.
+
+Seeds: the reference's fuzz-finding corpus + bitstreams from the in-repo
+encoders; mutations: byte flips, bit flips, truncations, splices. Every
+mutant must either decode or fail with JxlError under the 128 MiB alloc
+budget — anything else (crash, non-Jxl exception, OOM) is a finding
+(reference: fuzz/fuzz_targets/decode.rs:1-10, dim limit 65536, 128 MiB).
+
+Usage:
+  python tools/fuzz.py [--seconds 60] [--seed 0] [--save-dir DIR]
+
+Findings are written to --save-dir (default tests/fuzz_found/) so they
+can be replayed as regression tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
+
+CORPUS_DIR = Path(
+    "/root/reference/crates/jxl-oxide-tests/tests/fuzz_findings"
+)
+BUDGET = 128 << 20
+MAX_DIM = 65536
+
+
+def gather_seeds(rng) -> list[bytes]:
+    seeds = []
+    if CORPUS_DIR.is_dir():
+        for p in sorted(CORPUS_DIR.glob("*.fuzz")):
+            seeds.append(p.read_bytes())
+    from encoder import encode_jxl_modular
+    from encoder_vardct import encode_jxl_vardct
+
+    chans = [rng.integers(0, 256, (40, 56)).astype(np.int64) for _ in range(3)]
+    seeds.append(encode_jxl_modular(chans, bit_depth=8))
+    seeds.append(encode_jxl_modular(chans, bit_depth=8, rct=True,
+                                    squeeze=True))
+    seeds.append(
+        encode_jxl_vardct(rng.random((64, 64, 3)).astype(np.float32),
+                          gabor=True, epf_iters=1)
+    )
+    return seeds
+
+
+def mutate(data: bytes, rng) -> bytes:
+    buf = bytearray(data)
+    op = rng.integers(5)
+    if op == 0 and buf:  # byte flips
+        for _ in range(int(rng.integers(1, 8))):
+            buf[int(rng.integers(len(buf)))] = int(rng.integers(256))
+    elif op == 1 and buf:  # bit flips
+        for _ in range(int(rng.integers(1, 16))):
+            i = int(rng.integers(len(buf)))
+            buf[i] ^= 1 << int(rng.integers(8))
+    elif op == 2 and len(buf) > 4:  # truncation
+        buf = buf[: int(rng.integers(4, len(buf)))]
+    elif op == 3 and len(buf) > 8:  # splice a chunk elsewhere
+        a = int(rng.integers(len(buf) - 4))
+        b = int(rng.integers(len(buf) - 4))
+        n = int(rng.integers(1, min(32, len(buf) - max(a, b))))
+        buf[a : a + n] = buf[b : b + n]
+    else:  # random tail append
+        buf += bytes(rng.integers(0, 256, int(rng.integers(1, 64))).tolist())
+    return bytes(buf)
+
+
+def try_decode(data: bytes) -> str | None:
+    """Returns None if OK/JxlError, else a failure description."""
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.utils.errors import JxlError
+
+    try:
+        img = JxlImage(approx_memory_limit=BUDGET)
+        img.feed_bytes(data)
+        img.finish()
+        hdr = img.image_header
+        if hdr is not None and (
+            hdr.size.width > MAX_DIM or hdr.size.height > MAX_DIM
+            or hdr.size.width * hdr.size.height > (1 << 28)
+        ):
+            return None  # dimension limit: skip render (fuzz target gate)
+        for i in range(img.num_keyframes):
+            img.render_frame(i)
+    except JxlError:
+        return None
+    except MemoryError:
+        return "MemoryError escaped the alloc budget"
+    except RecursionError:
+        return "RecursionError"
+    except Exception as e:
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-dir", default=str(ROOT / "tests" / "fuzz_found"))
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    seeds = gather_seeds(rng)
+    deadline = time.monotonic() + args.seconds
+    n = 0
+    findings = 0
+    while time.monotonic() < deadline:
+        seed = seeds[int(rng.integers(len(seeds)))]
+        data = mutate(seed, rng)
+        # occasional double mutation
+        if rng.random() < 0.3:
+            data = mutate(data, rng)
+        fail = try_decode(data)
+        n += 1
+        if fail is not None:
+            findings += 1
+            os.makedirs(args.save_dir, exist_ok=True)
+            name = f"finding_{int(time.time())}_{n}.fuzz"
+            with open(os.path.join(args.save_dir, name), "wb") as f:
+                f.write(data)
+            print(f"FINDING ({fail}) saved to {name}", file=sys.stderr)
+    print(f"fuzz: {n} inputs, {findings} findings")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,7 +126,12 @@ class Render:
 class ImageStream:
     """Incremental writer of interleaved samples into caller buffers
     (fb.rs ImageStream::write_to_buffer): row-major x-major c-minor order,
-    u8/u16/f32 targets by buffer dtype, resumable across calls."""
+    u8/u16/f32 targets by buffer dtype, resumable across calls.
+
+    Truly streaming (fb.rs:171-409): only the row band needed for the
+    current call materializes — the full interleaved image is never built,
+    and device-resident planes download slice by slice. Peak extra memory
+    per call is O(rows_needed * width * channels)."""
 
     def __init__(self, render: Render):
         import copy
@@ -134,30 +139,49 @@ class ImageStream:
         r = copy.copy(render)
         r.planes = list(render.planes)
         r.apply_spot_colors()
-        chans = [_apply_orientation(p, r.orientation) for p in r.planes]
+        self._chans = [_apply_orientation(p, r.orientation) for p in r.planes]
         for info, ec in zip(r.ec_info, r.extra):
-            chans.append(_apply_orientation(ec, r.orientation))
-        self._flat = np.asarray(
-            _stack_channels(chans), dtype=np.float32
-        ).reshape(-1)
-        self.height, self.width = np.asarray(chans[0]).shape
-        self.channels = len(chans)
+            self._chans.append(_apply_orientation(ec, r.orientation))
+        self.height, self.width = self._chans[0].shape
+        self.channels = len(self._chans)
         self._pos = 0
+
+    def _row_band(self, r0: int, r1: int) -> np.ndarray:
+        """Interleaved f32 samples of rows [r0, r1)."""
+        rows = [
+            np.asarray(c[r0:r1], dtype=np.float32) for c in self._chans
+        ]
+        return np.stack(rows, axis=-1).reshape(-1)
 
     def write_to_buffer(self, buf: np.ndarray) -> int:
         """Fill `buf` (1-D u8/u16/f32) with the next samples; returns the
         count written (0 at end of image)."""
-        n = min(buf.size, self._flat.size - self._pos)
+        row_samples = self.width * self.channels
+        total = self.height * row_samples
+        n = min(buf.size, total - self._pos)
         if n <= 0:
             return 0
-        chunk = self._flat[self._pos : self._pos + n]
-        if buf.dtype == np.uint8:
-            buf[:n] = np.clip(np.round(chunk * 255.0), 0, 255)
-        elif buf.dtype == np.uint16:
-            buf[:n] = np.clip(np.round(chunk * 65535.0), 0, 65535)
-        else:
-            buf[:n] = chunk
-        self._pos += n
+        written = 0
+        while written < n:
+            row = self._pos // row_samples
+            off = self._pos - row * row_samples
+            need = n - written
+            r1 = min(self.height, row + -(-(off + need) // row_samples))
+            band = self._row_band(row, r1)
+            chunk = band[off : off + need]
+            take = chunk.size
+            if buf.dtype == np.uint8:
+                buf[written : written + take] = np.clip(
+                    np.round(chunk * 255.0), 0, 255
+                )
+            elif buf.dtype == np.uint16:
+                buf[written : written + take] = np.clip(
+                    np.round(chunk * 65535.0), 0, 65535
+                )
+            else:
+                buf[written : written + take] = chunk
+            written += take
+            self._pos += take
         return n
 
 
@@ -237,9 +261,10 @@ class JxlImage:
         # mesh with ICI halo exchange, parallel/sharded.py). Output is
         # identical to the single-device path.
         self._decode_mesh = mesh
-        # force_wide_buffers: accepted for API parity with
-        # JxlImageBuilder (lib.rs:199-234); buffers here are always wide
-        # (int32/int64 host planes), so this is a no-op.
+        # force_wide_buffers disables the narrow (i16) modular sample
+        # lane even when modular_16bit_buffers is set in the header
+        # (JxlImageBuilder, lib.rs:199-234; sample.rs:4-36).
+        self._force_wide = bool(force_wide_buffers)
         if num_threads is not None:
             from .utils.threads import set_num_threads
 
@@ -621,6 +646,9 @@ class JxlImage:
             if self._decode_mesh is not None
             else contextlib.nullcontext()
         )
+        from .utils.options import use_force_wide
+
+        wide_ctx = use_force_wide(self._force_wide)
         frames = self._frames
         # slot release plan: last cone frame reading each slot
         last_slot_read: dict[int, int] = {}
@@ -633,7 +661,7 @@ class JxlImage:
                 last_lf_read[h.lf_level] = i
         from .render.roi import use_decode_region
 
-        with use_tracker(self._tracker), mesh_ctx, use_decode_region(
+        with use_tracker(self._tracker), mesh_ctx, wide_ctx, use_decode_region(
             self._coded_region()
         ):
             ctx = RenderContext(self.image_header)
@@ -729,7 +757,10 @@ class JxlImage:
         cache = getattr(frame, "_progressive_cache", None)
         if cache is None:
             cache = frame._progressive_cache = ProgressiveCache()
-        fr = _rf(frame, allow_partial=True, cache=cache)
+        from .utils.options import use_force_wide
+
+        with use_force_wide(self._force_wide):
+            fr = _rf(frame, allow_partial=True, cache=cache)
         kf = ctx.composite_partial(fr, frame)
         return self._postprocess(kf, crop=self._image_region)
 

@@ -70,9 +70,11 @@ class ModularImage:
         bit_depth: int,
         global_ma_config: MaConfig | None,
         views: list[np.ndarray] | None = None,
+        dtype=np.int32,
     ):
         """If `views` is given (recursive per-group image), channel buffers
-        are the provided views; otherwise fresh arrays are allocated."""
+        are the provided views; otherwise fresh arrays are allocated with
+        `dtype` (int16 = the narrow sample lane, sample.rs:4-36)."""
         self.group_dim = group_dim
         self.bit_depth = bit_depth
         self.header = ModularHeader.parse(bs)
@@ -108,16 +110,21 @@ class ModularImage:
         else:
             from ..utils.alloc import track_alloc
 
-            track_alloc(sum(4 * c.height * c.width for c in channels))
+            itemsize = np.dtype(dtype).itemsize
+            track_alloc(sum(itemsize * c.height * c.width for c in channels))
             self.image_channels = [
-                np.zeros((c.height, c.width), dtype=np.int32) for c in channels
+                np.zeros((c.height, c.width), dtype=dtype) for c in channels
             ]
-        # Meta channel buffers (palette), in transform parse order.
+        # Meta channel buffers (palette), in transform parse order; the
+        # sample lane is uniform across a stream (Modular<S>), so meta
+        # channels use the image dtype.
+        if views is not None and views:
+            dtype = views[0].dtype
         self.meta_channels: list[np.ndarray] = []
         for tr in self.header.transforms:
             if isinstance(tr, Palette):
                 self.meta_channels.append(
-                    np.zeros((tr.num_c, tr.nb_colours), dtype=np.int32)
+                    np.zeros((tr.num_c, tr.nb_colours), dtype=dtype)
                 )
 
         # Grid transform pass: produce transformed (infos, slots).

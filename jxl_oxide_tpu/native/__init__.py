@@ -198,7 +198,16 @@ def decode_modular_native(
     tables = DecoderTables(decoder)
 
     n = len(infos)
-    chan_bufs = (ctypes.POINTER(ctypes.c_int32) * n)()
+    # narrow (i16) lane: all real views of one stream share a dtype
+    dtype = next(
+        (v.dtype for i, v in enumerate(views)
+         if trees[i] is not None and infos[i].width and infos[i].height),
+        np.dtype(np.int32),
+    )
+    assert dtype in (np.int16, np.int32), dtype
+    is16 = dtype == np.int16
+    isz = 2 if is16 else 4
+    chan_bufs = (ctypes.c_void_p * n)()
     chan_strides = np.zeros(n, dtype=np.int64)
     chan_dims = np.zeros(n * 2, dtype=np.int32)
     tree_meta = np.zeros(n * 2, dtype=np.int32)
@@ -217,10 +226,10 @@ def decode_modular_native(
             tree_arrays.append(np.zeros((1, 5), dtype=np.int32))
             tree_ptrs[i] = tree_arrays[-1].ctypes.data
             continue
-        assert view.dtype == np.int32
-        assert view.strides[1] == 4, "row-contiguous views required"
-        chan_bufs[i] = view.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        chan_strides[i] = view.strides[0] // 4
+        assert view.dtype == dtype
+        assert view.strides[1] == isz, "row-contiguous views required"
+        chan_bufs[i] = view.ctypes.data
+        chan_strides[i] = view.strides[0] // isz
         chan_dims[i * 2] = info.width
         chan_dims[i * 2 + 1] = info.height
         ta = serialize_tree(tree)
@@ -232,10 +241,10 @@ def decode_modular_native(
         prev_counts[i] = len(prevs)
         prev_offsets[i] = len(flat_prev_ptrs)
         for p in prevs:
-            assert p.dtype == np.int32 and p.strides[1] == 4
+            assert p.dtype == dtype and p.strides[1] == isz
             keepalive.append(p)
             flat_prev_ptrs.append(p.ctypes.data)
-            flat_prev_strides.append(p.strides[0] // 4)
+            flat_prev_strides.append(p.strides[0] // isz)
 
     np_prev_ptrs = np.array(flat_prev_ptrs or [0], dtype=np.uint64)
     np_prev_strides = np.array(flat_prev_strides or [0], dtype=np.int64)
@@ -260,7 +269,7 @@ def decode_modular_native(
         ip(tables.ans_meta), ip(tables.ans_blob),
         ip(tables.pfx_meta), ip(tables.pfx_blob),
         ctypes.c_int32(n),
-        chan_bufs,
+        ctypes.cast(chan_bufs, ctypes.POINTER(ctypes.c_void_p)),
         chan_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ip(chan_dims),
         ctypes.cast(tree_ptrs, ctypes.POINTER(ctypes.c_void_p)),
@@ -270,6 +279,7 @@ def decode_modular_native(
         np_prev_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int32(dist_multiplier),
         ip(wp_arr),
+        ctypes.c_int32(1 if is16 else 0),
     )
     if ret != 0:
         from ..utils.errors import JxlEofError

@@ -151,12 +151,26 @@ def parse_global_modular(
 
     modular = None
     if channels:
+        # narrow (i16) sample lane when the header allows it and the
+        # caller didn't force wide buffers (jxl-modular sample.rs:4-36;
+        # JxlImageBuilder force_wide_buffers). The native decoder has the
+        # i16 store path; the Python fallback stays wide.
+        from .. import native as _native
+        from ..utils.options import get_force_wide
+
+        narrow = (
+            meta.modular_16bit_buffers
+            and not meta.bit_depth.is_float
+            and not get_force_wide()
+            and _native.available()
+        )
         modular = ModularImage(
             bs,
             channels,
             frame_header.group_dim,
             meta.bit_depth.bits_per_sample,
             ma_config,
+            dtype=np.int16 if narrow else np.int32,
         )
         sub = modular.subimage_global()
         sub.decode(bs, 0, allow_partial)

@@ -247,16 +247,25 @@ struct TreeNode {
 };
 
 struct ChannelDesc {
-  i32* buf;       // row-major view base pointer
+  void* buf;      // row-major view base pointer (i32 or i16 lane)
   i64 stride;     // elements per row
   i32 width, height;
   const TreeNode* tree;
   i32 tree_len;
   i32 need_wp;           // run self-correcting predictor
   i32 num_prev;          // prev-channel refs used by the tree
-  const i32* const* prev_bufs;  // [num_prev]
+  const void* const* prev_bufs;  // [num_prev]
   const i64* prev_strides;
+  i32 is16;              // narrow (i16) sample lane (jxl-modular sample.rs)
 };
+
+inline i32 sample_load(const void* buf, i32 is16, i64 idx) {
+  return is16 ? (i32)((const int16_t*)buf)[idx] : ((const i32*)buf)[idx];
+}
+inline void sample_store(void* buf, i32 is16, i64 idx, i32 v) {
+  if (is16) ((int16_t*)buf)[idx] = (int16_t)v;  // wrapping narrow store
+  else ((i32*)buf)[idx] = v;
+}
 
 struct WpParams {
   i32 p1, p2, p3a, p3b, p3c, p3d, p3e;
@@ -474,17 +483,19 @@ struct ScanState {
     i32 idx = prop_extra / 4;
     i32 kind = prop_extra % 4;
     if (idx >= ch->num_prev) return 0;
-    const i32* pb = ch->prev_bufs[idx];
+    const void* pb = ch->prev_bufs[idx];
+    i32 is16 = ch->is16;
     i64 st = ch->prev_strides[idx];
-    i32 c = pb[(i64)y * st + x];
+    i32 c = sample_load(pb, is16, (i64)y * st + x);
     if (kind == 0) return std::abs(c);
     if (kind == 1) return c;
     i32 g;
     if (x == 0 && y == 0) g = 0;
-    else if (x == 0) g = pb[(i64)(y - 1) * st];
-    else if (y == 0) g = pb[x - 1];
-    else g = grad_clamped(pb[(i64)(y - 1) * st + x], pb[(i64)y * st + x - 1],
-                          pb[(i64)(y - 1) * st + x - 1]);
+    else if (x == 0) g = sample_load(pb, is16, (i64)(y - 1) * st);
+    else if (y == 0) g = sample_load(pb, is16, x - 1);
+    else g = grad_clamped(sample_load(pb, is16, (i64)(y - 1) * st + x),
+                          sample_load(pb, is16, (i64)y * st + x - 1),
+                          sample_load(pb, is16, (i64)(y - 1) * st + x - 1));
     if (kind == 2) return (i32)std::abs((i64)c - g);
     return wrap32((i64)c - g);
   }
@@ -646,15 +657,16 @@ int jxlhost_decode_modular(
     const i32* pfx_blob,        // concatenated table_sym/table_len
     // channels
     i32 num_channels,
-    i32** chan_bufs, const i64* chan_strides,
+    void** chan_bufs, const i64* chan_strides,
     const i32* chan_dims,       // [num_channels*2]: (width, height)
     const TreeNode** trees, const i32* tree_meta,  // [num_channels*2]: (len, need_wp)
     const i32* prev_counts,     // [num_channels]
     const i32* prev_offsets,    // [num_channels] offsets into flat arrays
-    const i32* const* prev_bufs_flat,
+    const void* const* prev_bufs_flat,
     const i64* prev_strides_flat,
     i32 dist_multiplier,
-    const i32* wp_params        // [11]
+    const i32* wp_params,       // [11]
+    i32 sample_is16             // narrow (i16) buffers (sample.rs:4-36)
 ) {
   SpecHolder holder;
   holder.build(spec_header, cluster_map, cfgs, ans_meta, ans_blob, pfx_meta,
@@ -690,6 +702,7 @@ int jxlhost_decode_modular(
     cd.num_prev = prev_counts[c];
     cd.prev_bufs = prev_bufs_flat + prev_offsets[c];
     cd.prev_strides = prev_strides_flat + prev_offsets[c];
+    cd.is16 = sample_is16;
 
     WpState* wp = nullptr;
     if (cd.need_wp) {
@@ -703,7 +716,7 @@ int jxlhost_decode_modular(
     bool single = root->is_leaf != 0;
 
     for (i32 y = 0; y < height; y++) {
-      i32* out_row = cd.buf + (i64)y * cd.stride;
+      i64 row_base = (i64)y * cd.stride;
       for (i32 x = 0; x < width; x++) {
         st.compute_properties();
         const TreeNode* leaf = single ? root : walk_tree(root, st);
@@ -711,7 +724,7 @@ int jxlhost_decode_modular(
         if (dec.error) return 10 + dec.error;
         i64 diff = (i64)unpack_signed(token) * leaf->d + leaf->c;
         i32 val = wrap32(diff + st.predict(leaf->b));
-        out_row[x] = val;
+        sample_store(cd.buf, sample_is16, row_base + x, val);
         st.record(val);
       }
     }

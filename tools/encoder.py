@@ -486,7 +486,10 @@ def encode_jxl_modular(
     else:
         out.write_bool(False)  # no extra_fields
     _write_bit_depth(out, bit_depth)
-    out.write_bool(True)  # modular_16bit_buffers
+    # modular_16bit_buffers: promise that every modular sample (including
+    # transform intermediates) fits i16 — only honest for small depths
+    # (squeeze/RCT expand the range by a few bits)
+    out.write_bool(bit_depth <= 12)
     if num_extra == 1:
         out.write(1, 2)  # num_extra U32 selector 1 (= 1)
     elif num_extra:

@@ -671,6 +671,39 @@ class JxlImage:
                     [np.asarray(p, dtype=np.float32).copy() for p in kf.color],
                     [np.asarray(p, dtype=np.float32).copy() for p in kf.extra],
                 ))
+            # P3 frame pipelining: decode independent cone frames on
+            # background threads (LF-dependent frames need their LF slot
+            # first, so they render inline); compositing stays sequential
+            # (jxl-render/src/lib.rs:488-607 background ref renderers)
+            prerendered = {}
+            parallel_ids = [
+                i for i in cone
+                if not frames[i].header.flags.use_lf_frame
+            ]
+            if len(parallel_ids) > 1:
+                import concurrent.futures as cf
+                import contextvars
+
+                from .render.render import render_frame as _render_fr
+
+                def _job(idx):
+                    f = frames[idx]
+                    return idx, _render_fr(
+                        f, cache=getattr(f, "_progressive_cache", None)
+                    )
+
+                with cf.ThreadPoolExecutor(
+                    max_workers=min(4, len(parallel_ids))
+                ) as ex:
+                    # one context snapshot per task: worker threads don't
+                    # inherit contextvars (tracker/mesh/ROI/wide flags)
+                    futs = [
+                        ex.submit(contextvars.copy_context().run, _job, i)
+                        for i in parallel_ids
+                    ]
+                    for fut in futs:
+                        idx, fr = fut.result()
+                        prerendered[idx] = fr
             for i in cone:
                 frame = frames[i]
                 # header-derived counters for skipped frames (noise seeds)
@@ -678,7 +711,7 @@ class JxlImage:
                 prev_kfs = [g for g in kf_indices if g < i]
                 ctx._num_prev_keyframes = len(prev_kfs)
                 ctx._last_keyframe_idx = prev_kfs[-1] if prev_kfs else None
-                kf = ctx.add_frame(frame)
+                kf = ctx.add_frame(frame, fr=prerendered.get(i))
                 if kf is not None:
                     self._keyframe_cache[
                         self._cache_key(self._kf_index_of_frame(i))

@@ -37,6 +37,11 @@ def _build_parser():
                    help="approximate decode memory budget in bytes")
     d.add_argument("--cms", choices=["pil", "null"], default="pil",
                    help="color management backend for ICC-described images")
+    d.add_argument("--num-devices", type=int, default=None,
+                   help="shard the decode over the first N jax devices "
+                        "(rows of groups under shard_map)")
+    d.add_argument("--force-wide-buffers", action="store_true",
+                   help="disable the narrow (i16) modular sample lane")
     d.add_argument("--num-threads", type=int, default=None,
                    help="host decode worker threads (default: CPU count)")
     i = sub.add_parser("info", help="dump image info")
@@ -82,6 +87,12 @@ def _decode_once(data: bytes, args=None):
         kwargs["approx_memory_limit"] = args.approx_memory_limit
     if args is not None and getattr(args, "num_threads", None):
         kwargs["num_threads"] = args.num_threads
+    if args is not None and getattr(args, "force_wide_buffers", False):
+        kwargs["force_wide_buffers"] = True
+    if args is not None and getattr(args, "num_devices", None):
+        from .parallel import decode_mesh
+
+        kwargs["mesh"] = decode_mesh(args.num_devices)
     img = JxlImage(**kwargs)
     img.feed_bytes(data)
     img.finish()

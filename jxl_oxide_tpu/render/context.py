@@ -146,9 +146,14 @@ class RenderContext:
     def release_lf_frame(self, level: int) -> None:
         self.set_lf_frame(level, None)
 
-    def add_frame(self, frame) -> KeyframeRender | None:
+    def add_frame(self, frame, fr=None) -> KeyframeRender | None:
         """Render + composite one frame in codestream order. Returns the
-        keyframe render if this frame is a keyframe."""
+        keyframe render if this frame is a keyframe.
+
+        `fr` (a FrameRender) supplies a pre-rendered decode: the lazy cone
+        renderer decodes independent frames on background threads (the
+        reference's P3 frame pipelining, jxl-render/src/lib.rs:488-607)
+        and hands the results in here for sequential compositing."""
         header = frame.header
         meta = self.image_header.metadata
 
@@ -163,7 +168,8 @@ class RenderContext:
                         f"use_lf_frame with empty LF slot {header.lf_level}"
                     )
                 frame._lf_frame_planes = lf_planes
-            fr = render_frame(frame)
+            if fr is None:
+                fr = render_frame(frame)
             self.set_lf_frame(header.lf_level - 1, fr.color)
             self._frame_counter += 1
             return None
@@ -178,9 +184,10 @@ class RenderContext:
 
         # resume from the frame's progressive cache when one exists: only
         # sections not already decoded during loading-frame renders decode
-        fr = render_frame(
-            frame, cache=getattr(frame, "_progressive_cache", None)
-        )
+        if fr is None:
+            fr = render_frame(
+                frame, cache=getattr(frame, "_progressive_cache", None)
+            )
         self._apply_features(fr, frame)
         canvas_color, canvas_extra = self._composite(fr, frame)
 

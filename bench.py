@@ -119,12 +119,21 @@ def _decode(data: bytes) -> np.ndarray:
 
 
 def _bench_case(data: bytes, h: int, w: int, reps: int = 6,
-                pipelined: bool = True) -> float:
+                pipelined: bool = True, budget_s: float = 120.0) -> float:
+    """Adaptive: after the warm decode, size reps/rounds to the link speed
+    so a congested dev tunnel can't blow the run past the driver timeout."""
+    t0 = time.perf_counter()
     _decode(data)  # warm (jit compile)
-    best = 0.0
-    for _ in range(2):
+    warm_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _decode(data)
+    single_t = time.perf_counter() - t0
+    reps = max(1, min(reps, int(budget_s / max(single_t, 1e-3) / 2)))
+    rounds = 2 if reps * single_t * 2 < budget_s else 1
+    best = (h * w) / single_t / 1e6
+    for _ in range(rounds):
         t0 = time.perf_counter()
-        if pipelined:
+        if pipelined and reps > 1:
             import concurrent.futures as cf
 
             with cf.ThreadPoolExecutor(max_workers=4) as ex:
@@ -137,7 +146,7 @@ def _bench_case(data: bytes, h: int, w: int, reps: int = 6,
     return best
 
 
-def _bench_device_resident(data: bytes, h: int, w: int, reps: int = 8) -> float:
+def _bench_device_resident(data: bytes, h: int, w: int, reps: int = 4) -> float:
     """Serving mode for TPU-side consumers: pixels stay on device (no u8
     readback over the link)."""
     from jxl_oxide_tpu import JxlImage
@@ -185,25 +194,32 @@ def _bench_host_entropy() -> float:
 def _bench_transfer() -> float:
     import jax
 
-    x = np.zeros((64 << 20,), dtype=np.uint8)  # 64 MiB
-    d = jax.device_put(x)
-    d.block_until_ready()
-    t0 = time.perf_counter()
-    d = jax.device_put(x)
-    d.block_until_ready()
-    up = 64 / (time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    _ = np.asarray(d)
-    down = 64 / (time.perf_counter() - t0)
-    return round(min(up, down), 1)
+    # probe with 1 MiB first; only use a big buffer when the link is fast
+    # (a congested tunnel at ~0.1 MiB/s would take 10+ min on 64 MiB)
+    def roundtrip(mib: int) -> float:
+        x = np.zeros((mib << 20,), dtype=np.uint8)
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        d.block_until_ready()
+        up = mib / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = np.asarray(d)
+        down = mib / (time.perf_counter() - t0)
+        return min(up, down)
+
+    jax.device_put(np.zeros(1024, np.uint8)).block_until_ready()  # warm
+    probe = roundtrip(1)
+    if probe > 16.0:
+        return round(roundtrip(64), 1)
+    return round(probe, 3)
 
 
-def _bench_compute_only() -> float:
+def _bench_compute_only(size: int = 2048) -> float:
     import jax
 
     from __graft_entry__ import _pipeline_fn, _synthetic_frame
 
-    h = w = 2048
+    h = w = size
     fn = _pipeline_fn(h, w)
     args = [jax.device_put(a) for a in _synthetic_frame(h, w)]
     fn(*args).block_until_ready()
@@ -219,16 +235,34 @@ def _bench_compute_only() -> float:
 def main() -> None:
     host_mpps = _bench_host_entropy()
     print(f"host entropy stage: {host_mpps:.1f} MP/s", file=sys.stderr)
-    device_mpps = _bench_compute_only()
-    print(f"compute-only pipeline: {device_mpps:.1f} MP/s", file=sys.stderr)
+    # transfer FIRST: the compute bench sizes its synthetic inputs by the
+    # link speed (a 2048^2 arg set is ~60 MB — minutes on a congested
+    # tunnel, nothing on a locally-attached chip)
     transfer = _bench_transfer()
-    print(f"transfer: {transfer:.1f} MiB/s", file=sys.stderr)
+    print(f"transfer: {transfer} MiB/s", file=sys.stderr)
+    device_mpps = _bench_compute_only(2048 if transfer > 16 else 512)
+    print(f"compute-only pipeline: {device_mpps:.1f} MP/s", file=sys.stderr)
+
+    import os
+
+    # overall wall-clock budget: a congested dev tunnel must not push the
+    # run past the driver's timeout — later corpus cases shrink or skip
+    budget = float(os.environ.get("JXL_BENCH_BUDGET_S", "900"))
+    t_start = time.perf_counter()
 
     cases = _make_cases()
     results = {}
     for name, (data, h, w) in cases.items():
+        elapsed = time.perf_counter() - t_start
+        remaining = budget - elapsed
+        if remaining < 30 and name != "vardct_xyb":
+            print(f"case {name}: skipped (budget)", file=sys.stderr)
+            continue
         try:
-            mpps = _bench_case(data, h, w)
+            mpps = _bench_case(
+                data, h, w,
+                budget_s=max(30.0, remaining / 4),
+            )
         except Exception as e:  # pragma: no cover
             print(f"case {name} failed: {e}", file=sys.stderr)
             mpps = 0.0
@@ -236,12 +270,15 @@ def main() -> None:
         print(f"case {name}: {mpps:.2f} MP/s", file=sys.stderr)
 
     flagship = cases["vardct_xyb"]
-    dev_resident = _bench_device_resident(*flagship)
+    if time.perf_counter() - t_start < budget - 30:
+        dev_resident = _bench_device_resident(*flagship)
+    else:
+        dev_resident = 0.0
     print(f"device-resident serving: {dev_resident:.2f} MP/s", file=sys.stderr)
 
     vals = [v for v in results.values() if v > 0]
     geomean = float(np.exp(np.mean(np.log(vals)))) if vals else 0.0
-    e2e = results["vardct_xyb"]
+    e2e = results.get("vardct_xyb", 0.0)
     print(json.dumps({
         "metric": "vardct_decode_end_to_end",
         "value": e2e,

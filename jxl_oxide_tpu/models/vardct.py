@@ -664,7 +664,21 @@ class HfMetadata:
     block_sel: np.ndarray  # [bh, bw] int8: transform type at varblock origin, -1 otherwise
     block_mul: np.ndarray  # [bh, bw] i32: hf_mul at varblock origin
     epf_sigma: np.ndarray  # [bh, bw] f32
-    varblocks: list[tuple[int, int, int, int]]  # (bx, by, dct_select, hf_mul)
+    _varblocks: list | None = None  # lazy (bx, by, dct_select, hf_mul)
+
+    @property
+    def varblocks(self) -> list:
+        """(bx, by, dct_select, hf_mul) tuples in placement order — built
+        lazily from the origin grids (only the subsampled decode path
+        iterates varblocks in Python)."""
+        if self._varblocks is None:
+            ys, xs = np.nonzero(self.block_sel >= 0)
+            self._varblocks = list(zip(
+                xs.tolist(), ys.tolist(),
+                self.block_sel[ys, xs].tolist(),
+                self.block_mul[ys, xs].tolist(),
+            ))
+        return self._varblocks
 
     @classmethod
     def parse(cls, bs: Bitstream, *, num_lf_groups: int, lf_group_idx: int,
@@ -732,14 +746,8 @@ class HfMetadata:
                     epf_sigma = (
                         np.float32(sigma_base) / mul_grid.astype(np.float32)
                     ) * lut[sharpness]
-                ys, xs = np.divmod(np.arange(bh * bw), bw)
-                varblocks = list(
-                    zip(xs.tolist(), ys.tolist(),
-                        sel_grid.reshape(-1).tolist(),
-                        mul_grid.reshape(-1).tolist())
-                )
                 return cls(x_from_y, b_from_y, sel_grid, mul_grid,
-                           epf_sigma, varblocks)
+                           epf_sigma)
 
         data_idx = 0
         for y in range(bh):

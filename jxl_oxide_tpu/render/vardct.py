@@ -610,7 +610,14 @@ class VardctFrameState:
         gabor_weights = hi["gabor_weights"]
         epf_params = hi["epf_params"]
         coeff_stack = hi["coeff_stack"]
-        bucket_meta = tuple((sel, len(ci)) for sel, ci, *_ in buckets)
+        # pad bucket counts to powers of two: decodes of DIFFERENT images
+        # with the same plane geometry and transform-type set then hit the
+        # jit cache instead of recompiling per image (sentinel positions
+        # gather garbage that the mode="drop" scatter discards)
+        bucket_meta = tuple(
+            (sel, max(16, 1 << (len(ci) - 1).bit_length()))
+            for sel, ci, *_ in buckets
+        )
 
         # sparse coefficient upload when it beats dense int16 (quantized
         # HF coefficients are mostly zero); padded to pow2 to bound the
@@ -656,9 +663,14 @@ class VardctFrameState:
             self._fused_cache[key] = fn
 
         bucket_args = []
-        for _, _, _, _, muls, pos in buckets:
-            bucket_args.append(jnp.asarray(pos))
-            bucket_args.append(jnp.asarray(muls.astype(np.float32)))
+        for (_, n_pad), (_, _, _, _, muls, pos) in zip(bucket_meta, buckets):
+            n = len(pos)
+            pos_p = np.full((n_pad, 2), -1024, dtype=np.int32)
+            pos_p[:n] = pos
+            mul_p = np.ones(n_pad, dtype=np.float32)
+            mul_p[:n] = muls.astype(np.float32)
+            bucket_args.append(jnp.asarray(pos_p))
+            bucket_args.append(jnp.asarray(mul_p))
         if sparse_n is not None:
             c_idx = np.zeros(sparse_n, dtype=np.int32)
             c_idx[: nz_flat.size] = nz_flat
@@ -745,7 +757,8 @@ class VardctFrameState:
             shard_of = pos[:, 1] // hb_loc
             per = [np.nonzero(shard_of == s)[0] for s in range(n_sh)]
             n_max = max((len(p) for p in per), default=0)
-            n_max = max(n_max, 1)
+            # pow2 padding: same-geometry images share compiled programs
+            n_max = max(16, 1 << max(n_max - 1, 0).bit_length())
             pos_arr = np.full((n_sh, n_max, 2), -1024, dtype=np.int32)
             mul_arr = np.ones((n_sh, n_max), dtype=np.float32)
             for s, sel_idx in enumerate(per):
@@ -980,6 +993,16 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
             if not (allow_partial and not frame.section_complete("lf_group", lf_idx))
             and (roi is None or lf_group_intersects(frame, lf_idx, roi))
         ]
+        # Parse HfGlobal concurrently with the LF-group fan-out (the
+        # reference's scope spawn, jxl-render/src/vardct/mod.rs:154-165)
+        def _parse_hf_global():
+            if allow_partial and not frame.section_complete("hf_global"):
+                return None
+            entry = frame.toc.entry_for("hf_global")
+            bs = Bitstream(frame.section_bytes(entry))
+            with span("Parse HfGlobal"):
+                return HfGlobal(bs, frame.image_header, header, lf_global)
+
         if threaded and len(lf_jobs) > 1:
             import concurrent.futures as cf
             import os
@@ -987,21 +1010,16 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
             from ..utils.threads import num_workers
 
             with cf.ThreadPoolExecutor(
-                max_workers=num_workers(len(lf_jobs))
+                max_workers=num_workers(len(lf_jobs) + 1)
             ) as ex:
+                hf_fut = ex.submit(_parse_hf_global)
                 for lf_idx, group in ex.map(_do_lf_group, lf_jobs):
                     state.place_lf_group(lf_idx, group)
+                hf_global = hf_fut.result()
         else:
             for lf_idx in lf_jobs:
                 state.place_lf_group(*_do_lf_group(lf_idx))
-
-        if allow_partial and not frame.section_complete("hf_global"):
-            hf_global = None
-        else:
-            entry = frame.toc.entry_for("hf_global")
-            bs = Bitstream(frame.section_bytes(entry))
-            with span("Parse HfGlobal"):
-                hf_global = HfGlobal(bs, frame.image_header, header, lf_global)
+            hf_global = _parse_hf_global()
 
         def _do_pass_group(job):
             pass_idx, g_idx = job

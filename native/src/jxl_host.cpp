@@ -160,11 +160,13 @@ struct DecoderState {
       offset = posb;
     }
     u32 next = (state >> 12) * (u32)t.dist[symbol] + offset;
-    if (next < (1u << 16)) {
-      next = (next << 16) | (u32)br->peek(16);
-      br->consume(16);
-    }
-    state = next;
+    // branchless 16-bit renormalization: the refill branch is
+    // data-dependent and mispredicts badly on real coefficient streams
+    u32 need = next < (1u << 16);
+    u32 bits = (u32)br->peek(16);
+    u32 refilled = (next << 16) | bits;
+    state = need ? refilled : next;
+    br->consume(need ? 16 : 0);
     return symbol;
   }
 

@@ -799,3 +799,26 @@ def test_xyb_vardct_roundtrip():
         mse = float(np.mean((out - img) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr > 38.0, (xq, bq, psnr)
+
+
+def test_fused_pipeline_cache_reuse_across_images():
+    """Two DIFFERENT images with the same plane geometry and transform-type
+    set reuse one compiled fused pipeline (bucket counts pad to pow2, so
+    per-image varblock counts don't force recompiles — the serving-path
+    warm-decode contract)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.render.vardct import VardctFrameState
+
+    rng = np.random.default_rng(55)
+    a = encode_jxl_vardct(rng.random((256, 256, 3)).astype(np.float32))
+    b = encode_jxl_vardct(rng.random((256, 256, 3)).astype(np.float32))
+    JxlImage.from_bytes(a).render_frame(0)
+    n_after_first = len(VardctFrameState._fused_cache)
+    out_b = JxlImage.from_bytes(b).render_frame(0).to_u8()
+    assert len(VardctFrameState._fused_cache) == n_after_first
+    assert out_b.shape == (256, 256, 3)

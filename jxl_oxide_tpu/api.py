@@ -746,6 +746,21 @@ class JxlImage:
         kf = self._render_keyframe(keyframe_idx)
         return self._postprocess(kf, crop=self._image_region)
 
+    def render_frame_cropped(
+        self, keyframe_idx: int, crop: tuple[int, int, int, int]
+    ) -> Render:
+        """Render one keyframe restricted to a display-space (left, top,
+        width, height) region (jxl-oxide lib.rs render_frame_cropped):
+        section-level ROI pushdown applies, and the image-wide region set
+        by set_image_region is left untouched."""
+        saved = self._image_region
+        try:
+            self._image_region = tuple(crop)
+            kf = self._render_keyframe(keyframe_idx)
+            return self._postprocess(kf, crop=self._image_region)
+        finally:
+            self._image_region = saved
+
     def set_image_region(self, left: int, top: int, width: int, height: int):
         """Request a cropped region of interest (jxl-oxide
         set_image_region). Applied to subsequent renders."""

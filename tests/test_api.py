@@ -913,3 +913,42 @@ def test_narrow_i16_buffers_bit_identical():
         assert mod.image_channels[0].dtype == np.int16, kw
         modw = wide._frames[0].lf_global.gmodular.modular
         assert modw.image_channels[0].dtype == np.int32
+
+
+def test_render_frame_cropped_api():
+    """render_frame_cropped (jxl-oxide lib.rs) renders one region without
+    disturbing the image-wide set_image_region state."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(301)
+    chans = [rng.integers(0, 256, (40, 60), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8)
+    img = JxlImage.from_bytes(data)
+    full = img.render_frame(0).to_u8()
+    crop = img.render_frame_cropped(0, (7, 5, 30, 20)).to_u8()
+    np.testing.assert_array_equal(crop, full[5:25, 7:37])
+    # image-wide region untouched
+    np.testing.assert_array_equal(img.render_frame(0).to_u8(), full)
+
+
+def test_vardct_iso_l10_accuracy_contract():
+    """Lossy VarDCT decode honors the ISO 18181-3 Level 10 accuracy bound
+    (peak error <= 0.004 in [0,1] scale vs the encoded source,
+    tests/decode/mod.rs:55-63) on a smooth photographic-style image."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(303)
+    base = rng.random((32, 32, 3)).astype(np.float32)
+    rgb = np.kron(base, np.ones((8, 8, 1), dtype=np.float32))
+    data = encode_jxl_vardct(rgb, global_scale=8192)
+    r = JxlImage.from_bytes(data).render_frame(0)
+    got = np.stack([np.asarray(p, dtype=np.float32) for p in r.planes], -1)
+    peak = float(np.abs(got - rgb).max())
+    assert peak <= 0.004, peak

@@ -232,13 +232,30 @@ def _write_frame(
         return biased * matrix * mul
 
     q = np.zeros((3, bh, bw, 8, 8), dtype=np.int64)
+    opsin_qb = np.asarray(qb, dtype=np.float64)
     for c in (1, 0, 2):
         matrix = dms.get(c, TransformType.DCT8, transposed=True)
         mul = 65536.0 / (global_scale * hf_mul) * qm[c]
         target = F[c].astype(np.float64)
         if c == 2:
             target = target - dequant(q[1], 1)  # kb = 1: subtract y plane
-        q[c] = np.round(target / (matrix * mul))
+        qc = np.round(target / (matrix * mul))
+
+        # refine against the decoder's biased dequant (|q|<=1 reconstructs
+        # as q*quant_bias, not q): pick the neighbor that reconstructs
+        # closest, so the round-trip error stays near half a quant step
+        def rec(qv):
+            safe = np.where(qv == 0, 1.0, qv)
+            biased = np.where(
+                np.abs(qv) <= 1.0, qv * opsin_qb[c], qv - qbn / safe
+            )
+            return biased * matrix * mul
+
+        for dq in (-1.0, 1.0):
+            cand = qc + dq
+            better = np.abs(rec(cand) - target) < np.abs(rec(qc) - target)
+            qc = np.where(better, cand, qc)
+        q[c] = qc
     if use_lf_any := frame_kind in ("use_lf", "lf_use_lf"):
         q[:, :, :, 0, 0] = 0  # DC carried by the LF frame
     else:

@@ -565,6 +565,87 @@ class Decoder:
     """Per-stream entropy decoder (ANS or prefix, optional LZ77)."""
 
     def __init__(self, bs: Bitstream, num_dist: int, allow_lz77: bool = True):
+        # Fast path: parse the tables (lz77 config, cluster map,
+        # histograms + alias/prefix table construction) in the C++ runtime
+        # and rebuild the Python-side objects from the flat arrays — the
+        # Python decode methods stay fully functional, and the serialized
+        # tables feed the native decode entry points without re-packing.
+        from .. import native as _native
+
+        if _native.available() and type(bs.data) is bytes:
+            try:
+                parsed = _native.parse_decoder_native(bs, num_dist, allow_lz77)
+            except Exception as e:
+                from ..utils.errors import JxlError
+
+                if isinstance(e, JxlError):
+                    raise
+                parsed = None
+            if parsed is not None:
+                self._init_from_parsed(parsed)
+                return
+        self._init_python(bs, num_dist, allow_lz77)
+
+    def _init_from_parsed(self, p: dict) -> None:
+        if p["lz77_enabled"]:
+            self.lz77_min_symbol = p["min_symbol"]
+            self.lz77_min_length = p["min_length"]
+            self.lz77 = _Lz77State(IntegerConfig(*p["len_cfg"]))
+        else:
+            self.lz77 = None
+            self.lz77_min_symbol = 0
+            self.lz77_min_length = 0
+        self.num_clusters = p["num_clusters"]
+        self.clusters = [int(c) for c in p["cluster_map"]]
+        self.use_prefix_code = p["use_prefix"]
+        self.log_alphabet_size = p["log_alphabet_size"]
+        self.configs = [
+            IntegerConfig(int(a), int(b), int(c)) for a, b, c in p["cfgs"]
+        ]
+        blob = p["blob"]
+        if self.use_prefix_code:
+            self.ans_hists = None
+            hists = []
+            for max_len, off in p["meta"]:
+                max_len, off = int(max_len), int(off)
+                h = PrefixHistogram.__new__(PrefixHistogram)
+                if max_len == 0:
+                    h.single = int(blob[off])
+                    h.max_len = 0
+                    h.mask = 0
+                    h.table_sym = blob[off : off + 1]
+                    h.table_len = np.zeros(1, dtype=np.int32)
+                else:
+                    n = 1 << max_len
+                    h.single = None
+                    h.max_len = max_len
+                    h.mask = n - 1
+                    h.table_sym = blob[off : off + n]
+                    h.table_len = blob[off + n : off + 2 * n]
+                hists.append(h)
+            self.prefix_hists = hists
+        else:
+            self.prefix_hists = None
+            hists = []
+            for lbs, off in p["meta"]:
+                lbs, off = int(lbs), int(off)
+                alphabet = 1 << (ANS_PRECISION_BITS - lbs)
+                h = AnsHistogram.__new__(AnsHistogram)
+                h.log_bucket_size = lbs
+                h.bucket_mask = (1 << lbs) - 1
+                h.dist = blob[off : off + alphabet]
+                h.alias_symbol = blob[off + alphabet : off + 2 * alphabet]
+                h.alias_cutoff = blob[off + 2 * alphabet : off + 3 * alphabet]
+                h.alias_offset = blob[off + 3 * alphabet : off + 4 * alphabet]
+                full = np.nonzero(h.dist == (1 << ANS_PRECISION_BITS))[0]
+                h.single_symbol = int(full[0]) if full.size else None
+                hists.append(h)
+            self.ans_hists = hists
+        self._native_tables = p["tables"]
+        self.state = 0
+        self._initial = True
+
+    def _init_python(self, bs: Bitstream, num_dist: int, allow_lz77: bool):
         lz77_enabled = bs.read_bool()
         if lz77_enabled and not allow_lz77:
             raise JxlBitstreamError("LZ77 not allowed in this stream")

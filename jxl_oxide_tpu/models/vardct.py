@@ -473,7 +473,10 @@ def _params_to_matrix(dct_select: int, encoding: tuple) -> list[np.ndarray]:
         raise AssertionError(kind)
 
     if kind != "raw":
-        out = [1.0 / m for m in out]
+        # zero weights invert to inf and are rejected by the range check
+        # below (dequant.rs band<=0 validation); silence the numpy warning
+        with np.errstate(divide="ignore"):
+            out = [1.0 / m for m in out]
     for m in out:
         if np.any(m >= 1e8) or np.any(m <= 0.0):
             raise JxlValidationError("dequant matrix element out of range")

@@ -195,7 +195,7 @@ def decode_modular_native(
     from ..utils.errors import JxlBitstreamError
 
     lib = get_lib()
-    tables = DecoderTables(decoder)
+    tables = DecoderTables.cached(decoder)
 
     n = len(infos)
     # narrow (i16) lane: all real views of one stream share a dtype
@@ -298,7 +298,7 @@ def decode_icc_native(bs, decoder, enc_size: int) -> bytes:
 
     lib = get_lib()
     lib.jxlhost_decode_icc.restype = ctypes.c_int
-    tables = DecoderTables(decoder)
+    tables = DecoderTables.cached(decoder)
     out = np.zeros(enc_size, dtype=np.uint8)
     bit_pos = ctypes.c_uint64(bs.pos)
     data = bs.data
@@ -416,3 +416,100 @@ def decode_hf_group_native(
             raise JxlEofError("HF stream truncated (native)")
         raise JxlBitstreamError(f"native HF decode error {ret}")
     bs.pos = bit_pos.value
+
+
+class _ParsedTables:
+    """DecoderTables-compatible views over a native parse buffer."""
+
+    __slots__ = ("header", "cluster_map", "cfgs", "ans_meta", "ans_blob",
+                 "pfx_meta", "pfx_blob", "_buf")
+
+
+def parse_decoder_native(bs, num_dist: int, allow_lz77: bool):
+    """Parse entropy-decoder tables (lz77 config, cluster map, ANS/prefix
+    histograms) in C++ (jxlhost_parse_decoder). Returns a dict of decoder
+    fields + a _ParsedTables ready for the decode entry points, or raises
+    JxlBitstreamError. Advances bs.pos.
+
+    Buffer layout (i32): [lz77, min_symbol, min_length, len_cfg*3,
+    num_dist_total, num_clusters, use_prefix, log_alphabet] then
+    cluster_map[num_dist_total], cfgs[num_clusters*3],
+    per-histogram meta pairs[num_clusters*2], blob_len, blob[...]."""
+    from ..utils.errors import JxlBitstreamError, JxlEofError
+
+    lib = get_lib()
+    lib.jxlhost_parse_decoder.restype = ctypes.c_int
+    out_buf = ctypes.POINTER(ctypes.c_int32)()
+    out_len = ctypes.c_int64()
+    bit_pos = ctypes.c_uint64(bs.pos)
+    data = bs.data
+    ret = lib.jxlhost_parse_decoder(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(len(data)),
+        ctypes.byref(bit_pos),
+        ctypes.c_int32(num_dist),
+        ctypes.c_int32(1 if allow_lz77 else 0),
+        ctypes.byref(out_buf),
+        ctypes.byref(out_len),
+    )
+    if ret == 4:
+        raise JxlEofError("entropy header truncated (native)")
+    if ret == 150:
+        raise JxlBitstreamError("LZ77 not allowed in this stream")
+    if ret != 0:
+        raise JxlBitstreamError(f"entropy header parse error {ret} (native)")
+    try:
+        buf = np.ctypeslib.as_array(out_buf, shape=(out_len.value,)).copy()
+    finally:
+        lib.jxlhost_free_i32(out_buf)
+    bs.pos = bit_pos.value
+
+    header = buf[:10]
+    lz77, min_symbol, min_length = int(header[0]), int(header[1]), int(header[2])
+    len_cfg = (int(header[3]), int(header[4]), int(header[5]))
+    num_dist_total = int(header[6])
+    num_clusters = int(header[7])
+    use_prefix = bool(header[8])
+    log_alphabet = int(header[9])
+    off = 10
+    cluster_map = buf[off : off + num_dist_total]
+    off += num_dist_total
+    cfgs = buf[off : off + num_clusters * 3].reshape(num_clusters, 3)
+    off += num_clusters * 3
+    meta = buf[off : off + num_clusters * 2]
+    off += num_clusters * 2
+    blob_len = int(buf[off])
+    off += 1
+    blob = buf[off : off + blob_len]
+
+    t = _ParsedTables()
+    t._buf = buf
+    t.header = np.ascontiguousarray(header)
+    t.cluster_map = np.ascontiguousarray(cluster_map)
+    t.cfgs = np.ascontiguousarray(buf[10 + num_dist_total
+                                      : 10 + num_dist_total + num_clusters * 3])
+    t.ans_meta = np.zeros(2, dtype=np.int32)
+    t.ans_blob = np.zeros(1, dtype=np.int32)
+    t.pfx_meta = np.zeros(2, dtype=np.int32)
+    t.pfx_blob = np.zeros(1, dtype=np.int32)
+    if use_prefix:
+        t.pfx_meta = np.ascontiguousarray(meta)
+        t.pfx_blob = np.ascontiguousarray(blob)
+    else:
+        t.ans_meta = np.ascontiguousarray(meta)
+        t.ans_blob = np.ascontiguousarray(blob)
+
+    return {
+        "lz77_enabled": bool(lz77),
+        "min_symbol": min_symbol,
+        "min_length": min_length,
+        "len_cfg": len_cfg,
+        "num_clusters": num_clusters,
+        "use_prefix": use_prefix,
+        "log_alphabet_size": log_alphabet,
+        "cluster_map": cluster_map,
+        "cfgs": cfgs,
+        "meta": meta.reshape(num_clusters, 2),
+        "blob": blob,
+        "tables": t,
+    }

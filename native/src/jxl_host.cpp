@@ -966,3 +966,647 @@ int jxlhost_decode_hf_group(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Entropy decoder TABLE PARSING (jxl-coding lib.rs Decoder::parse,
+// ans.rs Histogram::parse, prefix.rs Histogram::parse, read_clusters).
+// Produces the exact flat serialization the decode entry points consume
+// (the layout DecoderTables builds in Python) so parsed specs go straight
+// back into jxlhost_decode_* calls. Validation matches coding/entropy.py
+// line for line; any mismatch is caught by the parity tests.
+
+namespace {
+
+constexpr int ANS_PRECISION = 12;
+
+inline int add_log2_ceil_i(u32 x) {
+  if (x >= 0x80000000u) return 32;
+  u32 v = x + 1, p = 1;
+  int n = 0;
+  while (p < v) { p <<= 1; n++; }
+  return n;
+}
+
+inline u32 read_u32_sel(BitReader& br, const u32 base[4], const int bits[4]) {
+  u32 sel = (u32)br.read(2);
+  return base[sel] + (u32)br.read(bits[sel]);
+}
+
+inline u32 read_u8_coded(BitReader& br) {
+  if (!br.read(1)) return 0;
+  int n = (int)br.read(3);
+  return (1u << n) + (u32)br.read(n);
+}
+
+inline int read_log_count(BitReader& br) {
+  u32 v = (u32)br.read(3);
+  switch (v) {
+    case 0: return 10;
+    case 1: {
+      const int vals[4] = {4, 0, 11, 13};
+      for (int i = 0; i < 4; i++)
+        if (br.read(1)) return vals[i];
+      return 12;
+    }
+    case 2: return 7;
+    case 3: return br.read(1) ? 1 : 3;
+    case 4: return 6;
+    case 5: return 8;
+    case 6: return 9;
+    default: return br.read(1) ? 2 : 5;
+  }
+}
+
+struct ParsedIntCfg { i32 split_exponent, msb, lsb; };
+
+// returns 0 ok, else error code
+int parse_int_cfg(BitReader& br, int log_alphabet_size, ParsedIntCfg& out) {
+  int se = (int)br.read(add_log2_ceil_i((u32)log_alphabet_size));
+  int msb = 0, lsb = 0;
+  if (se != log_alphabet_size) {
+    msb = (int)br.read(add_log2_ceil_i((u32)se));
+    if (msb > se) return 101;
+    lsb = (int)br.read(add_log2_ceil_i((u32)(se - msb)));
+  }
+  if (msb + lsb > se) return 102;
+  out = ParsedIntCfg{se, msb, lsb};
+  return 0;
+}
+
+struct ParsedAns {
+  i32 log_bucket_size;
+  std::vector<i32> dist, alias_symbol, alias_cutoff, alias_offset;
+};
+
+int parse_ans_distribution(BitReader& br, int table_size,
+                           std::vector<i32>& dist) {
+  dist.assign(table_size, 0);
+  if (br.read(1)) {
+    if (br.read(1)) {
+      u32 v0 = read_u8_coded(br), v1 = read_u8_coded(br);
+      u32 mx = v0 > v1 ? v0 : v1;
+      if (v0 == v1 || mx + 1 > (u32)table_size) return 110;
+      u32 prob = (u32)br.read(12);
+      dist[v0] = (i32)prob;
+      dist[v1] = (i32)((1u << 12) - prob);
+    } else {
+      u32 val = read_u8_coded(br);
+      if (val + 1 > (u32)table_size) return 111;
+      dist[val] = 1 << 12;
+    }
+    return 0;
+  }
+  if (br.read(1)) {
+    u32 alphabet = read_u8_coded(br) + 1;
+    if (alphabet > (u32)table_size) return 112;
+    u32 base = (1u << 12) / alphabet, leftover = (1u << 12) % alphabet;
+    for (u32 i = 0; i < alphabet; i++)
+      dist[i] = (i32)(base + (i < leftover ? 1 : 0));
+    return 0;
+  }
+  int length = 0;
+  while (length < 3 && br.read(1)) length++;
+  u32 shift = (u32)br.read(length) + (1u << length) - 1;
+  if (shift > 13) return 113;
+  u32 alphabet = read_u8_coded(br) + 3;
+  if (alphabet > (u32)table_size) return 114;
+
+  std::vector<i32> codes(table_size, 0);
+  std::vector<std::pair<i32, i32>> repeat_ranges;
+  int omit_log = -1, omit_pos = -1;
+  u32 idx = 0;
+  while (idx < alphabet) {
+    int c = read_log_count(br);
+    codes[idx] = c;
+    if (c == 13) {
+      u32 rep = read_u8_coded(br) + 4;
+      if (idx + rep > alphabet) return 115;
+      repeat_ranges.push_back({(i32)idx, (i32)(idx + rep)});
+      idx += rep;
+      continue;
+    }
+    if (omit_pos < 0 || c > omit_log) {
+      omit_log = c;
+      omit_pos = (int)idx;
+    }
+    idx++;
+  }
+  if (omit_pos < 0) return 116;
+  if (omit_pos + 1 < table_size && codes[omit_pos + 1] == 13) return 117;
+
+  size_t rr = 0;
+  i64 acc = 0;
+  i32 prev = 0;
+  for (int i = 0; i < table_size; i++) {
+    if (rr < repeat_ranges.size() && repeat_ranges[rr].first <= i) {
+      if (repeat_ranges[rr].second == i) {
+        rr++;
+      } else {
+        dist[i] = prev;
+        acc += prev;
+        if (acc > (1 << 12)) return 118;
+        continue;
+      }
+    }
+    i32 c = codes[i];
+    if (c == 0 || i == omit_pos) {
+      prev = 0;
+      continue;
+    }
+    if (c > 1) {
+      int zeros = c - 1;
+      int bitcount = (int)shift - ((12 - zeros) >> 1);
+      if (bitcount < 0) bitcount = 0;
+      if (bitcount > zeros) bitcount = zeros;
+      c = (i32)((1u << zeros) + ((u32)br.read(bitcount) << (zeros - bitcount)));
+    }
+    dist[i] = c;
+    prev = c;
+    acc += c;
+    if (acc > (1 << 12)) return 118;
+  }
+  dist[omit_pos] = (i32)((1 << 12) - acc);
+  return 0;
+}
+
+int parse_ans_histogram(BitReader& br, int log_alphabet_size, ParsedAns& out) {
+  int table_size = 1 << log_alphabet_size;
+  int log_bucket_size = ANS_PRECISION - log_alphabet_size;
+  int bucket_size = 1 << log_bucket_size;
+  out.log_bucket_size = log_bucket_size;
+  int err = parse_ans_distribution(br, table_size, out.dist);
+  if (err) return err;
+  const std::vector<i32>& dist = out.dist;
+
+  int single = -1;
+  for (int i = 0; i < table_size; i++)
+    if (dist[i] == (1 << ANS_PRECISION)) { single = i; break; }
+
+  out.alias_symbol.assign(table_size, 0);
+  out.alias_cutoff.assign(table_size, 0);
+  out.alias_offset.assign(table_size, 0);
+  if (single >= 0) {
+    for (int i = 0; i < table_size; i++) {
+      out.alias_symbol[i] = single;
+      out.alias_offset[i] = bucket_size * i;
+      out.alias_cutoff[i] = 0;
+    }
+    return 0;
+  }
+  std::vector<i32> sym(table_size), cutoff(dist), offset(table_size, 0);
+  for (int i = 0; i < table_size; i++) sym[i] = i;
+  std::vector<i32> underfull, overfull;
+  for (int i = 0; i < table_size; i++) {
+    if (dist[i] < bucket_size) underfull.push_back(i);
+    else if (dist[i] > bucket_size) overfull.push_back(i);
+  }
+  while (!overfull.empty() && !underfull.empty()) {
+    i32 o = overfull.back(); overfull.pop_back();
+    i32 u = underfull.back(); underfull.pop_back();
+    i32 by = bucket_size - cutoff[u];
+    cutoff[o] -= by;
+    sym[u] = o;
+    offset[u] = cutoff[o];
+    if (cutoff[o] < bucket_size) underfull.push_back(o);
+    else if (cutoff[o] > bucket_size) overfull.push_back(o);
+  }
+  for (int i = 0; i < table_size; i++) {
+    if (cutoff[i] == bucket_size) {
+      out.alias_symbol[i] = i;
+      out.alias_offset[i] = 0;
+      out.alias_cutoff[i] = 0;
+    } else {
+      out.alias_symbol[i] = sym[i];
+      out.alias_offset[i] = offset[i] - cutoff[i];
+      out.alias_cutoff[i] = cutoff[i];
+    }
+  }
+  return 0;
+}
+
+struct ParsedPrefix {
+  i32 max_len = 0;  // 0 => single symbol in table_sym[0]
+  std::vector<i32> table_sym, table_len;
+};
+
+constexpr int MAX_PREFIX_BITS_C = 15;
+
+inline u32 reverse_bits_u32(u32 x, int n) {
+  u32 r = 0;
+  for (int i = 0; i < n; i++) { r = (r << 1) | (x & 1); x >>= 1; }
+  return r;
+}
+
+int build_prefix_table(const std::vector<i32>& code_lengths, ParsedPrefix& out) {
+  int max_len = 0;
+  for (i32 l : code_lengths) if (l > max_len) max_len = (int)l;
+  i64 total = 0;
+  for (i32 l : code_lengths) if (l > 0) total += 1ll << (max_len - l);
+  if (total != (1ll << max_len)) return 130;
+  out.max_len = max_len;
+  out.table_sym.assign((size_t)1 << max_len, 0);
+  out.table_len.assign((size_t)1 << max_len, 0);
+  u32 code = 0;
+  for (int length = 1; length <= max_len; length++) {
+    for (size_t s = 0; s < code_lengths.size(); s++) {
+      if (code_lengths[s] != length) continue;
+      u32 rev = reverse_bits_u32(code >> (max_len - length), length);
+      u32 step = 1u << length;
+      for (u32 k = rev; k < (1u << max_len); k += step) {
+        out.table_sym[k] = (i32)s;
+        out.table_len[k] = length;
+      }
+      code += 1u << (max_len - length);
+    }
+  }
+  return 0;
+}
+
+void single_prefix(int symbol, ParsedPrefix& out) {
+  out.max_len = 0;
+  out.table_sym.assign(1, symbol);
+  out.table_len.assign(1, 0);
+}
+
+inline int prefix_read_symbol(const ParsedPrefix& p, BitReader& br) {
+  if (p.max_len == 0) return p.table_sym[0];
+  u64 bits = br.peek(p.max_len);
+  int sym = p.table_sym[bits];
+  br.consume(p.table_len[bits]);
+  return sym;
+}
+
+int parse_prefix_histogram(BitReader& br, u32 alphabet_size, ParsedPrefix& out) {
+  if (alphabet_size == 1) { single_prefix(0, out); return 0; }
+  if (alphabet_size > (1u << MAX_PREFIX_BITS_C)) return 131;
+  u32 hskip = (u32)br.read(2);
+  if (hskip == 1) {
+    int alphabet_bits = add_log2_ceil_i(alphabet_size - 1);
+    u32 nsym = (u32)br.read(2) + 1;
+    if (nsym == 1) {
+      u32 s = (u32)br.read(alphabet_bits);
+      if (s >= alphabet_size) return 132;
+      single_prefix((int)s, out);
+      return 0;
+    }
+    u32 syms[4];
+    int lens[4];
+    if (nsym == 2) {
+      syms[0] = (u32)br.read(alphabet_bits);
+      syms[1] = (u32)br.read(alphabet_bits);
+      lens[0] = lens[1] = 1;
+    } else if (nsym == 3) {
+      for (int i = 0; i < 3; i++) syms[i] = (u32)br.read(alphabet_bits);
+      lens[0] = 1; lens[1] = lens[2] = 2;
+    } else {
+      for (int i = 0; i < 4; i++) syms[i] = (u32)br.read(alphabet_bits);
+      if (br.read(1)) { lens[0] = 1; lens[1] = 2; lens[2] = lens[3] = 3; }
+      else { lens[0] = lens[1] = lens[2] = lens[3] = 2; }
+    }
+    std::vector<i32> code_lengths(alphabet_size, 0);
+    for (u32 i = 0; i < nsym; i++) {
+      if (syms[i] >= alphabet_size) return 133;
+      code_lengths[syms[i]] = lens[i];
+    }
+    return build_prefix_table(code_lengths, out);
+  }
+  // complex form
+  static const int CL_ORDER[18] = {1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8,
+                                   9, 10, 11, 12, 13, 14, 15};
+  std::vector<i32> cl_lengths(18, 0);
+  i64 bitacc = 0;
+  int nonzero_count = 0, nonzero_sym = 0;
+  for (u32 oi = hskip; oi < 18; oi++) {
+    int cl_idx = CL_ORDER[oi];
+    // read_u32(0, 4, 3, 8) over 2-bit selector
+    static const u32 base[4] = {0, 4, 3, 8};
+    static const int bits[4] = {0, 0, 0, 0};
+    u32 bsel = read_u32_sel(br, base, bits);
+    int length;
+    if (bsel == 8) {
+      if (br.read(1)) length = br.read(1) ? 5 : 1;
+      else length = 2;
+    } else {
+      length = (int)bsel;
+    }
+    cl_lengths[cl_idx] = length;
+    if (length) {
+      nonzero_count++;
+      nonzero_sym = cl_idx;
+      bitacc += 32 >> length;
+      if (bitacc == 32) break;
+      if (bitacc > 32) return 134;
+    }
+  }
+  ParsedPrefix cl_hist;
+  if (nonzero_count == 1) {
+    single_prefix(nonzero_sym, cl_hist);
+  } else if (bitacc != 32) {
+    return 135;
+  } else {
+    int err = build_prefix_table(cl_lengths, cl_hist);
+    if (err) return err;
+  }
+
+  std::vector<i32> code_lengths(alphabet_size, 0);
+  i64 acc2 = 0;
+  int prev_sym = 8, last_nonzero = 8;
+  i64 last_repeat = 0, repeat_count = 0;
+  i32 repeat_sym = 0;
+  for (u32 i = 0; i < alphabet_size; i++) {
+    if (repeat_count > 0) {
+      code_lengths[i] = repeat_sym;
+      repeat_count--;
+    } else {
+      int sym = prefix_read_symbol(cl_hist, br);
+      if (sym == 0) {
+      } else if (sym <= 15) {
+        code_lengths[i] = sym;
+        last_nonzero = sym;
+      } else if (sym == 16) {
+        repeat_count = (i64)br.peek(2) + 3;
+        br.consume(2);
+        if (prev_sym == 16) {
+          repeat_count += last_repeat * 3 - 8;
+          last_repeat += repeat_count;
+        } else {
+          last_repeat = repeat_count;
+        }
+        repeat_sym = last_nonzero;
+        code_lengths[i] = repeat_sym;
+        repeat_count--;
+      } else {  // 17
+        repeat_count = (i64)br.peek(3) + 3;
+        br.consume(3);
+        if (prev_sym == 17) {
+          repeat_count += last_repeat * 7 - 16;
+          last_repeat += repeat_count;
+        } else {
+          last_repeat = repeat_count;
+        }
+        repeat_sym = 0;
+        code_lengths[i] = 0;
+        repeat_count--;
+      }
+      prev_sym = sym;
+    }
+    if (code_lengths[i]) {
+      int sh = MAX_PREFIX_BITS_C - (int)code_lengths[i];
+      if (sh < 0) sh = 0;
+      acc2 += 1ll << sh;
+      if (acc2 > (1ll << MAX_PREFIX_BITS_C)) return 136;
+      if (acc2 == (1ll << MAX_PREFIX_BITS_C) && repeat_count == 0) break;
+    }
+  }
+  if (acc2 != (1ll << MAX_PREFIX_BITS_C) || repeat_count > 0) return 137;
+  return build_prefix_table(code_lengths, out);
+}
+
+struct ParsedDecoder {
+  i32 lz77_enabled = 0;
+  u32 min_symbol = 0, min_length = 0;
+  ParsedIntCfg len_cfg{0, 0, 0};
+  i32 num_clusters = 0;
+  i32 use_prefix = 0;
+  i32 log_alphabet_size = 0;
+  std::vector<i32> cluster_map;
+  std::vector<ParsedIntCfg> cfgs;
+  std::vector<ParsedAns> ans;
+  std::vector<ParsedPrefix> pfx;
+};
+
+int parse_decoder_rec(BitReader& br, u32 num_dist, bool allow_lz77,
+                      ParsedDecoder& out);
+
+int read_clusters_c(BitReader& br, u32 num_dist, std::vector<i32>& clusters,
+                    i32& num_clusters) {
+  clusters.assign(num_dist, 0);
+  if (num_dist == 1) {
+    num_clusters = 1;
+    return 0;
+  }
+  if (br.read(1)) {
+    int nbits = (int)br.read(2);
+    for (u32 i = 0; i < num_dist; i++) clusters[i] = (i32)br.read(nbits);
+  } else {
+    bool use_mtf = br.read(1);
+    ParsedDecoder nested;
+    int err = parse_decoder_rec(br, 1, num_dist > 2, nested);
+    if (err) return err;
+    // run the nested decoder inline via DecoderState
+    SpecHolder holder;
+    std::vector<IntCfg> icfg(nested.num_clusters);
+    for (int i = 0; i < nested.num_clusters; i++)
+      icfg[i] = IntCfg{nested.cfgs[i].split_exponent, nested.cfgs[i].msb,
+                       nested.cfgs[i].lsb};
+    DecoderSpec spec;
+    spec.lz77_enabled = nested.lz77_enabled;
+    spec.min_symbol = nested.min_symbol;
+    spec.min_length = nested.min_length;
+    spec.len_cfg = IntCfg{nested.len_cfg.split_exponent, nested.len_cfg.msb,
+                          nested.len_cfg.lsb};
+    spec.num_dist = (i32)nested.cluster_map.size();
+    spec.num_clusters = nested.num_clusters;
+    spec.use_prefix = nested.use_prefix;
+    spec.cluster_map = nested.cluster_map.data();
+    spec.cfgs = icfg.data();
+    std::vector<AnsTable> ats;
+    std::vector<PrefixTable> pts;
+    if (nested.use_prefix) {
+      pts.resize(nested.num_clusters);
+      for (int i = 0; i < nested.num_clusters; i++)
+        pts[i] = PrefixTable{nested.pfx[i].max_len,
+                             nested.pfx[i].table_sym.data(),
+                             nested.pfx[i].table_len.data()};
+      spec.pfx = pts.data();
+      spec.ans = nullptr;
+    } else {
+      ats.resize(nested.num_clusters);
+      for (int i = 0; i < nested.num_clusters; i++)
+        ats[i] = AnsTable{nested.ans[i].log_bucket_size,
+                          nested.ans[i].dist.data(),
+                          nested.ans[i].alias_symbol.data(),
+                          nested.ans[i].alias_cutoff.data(),
+                          nested.ans[i].alias_offset.data()};
+      spec.ans = ats.data();
+      spec.pfx = nullptr;
+    }
+    DecoderState dec;
+    dec.spec = &spec;
+    dec.br = &br;
+    dec.begin();
+    for (u32 i = 0; i < num_dist; i++) {
+      u32 b = dec.read_varint_clustered(spec.cluster_map[0], 0);
+      if (dec.error) return 140;
+      if (b > 255) return 141;
+      clusters[i] = (i32)b;
+    }
+    int fin = dec.finalize();
+    if (fin) return 142;
+    if (use_mtf) {
+      i32 mtf[256];
+      for (int i = 0; i < 256; i++) mtf[i] = i;
+      for (u32 i = 0; i < num_dist; i++) {
+        i32 c = clusters[i];
+        i32 v = mtf[c];
+        clusters[i] = v;
+        for (i32 j = c; j > 0; j--) mtf[j] = mtf[j - 1];
+        mtf[0] = v;
+      }
+    }
+  }
+  i32 mx = 0;
+  for (i32 c : clusters) if (c > mx) mx = c;
+  num_clusters = mx + 1;
+  // hole check
+  std::vector<char> seen(num_clusters, 0);
+  i32 distinct = 0;
+  for (i32 c : clusters) {
+    if (!seen[c]) { seen[c] = 1; distinct++; }
+  }
+  if (distinct != num_clusters) return 143;
+  return 0;
+}
+
+int parse_decoder_rec(BitReader& br, u32 num_dist, bool allow_lz77,
+                      ParsedDecoder& out) {
+  bool lz77 = br.read(1);
+  if (lz77 && !allow_lz77) return 150;
+  if (lz77) {
+    out.lz77_enabled = 1;
+    static const u32 base_ms[4] = {224, 512, 4096, 8};
+    static const int bits_ms[4] = {0, 0, 0, 15};
+    out.min_symbol = read_u32_sel(br, base_ms, bits_ms);
+    static const u32 base_ml[4] = {3, 4, 5, 9};
+    static const int bits_ml[4] = {0, 0, 2, 8};
+    out.min_length = read_u32_sel(br, base_ml, bits_ml);
+    int err = parse_int_cfg(br, 8, out.len_cfg);
+    if (err) return err;
+    num_dist += 1;
+  }
+  i32 num_clusters = 0;
+  int err = read_clusters_c(br, num_dist, out.cluster_map, num_clusters);
+  if (err) return err;
+  out.num_clusters = num_clusters;
+  out.use_prefix = br.read(1) ? 1 : 0;
+  out.log_alphabet_size = out.use_prefix ? 15 : (i32)br.read(2) + 5;
+  out.cfgs.resize(num_clusters);
+  for (i32 i = 0; i < num_clusters; i++) {
+    err = parse_int_cfg(br, out.log_alphabet_size, out.cfgs[i]);
+    if (err) return err;
+  }
+  if (out.use_prefix) {
+    std::vector<u32> counts(num_clusters);
+    for (i32 i = 0; i < num_clusters; i++) {
+      if (br.read(1)) {
+        int n = (int)br.read(4);
+        counts[i] = 1 + (1u << n) + (u32)br.read(n);
+      } else {
+        counts[i] = 1;
+      }
+      if (counts[i] > (1u << 15)) return 151;
+    }
+    out.pfx.resize(num_clusters);
+    for (i32 i = 0; i < num_clusters; i++) {
+      err = parse_prefix_histogram(br, counts[i], out.pfx[i]);
+      if (err) return err;
+    }
+  } else {
+    out.ans.resize(num_clusters);
+    for (i32 i = 0; i < num_clusters; i++) {
+      err = parse_ans_histogram(br, out.log_alphabet_size, out.ans[i]);
+      if (err) return err;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse a Decoder's tables (lz77 config, clusters, histograms) and return
+// them in one self-describing i32 buffer (layout documented in
+// native/__init__.py parse_decoder_native). Caller frees with
+// jxlhost_free_i32. Returns 0 ok, >0 parse/validation error.
+int jxlhost_parse_decoder(
+    const u8* data, u64 data_len_bytes, u64* bit_pos,
+    i32 num_dist, i32 allow_lz77,
+    i32** out_buf, i64* out_len
+) {
+  BitReader br{data, data_len_bytes * 8, *bit_pos};
+  ParsedDecoder d;
+  int err = parse_decoder_rec(br, (u32)num_dist, allow_lz77 != 0, d);
+  if (err) {
+    // reads past the end zero-extend; a validation failure close to the
+    // end of the buffered bytes is indistinguishable from truncation, so
+    // report EOF (the Python parser raises JxlEofError at the exact read;
+    // progressive feeds retry when more bytes arrive)
+    if (err != 150 && br.pos + 64 > br.len_bits) return 4;
+    return err;
+  }
+  if (br.pos > br.len_bits) return 4;
+
+  // serialize
+  std::vector<i32> buf;
+  buf.push_back(d.lz77_enabled);
+  buf.push_back((i32)d.min_symbol);
+  buf.push_back((i32)d.min_length);
+  buf.push_back(d.len_cfg.split_exponent);
+  buf.push_back(d.len_cfg.msb);
+  buf.push_back(d.len_cfg.lsb);
+  buf.push_back((i32)d.cluster_map.size());
+  buf.push_back(d.num_clusters);
+  buf.push_back(d.use_prefix);
+  buf.push_back(d.log_alphabet_size);
+  for (i32 c : d.cluster_map) buf.push_back(c);
+  for (auto& c : d.cfgs) {
+    buf.push_back(c.split_exponent);
+    buf.push_back(c.msb);
+    buf.push_back(c.lsb);
+  }
+  if (d.use_prefix) {
+    i64 off = 0;
+    for (auto& p : d.pfx) {
+      buf.push_back(p.max_len);
+      buf.push_back((i32)off);
+      off += p.max_len ? 2ll * ((i64)1 << p.max_len) : 2;
+    }
+    buf.push_back((i32)off);
+    for (auto& p : d.pfx) {
+      if (p.max_len == 0) {
+        buf.push_back(p.table_sym[0]);
+        buf.push_back(0);
+      } else {
+        for (i32 v : p.table_sym) buf.push_back(v);
+        for (i32 v : p.table_len) buf.push_back(v);
+      }
+    }
+  } else {
+    i64 off = 0;
+    for (auto& a : d.ans) {
+      i32 alphabet = 1 << (ANS_PRECISION - a.log_bucket_size);
+      buf.push_back(a.log_bucket_size);
+      buf.push_back((i32)off);
+      off += 4ll * alphabet;
+    }
+    buf.push_back((i32)off);
+    for (auto& a : d.ans) {
+      for (i32 v : a.dist) buf.push_back(v);
+      for (i32 v : a.alias_symbol) buf.push_back(v);
+      for (i32 v : a.alias_cutoff) buf.push_back(v);
+      for (i32 v : a.alias_offset) buf.push_back(v);
+    }
+  }
+  i32* mem = (i32*)std::malloc(buf.size() * sizeof(i32));
+  if (!mem) return 160;
+  std::memcpy(mem, buf.data(), buf.size() * sizeof(i32));
+  *out_buf = mem;
+  *out_len = (i64)buf.size();
+  *bit_pos = br.pos;
+  return 0;
+}
+
+void jxlhost_free_i32(i32* p) { std::free(p); }
+
+}  // extern "C"

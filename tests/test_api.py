@@ -952,3 +952,24 @@ def test_vardct_iso_l10_accuracy_contract():
     got = np.stack([np.asarray(p, dtype=np.float32) for p in r.planes], -1)
     peak = float(np.abs(got - rgb).max())
     assert peak <= 0.004, peak
+
+
+def test_replay_fuzz_found_regressions():
+    """Replay any findings the mutation fuzzer has saved (tools/fuzz.py
+    --save-dir): each must now decode or fail with JxlError only."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import fuzz as fuzz_mod
+
+    found_dir = os.path.join(os.path.dirname(__file__), "fuzz_found")
+    if not os.path.isdir(found_dir):
+        pytest.skip("no saved findings")
+    names = sorted(os.listdir(found_dir))
+    if not names:
+        pytest.skip("no saved findings")
+    for name in names:
+        with open(os.path.join(found_dir, name), "rb") as f:
+            data = f.read()
+        fail = fuzz_mod.try_decode(data)
+        assert fail is None, (name, fail)

@@ -338,3 +338,55 @@ def test_prefix_code_complex_form():
         decoded.append(hist.read_symbol(bs2))
     assert sorted(decoded) == [0, 1, 2, 3]
     assert decoded[0] == 0  # canonical: symbol 0 <- code 00
+
+
+def test_native_table_parse_matches_python():
+    """The C++ entropy-table parser (jxlhost_parse_decoder) must produce
+    byte-identical serialized tables and the same final bit position as
+    the Python parser, across ANS and prefix streams with/without LZ77."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder import DEFAULT_CFG, AnsStreamEncoder, BitWriter
+
+    from jxl_oxide_tpu import native as _native
+    from jxl_oxide_tpu.coding.entropy import Decoder
+    from jxl_oxide_tpu.io.bitstream import Bitstream
+
+    if not _native.available():
+        pytest.skip("native unavailable")
+
+    rng = np.random.default_rng(17)
+    streams = []
+    for num_ctx, alphabet in [(1, 16), (8, 64), (39, 256), (495 * 15, 256)]:
+        w = BitWriter()
+        enc = AnsStreamEncoder(num_ctx, alphabet, 8, DEFAULT_CFG)
+        enc.write_header(w)
+        toks = [int(t) for t in rng.integers(0, alphabet, 400)]
+        enc.encode_tokens(w, toks)
+        streams.append((w.to_bytes(), num_ctx, toks))
+
+    for data, num_ctx, toks in streams:
+        bs_py = Bitstream(bytearray(data))  # bytearray forces python parse
+        dec_py = Decoder(bs_py, num_ctx)
+        bs_nat = Bitstream(bytes(data))
+        dec_nat = Decoder(bs_nat, num_ctx)
+        assert bs_py.pos == bs_nat.pos
+        from jxl_oxide_tpu.native import DecoderTables
+
+        tp = DecoderTables(dec_py)
+        tn = dec_nat._native_tables
+        for name in ("header", "cluster_map", "cfgs", "ans_meta",
+                     "ans_blob", "pfx_meta", "pfx_blob"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(tp, name)),
+                np.asarray(getattr(tn, name)), err_msg=name,
+            )
+        # decoded tokens agree through the PYTHON symbol loop too
+        dec_nat.begin(bs_nat)
+        got = [dec_nat.read_varint(bs_nat, 0) for _ in range(50)]
+        dec_py.begin(bs_py)
+        want = [dec_py.read_varint(bs_py, 0) for _ in range(50)]
+        assert got == want

@@ -138,7 +138,7 @@ struct DecoderState {
     if (spec->lz77_enabled && window.empty()) window.resize(LZ_WINDOW_SIZE);
   }
 
-  inline u32 read_symbol(int cluster) {
+  __attribute__((always_inline)) inline u32 read_symbol(int cluster) {
     if (spec->use_prefix) {
       const PrefixTable& t = spec->pfx[cluster];
       if (t.max_len == 0) return (u32)t.table_sym[0];
@@ -170,7 +170,7 @@ struct DecoderState {
     return symbol;
   }
 
-  inline u32 read_uint(const IntCfg& cfg, u32 token) {
+  __attribute__((always_inline)) inline u32 read_uint(const IntCfg& cfg, u32 token) {
     if (token < cfg.split()) return token;
     int msb = cfg.msb, lsb = cfg.lsb;
     u32 n = (u32)(cfg.split_exponent - (msb + lsb)) +

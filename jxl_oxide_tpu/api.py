@@ -575,7 +575,11 @@ class JxlImage:
 
         frames = self._frames
         needed = {target}
-        seeds: dict[int, int] = {}  # slot -> keyframe cache idx
+        # seed EVENTS keyed by (writer frame index, slot): applied at the
+        # writer's position in the replay timeline, so a reader between
+        # two writers of the same slot sees the right canvas (a slot can
+        # be overwritten by later cached keyframes)
+        seeds: dict[tuple[int, int], int] = {}  # (writer_idx, slot) -> kf idx
         kf_indices = self._keyframe_global_indices()
         kf_of_frame = {g: k for k, g in enumerate(kf_indices)}
         stack = [target]
@@ -603,16 +607,33 @@ class JxlImage:
                             and self._cache_key(k) in self._keyframe_cache
                             and j not in needed
                         ):
-                            seeds[s] = k  # canvas == saved slot content
+                            seeds[(j, s)] = k  # canvas == saved slot content
                         elif j not in needed:
                             needed.add(j)
                             stack.append(j)
                         break
         return sorted(needed), seeds
 
+    _KEYFRAME_CACHE_CAP = 8
+
     def _cache_key(self, keyframe_idx: int):
         # partial (ROI) decodes cache separately from full decodes
         return (keyframe_idx, self._image_region)
+
+    def _cache_store(self, key, kf: KeyframeRender) -> None:
+        """FIFO-bounded keyframe canvas cache: tile-serving patterns with
+        many distinct crop regions must not accumulate full-size canvases
+        without bound."""
+        cache = self._keyframe_cache
+        cache[key] = kf
+        while len(cache) > self._KEYFRAME_CACHE_CAP:
+            from .utils.alloc import release_alloc
+
+            # evict the OLDEST insertion (dict preserves insertion order)
+            oldest = next(iter(cache))
+            old_kf = cache.pop(oldest)
+            release_alloc(RenderContext._planes_bytes(old_kf.color)
+                          + RenderContext._planes_bytes(old_kf.extra))
 
     def _coded_region(self):
         """The requested display-space region mapped into coded image
@@ -665,12 +686,27 @@ class JxlImage:
             self._coded_region()
         ):
             ctx = RenderContext(self.image_header)
-            for s, k in seeds.items():
-                kf = self._keyframe_cache[self._cache_key(k)]
-                ctx.set_reference(s, (
-                    [np.asarray(p, dtype=np.float32).copy() for p in kf.color],
-                    [np.asarray(p, dtype=np.float32).copy() for p in kf.extra],
-                ))
+
+            # seed events in timeline order (applied just before the first
+            # replayed frame AFTER the seed's writer position)
+            seed_events = sorted(seeds.items())  # by (writer_idx, slot)
+            seed_ptr = 0
+
+            def _apply_seeds(upto: int) -> None:
+                nonlocal seed_ptr
+                while (
+                    seed_ptr < len(seed_events)
+                    and seed_events[seed_ptr][0][0] < upto
+                ):
+                    (_, s), k = seed_events[seed_ptr]
+                    kf = self._keyframe_cache[self._cache_key(k)]
+                    ctx.set_reference(s, (
+                        [np.asarray(p, dtype=np.float32).copy()
+                         for p in kf.color],
+                        [np.asarray(p, dtype=np.float32).copy()
+                         for p in kf.extra],
+                    ))
+                    seed_ptr += 1
             # P3 frame pipelining: decode independent cone frames on
             # background threads (LF-dependent frames need their LF slot
             # first, so they render inline); compositing stays sequential
@@ -705,6 +741,7 @@ class JxlImage:
                         idx, fr = fut.result()
                         prerendered[idx] = fr
             for i in cone:
+                _apply_seeds(i)
                 frame = frames[i]
                 # header-derived counters for skipped frames (noise seeds)
                 ctx._frame_counter = i
@@ -713,9 +750,9 @@ class JxlImage:
                 ctx._last_keyframe_idx = prev_kfs[-1] if prev_kfs else None
                 kf = ctx.add_frame(frame, fr=prerendered.get(i))
                 if kf is not None:
-                    self._keyframe_cache[
-                        self._cache_key(self._kf_index_of_frame(i))
-                    ] = kf
+                    self._cache_store(
+                        self._cache_key(self._kf_index_of_frame(i)), kf
+                    )
                 # release slots with no remaining cone consumers
                 for s in range(4):
                     if (
@@ -916,7 +953,7 @@ class JxlImage:
             # The requested region is in oriented/display space; map it
             # through the inverse orientation before slicing the coded
             # planes (jxl-oxide lib.rs:718-724 render_frame_cropped).
-            ch, cw = np.asarray(color[0]).shape
+            ch, cw = color[0].shape  # no download: shape only
             left, top, width, height = _orient_region_inverse(
                 crop, cw, ch, meta.orientation
             )

@@ -404,7 +404,7 @@ def build_fused_pipeline_sharded(
             dx = jnp.arange(w)[None, :]
             rows = pos[:, 1, None, None] * 8 + dy
             cols = pos[:, 0, None, None] * 8 + dx
-            idx = rows * W + cols  # [n, h, w]; pad entries strongly negative
+            idx = rows * W + cols  # [n, h, w]; pad entries out of range
             ldy = jnp.arange(bh)[:, None]
             ldx = jnp.arange(bw)[None, :]
             lf_idx = (pos[:, 1, None, None] + ldy) * LW + (pos[:, 0, None, None] + ldx)

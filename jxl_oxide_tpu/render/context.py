@@ -124,7 +124,15 @@ class RenderContext:
             planes = list(value[0]) + list(value[1])
         else:
             planes = list(value)
-        return sum(int(np.asarray(p).nbytes) for p in planes)
+        # shape/dtype arithmetic only: np.asarray would download
+        # device-resident planes just to count bytes
+        total = 0
+        for p in planes:
+            n = 1
+            for d in p.shape:
+                n *= int(d)
+            total += n * np.dtype(p.dtype).itemsize
+        return total
 
     def set_reference(self, slot: int, value) -> None:
         from ..utils.alloc import release_alloc, track_alloc
@@ -199,6 +207,13 @@ class RenderContext:
             ))
 
         if header.is_keyframe:
+            from ..utils.alloc import track_alloc
+
+            # only RETAINED canvases charge the budget (the per-frame
+            # working canvas is transient; charging it leaked the budget
+            # monotonically over long animations)
+            track_alloc(self._planes_bytes(canvas_color)
+                        + self._planes_bytes(canvas_extra))
             kf = KeyframeRender(
                 color=canvas_color,
                 extra=canvas_extra,
@@ -352,10 +367,6 @@ class RenderContext:
                     einfo.mode, header.x0, header.y0,
                     base_a, new_a, einfo.clamp, premul, is_alpha,
                 )
-        from ..utils.alloc import track_alloc
-
-        track_alloc(self._planes_bytes(canvas_color)
-                    + self._planes_bytes(canvas_extra))
         return canvas_color, canvas_extra
 
     # -- patches ------------------------------------------------------------

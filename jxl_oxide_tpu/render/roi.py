@@ -81,14 +81,21 @@ def group_intersects(frame, group_idx: int, region) -> bool:
     )
 
 
+# adaptive LF smoothing reads 1 LF sample (8px) beyond the region and the
+# pixel filters reach another 7px, so a skipped neighboring LF group could
+# corrupt DC near its boundary; pad LF-group intersection generously
+LF_GROUP_PAD = FILTER_PAD + 32
+
+
 def lf_group_intersects(frame, lf_group_idx: int, region) -> bool:
-    """Same for a 2048px LF group."""
+    """Same for a 2048px LF group (padded further: LF smoothing reads
+    neighboring LF samples across LF-group boundaries)."""
     header = frame.header
     left, top, w, h = region
-    left -= header.x0 + FILTER_PAD
-    top -= header.y0 + FILTER_PAD
-    w += 2 * FILTER_PAD
-    h += 2 * FILTER_PAD
+    left -= header.x0 + LF_GROUP_PAD
+    top -= header.y0 + LF_GROUP_PAD
+    w += 2 * LF_GROUP_PAD
+    h += 2 * LF_GROUP_PAD
     lgd = header.lf_group_dim
     lgpr = header.lf_groups_per_row
     gx, gy = lf_group_idx % lgpr, lf_group_idx // lgpr

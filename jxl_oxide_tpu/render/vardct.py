@@ -663,9 +663,17 @@ class VardctFrameState:
             self._fused_cache[key] = fn
 
         bucket_args = []
+        # sentinel = one block row past the plane: strictly positive and
+        # out of range, so gathers clip to garbage and the mode="drop"
+        # scatter discards it (negative sentinels would be normalized by
+        # +size and could wrap IN range for tall planes)
+        ph, pw = self.plane_shapes[0]
+        sentinel = (pw // 8, ph // 8)
         for (_, n_pad), (_, _, _, _, muls, pos) in zip(bucket_meta, buckets):
             n = len(pos)
-            pos_p = np.full((n_pad, 2), -1024, dtype=np.int32)
+            pos_p = np.empty((n_pad, 2), dtype=np.int32)
+            pos_p[:, 0] = sentinel[0]
+            pos_p[:, 1] = sentinel[1]
             pos_p[:n] = pos
             mul_p = np.ones(n_pad, dtype=np.float32)
             mul_p[:n] = muls.astype(np.float32)
@@ -759,7 +767,10 @@ class VardctFrameState:
             n_max = max((len(p) for p in per), default=0)
             # pow2 padding: same-geometry images share compiled programs
             n_max = max(16, 1 << max(n_max - 1, 0).bit_length())
-            pos_arr = np.full((n_sh, n_max, 2), -1024, dtype=np.int32)
+            # positive out-of-range sentinel (see single-device path)
+            pos_arr = np.empty((n_sh, n_max, 2), dtype=np.int32)
+            pos_arr[..., 0] = W // 8
+            pos_arr[..., 1] = H_loc // 8
             mul_arr = np.ones((n_sh, n_max), dtype=np.float32)
             for s, sel_idx in enumerate(per):
                 k = len(sel_idx)

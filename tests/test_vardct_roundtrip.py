@@ -822,3 +822,32 @@ def test_fused_pipeline_cache_reuse_across_images():
     out_b = JxlImage.from_bytes(b).render_frame(0).to_u8()
     assert len(VardctFrameState._fused_cache) == n_after_first
     assert out_b.shape == (256, 256, 3)
+
+
+def test_tall_image_bucket_padding_no_wraparound():
+    """Bucket pad sentinels must stay out of range on tall planes: JAX
+    normalizes negative scatter indices by adding the axis size before
+    mode="drop" filters, so a negative sentinel on an >8192-row image
+    would wrap in range and splat garbage blocks over real pixels. With a
+    single nonzero LF sample, every pixel outside its block must be 0."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu import JxlImage
+
+    h, w = 8320, 128  # 1040x16 blocks: pads 16640 -> 32768 (16k sentinels)
+    bh, bw = h // 8, w // 8
+    sel = np.zeros((bh, bw), dtype=np.int64)  # all DCT8
+    mul = np.ones((bh, bw), dtype=np.int64)
+    coeff = np.zeros((3, h, w), dtype=np.int64)
+    lf_q = np.zeros((3, bh, bw), dtype=np.int64)
+    lf_q[:, 0, 0] = 64
+    data = encode_jxl_vardct_tiled(h, w, sel, mul, coeff, lf_q)
+    r = JxlImage.from_bytes(data).render_frame(0)
+    planes = np.stack([np.asarray(p, dtype=np.float32) for p in r.planes])
+    assert np.abs(planes[:, :8, :8]).max() > 1e-4  # block (0,0) carries LF
+    rest = planes.copy()
+    rest[:, :8, :8] = 0
+    assert np.abs(rest).max() == 0.0, float(np.abs(rest).max())

@@ -298,3 +298,22 @@ def test_mesh_falls_back_when_not_divisible():
     single = _decode_planes(data)
     sharded = _decode_planes(data, mesh=decode_mesh(8))  # 2 % 8 != 0
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_mesh_real_pipeline_lf_frame_and_two_pass():
+    """Mesh decode equals single-device for an LF-frame chain (the LF
+    planes arrive pre-dequantized from the rendered LF frame) and for a
+    two-pass progressive stream (coefficients accumulate across passes)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(95)
+    rgb = rng.random((512, 256, 3)).astype(np.float32)
+    for kw in ({"use_lf_frame": True}, {"num_passes": 2},
+               {"use_lf_frame": True, "lf_levels": 2}):
+        data = encode_jxl_vardct(rgb, gabor=True, **kw)
+        single = _decode_planes(data)
+        sharded = _decode_planes(data, mesh=decode_mesh(2))
+        np.testing.assert_array_equal(sharded, single, err_msg=str(kw))

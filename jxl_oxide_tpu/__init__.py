@@ -35,7 +35,10 @@ def _init_compilation_cache() -> None:
 _init_compilation_cache()
 
 from .api import JxlImage, Render
+from .parallel import decode_mesh, set_decode_mesh
 from .utils.errors import JxlError
 
-__all__ = ["JxlImage", "Render", "JxlError"]
-__version__ = "0.1.0"
+__all__ = [
+    "JxlImage", "Render", "JxlError", "decode_mesh", "set_decode_mesh",
+]
+__version__ = "0.2.0"

@@ -487,3 +487,59 @@ def build_fused_pipeline_sharded(
     )
     shardings = tuple(NamedSharding(mesh, s) for s in in_specs)
     return jax.jit(fn), shardings
+
+
+def build_fused_pipeline_1ch(plane_shape, lf_shape, bucket_meta, matrices,
+                             quant_bias: float, quant_bias_numerator: float,
+                             global_scale, qm_scale: float, lf_scale: float):
+    """Single-channel fused pipeline for chroma-subsampled frames
+    (do_ycbcr with jpeg_upsampling != 0): per-channel plane geometries
+    differ, so each channel runs its own dequant -> bucketed inverse
+    transform program (no CfL across channels; filters run after chroma
+    upsampling in the render path, image.rs:448-486).
+
+    bucket_meta: ((sel, n), ...); matrices: {sel: [h, w]} for this channel.
+    fn(coeff [H, W] int, lf_quant [LH, LW], *bucket_args) -> [H, W] f32.
+    """
+    H, W = plane_shape
+    LH, LW = lf_shape
+
+    def pipeline(coeff, lf_quant, *bucket_args):
+        lf_plane = lf_quant.astype(jnp.float32) * np.float32(lf_scale)
+        coeff_flat = coeff.reshape(-1)
+        lf_flat = lf_plane.reshape(-1)
+        out_flat = jnp.zeros((H * W,), dtype=jnp.float32)
+        qbn = np.float32(quant_bias_numerator)
+        qb = np.float32(quant_bias)
+
+        for i, (sel, n) in enumerate(bucket_meta):
+            pos = bucket_args[2 * i]       # [n, 2] (sbx, sby)
+            muls = bucket_args[2 * i + 1]  # [n] f32
+            from ..models.vardct import TransformType as _T
+
+            bw, bh = _T.SELECT_SIZE[sel]
+            h, w = bh * 8, bw * 8
+            dy = jnp.arange(h)[:, None]
+            dx = jnp.arange(w)[None, :]
+            rows = pos[:, 1, None, None] * 8 + dy
+            cols = pos[:, 0, None, None] * 8 + dx
+            idx = rows * W + cols
+            ldy = jnp.arange(bh)[:, None]
+            ldx = jnp.arange(bw)[None, :]
+            lf_idx = (pos[:, 1, None, None] + ldy) * LW + (pos[:, 0, None, None] + ldx)
+
+            q = jnp.take(coeff_flat, idx, mode="clip").astype(jnp.float32)
+            safe_q = jnp.where(q == 0.0, 1.0, q)
+            biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
+            mat = jnp.asarray(matrices[sel])  # [h, w] constant
+            scale = (np.float32(65536.0 / global_scale)
+                     * np.float32(qm_scale) / muls)  # [n]
+            deq = biased * mat[None] * scale[:, None, None]
+            lf_g = jnp.take(lf_flat, lf_idx, mode="clip")
+            pix = inverse_varblock_batch(deq, lf_g, sel)
+            out_flat = out_flat.at[idx.reshape(-1)].set(
+                pix.reshape(-1), mode="drop"
+            )
+        return out_flat.reshape(H, W)
+
+    return jax.jit(pipeline)

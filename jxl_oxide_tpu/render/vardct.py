@@ -459,6 +459,11 @@ class VardctFrameState:
             )
         if not self.subsampled:
             return self._run_fused(hf_global)
+        if (
+            self.header.flags.skip_adaptive_lf_smoothing
+            and self.lf_override is None
+        ):
+            return self._run_fused_subsampled(hf_global)
         return self._run_staged(hf_global)
 
     def _mesh_eligible(self, mesh) -> bool:
@@ -837,6 +842,85 @@ class VardctFrameState:
         self.filters_applied = True
         # crop the shard-grid row padding back to the plane size
         return [out[0][:H], out[1][:H], out[2][:H]]
+
+    @traced("Dequant and transform (subsampled)")
+    def _run_fused_subsampled(self, hf_global: HfGlobal | None):
+        """Chroma-subsampled frames (do_ycbcr 4:2:0/4:2:2): per-channel
+        plane geometries differ, so each channel runs its own fused
+        dequant+transform program (ops/vardct_pipeline
+        build_fused_pipeline_1ch). Filters apply after chroma upsampling
+        in the render path."""
+        import jax.numpy as jnp
+
+        from ..ops.vardct_pipeline import build_fused_pipeline_1ch
+
+        header = self.header
+        quantizer = self.frame.lf_global.vardct.quantizer
+        lf_dequant = self.frame.lf_global.lf_dequant
+        scale_inv = quantizer.global_scale * quantizer.quant_lf
+        precision_scale = 1 << (9 - self.extra_precision)
+        qm_scale = (
+            0.8 ** (header.x_qm_scale - 2),
+            1.0,
+            0.8 ** (header.b_qm_scale - 2),
+        )
+        out = []
+        for c in range(3):
+            buckets = self.buckets(c)
+            bucket_meta = tuple(
+                (sel, max(16, 1 << (len(ci) - 1).bit_length()))
+                for sel, ci, *_ in buckets
+            )
+            matrices = {}
+            for sel, *_ in buckets:
+                if hf_global is not None:
+                    matrices[sel] = hf_global.dequant_matrices.get(
+                        c, sel, TransformType.need_transpose(sel)
+                    )
+                else:
+                    bw, bh = TransformType.SELECT_SIZE[sel]
+                    matrices[sel] = np.zeros((bh * 8, bw * 8), dtype=np.float32)
+            lf_scale = float(lf_dequant[c] * precision_scale / scale_inv)
+            key = (
+                "sub1ch", c, self.plane_shapes[c], self.lf_shapes[c],
+                bucket_meta,
+                float(self.opsin.quant_bias[c]),
+                float(self.opsin.quant_bias_numerator),
+                quantizer.global_scale, qm_scale[c], lf_scale,
+                tuple(sorted((sel, m.tobytes()) for sel, m in matrices.items())),
+            )
+            fn = self._fused_cache.get(key)
+            if fn is None:
+                fn = build_fused_pipeline_1ch(
+                    self.plane_shapes[c], self.lf_shapes[c], bucket_meta,
+                    matrices,
+                    float(self.opsin.quant_bias[c]),
+                    float(self.opsin.quant_bias_numerator),
+                    quantizer.global_scale, qm_scale[c], lf_scale,
+                )
+                self._fused_cache[key] = fn
+            ph, pw = self.plane_shapes[c]
+            sentinel = (pw // 8, ph // 8)
+            bucket_args = []
+            for (_, n_pad), (_, _, _, _, muls, pos) in zip(bucket_meta, buckets):
+                n = len(pos)
+                pos_p = np.empty((n_pad, 2), dtype=np.int32)
+                pos_p[:, 0] = sentinel[0]
+                pos_p[:, 1] = sentinel[1]
+                pos_p[:n] = pos
+                mul_p = np.ones(n_pad, dtype=np.float32)
+                mul_p[:n] = muls.astype(np.float32)
+                bucket_args.append(jnp.asarray(pos_p))
+                bucket_args.append(jnp.asarray(mul_p))
+            coeff = self.coeff_planes[c]
+            if np.abs(coeff).max(initial=0) < 32768:
+                coeff = coeff.astype(np.int16)
+            out.append(fn(
+                jnp.asarray(coeff),
+                jnp.asarray(self.lf_quant_planes[c]),
+                *bucket_args,
+            ))
+        return out
 
     def _run_staged(self, hf_global: HfGlobal | None):
         import jax.numpy as jnp

@@ -203,8 +203,10 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
         qbn = np.float32(quant_bias_numerator)
 
         for i, (sel, n) in enumerate(bucket_meta):
-            pos = bucket_args[2 * i]      # [n, 2] (sbx, sby)
-            muls = bucket_args[2 * i + 1]  # [n] f32 hf_mul
+            # positions/multipliers may upload as int16 (halves transfer);
+            # widen on device before arithmetic
+            pos = bucket_args[2 * i].astype(jnp.int32)      # [n, 2]
+            muls = bucket_args[2 * i + 1].astype(jnp.float32)  # [n] hf_mul
             from ..models.vardct import TransformType as _T
 
             bw, bh = _T.SELECT_SIZE[sel]
@@ -328,6 +330,7 @@ def build_fused_pipeline_sharded(
     cfl_lf_k=(0.0, 1.0), cfl_colour_factor=84,
     cfl_base=(0.0, 1.0),
     gabor_weights=None, epf_params=None,
+    sparse_coeff_n: int | None = None,
 ):
     """The fused per-frame device pipeline under shard_map: the REAL
     decoder program (bucketed varblock transforms, per-block dequant, CfL
@@ -364,6 +367,14 @@ def build_fused_pipeline_sharded(
 
     def pipeline(coeff, lf_quant, lf_scale_arr, x_grid, b_grid,
                  sigma_blocks, *bucket_args):
+        if sparse_coeff_n is not None:
+            # per-shard sparse upload: (local flat idx [1, N], values
+            # [1, N]) padded with (0, 0); scatter-add is pad-safe
+            c_idx, c_val = coeff
+            dense = jnp.zeros((3 * H_loc * W,), dtype=jnp.int32)
+            coeff = dense.at[c_idx[0]].add(
+                c_val[0].astype(jnp.int32), mode="drop"
+            ).reshape(3, H_loc, W)
         # --- LF: dequant + CfL + smoothing (local rows) ---
         lf_planes = lf_quant.astype(jnp.float32) * lf_scale_arr[:, None, None]
         kx0, kb0 = cfl_lf_k
@@ -394,8 +405,8 @@ def build_fused_pipeline_sharded(
         qbn = np.float32(quant_bias_numerator)
 
         for i, (sel, n) in enumerate(bucket_meta):
-            pos = bucket_args[2 * i][0]       # [n, 2] local (sbx, sby)
-            muls = bucket_args[2 * i + 1][0]  # [n] f32 hf_mul
+            pos = bucket_args[2 * i][0].astype(jnp.int32)  # [n, 2] local
+            muls = bucket_args[2 * i + 1][0].astype(jnp.float32)  # [n]
             from ..models.vardct import TransformType as _T
 
             bw, bh = _T.SELECT_SIZE[sel]
@@ -475,7 +486,12 @@ def build_fused_pipeline_sharded(
 
     spec_c = P(None, axis, None)
     spec_grid = P(axis, None)
-    in_specs = [spec_c, spec_c, P(None), spec_grid, spec_grid, spec_grid]
+    coeff_spec = (
+        (P(axis, None), P(axis, None))
+        if sparse_coeff_n is not None
+        else spec_c
+    )
+    in_specs = [coeff_spec, spec_c, P(None), spec_grid, spec_grid, spec_grid]
     for _ in bucket_meta:
         in_specs.append(P(axis, None, None))  # pos [n_sh, n, 2]
         in_specs.append(P(axis, None))        # muls [n_sh, n]
@@ -485,7 +501,13 @@ def build_fused_pipeline_sharded(
         in_specs=tuple(in_specs),
         out_specs=spec_c,
     )
-    shardings = tuple(NamedSharding(mesh, s) for s in in_specs)
+
+    def _shard_of(spec):
+        if isinstance(spec, tuple):
+            return tuple(NamedSharding(mesh, x) for x in spec)
+        return NamedSharding(mesh, spec)
+
+    shardings = tuple(_shard_of(s) for s in in_specs)
     return jax.jit(fn), shardings
 
 
@@ -513,8 +535,8 @@ def build_fused_pipeline_1ch(plane_shape, lf_shape, bucket_meta, matrices,
         qb = np.float32(quant_bias)
 
         for i, (sel, n) in enumerate(bucket_meta):
-            pos = bucket_args[2 * i]       # [n, 2] (sbx, sby)
-            muls = bucket_args[2 * i + 1]  # [n] f32
+            pos = bucket_args[2 * i].astype(jnp.int32)       # [n, 2]
+            muls = bucket_args[2 * i + 1].astype(jnp.float32)  # [n]
             from ..models.vardct import TransformType as _T
 
             bw, bh = _T.SELECT_SIZE[sel]

@@ -676,12 +676,20 @@ class VardctFrameState:
         sentinel = (pw // 8, ph // 8)
         for (_, n_pad), (_, _, _, _, muls, pos) in zip(bucket_meta, buckets):
             n = len(pos)
-            pos_p = np.empty((n_pad, 2), dtype=np.int32)
+            # int16 upload when coordinates/multipliers fit (block coords
+            # max out at 8192 for 65536px planes; hf_mul is usually tiny)
+            pos_dt = np.int16 if max(sentinel) < 32768 else np.int32
+            pos_p = np.empty((n_pad, 2), dtype=pos_dt)
             pos_p[:, 0] = sentinel[0]
             pos_p[:, 1] = sentinel[1]
             pos_p[:n] = pos
-            mul_p = np.ones(n_pad, dtype=np.float32)
-            mul_p[:n] = muls.astype(np.float32)
+            mul_dt = (
+                np.int16
+                if n == 0 or muls.max(initial=1) < 32768
+                else np.float32
+            )
+            mul_p = np.ones(n_pad, dtype=mul_dt)
+            mul_p[:n] = muls.astype(mul_dt)
             bucket_args.append(jnp.asarray(pos_p))
             bucket_args.append(jnp.asarray(mul_p))
         if sparse_n is not None:
@@ -757,6 +765,20 @@ class VardctFrameState:
 
         coeff_stack = pad_rows(hi["coeff_stack"], H_pad, 1)
         lf_input = pad_rows(np.asarray(hi["lf_input"]), LH_pad, 1)
+
+        # sparse per-shard coefficient upload when it beats dense int16
+        nz_total = int(np.count_nonzero(coeff_stack))
+        sparse_n = None
+        if nz_total * 6 * n_sh < coeff_stack.size * 2 // 2:
+            per_shard_nz = [
+                int(np.count_nonzero(
+                    coeff_stack[:, s_ * H_loc : (s_ + 1) * H_loc]
+                ))
+                for s_ in range(n_sh)
+            ]
+            sparse_n = 1 << max(
+                10, int(max(max(per_shard_nz), 1) - 1).bit_length()
+            )
         x_grid = pad_rows(hi["x_grid"], H_pad // 64, 0)
         b_grid = pad_rows(hi["b_grid"], H_pad // 64, 0)
         sigma_blocks = pad_rows(hi["sigma_blocks"], H_pad // 8, 0)
@@ -791,7 +813,7 @@ class VardctFrameState:
         kx, kb = hi["kx"], hi["kb"]
         epf_params = hi["epf_params"]
         key = (
-            "sharded", mesh_fingerprint(mesh),
+            "sharded", sparse_n, mesh_fingerprint(mesh),
             (H_loc, W), (LH_loc, LW), vloc, vloc_lf, (LH, LW),
             bucket_meta,
             tuple(float(q) for q in self.opsin.quant_bias),
@@ -822,14 +844,30 @@ class VardctFrameState:
                 cfl_base=(corr.base_correlation_x, corr.base_correlation_b),
                 gabor_weights=hi["gabor_weights"],
                 epf_params=epf_params,
+                sparse_coeff_n=sparse_n,
             )
             self._fused_cache[key] = cached
         fn, shardings = cached
 
-        if np.abs(coeff_stack).max(initial=0) < 32768:
-            coeff_stack = coeff_stack.astype(np.int16)
+        if sparse_n is not None:
+            c_idx = np.zeros((n_sh, sparse_n), dtype=np.int32)
+            narrow_vals = np.abs(coeff_stack).max(initial=0) < 32768
+            c_val = np.zeros(
+                (n_sh, sparse_n),
+                dtype=np.int16 if narrow_vals else np.int32,
+            )
+            for s_ in range(n_sh):
+                slab = coeff_stack[:, s_ * H_loc : (s_ + 1) * H_loc]
+                nzf = np.flatnonzero(slab)
+                c_idx[s_, : nzf.size] = nzf
+                c_val[s_, : nzf.size] = slab.reshape(-1)[nzf]
+            coeff_input = (c_idx, c_val)
+        else:
+            if np.abs(coeff_stack).max(initial=0) < 32768:
+                coeff_stack = coeff_stack.astype(np.int16)
+            coeff_input = coeff_stack
         inputs = [
-            coeff_stack, lf_input, hi["lf_scale_arr"],
+            coeff_input, lf_input, hi["lf_scale_arr"],
             x_grid, b_grid, sigma_blocks,
         ]
         for _sel, _n, pos_arr, mul_arr in sh_buckets:
@@ -904,12 +942,18 @@ class VardctFrameState:
             bucket_args = []
             for (_, n_pad), (_, _, _, _, muls, pos) in zip(bucket_meta, buckets):
                 n = len(pos)
-                pos_p = np.empty((n_pad, 2), dtype=np.int32)
+                pos_dt = np.int16 if max(sentinel) < 32768 else np.int32
+                pos_p = np.empty((n_pad, 2), dtype=pos_dt)
                 pos_p[:, 0] = sentinel[0]
                 pos_p[:, 1] = sentinel[1]
                 pos_p[:n] = pos
-                mul_p = np.ones(n_pad, dtype=np.float32)
-                mul_p[:n] = muls.astype(np.float32)
+                mul_dt = (
+                    np.int16
+                    if n == 0 or muls.max(initial=1) < 32768
+                    else np.float32
+                )
+                mul_p = np.ones(n_pad, dtype=mul_dt)
+                mul_p[:n] = muls.astype(mul_dt)
                 bucket_args.append(jnp.asarray(pos_p))
                 bucket_args.append(jnp.asarray(mul_p))
             coeff = self.coeff_planes[c]

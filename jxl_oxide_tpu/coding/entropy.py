@@ -633,10 +633,18 @@ class Decoder:
                 h = AnsHistogram.__new__(AnsHistogram)
                 h.log_bucket_size = lbs
                 h.bucket_mask = (1 << lbs) - 1
-                h.dist = blob[off : off + alphabet]
-                h.alias_symbol = blob[off + alphabet : off + 2 * alphabet]
-                h.alias_cutoff = blob[off + 2 * alphabet : off + 3 * alphabet]
-                h.alias_offset = blob[off + 3 * alphabet : off + 4 * alphabet]
+                # packed AnsBucket wire layout (see native DecoderTables):
+                # word0 = cutoff | alias_symbol<<16,
+                # word1 = alias_offset | dist_self<<16, word2 = dist_alias.
+                # dist[i] of symbol i == dist_self of bucket i, so the
+                # per-symbol dist array is recovered from word1.
+                w = blob[off : off + 3 * alphabet].view(np.uint32)
+                w0 = w[0::3]
+                w1 = w[1::3]
+                h.dist = (w1 >> 16).astype(np.int32)
+                h.alias_symbol = (w0 >> 16).astype(np.int32)
+                h.alias_cutoff = (w0 & 0xFFFF).astype(np.int32)
+                h.alias_offset = (w1 & 0xFFFF).astype(np.int32)
                 full = np.nonzero(h.dist == (1 << ANS_PRECISION_BITS))[0]
                 h.single_symbol = int(full[0]) if full.size else None
                 hists.append(h)

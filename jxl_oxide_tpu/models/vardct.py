@@ -355,8 +355,13 @@ def _interpolate(pos: float, vmax: float, bands: list[float]) -> float:
     scaled_pos = pos * (len(bands) - 1) / vmax
     idx = int(scaled_pos)
     frac = scaled_pos - idx
-    a, b = bands[idx], bands[idx + 1]
-    return float(a * (b / a) ** frac)
+    # IEEE semantics, not Python-float (which raises on x/0): the
+    # reference computes a * (b/a)^frac with f32 — a zero band gives
+    # inf/NaN which the matrix range check downstream rejects or passes
+    # exactly like dequant.rs:176-178 does.
+    a, b = np.float64(bands[idx]), np.float64(bands[idx + 1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(a * (b / a) ** frac)
 
 
 def _mult(x: float) -> float:
@@ -419,15 +424,19 @@ def _params_to_matrix(dct_select: int, encoding: tuple) -> list[np.ndarray]:
         for params, dct_params in zip(encoding[1], encoding[2]):
             mat = _dct_quant_weights(dct_params, 4, 4)
             m = np.repeat(np.repeat(mat, 2, axis=0), 2, axis=1)
-            m[0, 1] /= params[0]
-            m[1, 0] /= params[0]
-            m[1, 1] /= params[1]
+            # zero params give inf (f32 semantics, like dequant.rs), which
+            # the range check below rejects
+            with np.errstate(divide="ignore"):
+                m[0, 1] /= params[0]
+                m[1, 0] /= params[0]
+                m[1, 1] /= params[1]
             out.append(m)
     elif kind == "dct4x8":
         for params, dct_params in zip(encoding[1], encoding[2]):
             mat = _dct_quant_weights(dct_params, 8, 4)
             m = np.repeat(mat, 2, axis=0)
-            m[1, 0] /= params[0]
+            with np.errstate(divide="ignore"):
+                m[1, 0] /= params[0]
             out.append(m)
     elif kind == "afv":
         freqs = [0.0, 0.0, 0.8517779, 5.3777843, 0.0, 0.0, 4.734748,

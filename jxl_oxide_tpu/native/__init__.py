@@ -55,7 +55,8 @@ def _build() -> bool:
         opt = ["-O1", "-g", "-fsanitize=address,undefined",
                "-fno-sanitize-recover=undefined"]
     else:
-        opt = ["-O3"]
+        # built at runtime on the host it runs on, so native codegen is safe
+        opt = ["-O3", "-march=native"]
     try:
         subprocess.run(
             ["g++", *opt, "-shared", "-fPIC", "-std=c++17",
@@ -157,13 +158,21 @@ class DecoderTables:
             blobs = []
             off = 0
             for h in decoder.ans_hists:
+                # packed AnsBucket wire layout (3 i32 words per bucket):
+                # {cutoff | alias_symbol<<16, alias_offset | dist_self<<16,
+                #  dist_alias} — one cache line per symbol read in C++
                 alphabet = 1 << (12 - h.log_bucket_size)
                 metas += [h.log_bucket_size, off]
-                blobs.append(np.asarray(h.dist[:alphabet], dtype=np.int32))
-                blobs.append(np.ascontiguousarray(h.alias_symbol, dtype=np.int32))
-                blobs.append(np.ascontiguousarray(h.alias_cutoff, dtype=np.int32))
-                blobs.append(np.ascontiguousarray(h.alias_offset, dtype=np.int32))
-                off += 4 * alphabet
+                dist = np.asarray(h.dist[:alphabet], dtype=np.uint32)
+                sym = np.asarray(h.alias_symbol, dtype=np.uint32)
+                packed = np.empty(3 * alphabet, dtype=np.uint32)
+                packed[0::3] = np.asarray(h.alias_cutoff,
+                                          dtype=np.uint32) | (sym << 16)
+                packed[1::3] = np.asarray(h.alias_offset,
+                                          dtype=np.uint32) | (dist << 16)
+                packed[2::3] = dist[sym]
+                blobs.append(packed.view(np.int32))
+                off += 3 * alphabet
             self.ans_meta = np.array(metas, dtype=np.int32)
             self.ans_blob = (
                 np.concatenate(blobs) if blobs else np.zeros(1, dtype=np.int32)

@@ -130,8 +130,11 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
         hscale = any(v in (1, 2) for v in ups)
         vscale = any(v in (1, 3) for v in ups)
         for i in range(3):
-            hs = hscale and ups[i] not in (1, 3)
-            vs = vscale and ups[i] not in (1, 2)
+            # channel i is stored h-subsampled iff ups[i] in (0, 3) and any
+            # channel sets hscale; v-subsampled iff ups[i] in (0, 2)
+            # (param.rs from_jpeg_upsampling)
+            hs = hscale and ups[i] not in (1, 2)
+            vs = vscale and ups[i] not in (1, 3)
             p = color[i]
             if hs:
                 p = _upsample2x_triangle(p, 1, w)

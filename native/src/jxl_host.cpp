@@ -20,6 +20,7 @@
 namespace {
 
 using u8 = uint8_t;
+using u16 = uint16_t;
 using u32 = uint32_t;
 using u64 = uint64_t;
 using i32 = int32_t;
@@ -68,13 +69,34 @@ struct BitReader {
 // ---------------------------------------------------------------------------
 // Decoder spec: serialized by jxl_oxide_tpu/native/__init__.py.
 
+// One alias-table bucket packed into 12 bytes so a symbol read touches a
+// single cache line. This IS the serialized wire layout (3 i32 words per
+// bucket, little-endian u16 pairs), produced once per parsed decoder by
+// the Python serializer / jxlhost_parse_decoder — SpecHolder just casts
+// into the blob. All fields are <= 4096 (ANS precision) so u16 is exact.
+// dist_self = dist[i], dist_alias = dist[alias_symbol[i]] — selected
+// branchlessly by cutoff.
+struct AnsBucket {
+  u16 cutoff, alias_symbol, alias_offset, dist_self, dist_alias, pad;
+};
+static_assert(sizeof(AnsBucket) == 12, "wire layout is 3 i32 words");
+
 struct AnsTable {
   i32 log_bucket_size;
-  const i32* dist;          // [alphabet]
-  const i32* alias_symbol;  // [alphabet]
-  const i32* alias_cutoff;
-  const i32* alias_offset;
+  const AnsBucket* buckets;  // [alphabet]
 };
+
+static void pack_ans_buckets(i32 lbs, const i32* dist, const i32* alias_symbol,
+                             const i32* alias_cutoff, const i32* alias_offset,
+                             AnsBucket* out) {
+  i32 alphabet = 1 << (12 - lbs);
+  for (i32 i = 0; i < alphabet; i++) {
+    u32 sym = (u32)alias_symbol[i];
+    out[i] = AnsBucket{(u16)alias_cutoff[i], (u16)sym,
+                       (u16)alias_offset[i], (u16)dist[i],
+                       (u16)dist[sym], 0};
+  }
+}
 
 struct PrefixTable {
   i32 max_len;  // 0 => single symbol in table_sym[0]
@@ -151,15 +173,12 @@ struct DecoderState {
     u32 idx = state & 0xFFF;
     u32 i = idx >> t.log_bucket_size;
     u32 posb = idx & ((1u << t.log_bucket_size) - 1);
-    u32 symbol, offset;
-    if ((i32)posb >= t.alias_cutoff[i]) {
-      symbol = (u32)t.alias_symbol[i];
-      offset = (u32)t.alias_offset[i] + posb;
-    } else {
-      symbol = i;
-      offset = posb;
-    }
-    u32 next = (state >> 12) * (u32)t.dist[symbol] + offset;
+    const AnsBucket b = t.buckets[i];
+    bool al = posb >= b.cutoff;
+    u32 symbol = al ? b.alias_symbol : i;
+    u32 offset = al ? (u32)b.alias_offset + posb : posb;
+    u32 d = al ? b.dist_alias : b.dist_self;
+    u32 next = (state >> 12) * d + offset;
     // branchless 16-bit renormalization: the refill branch is
     // data-dependent and mispredicts badly on real coefficient streams
     u32 need = next < (1u << 16);
@@ -607,10 +626,9 @@ struct SpecHolder {
       ans_v.resize(spec.num_clusters);
       for (int i = 0; i < spec.num_clusters; i++) {
         i32 lbs = ans_meta[i * 2];
-        i32 off = ans_meta[i * 2 + 1];
-        i32 alphabet = 1 << (12 - lbs);
-        const i32* p = ans_blob + off;
-        ans_v[i] = AnsTable{lbs, p, p + alphabet, p + 2 * alphabet, p + 3 * alphabet};
+        i32 off = ans_meta[i * 2 + 1];  // in i32 words (3 per bucket)
+        ans_v[i] = AnsTable{
+            lbs, reinterpret_cast<const AnsBucket*>(ans_blob + off)};
       }
       spec.ans = ans_v.data();
       spec.pfx = nullptr;
@@ -1411,6 +1429,7 @@ int read_clusters_c(BitReader& br, u32 num_dist, std::vector<i32>& clusters,
     spec.cluster_map = nested.cluster_map.data();
     spec.cfgs = icfg.data();
     std::vector<AnsTable> ats;
+    std::vector<AnsBucket> buckets;
     std::vector<PrefixTable> pts;
     if (nested.use_prefix) {
       pts.resize(nested.num_clusters);
@@ -1422,12 +1441,21 @@ int read_clusters_c(BitReader& br, u32 num_dist, std::vector<i32>& clusters,
       spec.ans = nullptr;
     } else {
       ats.resize(nested.num_clusters);
+      i64 total = 0;
       for (int i = 0; i < nested.num_clusters; i++)
-        ats[i] = AnsTable{nested.ans[i].log_bucket_size,
-                          nested.ans[i].dist.data(),
-                          nested.ans[i].alias_symbol.data(),
-                          nested.ans[i].alias_cutoff.data(),
-                          nested.ans[i].alias_offset.data()};
+        total += 1 << (12 - nested.ans[i].log_bucket_size);
+      buckets.resize(total);
+      i64 bo = 0;
+      for (int i = 0; i < nested.num_clusters; i++) {
+        i32 lbs = nested.ans[i].log_bucket_size;
+        pack_ans_buckets(lbs, nested.ans[i].dist.data(),
+                         nested.ans[i].alias_symbol.data(),
+                         nested.ans[i].alias_cutoff.data(),
+                         nested.ans[i].alias_offset.data(),
+                         buckets.data() + bo);
+        ats[i] = AnsTable{lbs, buckets.data() + bo};
+        bo += 1 << (12 - lbs);
+      }
       spec.ans = ats.data();
       spec.pfx = nullptr;
     }
@@ -1588,14 +1616,18 @@ int jxlhost_parse_decoder(
       i32 alphabet = 1 << (ANS_PRECISION - a.log_bucket_size);
       buf.push_back(a.log_bucket_size);
       buf.push_back((i32)off);
-      off += 4ll * alphabet;
+      off += 3ll * alphabet;  // packed AnsBucket: 3 i32 words each
     }
     buf.push_back((i32)off);
     for (auto& a : d.ans) {
-      for (i32 v : a.dist) buf.push_back(v);
-      for (i32 v : a.alias_symbol) buf.push_back(v);
-      for (i32 v : a.alias_cutoff) buf.push_back(v);
-      for (i32 v : a.alias_offset) buf.push_back(v);
+      i32 alphabet = 1 << (ANS_PRECISION - a.log_bucket_size);
+      for (i32 i = 0; i < alphabet; i++) {
+        u32 sym = (u32)a.alias_symbol[i];
+        buf.push_back((i32)((u32)a.alias_cutoff[i] | (sym << 16)));
+        buf.push_back((i32)((u32)a.alias_offset[i] |
+                            ((u32)a.dist[i] << 16)));
+        buf.push_back(a.dist[sym]);
+      }
     }
   }
   i32* mem = (i32*)std::malloc(buf.size() * sizeof(i32));

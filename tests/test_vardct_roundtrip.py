@@ -500,6 +500,84 @@ def test_ycbcr_420_end_to_end():
     np.testing.assert_allclose(got, want, atol=3e-4)
 
 
+@pytest.mark.parametrize("ups", [(0, 2, 0), (0, 3, 0)])
+def test_ycbcr_asymmetric_subsampling(ups):
+    """Asymmetric chroma subsampling (jpeg_upsampling 2/3): channel
+    stored-plane shifts and the upsample directions must agree
+    (param.rs from_jpeg_upsampling — value 2 keeps h full / v follows
+    vscale, value 3 the reverse). Regression: the render-side upsample
+    had the 2/3 direction mapping swapped, crashing EPF on mismatched
+    plane shapes (fuzz finding modular_ycbcr_asym_subsample.fuzz)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_420
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.headers.image import OpsinInverseMatrix
+    from jxl_oxide_tpu.models.vardct import (
+        DequantMatrixSet,
+        TransformType as T,
+        jpeg_shifts,
+    )
+    from jxl_oxide_tpu.ops.color import ycbcr_to_rgb
+    from jxl_oxide_tpu.ops.dct import idct2d
+    from jxl_oxide_tpu.render.render import _upsample2x_triangle
+
+    h = w = 64
+    bh, bw = h // 8, w // 8
+    shifts = jpeg_shifts(ups)
+    rng = np.random.default_rng(57)
+    coeff = []
+    lf_q = []
+    for c in range(3):
+        hs, vs = shifts[c]
+        sh = (h >> vs, w >> hs)
+        cplane = np.zeros(sh, dtype=np.int64)
+        m = rng.random(sh) < 0.1
+        cplane[m] = rng.integers(-12, 13, int(m.sum()))
+        coeff.append(cplane)
+        lf_q.append(rng.integers(-30, 30, (bh >> vs, bw >> hs)))
+    gs = 4096
+    data = encode_jxl_vardct_420(h, w, coeff, lf_q, gs, jpeg_upsampling=ups)
+    r = JxlImage.from_bytes(data).render_frame(0)
+    got = np.stack([np.asarray(p) for p in r.planes])
+    assert got.shape == (3, h, w)
+
+    # independent reconstruction per channel (as in the 4:2:0 test)
+    opsin = OpsinInverseMatrix()
+    qb = np.asarray(opsin.quant_bias, dtype=np.float64)
+    qbn = opsin.quant_bias_numerator
+    dms = DequantMatrixSet.default()
+    m_lf = (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)
+    chans = []
+    for c in range(3):
+        ch_h, ch_w = coeff[c].shape
+        q = coeff[c].astype(np.float64)
+        mat = dms.get(c, T.DCT8, True)
+        safe = np.where(q == 0, 1.0, q)
+        biased = np.where(np.abs(q) <= 1.0, q * qb[c], q - qbn / safe)
+        tiled = np.tile(mat, (ch_h // 8, ch_w // 8))
+        deq = biased * tiled * (65536.0 / gs)
+        lf = lf_q[c] * (m_lf[c] * 512.0 / (gs * 16))
+        blocks = deq.reshape(ch_h // 8, 8, ch_w // 8, 8).transpose(0, 2, 1, 3)
+        blocks[:, :, 0, 0] = lf
+        pix = idct2d(blocks)
+        chans.append(
+            pix.transpose(0, 2, 1, 3).reshape(ch_h, ch_w).astype(np.float32)
+        )
+    for c in range(3):
+        hs, vs = shifts[c]
+        if hs:
+            chans[c] = _upsample2x_triangle(chans[c], 1, w)
+        if vs:
+            chans[c] = _upsample2x_triangle(chans[c], 0, h)
+    rr, gg, bb = ycbcr_to_rgb(chans[0], chans[1], chans[2])
+    want = np.stack([np.asarray(rr), np.asarray(gg), np.asarray(bb)])
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
 def test_raw_dequant_matrix_and_jpeg_quant_detection():
     """Raw (modular-coded) dequant matrix encoding (dequant.rs mode 7):
     decode uses value * denominator, and denominator 1/2040 populates

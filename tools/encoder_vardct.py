@@ -701,14 +701,18 @@ def encode_jxl_vardct_420(
     coeff: list,     # [y, x, b]-indexable: coeff[c] at each channel's res
     lf_q: list,      # per-channel quantized LF at channel res
     global_scale: int = 4096,
+    jpeg_upsampling=(0, 1, 0),
 ) -> bytes:
-    """Synthesize a do_ycbcr 4:2:0 VarDCT codestream (jpeg_upsampling
-    (0, 1, 0): y full-res, x/b half-res) with all-DCT8 varblocks. Drives
-    the subsampled decode path (vardct staged pipeline + JPEG chroma
+    """Synthesize a do_ycbcr subsampled VarDCT codestream with all-DCT8
+    varblocks. Default jpeg_upsampling (0, 1, 0) is 4:2:0 (y full-res,
+    x/b half-res); (0, 2, 0) / (0, 3, 0) give the asymmetric 4:2:2 /
+    4:4:0 layouts (param.rs from_jpeg_upsampling). Caller-provided
+    coeff/lf planes must match each channel's shifted size. Drives the
+    subsampled decode path (vardct staged pipeline + JPEG chroma
     upsampling)."""
     assert h <= 256 and w <= 256 and h % 16 == 0 and w % 16 == 0
     bh, bw = h // 8, w // 8
-    shifts = jpeg_shifts((0, 1, 0))
+    shifts = jpeg_shifts(jpeg_upsampling)
 
     out = BitWriter()
     _write_image_header(out, h, w)
@@ -718,7 +722,7 @@ def encode_jxl_vardct_420(
     out.write(0, 1)  # VarDCT
     _write_u64(out, 0x80)  # skip adaptive LF smoothing
     out.write_bool(True)  # do_ycbcr
-    for ups in (0, 1, 0):
+    for ups in jpeg_upsampling:
         out.write(ups, 2)  # jpeg_upsampling
     out.write_u32_sel(0, 0, 0)  # upsampling
     out.write_u32_sel(0, 0, 0)  # num_passes = 1

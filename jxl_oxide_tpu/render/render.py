@@ -53,10 +53,46 @@ def _parse_integer_samples(arr: np.ndarray, bit_depth) -> np.ndarray:
     return arr.astype(np.float32) / np.float32(div)
 
 
+_UP2_DEV = None
+
+
+def _upsample2x_triangle_dev(plane, axis: int, size: int):
+    """Device-resident twin of _upsample2x_triangle: keeps the plane on
+    the TPU (one jitted op) instead of pulling float32 planes back over
+    the host link just to interleave them."""
+    global _UP2_DEV
+    if _UP2_DEV is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("axis", "size"))
+        def _up2(plane, axis: int, size: int):
+            p = jnp.moveaxis(plane.astype(jnp.float32), axis, 0)
+            prev = jnp.concatenate([p[:1], p[:-1]], axis=0)
+            nxt = jnp.concatenate([p[1:], p[-1:]], axis=0)
+            a = 0.25 * prev + 0.75 * p
+            b = 0.75 * p + 0.25 * nxt
+            out = jnp.stack([a, b], axis=1).reshape(
+                (2 * p.shape[0],) + p.shape[1:]
+            )
+            out = jnp.moveaxis(out, 0, axis)
+            return jax.lax.slice_in_dim(out, 0, size, axis=axis)
+
+        _UP2_DEV = _up2
+    return _UP2_DEV(plane, axis, size)
+
+
 def _upsample2x_triangle(plane: np.ndarray, axis: int, size: int) -> np.ndarray:
     """JPEG chroma 2x upsample with the 0.25/0.75 triangle filter
     (filter/ycbcr.rs apply_jpeg_upsampling_single): out[2j] leans on the
     previous sample, out[2j+1] on the next, edges clamped."""
+    if not isinstance(plane, np.ndarray):
+        import jax
+
+        if isinstance(plane, jax.Array):
+            return _upsample2x_triangle_dev(plane, axis, size)
     p = np.moveaxis(np.asarray(plane, dtype=np.float32), axis, 0)
     prev = np.concatenate([p[:1], p[:-1]], axis=0)
     nxt = np.concatenate([p[1:], p[-1:]], axis=0)
@@ -158,10 +194,12 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
         color = [color[0]] * 3
         gray_cloned = True
 
+    # filters stay device-resident: gabor/EPF are jitted stencils and the
+    # planes flow on to blending + the color transform without a host sync
     if rf.gab.enabled and not filters_done:
         from ..ops.filters import apply_gabor
 
-        color = [np.asarray(p) for p in apply_gabor(color, rf.gab.weights)]
+        color = list(apply_gabor(color, rf.gab.weights))
 
     if rf.epf.enabled and not filters_done:
         from ..ops.filters import apply_epf, sigma_map_from_blocks
@@ -170,7 +208,7 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
             sigma = _assemble_epf_sigma(frame, h, w)
         else:
             sigma = np.full((h, w), rf.epf.sigma_for_modular, dtype=np.float32)
-        out = np.asarray(apply_epf(color, sigma, rf.epf))
+        out = apply_epf(color, sigma, rf.epf)
         color = [out[0], out[1], out[2]]
 
     if gray_cloned:

@@ -855,6 +855,46 @@ _COEFF_NUM_NONZERO_CONTEXT = [
 ]
 
 
+def ensure_packed_orders(hf_pass, needed: set) -> tuple:
+    """(offsets [13*3] i32, lengths [13*3] i32, blob i32): concatenated
+    (x, y) coefficient-order pairs for every (order_id, channel) in
+    `needed`, cached on the HfPass and grown incrementally as new
+    transform types appear (per-frame cost, not per-group)."""
+    import threading
+
+    lock = getattr(hf_pass, "_native_lock", None)
+    if lock is None:
+        lock = hf_pass.__dict__.setdefault("_native_lock", threading.Lock())
+    with lock:
+        cache = getattr(hf_pass, "_native_orders", None)
+        if cache is None:
+            cache = hf_pass._native_orders = {}
+        grew = False
+        for key in needed:
+            if key not in cache:
+                cache[key] = np.asarray(hf_pass.order(*key), dtype=np.int32)
+                grew = True
+        packed = getattr(hf_pass, "_native_orders_packed", None)
+        if packed is None or grew:
+            offsets = np.zeros(13 * 3, dtype=np.int32)
+            lengths = np.zeros(13 * 3, dtype=np.int32)
+            blobs = []
+            off = 0
+            for (oid, c), arr in cache.items():
+                offsets[oid * 3 + c] = off
+                lengths[oid * 3 + c] = len(arr)
+                blobs.append(arr.reshape(-1))
+                off += arr.size
+            blob = np.ascontiguousarray(
+                np.concatenate(blobs) if blobs
+                else np.zeros(2, dtype=np.int32),
+                dtype=np.int32,
+            )
+            packed = (offsets, lengths, blob)
+            hf_pass._native_orders_packed = packed
+    return packed
+
+
 def write_hf_coeff(
     bs: Bitstream,
     *,
@@ -902,15 +942,6 @@ def write_hf_coeff(
     from .. import native as _native
 
     if _native.available():
-        # packed coefficient orders, built incrementally per HfPass as new
-        # transform types appear (per-frame cost, not per-group)
-        import threading
-
-        lock = getattr(hf_pass, "_native_lock", None)
-        if lock is None:
-            lock = hf_pass.__dict__.setdefault(
-                "_native_lock", threading.Lock()
-            )
         needed = set()
         for sel in np.unique(block_sel):
             if sel < 0:
@@ -918,35 +949,7 @@ def write_hf_coeff(
             oid = TransformType.ORDER_ID[int(sel)]
             for c in range(3):
                 needed.add((oid, c))
-        with lock:
-            cache = getattr(hf_pass, "_native_orders", None)
-            if cache is None:
-                cache = hf_pass._native_orders = {}
-            grew = False
-            for key in needed:
-                if key not in cache:
-                    cache[key] = np.asarray(
-                        hf_pass.order(*key), dtype=np.int32
-                    )
-                    grew = True
-            packed = getattr(hf_pass, "_native_orders_packed", None)
-            if packed is None or grew:
-                offsets = np.zeros(13 * 3, dtype=np.int32)
-                lengths = np.zeros(13 * 3, dtype=np.int32)
-                blobs = []
-                off = 0
-                for (oid, c), arr in cache.items():
-                    offsets[oid * 3 + c] = off
-                    lengths[oid * 3 + c] = len(arr)
-                    blobs.append(arr.reshape(-1))
-                    off += arr.size
-                blob = np.ascontiguousarray(
-                    np.concatenate(blobs) if blobs
-                    else np.zeros(2, dtype=np.int32),
-                    dtype=np.int32,
-                )
-                packed = (offsets, lengths, blob)
-                hf_pass._native_orders_packed = packed
+        packed = ensure_packed_orders(hf_pass, needed)
         _native.decode_hf_group_native(
             bs, dist, ctx_size * hfp,
             hf_block_ctx=hf_block_ctx,

@@ -59,7 +59,7 @@ def _build() -> bool:
         opt = ["-O3", "-march=native"]
     try:
         subprocess.run(
-            ["g++", *opt, "-shared", "-fPIC", "-std=c++17",
+            ["g++", *opt, "-shared", "-fPIC", "-std=c++17", "-pthread",
              "-o", lib_path + ".tmp", _SRC],
             check=True, capture_output=True, timeout=300,
         )
@@ -425,6 +425,152 @@ def decode_hf_group_native(
             raise JxlEofError("HF stream truncated (native)")
         raise JxlBitstreamError(f"native HF decode error {ret}")
     bs.pos = bit_pos.value
+
+
+def decode_hf_groups_batch(
+    *, pass_tables, pass_orders, num_hf_presets: int, pass_coeff_shifts,
+    hf_block_ctx, hshifts, vshifts, sections, jobs, n_threads: int,
+):
+    """Decode ALL pass-group HF sections of a frame in ONE native call
+    with a C++ thread pool (jxlhost_decode_hf_groups_batch): groups fan
+    out across threads, passes within a group stay sequential. No Python
+    runs between symbols, so the host stage scales with cores instead of
+    with the GIL.
+
+    pass_tables: DecoderTables per pass. pass_orders: (offsets, lengths,
+    blob) per pass (all order_ids used by ANY group). sections: list of
+    (data: bytes, pass_idx, sel_i8, mul_i32, gw, gh, grid_stride,
+    lf_quant_list_or_None, out_planes) in job order; jobs: (start, count)
+    runs of sections sharing a group. Returns the per-section end bit
+    positions (uint64 array) for the modular sub-streams; raises on the
+    first failed section.
+    """
+    from ..utils.errors import JxlBitstreamError, JxlEofError, JxlValidationError
+
+    lib = get_lib()
+    lib.jxlhost_decode_hf_groups_batch.restype = ctypes.c_int
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    n_passes = len(pass_tables)
+    n = len(sections)
+    VP = ctypes.c_void_p
+
+    pass_specs = (VP * (n_passes * 7))()
+    pass_ord = (VP * (n_passes * 3))()
+    for p, t in enumerate(pass_tables):
+        for i, arr in enumerate((t.header, t.cluster_map, t.cfgs,
+                                 t.ans_meta, t.ans_blob,
+                                 t.pfx_meta, t.pfx_blob)):
+            pass_specs[p * 7 + i] = arr.ctypes.data
+        offsets, lengths, blob = pass_orders[p]
+        pass_ord[p * 3] = offsets.ctypes.data
+        pass_ord[p * 3 + 1] = blob.ctypes.data
+        pass_ord[p * 3 + 2] = lengths.ctypes.data
+    nhp_arr = np.full(n_passes, num_hf_presets, dtype=np.int32)
+    shift_arr = np.asarray(pass_coeff_shifts, dtype=np.int32)
+
+    packed_ctx = getattr(hf_block_ctx, "_native_packed", None)
+    if packed_ctx is None:
+        qf_thr = np.asarray(hf_block_ctx.qf_thresholds, dtype=np.int32)
+        lf_thr_counts = np.array(
+            [len(t) for t in hf_block_ctx.lf_thresholds], dtype=np.int32
+        )
+        lf_thr_all = np.asarray(
+            [v for t in hf_block_ctx.lf_thresholds for v in t] or [0],
+            dtype=np.int32,
+        )
+        bcm = np.asarray(hf_block_ctx.block_ctx_map, dtype=np.int32)
+        packed_ctx = (qf_thr, lf_thr_counts, lf_thr_all, bcm)
+        hf_block_ctx._native_packed = packed_ctx
+    qf_thr, lf_thr_counts, lf_thr_all, bcm = packed_ctx
+    hs_arr = np.asarray(hshifts, dtype=np.int32)
+    vs_arr = np.asarray(vshifts, dtype=np.int32)
+
+    sec_data = (ctypes.c_char_p * n)()
+    sec_len = np.zeros(n, dtype=np.uint64)
+    sec_bit_pos = np.zeros(n, dtype=np.uint64)
+    sec_pass = np.zeros(n, dtype=np.int32)
+    sec_sel = (VP * n)()
+    sec_mul = (VP * n)()
+    sec_gw = np.zeros(n, dtype=np.int32)
+    sec_gh = np.zeros(n, dtype=np.int32)
+    sec_stride = np.zeros(n, dtype=np.int64)
+    sec_lf_ptrs = (VP * (n * 3))()
+    sec_lf_strides = np.zeros(n * 3, dtype=np.int64)
+    sec_out_ptrs = (VP * (n * 3))()
+    sec_out_strides = np.zeros(n * 3, dtype=np.int64)
+    sec_ret = np.zeros(n, dtype=np.int32)
+    keep = []  # pin every converted array for the call's lifetime
+
+    for k, (data, p_idx, sel, mul, gw, gh, stride, lf_quant, outs) in (
+        enumerate(sections)
+    ):
+        sec_data[k] = data
+        keep.append(data)
+        sec_len[k] = len(data)
+        sec_pass[k] = p_idx
+        sec_sel[k] = sel.ctypes.data
+        sec_mul[k] = mul.ctypes.data
+        keep.append(sel)
+        keep.append(mul)
+        sec_gw[k] = gw
+        sec_gh[k] = gh
+        sec_stride[k] = stride
+        if lf_quant is not None:
+            for c in range(3):
+                q = lf_quant[c]
+                if q.strides[1] != 4:
+                    q = np.ascontiguousarray(q, dtype=np.int32)
+                keep.append(q)
+                sec_lf_ptrs[k * 3 + c] = q.ctypes.data
+                sec_lf_strides[k * 3 + c] = q.strides[0] // 4
+        for c in range(3):
+            v = outs[c]
+            assert v.dtype == np.int32 and v.strides[1] == 4
+            keep.append(v)
+            sec_out_ptrs[k * 3 + c] = v.ctypes.data
+            sec_out_strides[k * 3 + c] = v.strides[0] // 4
+
+    job_start = np.asarray([s for s, _ in jobs], dtype=np.int32)
+    job_count = np.asarray([c for _, c in jobs], dtype=np.int32)
+
+    ret = lib.jxlhost_decode_hf_groups_batch(
+        ctypes.c_int32(n_passes),
+        pass_specs, pass_ord,
+        ip(nhp_arr), ip(shift_arr),
+        ip(qf_thr), ctypes.c_int32(len(qf_thr)),
+        ip(lf_thr_all), ip(lf_thr_counts),
+        ip(bcm), ctypes.c_int32(hf_block_ctx.num_block_clusters),
+        ip(hs_arr), ip(vs_arr),
+        ctypes.c_int32(n),
+        sec_data, sec_len.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        sec_bit_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ip(sec_pass),
+        sec_sel, sec_mul,
+        ip(sec_gw), ip(sec_gh),
+        sec_stride.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sec_lf_ptrs,
+        sec_lf_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sec_out_ptrs,
+        sec_out_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(len(jobs)), ip(job_start), ip(job_count),
+        ctypes.c_int32(n_threads),
+        ip(sec_ret),
+    )
+    del keep
+    if ret != 0:  # pragma: no cover - ABI-level failure only
+        raise JxlBitstreamError(f"native HF batch error {ret}")
+    bad = np.nonzero(sec_ret > 0)[0]
+    if bad.size:
+        code = int(sec_ret[bad[0]])
+        if code == 4:
+            raise JxlEofError("HF stream truncated (native)")
+        if code == 7:
+            raise JxlValidationError("selected HF preset out of bounds")
+        raise JxlBitstreamError(f"native HF decode error {code}")
+    return sec_bit_pos
 
 
 class _ParsedTables:

@@ -1193,9 +1193,17 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
                 _do_pass_group(job)
 
         group_jobs = list(by_group.values())
+        if threaded and hf_global is not None and group_jobs:
+            # ONE native call decodes every HF section with a C++ thread
+            # pool (no Python between symbols); only groups the batch
+            # can't take (missing hf_meta) fall back to the per-section
+            # path, and modular sub-streams decode afterwards from the
+            # returned bit positions.
+            group_jobs = _decode_pass_groups_batch(
+                frame, state, hf_global, by_group, pass_groups, gmodular
+            )
         if threaded and len(group_jobs) > 1:
             import concurrent.futures as cf
-            import os
 
             from ..utils.threads import num_workers
 
@@ -1223,6 +1231,106 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
         chans = modular.finish()
         extra = chans[gmodular.extra_channel_from :]
     return cropped, extra
+
+
+def _decode_pass_groups_batch(
+    frame, state, hf_global, by_group, pass_groups, gmodular
+):
+    """Decode all (pass x group) HF sections in one native call with a
+    C++ thread pool (jxl-render/src/vardct/mod.rs:250-311 pool.scope per
+    group, re-expressed as a host-native batch so the stage scales with
+    cores, not with the GIL). Modular sub-streams of each section decode
+    afterwards from the batch's returned bit positions. Returns the job
+    lists the batch could NOT handle (groups with missing hf_meta), for
+    the caller's per-section fallback path."""
+    import os
+
+    from .. import native as _native
+    from ..models.vardct import ensure_packed_orders
+
+    if os.environ.get("JXL_TPU_NO_HF_BATCH"):
+        return list(by_group.values())
+    lib = _native.get_lib()
+    if lib is None or not hasattr(lib, "jxlhost_decode_hf_groups_batch"):
+        return list(by_group.values())
+
+    header = frame.header
+    shifts = jpeg_shifts(header.jpeg_upsampling)
+    hshifts = [s[0] for s in shifts]
+    vshifts = [s[1] for s in shifts]
+    lf_vardct = frame.lf_global.vardct
+
+    leftover = []
+    sections = []
+    jobs = []
+    sec_keys = []  # (pass_idx, group_idx, data) per section
+    needed = set()
+    for g, job_list in by_group.items():
+        grids = state.group_block_grids(g)
+        if grids is None:
+            leftover.append(job_list)
+            continue
+        sel, mul, lf_quant = grids
+        sel8 = np.ascontiguousarray(sel, dtype=np.int8)
+        mul32 = np.ascontiguousarray(mul, dtype=np.int32)
+        for s in np.unique(sel8):
+            if s >= 0:
+                oid = TransformType.ORDER_ID[int(s)]
+                for c in range(3):
+                    needed.add((oid, c))
+        gh, gw = sel8.shape
+        outs = state.group_plane_views(g)
+        start = len(sections)
+        for p_idx, g_idx in job_list:
+            entry = frame.toc.entry_for("group_pass", g_idx, p_idx)
+            data = frame.section_bytes(entry)
+            sections.append((
+                data, p_idx, sel8, mul32, gw, gh, sel8.strides[0],
+                lf_quant, outs,
+            ))
+            sec_keys.append((p_idx, g_idx, data))
+        jobs.append((start, len(sections) - start))
+    if not sections:
+        return leftover
+
+    num_passes = header.passes.num_passes
+    pass_tables = []
+    pass_orders = []
+    pass_shifts_ = []
+    for p in range(num_passes):
+        hf_pass = hf_global.hf_passes[p]
+        pass_tables.append(_native.DecoderTables.cached(hf_pass.hf_dist))
+        pass_orders.append(ensure_packed_orders(hf_pass, needed))
+        pass_shifts_.append(header.passes.pass_shift(p))
+
+    from ..utils.threads import num_workers
+
+    bit_pos = _native.decode_hf_groups_batch(
+        pass_tables=pass_tables,
+        pass_orders=pass_orders,
+        num_hf_presets=hf_global.num_hf_presets,
+        pass_coeff_shifts=pass_shifts_,
+        hf_block_ctx=lf_vardct.hf_block_ctx,
+        hshifts=hshifts,
+        vshifts=vshifts,
+        sections=sections,
+        jobs=jobs,
+        n_threads=num_workers(len(jobs)),
+    )
+
+    # modular sub-streams continue where the HF decode stopped
+    for k, (p_idx, g_idx, data) in enumerate(sec_keys):
+        sub = (
+            pass_groups[p_idx].get(g_idx)
+            if p_idx < len(pass_groups)
+            else None
+        )
+        if sub is None or sub.is_empty:
+            continue
+        bs = Bitstream(data)
+        bs.pos = int(bit_pos[k])
+        frame._decode_pass_group(bs, p_idx, g_idx, sub, gmodular)
+    return leftover
 
 
 def _decode_vardct_progressive(frame, cache: ProgressiveCache):

@@ -10,9 +10,11 @@
 // All sample arithmetic is i32-wrapping (via int64 intermediates), matching
 // the reference's Rust wrapping semantics.
 
+#include <atomic>
 #include <cstdint>
 #include <utility>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <cmath>
 #include <cstdlib>
@@ -828,52 +830,54 @@ inline bool need_transpose_tbl(int t) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Decode one pass-group's HF coefficients, adding into 3 int32 planes.
-// Returns 0 on success; 4 = truncated; >=10 = decoder error.
-int jxlhost_decode_hf_group(
-    const u8* data, u64 data_len_bytes, u64* bit_pos,
-    // decoder spec (hf_dist)
-    const i32* spec_header, const i32* cluster_map, const i32* cfgs,
-    const i32* ans_meta, const i32* ans_blob,
-    const i32* pfx_meta, const i32* pfx_blob,
-    i64 ctx_offset,            // hfp * 495 * num_block_clusters
-    // block context
-    const i32* qf_thresholds, i32 num_qf_thresholds,
-    const i32* lf_thr_all, const i32* lf_thr_counts,  // 3 concatenated lists
-    const i32* block_ctx_map, i32 num_block_clusters,
-    // grids
-    const signed char* block_sel, const i32* block_mul,
-    i32 grid_w, i32 grid_h, i64 grid_stride,
-    const i32* hshifts, const i32* vshifts,   // [3] (x,y,b channel order)
-    // lf_quant planes in x,y,b order (null ptrs if absent)
-    i32* const* lf_quant_ptrs, const i64* lf_quant_strides,
-    // orders: per (order_id, channel): offset into orders_blob (pairs), -1 => natural not provided (error)
-    const i32* order_offsets,  // [13*3]
-    const i32* orders_blob,    // concatenated (x, y) pairs
-    const i32* order_lengths,  // [13*3]
-    i32 coeff_shift,
-    // output planes in x,y,b order
-    i32* const* out_ptrs, const i64* out_strides
-) {
-  SpecHolder holder;
-  holder.build(spec_header, cluster_map, cfgs, ans_meta, ans_blob, pfx_meta,
-               pfx_blob);
-  BitReader br{data, data_len_bytes * 8, *bit_pos};
-  DecoderState dec;
-  dec.spec = &holder.spec;
-  dec.br = &br;
-  dec.begin();
+// Frame-wide HF decode context shared by every pass-group section.
+struct HfFrameCtx {
+  const i32* qf_thresholds; i32 num_qf_thresholds;
+  const i32* lf_thr[3]; const i32* lf_thr_counts;
+  const i32* block_ctx_map; i32 num_block_clusters;
+  const i32* hshifts; const i32* vshifts;
+};
 
-  const i32* lf_thr[3];
-  {
-    const i32* p = lf_thr_all;
-    for (int c = 0; c < 3; c++) {
-      lf_thr[c] = p;
-      p += lf_thr_counts[c];
-    }
-  }
+// Per-section geometry + IO (group grids, lf_quant views, output planes,
+// per-pass coefficient orders).
+struct HfGroupIo {
+  const signed char* block_sel; const i32* block_mul;
+  i32 grid_w, grid_h; i64 grid_stride;
+  i32* const* lf_quant_ptrs; const i64* lf_quant_strides;
+  i32* const* out_ptrs; const i64* out_strides;
+  i32 coeff_shift;
+  const i32* order_offsets; const i32* orders_blob; const i32* order_lengths;
+};
+
+// Core of write_hf_coeff (hf_coeff.rs:21-252) over one section. `dec`
+// must already be begun on a BitReader positioned after the HF preset
+// bits; ctx_offset = hfp * 495 * num_block_clusters.
+int decode_hf_group_core(DecoderState& dec, const DecoderSpec& spec,
+                         BitReader& br, i64 ctx_offset,
+                         const HfFrameCtx& fc, const HfGroupIo& gp) {
+  const i32* qf_thresholds = fc.qf_thresholds;
+  i32 num_qf_thresholds = fc.num_qf_thresholds;
+  const i32* const* lf_thr = fc.lf_thr;
+  const i32* lf_thr_counts = fc.lf_thr_counts;
+  const i32* block_ctx_map = fc.block_ctx_map;
+  i32 num_block_clusters = fc.num_block_clusters;
+  const i32* hshifts = fc.hshifts;
+  const i32* vshifts = fc.vshifts;
+  const signed char* block_sel = gp.block_sel;
+  const i32* block_mul = gp.block_mul;
+  i32 grid_w = gp.grid_w, grid_h = gp.grid_h;
+  i64 grid_stride = gp.grid_stride;
+  i32* const* lf_quant_ptrs = gp.lf_quant_ptrs;
+  const i64* lf_quant_strides = gp.lf_quant_strides;
+  i32* const* out_ptrs = gp.out_ptrs;
+  const i64* out_strides = gp.out_strides;
+  i32 coeff_shift = gp.coeff_shift;
+  const i32* order_offsets = gp.order_offsets;
+  const i32* orders_blob = gp.orders_blob;
+  const i32* order_lengths = gp.order_lengths;
+
   i64 lf_idx_mul = (i64)(lf_thr_counts[0] + 1) * (lf_thr_counts[1] + 1) *
                    (lf_thr_counts[2] + 1);
   i64 hf_idx_mul = num_qf_thresholds + 1;
@@ -933,7 +937,7 @@ int jxlhost_decode_hf_group(
         i64 non_zeros_ctx = block_ctx + nz_idx * num_block_clusters;
 
         u32 non_zeros = dec.read_varint_clustered(
-            holder.spec.cluster_map[ctx_offset + non_zeros_ctx], 0);
+            spec.cluster_map[ctx_offset + non_zeros_ctx], 0);
         if (dec.error) return 10 + dec.error;
         if (non_zeros > (u32)(63 << num_blocks_log)) return 5;
         i64 nz_val = ((i64)non_zeros + num_blocks - 1) >> num_blocks_log;
@@ -958,7 +962,7 @@ int jxlhost_decode_hf_group(
                            COEFF_FREQ_CONTEXT[fi]) * 2 + is_prev_nonzero;
           if (coeff_ctx >= 458) return 6;
           u32 ucoeff = dec.read_varint_clustered(
-              holder.spec.cluster_map[ctx_offset + coeff_ctx_base + coeff_ctx], 0);
+              spec.cluster_map[ctx_offset + coeff_ctx_base + coeff_ctx], 0);
           if (dec.error) return 10 + dec.error;
           if (ucoeff == 0) {
             is_prev_nonzero = 0;
@@ -978,9 +982,191 @@ int jxlhost_decode_hf_group(
     }
   }
   if (br.pos > br.len_bits) return 4;
-  int fin = dec.finalize();
+  return dec.finalize();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one pass-group's HF coefficients, adding into 3 int32 planes.
+// Returns 0 on success; 4 = truncated; >=10 = decoder error.
+int jxlhost_decode_hf_group(
+    const u8* data, u64 data_len_bytes, u64* bit_pos,
+    // decoder spec (hf_dist)
+    const i32* spec_header, const i32* cluster_map, const i32* cfgs,
+    const i32* ans_meta, const i32* ans_blob,
+    const i32* pfx_meta, const i32* pfx_blob,
+    i64 ctx_offset,            // hfp * 495 * num_block_clusters
+    // block context
+    const i32* qf_thresholds, i32 num_qf_thresholds,
+    const i32* lf_thr_all, const i32* lf_thr_counts,  // 3 concatenated lists
+    const i32* block_ctx_map, i32 num_block_clusters,
+    // grids
+    const signed char* block_sel, const i32* block_mul,
+    i32 grid_w, i32 grid_h, i64 grid_stride,
+    const i32* hshifts, const i32* vshifts,   // [3] (x,y,b channel order)
+    // lf_quant planes in x,y,b order (null ptrs if absent)
+    i32* const* lf_quant_ptrs, const i64* lf_quant_strides,
+    // orders: per (order_id, channel): offset into orders_blob (pairs), -1 => natural not provided (error)
+    const i32* order_offsets,  // [13*3]
+    const i32* orders_blob,    // concatenated (x, y) pairs
+    const i32* order_lengths,  // [13*3]
+    i32 coeff_shift,
+    // output planes in x,y,b order
+    i32* const* out_ptrs, const i64* out_strides
+) {
+  SpecHolder holder;
+  holder.build(spec_header, cluster_map, cfgs, ans_meta, ans_blob, pfx_meta,
+               pfx_blob);
+  BitReader br{data, data_len_bytes * 8, *bit_pos};
+  DecoderState dec;
+  dec.spec = &holder.spec;
+  dec.br = &br;
+  dec.begin();
+
+  HfFrameCtx fc;
+  fc.qf_thresholds = qf_thresholds;
+  fc.num_qf_thresholds = num_qf_thresholds;
+  {
+    const i32* p = lf_thr_all;
+    for (int c = 0; c < 3; c++) {
+      fc.lf_thr[c] = p;
+      p += lf_thr_counts[c];
+    }
+  }
+  fc.lf_thr_counts = lf_thr_counts;
+  fc.block_ctx_map = block_ctx_map;
+  fc.num_block_clusters = num_block_clusters;
+  fc.hshifts = hshifts;
+  fc.vshifts = vshifts;
+
+  HfGroupIo gp{block_sel, block_mul, grid_w, grid_h, grid_stride,
+               lf_quant_ptrs, lf_quant_strides, out_ptrs, out_strides,
+               coeff_shift, order_offsets, orders_blob, order_lengths};
+  int ret = decode_hf_group_core(dec, holder.spec, br, ctx_offset, fc, gp);
   *bit_pos = br.pos;
-  return fin;
+  return ret;
+}
+
+// Decode MANY pass-group sections in one call with a native thread pool
+// (the reference's per-group pool.scope, jxl-render/src/vardct/mod.rs:
+// 250-311, without any Python in the hot path). Sections are grouped
+// into jobs: all passes of one group run sequentially on one worker
+// (coefficients ADD into the same planes, hf_coeff.rs:228-236) while
+// groups fan out across threads. The HF preset index is read here (the
+// single-section entry reads it in Python).
+//
+// Per-pass tables are passed as parallel pointer arrays of length
+// n_passes * k; per-section arrays of length n_sections (pointers) or
+// n_sections * 3 (per-channel). sec_ret[k] receives each section's
+// return code (0 ok, 4 truncated, 7 bad preset, >=10 decoder error);
+// sec_bit_pos[k] receives the final bit position for sections that
+// succeeded (the modular sub-stream of the section resumes there).
+int jxlhost_decode_hf_groups_batch(
+    i32 n_passes,
+    const i32* const* pass_specs,     // [n_passes*7]: header, cluster_map,
+                                      //   cfgs, ans_meta, ans_blob,
+                                      //   pfx_meta, pfx_blob
+    const i32* const* pass_orders,    // [n_passes*3]: offsets, blob, lengths
+    const i32* pass_num_hf_presets,   // [n_passes]
+    const i32* pass_coeff_shift,      // [n_passes]
+    // frame-level block context
+    const i32* qf_thresholds, i32 num_qf_thresholds,
+    const i32* lf_thr_all, const i32* lf_thr_counts,
+    const i32* block_ctx_map, i32 num_block_clusters,
+    const i32* hshifts, const i32* vshifts,
+    // sections (flattened)
+    i32 n_sections,
+    const u8* const* sec_data, const u64* sec_len_bytes, u64* sec_bit_pos,
+    const i32* sec_pass,
+    const signed char* const* sec_sel, const i32* const* sec_mul,
+    const i32* sec_grid_w, const i32* sec_grid_h, const i64* sec_grid_stride,
+    i32* const* sec_lf_ptrs, const i64* sec_lf_strides,      // [n_sections*3]
+    i32* const* sec_out_ptrs, const i64* sec_out_strides,    // [n_sections*3]
+    // group jobs: sections of one group contiguous, pass order
+    i32 n_jobs, const i32* job_start, const i32* job_count,
+    i32 n_threads,
+    i32* sec_ret
+) {
+  std::vector<SpecHolder> holders(n_passes);
+  for (i32 p = 0; p < n_passes; p++)
+    holders[p].build(pass_specs[p * 7], pass_specs[p * 7 + 1],
+                     pass_specs[p * 7 + 2], pass_specs[p * 7 + 3],
+                     pass_specs[p * 7 + 4], pass_specs[p * 7 + 5],
+                     pass_specs[p * 7 + 6]);
+
+  HfFrameCtx fc;
+  fc.qf_thresholds = qf_thresholds;
+  fc.num_qf_thresholds = num_qf_thresholds;
+  {
+    const i32* p = lf_thr_all;
+    for (int c = 0; c < 3; c++) {
+      fc.lf_thr[c] = p;
+      p += lf_thr_counts[c];
+    }
+  }
+  fc.lf_thr_counts = lf_thr_counts;
+  fc.block_ctx_map = block_ctx_map;
+  fc.num_block_clusters = num_block_clusters;
+  fc.hshifts = hshifts;
+  fc.vshifts = vshifts;
+
+  auto run_section = [&](i32 k) -> int {
+    i32 p = sec_pass[k];
+    const SpecHolder& holder = holders[p];
+    BitReader br{sec_data[k], sec_len_bytes[k] * 8, sec_bit_pos[k]};
+    i32 nhp = pass_num_hf_presets[p];
+    int hfp_bits = 0;
+    while ((1 << hfp_bits) < nhp) hfp_bits++;
+    u32 hfp = (u32)br.read(hfp_bits);
+    if (hfp >= (u32)nhp) return 7;
+    i64 ctx_offset = (i64)hfp * 495 * num_block_clusters;
+    DecoderState dec;
+    dec.spec = &holder.spec;
+    dec.br = &br;
+    dec.begin();
+    HfGroupIo gp{sec_sel[k], sec_mul[k],
+                 sec_grid_w[k], sec_grid_h[k], sec_grid_stride[k],
+                 sec_lf_ptrs + (i64)k * 3, sec_lf_strides + (i64)k * 3,
+                 sec_out_ptrs + (i64)k * 3, sec_out_strides + (i64)k * 3,
+                 pass_coeff_shift[p],
+                 pass_orders[p * 3], pass_orders[p * 3 + 1],
+                 pass_orders[p * 3 + 2]};
+    int ret = decode_hf_group_core(dec, holder.spec, br, ctx_offset, fc, gp);
+    sec_bit_pos[k] = br.pos;
+    return ret;
+  };
+
+  std::atomic<i32> next_job{0};
+  auto worker = [&]() {
+    for (;;) {
+      i32 j = next_job.fetch_add(1, std::memory_order_relaxed);
+      if (j >= n_jobs) break;
+      i32 s = job_start[j], e = s + job_count[j];
+      for (i32 k = s; k < e; k++) {
+        int ret = run_section(k);
+        sec_ret[k] = ret;
+        if (ret != 0) {
+          // later passes of this group would decode garbage on top of a
+          // failed earlier pass; mark them skipped (-1) and move on
+          for (i32 m = k + 1; m < e; m++) sec_ret[m] = -1;
+          break;
+        }
+      }
+    }
+  };
+
+  if (n_threads <= 1 || n_jobs <= 1) {
+    worker();
+  } else {
+    i32 nt = n_threads < n_jobs ? n_threads : n_jobs;
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (i32 t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -58,23 +58,44 @@ def host_stage(data: bytes, threads: int):
 
     t0 = time.perf_counter()
     state = VardctFrameState(frame)
-    for lf_idx in range(header.num_lf_groups):
+
+    def _do_lf(lf_idx):
         entry = frame.toc.entry_for("lf_group", lf_idx)
         bs = Bitstream(frame.section_bytes(entry))
-        state.place_lf_group(
-            lf_idx,
-            parse_lf_group(bs, frame.image_header, header, lf_global,
-                           lf_idx, mlf_groups.get(lf_idx)),
+        return lf_idx, parse_lf_group(
+            bs, frame.image_header, header, lf_global,
+            lf_idx, mlf_groups.get(lf_idx),
         )
-    entry = frame.toc.entry_for("hf_global")
-    hf_global = HfGlobal(Bitstream(frame.section_bytes(entry)),
-                         frame.image_header, header, lf_global)
 
-    jobs = [
-        (p, g)
-        for p in range(header.passes.num_passes)
-        for g in range(header.num_groups)
-    ]
+    def _do_hf_global():
+        entry = frame.toc.entry_for("hf_global")
+        return HfGlobal(Bitstream(frame.section_bytes(entry)),
+                        frame.image_header, header, lf_global)
+
+    # LF groups + HfGlobal concurrently, like the real decode path
+    if threads > 1:
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+            hf_fut = ex.submit(_do_hf_global)
+            for lf_idx, group in ex.map(_do_lf, range(header.num_lf_groups)):
+                state.place_lf_group(lf_idx, group)
+            hf_global = hf_fut.result()
+    else:
+        for lf_idx in range(header.num_lf_groups):
+            state.place_lf_group(*_do_lf(lf_idx))
+        hf_global = _do_hf_global()
+
+    by_group = {}
+    for p in range(header.passes.num_passes):
+        for g in range(header.num_groups):
+            by_group.setdefault(g, []).append((p, g))
+
+    from jxl_oxide_tpu.render.vardct import _decode_pass_groups_batch
+
+    leftover = _decode_pass_groups_batch(
+        frame, state, hf_global, by_group, pass_groups, gmodular
+    )
 
     def do_job(job):
         p, g = job
@@ -82,7 +103,8 @@ def host_stage(data: bytes, threads: int):
         bs = Bitstream(frame.section_bytes(entry))
         state.decode_pass_group_hf(bs, hf_global, p, g)
 
-    if threads > 1:
+    jobs = [j for job_list in leftover for j in job_list]
+    if threads > 1 and jobs:
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=threads) as ex:

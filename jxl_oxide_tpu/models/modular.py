@@ -312,19 +312,8 @@ class ModularSubimage:
 
     # ------------------------------------------------------------------
 
-    def _decode_inner(self, bs: Bitstream, stream_index: int) -> None:
-        if self.is_empty:
-            # The reference still begins and finalizes the entropy stream for
-            # an empty (sub)image (image.rs decode_inner) — the 32-bit ANS
-            # state is present in the bitstream and must be consumed.
-            decoder = self.image.ma_config.make_decoder()
-            decoder.begin(bs)
-            decoder.finalize()
-            return
+    def _flat_trees(self, stream_index: int) -> list[FlatTree | None]:
         ma = self.image.ma_config
-        dist_multiplier = max((c.width for c in self.infos), default=0)
-        decoder = ma.make_decoder()
-
         trees: list[FlatTree | None] = []
         for i, info in enumerate(self.infos):
             if info.width == 0 or info.height == 0:
@@ -337,24 +326,65 @@ class ModularSubimage:
                 == (info.width, info.height, info.hshift, info.vshift)
             )
             trees.append(ma.make_flat_tree(i, stream_index, prev))
+        return trees
+
+    def _prev_lists(self, trees) -> list[list[np.ndarray]]:
+        prev_lists: list[list[np.ndarray]] = []
+        prev_map: dict[tuple, list[np.ndarray]] = {}
+        for info, tree, grid in zip(self.infos, trees, self.views):
+            key = (info.width, info.height, info.hshift, info.vshift)
+            filtered = prev_map.setdefault(key, [])
+            if tree is None:
+                prev_lists.append([])
+                continue
+            prev_lists.append(list(filtered[: tree.max_prev_channel_depth]))
+            filtered.insert(0, grid)
+        return prev_lists
+
+    def native_record(self, bs: Bitstream, stream_index: int) -> dict:
+        """Per-section record for the batched native decode
+        (native.decode_modular_batch). The decoder tables serialize once
+        per MaConfig (cached on the parsed decoder template)."""
+        from .. import native as _native
+
+        trees = self._flat_trees(stream_index)
+        tables = _native.DecoderTables.cached(
+            self.image.ma_config.decoder_template
+        )
+        return {
+            "data": bs.data,
+            "pos": bs.pos,
+            "tables": tables,
+            "infos": self.infos,
+            "trees": trees,
+            "views": self.views,
+            "prev_lists": self._prev_lists(trees),
+            "dist_multiplier": max((c.width for c in self.infos), default=0),
+            "wp_header": self.image.header.wp_header,
+        }
+
+    def _decode_inner(self, bs: Bitstream, stream_index: int) -> None:
+        if self.is_empty:
+            # The reference still begins and finalizes the entropy stream for
+            # an empty (sub)image (image.rs decode_inner) — the 32-bit ANS
+            # state is present in the bitstream and must be consumed.
+            decoder = self.image.ma_config.make_decoder()
+            decoder.begin(bs)
+            decoder.finalize()
+            return
+        ma = self.image.ma_config
+        dist_multiplier = max((c.width for c in self.infos), default=0)
+        decoder = ma.make_decoder()
+        trees = self._flat_trees(stream_index)
 
         # Native (C++) host runtime: whole-stream decode in one call.
         from .. import native as _native
 
         if _native.available():
-            prev_lists = []
-            prev_map_n: dict[tuple, list[np.ndarray]] = {}
-            for info, tree, grid in zip(self.infos, trees, self.views):
-                key = (info.width, info.height, info.hshift, info.vshift)
-                filtered = prev_map_n.setdefault(key, [])
-                if tree is None:
-                    prev_lists.append([])
-                    continue
-                prev_lists.append(list(filtered[: tree.max_prev_channel_depth]))
-                filtered.insert(0, grid)
             _native.decode_modular_native(
-                bs, decoder, self.infos, trees, self.views, prev_lists,
-                dist_multiplier, self.image.header.wp_header,
+                bs, decoder, self.infos, trees, self.views,
+                self._prev_lists(trees), dist_multiplier,
+                self.image.header.wp_header,
             )
             return
 

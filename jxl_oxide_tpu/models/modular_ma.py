@@ -46,7 +46,8 @@ class FlatLeaf:
 class FlatTree:
     """Tree specialized for one (channel, stream, prev_channels) triple."""
 
-    __slots__ = ("nodes", "need_self_correcting", "max_prev_channel_depth", "_single")
+    __slots__ = ("nodes", "need_self_correcting", "max_prev_channel_depth",
+                 "_single", "_native_arr")
 
     def __init__(self, nodes):
         # nodes: list of either FlatLeaf or (property, value, left, right)

@@ -183,7 +183,12 @@ class DecoderTables:
 
 def serialize_tree(tree) -> np.ndarray:
     """FlatTree -> int32 [n, 5]: leaf (1, cluster, pred, offset, mult) or
-    decision (0, prop, value, left, right)."""
+    decision (0, prop, value, left, right). Cached on the tree (flat trees
+    are shared across sections via MaConfig's flat-tree cache)."""
+    cached = getattr(tree, "_native_arr", None)
+    if cached is not None:
+        return cached
+
     from ..models.modular_ma import FlatLeaf
 
     out = np.zeros((len(tree.nodes), 5), dtype=np.int32)
@@ -193,6 +198,7 @@ def serialize_tree(tree) -> np.ndarray:
         else:
             prop, value, left, right = nd
             out[i] = (0, prop, value, left, right)
+    tree._native_arr = out
     return out
 
 
@@ -299,6 +305,158 @@ def decode_modular_native(
             raise JxlBitstreamError("ANS final state mismatch (native)")
         raise JxlBitstreamError(f"native modular decode error {ret}")
     bs.pos = bit_pos.value
+
+
+def raise_modular_ret(ret: int) -> None:
+    """Map a native modular-decode return code to the library exception."""
+    if ret == 0:
+        return
+    from ..utils.errors import JxlBitstreamError, JxlEofError
+
+    if ret == 4:
+        raise JxlEofError("stream truncated (native)")
+    if ret == 2:
+        raise JxlBitstreamError("ANS final state mismatch (native)")
+    raise JxlBitstreamError(f"native modular decode error {ret}")
+
+
+def decode_modular_batch(records, num_threads: int) -> np.ndarray:
+    """Decode many independent modular sub-streams in ONE native call with
+    a C++ thread pool (no GIL in the fan-out; the modular twin of
+    decode_hf_groups_batch). Each record is a dict with keys
+    data/pos/tables/infos/trees/views/prev_lists/dist_multiplier/wp_header,
+    produced by ModularSubimage.native_record. Mutates the record views in
+    place; returns the per-section return codes (0 = ok; use
+    raise_modular_ret to surface errors)."""
+    lib = get_lib()
+    n_sec = len(records)
+
+    # decoder spec table, deduplicated by the DecoderTables object (all
+    # global-tree sections of a frame share one)
+    spec_ids: dict[int, int] = {}
+    spec_tables = []
+    sec_spec = np.zeros(n_sec, dtype=np.int32)
+    for k, rec in enumerate(records):
+        t = rec["tables"]
+        idx = spec_ids.get(id(t))
+        if idx is None:
+            idx = len(spec_tables)
+            spec_ids[id(t)] = idx
+            spec_tables.append(t)
+        sec_spec[k] = idx
+    spec_ptrs = (ctypes.c_void_p * (len(spec_tables) * 7))()
+    for i, t in enumerate(spec_tables):
+        for j, arr in enumerate((t.header, t.cluster_map, t.cfgs, t.ans_meta,
+                                 t.ans_blob, t.pfx_meta, t.pfx_blob)):
+            spec_ptrs[i * 7 + j] = arr.ctypes.data
+
+    # flattened channels
+    n_chan = sum(len(r["infos"]) for r in records)
+    chan_bufs = (ctypes.c_void_p * max(n_chan, 1))()
+    chan_strides = np.zeros(max(n_chan, 1), dtype=np.int64)
+    chan_dims = np.zeros(max(n_chan, 1) * 2, dtype=np.int32)
+    tree_meta = np.zeros(max(n_chan, 1) * 2, dtype=np.int32)
+    tree_ptrs = (ctypes.c_void_p * max(n_chan, 1))()
+    prev_counts = np.zeros(max(n_chan, 1), dtype=np.int32)
+    prev_offsets = np.zeros(max(n_chan, 1), dtype=np.int32)
+    flat_prev_ptrs: list[int] = []
+    flat_prev_strides: list[int] = []
+    keepalive = []
+
+    sec_data = (ctypes.c_char_p * n_sec)()
+    sec_len = np.zeros(n_sec, dtype=np.uint64)
+    sec_bit_pos = np.zeros(n_sec, dtype=np.uint64)
+    sec_chan_start = np.zeros(n_sec, dtype=np.int32)
+    sec_chan_count = np.zeros(n_sec, dtype=np.int32)
+    sec_dist_mul = np.zeros(n_sec, dtype=np.int32)
+    sec_wp = np.zeros(n_sec * 11, dtype=np.int32)
+    sec_is16 = np.zeros(n_sec, dtype=np.int32)
+    sec_ret = np.zeros(n_sec, dtype=np.int32)
+
+    dummy_tree = np.zeros((1, 5), dtype=np.int32)
+    keepalive.append(dummy_tree)
+
+    ci = 0
+    for k, rec in enumerate(records):
+        data = rec["data"]
+        sec_data[k] = data
+        keepalive.append(data)
+        sec_len[k] = len(data)
+        sec_bit_pos[k] = rec["pos"]
+        sec_chan_start[k] = ci
+        infos, trees, views = rec["infos"], rec["trees"], rec["views"]
+        sec_chan_count[k] = len(infos)
+        sec_dist_mul[k] = rec["dist_multiplier"]
+        wp = rec["wp_header"]
+        sec_wp[k * 11:(k + 1) * 11] = (
+            wp.p1, wp.p2, wp.p3a, wp.p3b, wp.p3c, wp.p3d, wp.p3e, *wp.w
+        )
+        dtype = next(
+            (v.dtype for i, v in enumerate(views)
+             if trees[i] is not None and infos[i].width and infos[i].height),
+            np.dtype(np.int32),
+        )
+        assert dtype in (np.int16, np.int32), dtype
+        is16 = dtype == np.int16
+        isz = 2 if is16 else 4
+        sec_is16[k] = 1 if is16 else 0
+        for i, (info, tree, view) in enumerate(zip(infos, trees, views)):
+            if tree is None or info.width == 0 or info.height == 0:
+                tree_ptrs[ci] = dummy_tree.ctypes.data
+                ci += 1
+                continue
+            assert view.dtype == dtype
+            assert view.strides[1] == isz, "row-contiguous views required"
+            chan_bufs[ci] = view.ctypes.data
+            chan_strides[ci] = view.strides[0] // isz
+            chan_dims[ci * 2] = info.width
+            chan_dims[ci * 2 + 1] = info.height
+            ta = serialize_tree(tree)
+            keepalive.append(ta)
+            tree_ptrs[ci] = ta.ctypes.data
+            tree_meta[ci * 2] = len(ta)
+            tree_meta[ci * 2 + 1] = 1 if tree.need_self_correcting else 0
+            prevs = rec["prev_lists"][i]
+            prev_counts[ci] = len(prevs)
+            prev_offsets[ci] = len(flat_prev_ptrs)
+            for p in prevs:
+                assert p.dtype == dtype and p.strides[1] == isz
+                keepalive.append(p)
+                flat_prev_ptrs.append(p.ctypes.data)
+                flat_prev_strides.append(p.strides[0] // isz)
+            ci += 1
+
+    np_prev_ptrs = np.array(flat_prev_ptrs or [0], dtype=np.uint64)
+    np_prev_strides = np.array(flat_prev_strides or [0], dtype=np.int64)
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    ret = lib.jxlhost_decode_modular_batch(
+        ctypes.c_int32(len(spec_tables)),
+        ctypes.cast(spec_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(chan_bufs, ctypes.POINTER(ctypes.c_void_p)),
+        chan_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ip(chan_dims),
+        ctypes.cast(tree_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ip(tree_meta),
+        ip(prev_counts), ip(prev_offsets),
+        np_prev_ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+        np_prev_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(n_sec),
+        ctypes.cast(sec_data, ctypes.POINTER(ctypes.c_char_p)),
+        sec_len.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        sec_bit_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ip(sec_spec), ip(sec_chan_start), ip(sec_chan_count),
+        ip(sec_dist_mul), ip(sec_wp), ip(sec_is16),
+        ctypes.c_int32(num_threads),
+        ip(sec_ret),
+    )
+    if ret != 0:
+        from ..utils.errors import JxlBitstreamError
+
+        raise JxlBitstreamError(f"native modular batch error {ret}")
+    return sec_ret
 
 
 def decode_icc_native(bs, decoder, enc_size: int) -> bytes:

@@ -395,28 +395,67 @@ class Frame:
         pass_idx, g_idx = key
         self._decode_pass_group(bs, pass_idx, g_idx, sub, gmodular)
 
+    def _section_stream_index(self, fn, key) -> int:
+        """Modular sub-stream index (pass_group.rs:156-161, lf_group.rs:82-87)."""
+        if fn == self._decode_lf_group:
+            return 1 + self.header.num_lf_groups + key
+        pass_idx, group_idx = key
+        return (
+            1
+            + 3 * self.header.num_lf_groups
+            + 17
+            + pass_idx * self.header.num_groups
+            + group_idx
+        )
+
     def _run_section_jobs(self, jobs, gmodular) -> None:
-        """Decode independent sections, threaded when the native runtime is
-        available (it releases the GIL during the symbol loops)."""
+        """Decode independent sections. With the native runtime, ALL
+        sections go through one C++ call that fans out on a native thread
+        pool (no GIL in the hot path — reference per-group pool.scope,
+        jxl-render/src/modular.rs:36-130); the Python fallback decodes
+        sequentially."""
         from .. import native as _native
 
-        def run(job):
-            fn, entry, key, sub = job
-            bs = Bitstream(self.section_bytes(entry))
-            fn(bs, key, sub, gmodular)
-
-        if len(jobs) > 1 and _native.available():
-            import concurrent.futures as cf
-            import os
-
+        if _native.available():
             from ..utils.threads import num_workers
 
-            workers = num_workers(len(jobs))
-            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-                list(ex.map(run, jobs))
-        else:
-            for job in jobs:
-                run(job)
+            prepared = []
+            for fn, entry, key, sub in jobs:
+                if sub is None or sub.is_empty:
+                    continue
+                bs = Bitstream(self.section_bytes(entry))
+                recursive = ModularImage(
+                    bs,
+                    sub.infos,
+                    self.header.group_dim,
+                    self.image_header.metadata.bit_depth.bits_per_sample,
+                    gmodular.ma_config,
+                    views=sub.views,
+                )
+                subimg = recursive.subimage_all()
+                rec = subimg.native_record(bs, self._section_stream_index(fn, key))
+                prepared.append((rec, recursive, subimg))
+            if not prepared:
+                return
+            rets = _native.decode_modular_batch(
+                [rec for rec, _, _ in prepared],
+                num_workers(len(prepared)),
+            )
+            first_err = None
+            for ret, (_, recursive, subimg) in zip(rets, prepared):
+                if ret != 0:
+                    if first_err is None:
+                        first_err = int(ret)
+                    continue
+                subimg.partial = False
+                recursive.finish()
+            if first_err is not None:
+                _native.raise_modular_ret(first_err)
+            return
+
+        for fn, entry, key, sub in jobs:
+            bs = Bitstream(self.section_bytes(entry))
+            fn(bs, key, sub, gmodular)
 
     def _decode_lf_group(self, bs, lf_group_idx, sub, gmodular) -> None:
         """Modular-frame LF group (lf_group.rs mlf_group decode)."""

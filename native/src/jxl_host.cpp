@@ -587,6 +587,147 @@ inline const TreeNode* walk_tree(const TreeNode* nodes, const ScanState& st) {
   return nd;
 }
 
+// Single-leaf fast path (reference decode_single_node, image.rs:716):
+// no property vector, no shadow rows — neighbors come straight from the
+// decoded output buffer. Templated on sample type and predictor so the
+// per-sample work compiles down to the ANS read plus a couple of loads.
+template <typename S, int PRED>
+static int decode_single_leaf_loop(DecoderState& dec, const ChannelDesc& cd,
+                                   const TreeNode* leaf, u32 dm) {
+  S* buf = (S*)cd.buf;
+  const i64 stride = cd.stride;
+  const i32 W = cd.width, H = cd.height;
+  const int cluster = leaf->a;
+  const i32 off = leaf->c, mul = leaf->d;
+  for (i32 y = 0; y < H; y++) {
+    S* crow = buf + (i64)y * stride;
+    const S* prow = y > 0 ? crow - stride : nullptr;
+    for (i32 x = 0; x < W; x++) {
+      i32 p;
+      if (PRED == 0) {
+        p = 0;
+      } else {
+        i32 w = x > 0 ? (i32)crow[x - 1] : (prow ? (i32)prow[0] : 0);
+        if (PRED == 1) {
+          p = w;
+        } else {
+          i32 n = prow ? (i32)prow[x] : w;
+          i32 nw = (x > 0 && prow) ? (i32)prow[x - 1] : w;
+          switch (PRED) {
+            case 2: p = n; break;
+            case 3: p = div_trunc((i64)w + n, 2); break;
+            case 4:
+              p = std::abs((i64)n - nw) < std::abs((i64)w - nw) ? w : n;
+              break;
+            case 5: p = grad_clamped(n, w, nw); break;
+            case 7: p = (prow && x + 1 < W) ? (i32)prow[x + 1] : n; break;
+            case 8: p = nw; break;
+            case 9: p = x >= 2 ? (i32)crow[x - 2] : w; break;
+            case 10: p = div_trunc((i64)w + nw, 2); break;
+            case 11: p = div_trunc((i64)n + nw, 2); break;
+            case 12: {
+              i32 ne = (prow && x + 1 < W) ? (i32)prow[x + 1] : n;
+              p = div_trunc((i64)n + ne, 2);
+              break;
+            }
+            case 13: {
+              i32 ne = (prow && x + 1 < W) ? (i32)prow[x + 1] : n;
+              i32 nee = (prow && x + 2 < W) ? (i32)prow[x + 2] : ne;
+              i32 nn = y >= 2 ? (i32)buf[(i64)(y - 2) * stride + x] : n;
+              i32 ww = x >= 2 ? (i32)crow[x - 2] : w;
+              p = div_trunc(6 * (i64)n - 2 * (i64)nn + 7 * (i64)w + (i64)ww +
+                                (i64)nee + 3 * (i64)ne + 8,
+                            16);
+              break;
+            }
+            default: p = 0;
+          }
+        }
+      }
+      u32 token = dec.read_varint_clustered(cluster, dm);
+      if (dec.error) return 10 + dec.error;
+      i64 diff = (i64)unpack_signed(token) * mul + off;
+      crow[x] = (S)wrap32(diff + p);
+    }
+  }
+  return 0;
+}
+
+template <typename S>
+static int decode_single_leaf(DecoderState& dec, const ChannelDesc& cd,
+                              const TreeNode* leaf, u32 dm) {
+  switch (leaf->b) {
+    case 0: return decode_single_leaf_loop<S, 0>(dec, cd, leaf, dm);
+    case 1: return decode_single_leaf_loop<S, 1>(dec, cd, leaf, dm);
+    case 2: return decode_single_leaf_loop<S, 2>(dec, cd, leaf, dm);
+    case 3: return decode_single_leaf_loop<S, 3>(dec, cd, leaf, dm);
+    case 4: return decode_single_leaf_loop<S, 4>(dec, cd, leaf, dm);
+    case 5: return decode_single_leaf_loop<S, 5>(dec, cd, leaf, dm);
+    case 7: return decode_single_leaf_loop<S, 7>(dec, cd, leaf, dm);
+    case 8: return decode_single_leaf_loop<S, 8>(dec, cd, leaf, dm);
+    case 9: return decode_single_leaf_loop<S, 9>(dec, cd, leaf, dm);
+    case 10: return decode_single_leaf_loop<S, 10>(dec, cd, leaf, dm);
+    case 11: return decode_single_leaf_loop<S, 11>(dec, cd, leaf, dm);
+    case 12: return decode_single_leaf_loop<S, 12>(dec, cd, leaf, dm);
+    case 13: return decode_single_leaf_loop<S, 13>(dec, cd, leaf, dm);
+    default: return -1;  // predictor 6 (WP) etc.: caller uses general path
+  }
+}
+
+// One modular sub-stream: all channels sharing one entropy stream.
+// dec/br are begun by the caller. Returns 0 or >0 error codes.
+static int decode_modular_stream_core(DecoderState& dec, BitReader& br,
+                                      ChannelDesc* chans, int num_channels,
+                                      i32 dist_multiplier,
+                                      const WpParams& wpp) {
+  WpState wps;
+  ScanState st;
+
+  for (int c = 0; c < num_channels; c++) {
+    ChannelDesc& cd = chans[c];
+    if (cd.width == 0 || cd.height == 0) continue;
+
+    const TreeNode* root = cd.tree;
+    bool single = root->is_leaf != 0;
+
+    if (single && !cd.need_wp) {
+      int ret = cd.is16
+          ? decode_single_leaf<int16_t>(dec, cd, root, (u32)dist_multiplier)
+          : decode_single_leaf<i32>(dec, cd, root, (u32)dist_multiplier);
+      if (ret >= 0) {
+        if (ret != 0) return ret;
+        continue;
+      }
+      // ret < 0: unsupported predictor, fall through to the general loop
+    }
+
+    WpState* wp = nullptr;
+    if (cd.need_wp) {
+      wps.init(cd.width, wpp);
+      wp = &wps;
+    }
+    st = ScanState();
+    st.init(&cd, wp);
+
+    for (i32 y = 0; y < cd.height; y++) {
+      i64 row_base = (i64)y * cd.stride;
+      for (i32 x = 0; x < cd.width; x++) {
+        st.compute_properties();
+        const TreeNode* leaf = single ? root : walk_tree(root, st);
+        u32 token = dec.read_varint_clustered(leaf->a, (u32)dist_multiplier);
+        if (dec.error) return 10 + dec.error;
+        i64 diff = (i64)unpack_signed(token) * leaf->d + leaf->c;
+        i32 val = wrap32(diff + st.predict(leaf->b));
+        sample_store(cd.buf, cd.is16, row_base + x, val);
+        st.record(val);
+      }
+    }
+  }
+
+  if (br.pos > br.len_bits) return 4;  // consumed past end: truncated
+  return dec.finalize();
+}
+
 }  // namespace
 
 
@@ -693,11 +834,10 @@ int jxlhost_decode_modular(
   SpecHolder holder;
   holder.build(spec_header, cluster_map, cfgs, ans_meta, ans_blob, pfx_meta,
                pfx_blob);
-  const DecoderSpec& spec = holder.spec;
 
   BitReader br{data, data_len_bytes * 8, *bit_pos};
   DecoderState dec;
-  dec.spec = &spec;
+  dec.spec = &holder.spec;
   dec.br = &br;
   dec.begin();
 
@@ -707,17 +847,13 @@ int jxlhost_decode_modular(
   wpp.p3d = wp_params[5]; wpp.p3e = wp_params[6];
   for (int i = 0; i < 4; i++) wpp.w[i] = wp_params[7 + i];
 
-  WpState wps;
-  ScanState st;
-
+  std::vector<ChannelDesc> chans(num_channels);
   for (int c = 0; c < num_channels; c++) {
-    i32 width = chan_dims[c * 2], height = chan_dims[c * 2 + 1];
-    if (width == 0 || height == 0) continue;
-    ChannelDesc cd;
+    ChannelDesc& cd = chans[c];
     cd.buf = chan_bufs[c];
     cd.stride = chan_strides[c];
-    cd.width = width;
-    cd.height = height;
+    cd.width = chan_dims[c * 2];
+    cd.height = chan_dims[c * 2 + 1];
     cd.tree = trees[c];
     cd.tree_len = tree_meta[c * 2];
     cd.need_wp = tree_meta[c * 2 + 1];
@@ -725,37 +861,109 @@ int jxlhost_decode_modular(
     cd.prev_bufs = prev_bufs_flat + prev_offsets[c];
     cd.prev_strides = prev_strides_flat + prev_offsets[c];
     cd.is16 = sample_is16;
-
-    WpState* wp = nullptr;
-    if (cd.need_wp) {
-      wps.init(width, wpp);
-      wp = &wps;
-    }
-    st = ScanState();
-    st.init(&cd, wp);
-
-    const TreeNode* root = cd.tree;
-    bool single = root->is_leaf != 0;
-
-    for (i32 y = 0; y < height; y++) {
-      i64 row_base = (i64)y * cd.stride;
-      for (i32 x = 0; x < width; x++) {
-        st.compute_properties();
-        const TreeNode* leaf = single ? root : walk_tree(root, st);
-        u32 token = dec.read_varint_clustered(leaf->a, (u32)dist_multiplier);
-        if (dec.error) return 10 + dec.error;
-        i64 diff = (i64)unpack_signed(token) * leaf->d + leaf->c;
-        i32 val = wrap32(diff + st.predict(leaf->b));
-        sample_store(cd.buf, sample_is16, row_base + x, val);
-        st.record(val);
-      }
-    }
   }
 
-  if (br.pos > br.len_bits) return 4;  // consumed past end: truncated
-  int fin = dec.finalize();
+  int ret = decode_modular_stream_core(dec, br, chans.data(), num_channels,
+                                       dist_multiplier, wpp);
   *bit_pos = br.pos;
-  return fin;
+  return ret;
+}
+
+// Decode MANY independent modular sub-streams (LF-group / pass-group
+// sections of a modular frame) in one call, fanning out on a native
+// thread pool — the modular twin of jxlhost_decode_hf_groups_batch
+// (reference: per-group pool.scope, jxl-render/src/modular.rs:36-130).
+//
+// Channels of all sections are flattened; section k owns
+// chan range [sec_chan_start[k], sec_chan_start[k]+sec_chan_count[k]).
+// Each section names its decoder spec via sec_spec[k] (index into the
+// n_specs spec pointer table; sections with local trees still share this
+// entry as long as the Python side serialized their spec). Per-section
+// wp_params are 11 i32 each. sec_ret[k] gets the section's return code
+// and sec_bit_pos[k] its final bit position.
+int jxlhost_decode_modular_batch(
+    // decoder specs
+    i32 n_specs,
+    const i32* const* spec_arrs,     // [n_specs*7], layout as single entry
+    // flattened channels
+    void** chan_bufs, const i64* chan_strides, const i32* chan_dims,
+    const TreeNode** trees, const i32* tree_meta,
+    const i32* prev_counts, const i32* prev_offsets,
+    const void* const* prev_bufs_flat, const i64* prev_strides_flat,
+    // sections
+    i32 n_sections,
+    const u8* const* sec_data, const u64* sec_len_bytes, u64* sec_bit_pos,
+    const i32* sec_spec,
+    const i32* sec_chan_start, const i32* sec_chan_count,
+    const i32* sec_dist_mul,
+    const i32* sec_wp_params,        // [n_sections*11]
+    const i32* sec_is16,
+    i32 n_threads,
+    i32* sec_ret
+) {
+  std::vector<SpecHolder> holders(n_specs);
+  for (i32 s = 0; s < n_specs; s++)
+    holders[s].build(spec_arrs[s * 7], spec_arrs[s * 7 + 1],
+                     spec_arrs[s * 7 + 2], spec_arrs[s * 7 + 3],
+                     spec_arrs[s * 7 + 4], spec_arrs[s * 7 + 5],
+                     spec_arrs[s * 7 + 6]);
+
+  auto run_section = [&](i32 k) -> int {
+    BitReader br{sec_data[k], sec_len_bytes[k] * 8, sec_bit_pos[k]};
+    DecoderState dec;
+    dec.spec = &holders[sec_spec[k]].spec;
+    dec.br = &br;
+    dec.begin();
+
+    const i32* wpp_a = sec_wp_params + (i64)k * 11;
+    WpParams wpp;
+    wpp.p1 = wpp_a[0]; wpp.p2 = wpp_a[1];
+    wpp.p3a = wpp_a[2]; wpp.p3b = wpp_a[3]; wpp.p3c = wpp_a[4];
+    wpp.p3d = wpp_a[5]; wpp.p3e = wpp_a[6];
+    for (int i = 0; i < 4; i++) wpp.w[i] = wpp_a[7 + i];
+
+    i32 c0 = sec_chan_start[k], nc = sec_chan_count[k];
+    std::vector<ChannelDesc> chans(nc);
+    for (i32 c = 0; c < nc; c++) {
+      ChannelDesc& cd = chans[c];
+      i32 gc = c0 + c;
+      cd.buf = chan_bufs[gc];
+      cd.stride = chan_strides[gc];
+      cd.width = chan_dims[gc * 2];
+      cd.height = chan_dims[gc * 2 + 1];
+      cd.tree = trees[gc];
+      cd.tree_len = tree_meta[gc * 2];
+      cd.need_wp = tree_meta[gc * 2 + 1];
+      cd.num_prev = prev_counts[gc];
+      cd.prev_bufs = prev_bufs_flat + prev_offsets[gc];
+      cd.prev_strides = prev_strides_flat + prev_offsets[gc];
+      cd.is16 = sec_is16[k];
+    }
+    int ret = decode_modular_stream_core(dec, br, chans.data(), nc,
+                                         sec_dist_mul[k], wpp);
+    sec_bit_pos[k] = br.pos;
+    return ret;
+  };
+
+  std::atomic<i32> next_job{0};
+  auto worker = [&]() {
+    for (;;) {
+      i32 k = next_job.fetch_add(1, std::memory_order_relaxed);
+      if (k >= n_sections) break;
+      sec_ret[k] = run_section(k);
+    }
+  };
+
+  if (n_threads <= 1 || n_sections <= 1) {
+    worker();
+  } else {
+    i32 nt = n_threads < n_sections ? n_threads : n_sections;
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (i32 t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
 }
 
 

@@ -9,6 +9,7 @@ under jax; the entropy stage is host-side.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -51,6 +52,26 @@ def _stack_channels(chans):
     return np.stack(chans, axis=-1)
 
 
+@functools.lru_cache(maxsize=64)
+def _finalize_fn(orientation: int, scale: float | None, dtype_name: str | None):
+    """ONE jitted XLA program for the render tail: orientation + channel
+    interleave + optional quantize. Chained eager jnp ops pay a dispatch
+    round trip each (ruinous over a remote-chip link); this fuses them
+    into a single async dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(chans):
+        chans = [_apply_orientation(p, orientation) for p in chans]
+        img = jnp.stack(chans, axis=-1)
+        if scale is not None:
+            img = jnp.clip(jnp.round(img * scale), 0, scale).astype(dtype_name)
+        return img
+
+    return f
+
+
 @dataclass
 class Render:
     """A rendered keyframe in the requested color encoding."""
@@ -68,24 +89,34 @@ class Render:
 
     def image_all_channels(self) -> np.ndarray:
         """[H, W, C] interleaved color + extra channels."""
-        chans = [
-            _apply_orientation(p, self.orientation)
-            for p in (*self.planes, *self.extra)
-        ]
-        return np.asarray(_stack_channels(chans))
+        chans = [*self.planes, *self.extra]
+        if any(_is_jax(c) for c in chans):
+            return np.asarray(_finalize_fn(self.orientation, None, None)(chans))
+        return np.stack(
+            [_apply_orientation(p, self.orientation) for p in chans], axis=-1
+        )
 
     def image(self) -> np.ndarray:
         """[H, W, C] color (+ alpha if present)."""
         return np.asarray(self._image_device())
 
-    def _image_device(self):
-        """Like image() but stays on device for device-resident planes."""
-        chans = [_apply_orientation(p, self.orientation) for p in self.planes]
+    def _output_chans(self) -> list:
+        """Color planes + alpha (if present), un-oriented."""
+        chans = list(self.planes)
         for info, ec in zip(self.ec_info, self.extra):
             if info.ty == ExtraChannelType.ALPHA:
-                chans.append(_apply_orientation(ec, self.orientation))
+                chans.append(ec)
                 break
-        return _stack_channels(chans)
+        return chans
+
+    def _image_device(self):
+        """Like image() but stays on device for device-resident planes."""
+        chans = self._output_chans()
+        if any(_is_jax(c) for c in chans):
+            return _finalize_fn(self.orientation, None, None)(chans)
+        return _stack_channels(
+            [_apply_orientation(p, self.orientation) for p in chans]
+        )
 
     def apply_spot_colors(self) -> None:
         """Composite SpotColour extra channels onto the color planes
@@ -112,14 +143,16 @@ class Render:
         return self._quantize(65535.0, np.uint16)
 
     def _quantize(self, scale: float, dtype) -> np.ndarray:
-        img = self._image_device()
-        if _is_jax(img):
-            # quantize on device: the readback is scale-bits wide instead
-            # of f32 (4x less transfer for u8 on slow links)
-            import jax.numpy as jnp
-
-            out = jnp.clip(jnp.round(img * scale), 0, scale).astype(dtype)
+        chans = self._output_chans()
+        if any(_is_jax(c) for c in chans):
+            # orientation + interleave + quantize fuse into one device
+            # dispatch; the readback is scale-bits wide instead of f32
+            # (4x less transfer for u8 on slow links)
+            out = _finalize_fn(
+                self.orientation, float(scale), np.dtype(dtype).name
+            )(chans)
             return np.asarray(out)
+        img = self._image_device()
         return np.clip(np.round(img * scale), 0, scale).astype(dtype)
 
 

@@ -140,7 +140,8 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
                          cfl_lf_k=(0.0, 1.0), cfl_colour_factor=84,
                          cfl_base=(0.0, 1.0),
                          gabor_weights=None, epf_params=None,
-                         sparse_coeff_n: int | None = None):
+                         sparse_coeff_n: int | None = None,
+                         crop=None):
     """One jitted function for the whole per-frame device pipeline:
     LF dequant/CfL/smoothing -> HF dequant -> HF CfL -> bucketed inverse
     transforms -> gaborish -> EPF.
@@ -273,6 +274,9 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
             if epf_params.iters >= 2:
                 out = epf_step(out, sigma, 2, cs,
                                float(epf_params.pass2_sigma_scale), bsm)
+        if crop is not None:
+            # final frame-size crop fused in: no separate slice dispatch
+            out = out[:, : crop[0], : crop[1]]
         return out
 
     return jax.jit(pipeline)
@@ -331,6 +335,7 @@ def build_fused_pipeline_sharded(
     cfl_base=(0.0, 1.0),
     gabor_weights=None, epf_params=None,
     sparse_coeff_n: int | None = None,
+    crop=None,
 ):
     """The fused per-frame device pipeline under shard_map: the REAL
     decoder program (bucketed varblock transforms, per-block dequant, CfL
@@ -508,6 +513,14 @@ def build_fused_pipeline_sharded(
         return NamedSharding(mesh, spec)
 
     shardings = tuple(_shard_of(s) for s in in_specs)
+    if crop is not None:
+        # frame-size crop fused into the same program (after the
+        # shard_map body; GSPMD reshards the row remainder)
+        inner = fn
+
+        def fn(*args):
+            return inner(*args)[:, : crop[0], : crop[1]]
+
     return jax.jit(fn), shardings
 
 

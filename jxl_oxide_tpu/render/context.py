@@ -300,8 +300,18 @@ class RenderContext:
             and all(e.mode == BlendMode.REPLACE for e in header.ec_blending_info)
         )
         if full_replace and fr.color[0].shape == (self.height, self.width):
-            canvas_color = [p.astype(np.float32).copy() for p in fr.color]
-            canvas_extra = [p.astype(np.float32).copy() for p in fr.extra]
+            # jax planes are immutable — no defensive copy (and no device
+            # dispatch); numpy planes copy ONCE (np.array) since canvases
+            # outlive the frame render they alias
+            def _own_f32(p):
+                if not isinstance(p, np.ndarray):
+                    import jax.numpy as jnp
+
+                    return jnp.asarray(p, jnp.float32)
+                return np.array(p, dtype=np.float32)
+
+            canvas_color = [_own_f32(p) for p in fr.color]
+            canvas_extra = [_own_f32(p) for p in fr.extra]
         else:
             fr.color = [np.array(p, dtype=np.float32) for p in fr.color]
             fr.extra = [np.array(p, dtype=np.float32) for p in fr.extra]

@@ -178,9 +178,9 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
                 p = _upsample2x_triangle(p, 0, h)
             color[i] = p[:h, :w]
 
-    # crop to frame size (VarDCT planes are already cropped per channel but
-    # may be 8-rounded when unsubsampled; modular channels are exact)
-    color = [p[:h, :w] for p in color]
+    # crop to frame size (the fused VarDCT path crops inside its program;
+    # skip identity slices — each is a device dispatch for jax planes)
+    color = [p if p.shape == (h, w) else p[:h, :w] for p in color]
 
     gray_cloned = False
     rf = header.restoration_filter

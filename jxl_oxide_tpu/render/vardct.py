@@ -648,6 +648,7 @@ class VardctFrameState:
              epf_params.pass0_sigma_scale, epf_params.pass2_sigma_scale,
              epf_params.border_sad_mul) if epf_params else None,
             tuple(sorted((sel, m.tobytes()) for sel, m in matrices.items())),
+            (self.height, self.width),
         )
         fn = self._fused_cache.get(key)
         if fn is None:
@@ -664,6 +665,7 @@ class VardctFrameState:
                 gabor_weights=gabor_weights,
                 epf_params=epf_params,
                 sparse_coeff_n=sparse_n,
+                crop=(self.height, self.width),
             )
             self._fused_cache[key] = fn
 
@@ -690,8 +692,8 @@ class VardctFrameState:
             )
             mul_p = np.ones(n_pad, dtype=mul_dt)
             mul_p[:n] = muls.astype(mul_dt)
-            bucket_args.append(jnp.asarray(pos_p))
-            bucket_args.append(jnp.asarray(mul_p))
+            bucket_args.append(pos_p)
+            bucket_args.append(mul_p)
         if sparse_n is not None:
             c_idx = np.zeros(sparse_n, dtype=np.int32)
             c_idx[: nz_flat.size] = nz_flat
@@ -703,19 +705,19 @@ class VardctFrameState:
                 else np.int32,
             )
             c_val[: nz_flat.size] = vals
-            coeff_input = (jnp.asarray(c_idx), jnp.asarray(c_val))
+            coeff_input = (c_idx, c_val)
         else:
             if np.abs(coeff_stack).max(initial=0) < 32768:
                 coeff_stack = coeff_stack.astype(np.int16)  # halve the upload
-            coeff_input = jnp.asarray(coeff_stack)
-        out = fn(
-            coeff_input,
-            jnp.asarray(hi["lf_input"]),
-            jnp.asarray(hi["lf_scale_arr"]),
-            jnp.asarray(hi["x_grid"]), jnp.asarray(hi["b_grid"]),
-            jnp.asarray(hi["sigma_blocks"]),
-            *bucket_args,
-        )
+            coeff_input = coeff_stack
+        import jax
+
+        # ONE batched host->device transfer for every input
+        placed = jax.device_put([
+            coeff_input, hi["lf_input"], hi["lf_scale_arr"],
+            hi["x_grid"], hi["b_grid"], hi["sigma_blocks"], *bucket_args,
+        ])
+        out = fn(*placed)
         # stay on device: downstream stages (ycbcr, upsampling, color
         # transform, u8 conversion) are jnp ops, so the only download is
         # the final u8/u16 readback (critical on transfer-bound links)
@@ -828,6 +830,7 @@ class VardctFrameState:
              epf_params.pass0_sigma_scale, epf_params.pass2_sigma_scale,
              epf_params.border_sad_mul) if epf_params else None,
             tuple(sorted((sel, m.tobytes()) for sel, m in hi["matrices"].items())),
+            (self.height, self.width),
         )
         cached = self._fused_cache.get(key)
         if cached is None:
@@ -845,6 +848,7 @@ class VardctFrameState:
                 gabor_weights=hi["gabor_weights"],
                 epf_params=epf_params,
                 sparse_coeff_n=sparse_n,
+                crop=(self.height, self.width),
             )
             self._fused_cache[key] = cached
         fn, shardings = cached
@@ -878,8 +882,8 @@ class VardctFrameState:
         ]
         out = fn(*placed)
         self.filters_applied = True
-        # crop the shard-grid row padding back to the plane size
-        return [out[0][:H], out[1][:H], out[2][:H]]
+        # shard-row padding + frame-size crop are fused into the program
+        return [out[0], out[1], out[2]]
 
     @traced("Dequant and transform (subsampled)")
     def _run_fused_subsampled(self, hf_global: HfGlobal | None):

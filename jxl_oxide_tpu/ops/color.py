@@ -59,8 +59,7 @@ def apply_matrix3(a, b, c, mat):
     return oa, ob, oc
 
 
-def ycbcr_to_rgb(cb, y, cr):
-    """BT.601 YCbCr -> RGB with +128/255 Y offset (ycbcr.rs:40-56)."""
+def _ycbcr_to_rgb_impl(cb, y, cr):
     yy = y + np.float32(128.0 / 255.0)
     r = cr * np.float32(1.402) + yy
     g = (
@@ -70,6 +69,24 @@ def ycbcr_to_rgb(cb, y, cr):
     )
     b = cb * np.float32(1.772) + yy
     return r, g, b
+
+
+_YCBCR_JIT = None
+
+
+def ycbcr_to_rgb(cb, y, cr):
+    """BT.601 YCbCr -> RGB with +128/255 Y offset (ycbcr.rs:40-56).
+    Device planes go through ONE jitted program (eight eager dispatches
+    otherwise); numpy planes stay on host."""
+    if not isinstance(y, np.ndarray):
+        import jax
+
+        if isinstance(y, jax.Array):
+            global _YCBCR_JIT
+            if _YCBCR_JIT is None:
+                _YCBCR_JIT = jax.jit(_ycbcr_to_rgb_impl)
+            return _YCBCR_JIT(cb, y, cr)
+    return _ycbcr_to_rgb_impl(cb, y, cr)
 
 
 def _signed_pow(v, f):

@@ -176,7 +176,7 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
                 p = _upsample2x_triangle(p, 1, w)
             if vs:
                 p = _upsample2x_triangle(p, 0, h)
-            color[i] = p[:h, :w]
+            color[i] = p if p.shape == (h, w) else p[:h, :w]
 
     # crop to frame size (the fused VarDCT path crops inside its program;
     # skip identity slices — each is a device dispatch for jax planes)

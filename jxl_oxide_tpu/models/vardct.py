@@ -761,6 +761,35 @@ class HfMetadata:
                 return cls(x_from_y, b_from_y, sel_grid, mul_grid,
                            epf_sigma)
 
+        group_blocks = group_dim // 8
+
+        from .. import native as _native
+
+        if _native.available():
+            sizes = np.asarray(
+                [d for i in range(TransformType.NUM_TYPES)
+                 for d in TransformType.SELECT_SIZE[i]], dtype=np.int32
+            )
+            sel_grid, mul_grid, mul_full = _native.place_varblocks(
+                block_info_raw, bh, bw, group_blocks, sizes
+            )
+            if epf is not None:
+                covered = mul_full > 0
+                sh = np.asarray(sharpness)
+                if np.any(((sh < 0) | (sh >= 8)) & covered):
+                    raise JxlValidationError("invalid EPF sharpness value")
+                lut = np.asarray(sharp_lut, dtype=np.float32)
+                epf_sigma = np.where(
+                    covered,
+                    (np.float32(sigma_base)
+                     / np.maximum(mul_full, 1).astype(np.float32))
+                    * lut[np.clip(sh, 0, 7)],
+                    np.float32(0.0),
+                )
+            return cls(x_from_y, b_from_y, sel_grid, mul_grid, epf_sigma)
+
+        lut = (np.asarray(sharp_lut, dtype=np.float32)
+               if epf is not None else None)
         data_idx = 0
         for y in range(bh):
             x = 0
@@ -777,7 +806,10 @@ class HfMetadata:
                 if hf_mul <= 0:
                     raise JxlValidationError("non-positive HfMul")
                 dw, dh = TransformType.SELECT_SIZE[dct_select]
-                if (x % 32) + dw > 32 or (y % 32) + dh > 32:
+                if (
+                    (x % group_blocks) + dw > group_blocks
+                    or (y % group_blocks) + dh > group_blocks
+                ):
                     raise JxlValidationError(
                         "varblock placed across pass group border"
                     )
@@ -793,7 +825,6 @@ class HfMetadata:
                     sh = sharpness[y : y + dh, x : x + dw]
                     if np.any((sh < 0) | (sh >= 8)):
                         raise JxlValidationError("invalid EPF sharpness value")
-                    lut = np.asarray(sharp_lut, dtype=np.float32)
                     epf_sigma[y : y + dh, x : x + dw] = (
                         sigma_base / hf_mul
                     ) * lut[sh]

@@ -307,6 +307,66 @@ def decode_modular_native(
     bs.pos = bit_pos.value
 
 
+def sparse_extract(flat_i32: np.ndarray, out_idx: np.ndarray,
+                   out_val: np.ndarray) -> tuple[int, int]:
+    """One-pass nonzero extraction: fills out_idx/out_val (both int32, up
+    to their length) and returns (nonzero_count, max_abs). When count
+    exceeds the capacity only capacity entries are written — callers use
+    that as the dense-fallback signal."""
+    lib = get_lib()
+    lib.jxlhost_sparse_extract_i32.restype = ctypes.c_int64
+    assert flat_i32.dtype == np.int32 and flat_i32.flags.c_contiguous
+    max_abs = ctypes.c_int32(0)
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    cnt = lib.jxlhost_sparse_extract_i32(
+        ip(flat_i32), ctypes.c_int64(flat_i32.size),
+        ctypes.c_int64(len(out_idx)), ip(out_idx), ip(out_val),
+        ctypes.byref(max_abs),
+    )
+    return int(cnt), int(max_abs.value)
+
+
+def place_varblocks(block_info_raw, bh: int, bw: int, group_blocks: int,
+                    select_sizes: np.ndarray):
+    """Native varblock placement (hf_metadata.rs BlockInfo): returns
+    (sel_grid i8 [bh,bw] with -1 holes, mul_grid i32 origins,
+    mul_full i32 coverage) or raises JxlValidationError."""
+    from ..utils.errors import JxlValidationError
+
+    lib = get_lib()
+    info = np.ascontiguousarray(block_info_raw, dtype=np.int32)
+    n_raw = info.shape[1]
+    sel_grid = np.full((bh, bw), -1, dtype=np.int8)
+    mul_grid = np.zeros((bh, bw), dtype=np.int32)
+    mul_full = np.zeros((bh, bw), dtype=np.int32)
+    sizes = np.ascontiguousarray(select_sizes, dtype=np.int32)
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    ret = lib.jxlhost_place_varblocks(
+        ip(info), ctypes.c_int64(n_raw),
+        ctypes.c_int32(bh), ctypes.c_int32(bw), ctypes.c_int32(group_blocks),
+        ip(sizes), ctypes.c_int32(len(sizes) // 2),
+        sel_grid.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ip(mul_grid), ip(mul_full),
+    )
+    if ret != 0:
+        msgs = {
+            1: "invalid TransformType",
+            2: "non-positive HfMul",
+            3: "varblock placed across pass group border",
+            4: "varblock doesn't fit in LF group",
+            5: "varblocks overlap",
+            6: "BlockInfo doesn't fill LF group",
+        }
+        raise JxlValidationError(msgs.get(ret, f"varblock placement error {ret}"))
+    return sel_grid, mul_grid, mul_full
+
+
 def raise_modular_ret(ret: int) -> None:
     """Map a native modular-decode return code to the library exception."""
     if ret == 0:

@@ -131,6 +131,56 @@ def parse_lf_group(
     return LfGroup(lf_coeff, hf_meta)
 
 
+class _Bucket:
+    """Varblocks of one transform type within a channel plane.
+
+    pos3 is the raw [n, 3] (x, y, hf_mul) array in block units; `indices`
+    builds the [n, bh*8, bw*8] coefficient / [n, bh, bw] LF gather plans
+    on demand (only the staged fallback path needs them — the fused
+    pipeline expands positions on device)."""
+
+    __slots__ = ("sel", "pos3", "plane_shape", "lf_shape", "_idx")
+
+    def __init__(self, sel, pos3, plane_shape, lf_shape):
+        self.sel = sel
+        self.pos3 = pos3
+        self.plane_shape = plane_shape
+        self.lf_shape = lf_shape
+        self._idx = None
+
+    @property
+    def n(self) -> int:
+        return len(self.pos3)
+
+    @property
+    def muls(self) -> np.ndarray:
+        return self.pos3[:, 2].astype(np.float64)
+
+    @property
+    def pos(self) -> np.ndarray:
+        return self.pos3[:, :2].astype(np.int32)
+
+    def indices(self):
+        if self._idx is None:
+            bw, bh = TransformType.SELECT_SIZE[self.sel]
+            h, w = bh * 8, bw * 8
+            _, pw = self.plane_shape
+            _, lw = self.lf_shape
+            pos = self.pos3
+            dy = np.arange(h)[:, None]
+            dx = np.arange(w)[None, :]
+            rows = pos[:, 1, None, None] * 8 + dy
+            cols = pos[:, 0, None, None] * 8 + dx
+            coeff_idx = (rows * pw + cols).astype(np.int32)
+            ldy = np.arange(bh)[:, None]
+            ldx = np.arange(bw)[None, :]
+            lrows = pos[:, 1, None, None] + ldy
+            lcols = pos[:, 0, None, None] + ldx
+            lf_idx = (lrows * lw + lcols).astype(np.int32)
+            self._idx = (coeff_idx, lf_idx)
+        return self._idx
+
+
 class VardctFrameState:
     """Whole-frame VarDCT decode state: LF planes, coefficient planes, and
     per-frame varblock plan feeding the device pipeline."""
@@ -323,12 +373,13 @@ class VardctFrameState:
         for c in range(3):
             dmap = np.zeros(self.plane_shapes[c], dtype=np.float32)
             flat = dmap.reshape(-1)
-            for sel, coeff_idx, _lf_idx, _out_idx, muls, _pos in self.buckets(c):
+            for b in self.buckets(c):
                 matrix = hf_global.dequant_matrices.get(
-                    c, sel, TransformType.need_transpose(sel)
+                    c, b.sel, TransformType.need_transpose(b.sel)
                 )
                 base = 65536.0 / quantizer.global_scale * qm_scale[c]
-                vals = matrix[None, :, :] * (base / muls)[:, None, None]
+                vals = matrix[None, :, :] * (base / b.muls)[:, None, None]
+                coeff_idx = b.indices()[0]
                 flat[coeff_idx.reshape(-1)] = vals.reshape(-1).astype(np.float32)
             maps.append(dmap)
         return maps
@@ -360,9 +411,11 @@ class VardctFrameState:
         kb_map = np.repeat(np.repeat(kb, 64, axis=0), 64, axis=1)[:h, :w]
         return np.ascontiguousarray(kx_map), np.ascontiguousarray(kb_map)
 
-    def buckets(self, channel: int):
-        """Cached gather/scatter index plans per transform type for one
-        channel: (sel, coeff_idx, lf_idx, out_idx, hf_muls)."""
+    def buckets(self, channel: int) -> "list[_Bucket]":
+        """Cached per-transform-type varblock buckets for one channel.
+        Gather/scatter index plans materialize lazily (_Bucket.indices):
+        the fused pipeline only needs positions + multipliers, and the
+        index arrays are O(n * block_area) memory."""
         cache = getattr(self, "_bucket_cache", None)
         if cache is None:
             cache = self._bucket_cache = {}
@@ -409,32 +462,19 @@ class VardctFrameState:
             }
         buckets = []
         for sel, entries in sorted(per_type.items()):
-            bw, bh = TransformType.SELECT_SIZE[sel]
-            h, w = bh * 8, bw * 8
             pos = np.asarray(entries, dtype=np.int64)  # [n, 3]
-            dy = np.arange(h)[:, None]
-            dx = np.arange(w)[None, :]
-            rows = pos[:, 1, None, None] * 8 + dy
-            cols = pos[:, 0, None, None] * 8 + dx
-            coeff_idx = (rows * pw + cols).astype(np.int32)
-            ldy = np.arange(bh)[:, None]
-            ldx = np.arange(bw)[None, :]
-            lrows = pos[:, 1, None, None] + ldy
-            lcols = pos[:, 0, None, None] + ldx
-            lf_idx = (lrows * lw + lcols).astype(np.int32)
-            buckets.append(
-                (sel, coeff_idx, lf_idx, coeff_idx,
-                 pos[:, 2].astype(np.float64), pos[:, :2].astype(np.int32))
-            )
+            buckets.append(_Bucket(int(sel), pos, (ph, pw), (lh, lw)))
         cache[channel] = buckets
         return buckets
 
     def build_transform_buckets(self, channel: int):
         """Gather/scatter index plans (without muls), for the per-plane
         fallback path."""
-        return [
-            (sel, ci, li, oi) for sel, ci, li, oi, _, _ in self.buckets(channel)
-        ]
+        out = []
+        for b in self.buckets(channel):
+            ci, li = b.indices()
+            out.append((b.sel, ci, li, ci))
+        return out
 
     # -- top level ----------------------------------------------------------
 
@@ -520,14 +560,14 @@ class VardctFrameState:
             skip_smoothing = True
 
         buckets = self.buckets(0)
-        bucket_meta = tuple((sel, len(ci)) for sel, ci, *_ in buckets)
+        bucket_meta = tuple((b.sel, b.n) for b in buckets)
         matrices = {}
         qm_scale = (
             0.8 ** (header.x_qm_scale - 2),
             1.0,
             0.8 ** (header.b_qm_scale - 2),
         )
-        for sel, *_ in buckets:
+        for sel in (b.sel for b in buckets):
             if hf_global is not None:
                 matrices[sel] = np.stack([
                     hf_global.dequant_matrices.get(
@@ -620,18 +660,33 @@ class VardctFrameState:
         # jit cache instead of recompiling per image (sentinel positions
         # gather garbage that the mode="drop" scatter discards)
         bucket_meta = tuple(
-            (sel, max(16, 1 << (len(ci) - 1).bit_length()))
-            for sel, ci, *_ in buckets
+            (b.sel, max(16, 1 << (b.n - 1).bit_length()))
+            for b in buckets
         )
 
         # sparse coefficient upload when it beats dense int16 (quantized
         # HF coefficients are mostly zero); padded to pow2 to bound the
-        # number of compiled program shapes
-        nz_flat = np.flatnonzero(coeff_stack.reshape(-1))
+        # number of compiled program shapes. The native runtime extracts
+        # indices/values and the max |coeff| in ONE pass over the planes.
+        from .. import native as _native
+
         dense_bytes = coeff_stack.size * 2
         sparse_n = None
-        if nz_flat.size * 6 < dense_bytes // 2:
-            sparse_n = 1 << max(10, int(nz_flat.size - 1).bit_length())
+        nz_flat = None
+        idx_buf = val_buf = None
+        max_abs = None
+        if _native.available():
+            flat = np.ascontiguousarray(coeff_stack.reshape(-1))
+            cap = max(coeff_stack.size // 6, 1024)
+            idx_buf = np.zeros(cap, dtype=np.int32)
+            val_buf = np.zeros(cap, dtype=np.int32)
+            nz_count, max_abs = _native.sparse_extract(flat, idx_buf, val_buf)
+            if nz_count * 6 < dense_bytes // 2:
+                sparse_n = 1 << max(10, int(nz_count - 1).bit_length())
+        else:
+            nz_flat = np.flatnonzero(coeff_stack.reshape(-1))
+            if nz_flat.size * 6 < dense_bytes // 2:
+                sparse_n = 1 << max(10, int(nz_flat.size - 1).bit_length())
 
         key = (
             sparse_n,
@@ -676,7 +731,8 @@ class VardctFrameState:
         # +size and could wrap IN range for tall planes)
         ph, pw = self.plane_shapes[0]
         sentinel = (pw // 8, ph // 8)
-        for (_, n_pad), (_, _, _, _, muls, pos) in zip(bucket_meta, buckets):
+        for (_, n_pad), b in zip(bucket_meta, buckets):
+            muls, pos = b.muls, b.pos
             n = len(pos)
             # int16 upload when coordinates/multipliers fit (block coords
             # max out at 8192 for 65536px planes; hf_mul is usually tiny)
@@ -695,19 +751,26 @@ class VardctFrameState:
             bucket_args.append(pos_p)
             bucket_args.append(mul_p)
         if sparse_n is not None:
-            c_idx = np.zeros(sparse_n, dtype=np.int32)
-            c_idx[: nz_flat.size] = nz_flat
-            vals = coeff_stack.reshape(-1)[nz_flat]
-            c_val = np.zeros(
-                sparse_n,
-                dtype=np.int16
-                if np.abs(vals).max(initial=0) < 32768
-                else np.int32,
-            )
-            c_val[: nz_flat.size] = vals
+            if idx_buf is not None:
+                c_idx = idx_buf[:sparse_n]
+                vals = val_buf[:sparse_n]
+                c_val = vals.astype(np.int16) if max_abs < 32768 else vals
+            else:
+                c_idx = np.zeros(sparse_n, dtype=np.int32)
+                c_idx[: nz_flat.size] = nz_flat
+                vals = coeff_stack.reshape(-1)[nz_flat]
+                c_val = np.zeros(
+                    sparse_n,
+                    dtype=np.int16
+                    if np.abs(vals).max(initial=0) < 32768
+                    else np.int32,
+                )
+                c_val[: nz_flat.size] = vals
             coeff_input = (c_idx, c_val)
         else:
-            if np.abs(coeff_stack).max(initial=0) < 32768:
+            if max_abs is None:
+                max_abs = int(np.abs(coeff_stack).max(initial=0))
+            if max_abs < 32768:
                 coeff_stack = coeff_stack.astype(np.int16)  # halve the upload
             coeff_input = coeff_stack
         import jax
@@ -790,7 +853,8 @@ class VardctFrameState:
         # off-plane sentinel positions (scatter mode="drop" discards them)
         hb_loc = H_loc // 8
         sh_buckets = []  # (sel, n_max, pos [n_sh, n_max, 2], muls)
-        for sel, _ci, _li, _oi, muls, pos in buckets:
+        for b in buckets:
+            sel, muls, pos = b.sel, b.muls, b.pos
             shard_of = pos[:, 1] // hb_loc
             per = [np.nonzero(shard_of == s)[0] for s in range(n_sh)]
             n_max = max((len(p) for p in per), default=0)
@@ -910,11 +974,11 @@ class VardctFrameState:
         for c in range(3):
             buckets = self.buckets(c)
             bucket_meta = tuple(
-                (sel, max(16, 1 << (len(ci) - 1).bit_length()))
-                for sel, ci, *_ in buckets
+                (b.sel, max(16, 1 << (b.n - 1).bit_length()))
+                for b in buckets
             )
             matrices = {}
-            for sel, *_ in buckets:
+            for sel in (b.sel for b in buckets):
                 if hf_global is not None:
                     matrices[sel] = hf_global.dequant_matrices.get(
                         c, sel, TransformType.need_transpose(sel)
@@ -944,7 +1008,8 @@ class VardctFrameState:
             ph, pw = self.plane_shapes[c]
             sentinel = (pw // 8, ph // 8)
             bucket_args = []
-            for (_, n_pad), (_, _, _, _, muls, pos) in zip(bucket_meta, buckets):
+            for (_, n_pad), b in zip(bucket_meta, buckets):
+                muls, pos = b.muls, b.pos
                 n = len(pos)
                 pos_dt = np.int16 if max(sentinel) < 32768 else np.int32
                 pos_p = np.empty((n_pad, 2), dtype=pos_dt)

@@ -869,6 +869,79 @@ int jxlhost_decode_modular(
   return ret;
 }
 
+// Single-pass sparse extraction for the coefficient upload: counts
+// nonzeros and (when a capacity is given) writes their flat indices and
+// int16/int32 values. Replaces a numpy flatnonzero + fancy-index +
+// astype chain that re-scans hundreds of MB per large frame.
+// Returns the nonzero count. If count > capacity, only capacity entries
+// are written (caller re-sizes and retries or goes dense).
+// max_abs_out receives the max |value| (for int16 eligibility).
+int64_t jxlhost_sparse_extract_i32(
+    const i32* in, int64_t n, int64_t capacity,
+    i32* out_idx, i32* out_val, i32* max_abs_out
+) {
+  int64_t cnt = 0;
+  i32 max_abs = 0;
+  for (int64_t i = 0; i < n; i++) {
+    i32 v = in[i];
+    if (v != 0) {
+      i32 a = v < 0 ? (v == INT32_MIN ? INT32_MAX : -v) : v;
+      if (a > max_abs) max_abs = a;
+      if (cnt < capacity) {
+        out_idx[cnt] = (i32)i;
+        out_val[cnt] = v;
+      }
+      cnt++;
+    }
+  }
+  *max_abs_out = max_abs;
+  return cnt;
+}
+
+// Place varblocks onto the LF-group block grid
+// (jxl-vardct hf_metadata.rs BlockInfo construction): row-major scan,
+// skip occupied cells, each entry claims a dw x dh rectangle. Fills
+// sel_grid/mul_grid at origins and mul_full over the coverage (callers
+// derive the EPF sigma grid from mul_full vectorized). Returns 0 ok,
+// 1 invalid transform type, 2 non-positive HfMul, 3 crosses group
+// border, 4 out of grid, 5 overlap, 6 grid not filled.
+int jxlhost_place_varblocks(
+    const i32* info, i64 n_raw,   // [2, n_raw]: row 0 = sel, row 1 = mul-1
+    i32 bh, i32 bw, i32 group_blocks,
+    const i32* sizes, i32 num_types,  // [num_types*2]: (dw, dh)
+    signed char* sel_grid,            // [bh*bw] pre-filled -1
+    i32* mul_grid,                    // [bh*bw] zeros
+    i32* mul_full                     // [bh*bw] zeros
+) {
+  i64 idx = 0;
+  for (i32 y = 0; y < bh; y++) {
+    for (i32 x = 0; x < bw;) {
+      if (mul_full[(i64)y * bw + x]) { x++; continue; }
+      if (idx >= n_raw) return 6;
+      i32 sel = info[idx];
+      i64 mul = (i64)info[n_raw + idx] + 1;
+      if (sel < 0 || sel >= num_types) return 1;
+      if (mul <= 0 || mul > 0x7FFFFFFF) return 2;
+      i32 dw = sizes[sel * 2], dh = sizes[sel * 2 + 1];
+      if ((x % group_blocks) + dw > group_blocks ||
+          (y % group_blocks) + dh > group_blocks)
+        return 3;
+      if (x + dw > bw || y + dh > bh) return 4;
+      for (i32 yy = y; yy < y + dh; yy++)
+        for (i32 xx = x; xx < x + dw; xx++)
+          if (mul_full[(i64)yy * bw + xx]) return 5;
+      for (i32 yy = y; yy < y + dh; yy++)
+        for (i32 xx = x; xx < x + dw; xx++)
+          mul_full[(i64)yy * bw + xx] = (i32)mul;
+      sel_grid[(i64)y * bw + x] = (signed char)sel;
+      mul_grid[(i64)y * bw + x] = (i32)mul;
+      idx++;
+      x += dw;
+    }
+  }
+  return 0;
+}
+
 // Decode MANY independent modular sub-streams (LF-group / pass-group
 // sections of a modular frame) in one call, fanning out on a native
 // thread pool — the modular twin of jxlhost_decode_hf_groups_batch

@@ -918,17 +918,29 @@ class VardctFrameState:
         fn, shardings = cached
 
         if sparse_n is not None:
+            from .. import native as _native
+
             c_idx = np.zeros((n_sh, sparse_n), dtype=np.int32)
-            narrow_vals = np.abs(coeff_stack).max(initial=0) < 32768
-            c_val = np.zeros(
-                (n_sh, sparse_n),
-                dtype=np.int16 if narrow_vals else np.int32,
-            )
+            c_val32 = np.zeros((n_sh, sparse_n), dtype=np.int32)
+            max_abs = 0
             for s_ in range(n_sh):
-                slab = coeff_stack[:, s_ * H_loc : (s_ + 1) * H_loc]
-                nzf = np.flatnonzero(slab)
-                c_idx[s_, : nzf.size] = nzf
-                c_val[s_, : nzf.size] = slab.reshape(-1)[nzf]
+                slab = np.ascontiguousarray(
+                    coeff_stack[:, s_ * H_loc : (s_ + 1) * H_loc]
+                )
+                if _native.available():
+                    _, ma = _native.sparse_extract(
+                        slab.reshape(-1), c_idx[s_], c_val32[s_]
+                    )
+                    max_abs = max(max_abs, ma)
+                else:
+                    nzf = np.flatnonzero(slab)
+                    c_idx[s_, : nzf.size] = nzf
+                    c_val32[s_, : nzf.size] = slab.reshape(-1)[nzf]
+                    max_abs = max(
+                        max_abs,
+                        int(np.abs(c_val32[s_]).max(initial=0)),
+                    )
+            c_val = c_val32.astype(np.int16) if max_abs < 32768 else c_val32
             coeff_input = (c_idx, c_val)
         else:
             if np.abs(coeff_stack).max(initial=0) < 32768:

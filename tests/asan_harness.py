@@ -49,6 +49,41 @@ from bench_host import host_stage, make_stream  # noqa: E402
 
 host_stage(make_stream(512, dense=True), threads=2)
 
+# 2b. varblock placement (mixed transform sizes incl. failure paths)
+from jxl_oxide_tpu.models.vardct import TransformType  # noqa: E402
+from jxl_oxide_tpu.utils.errors import JxlValidationError  # noqa: E402
+
+sizes = np.asarray(
+    [d for i in range(TransformType.NUM_TYPES)
+     for d in TransformType.SELECT_SIZE[i]], dtype=np.int32
+)
+info = np.array([[TransformType.DCT16] + [TransformType.DCT8] * 12,
+                 [3] + list(range(12))], dtype=np.int64)
+sel_g, mul_g, full_g = native.place_varblocks(info, 4, 4, 32, sizes)
+assert (full_g > 0).all() and sel_g[0, 0] == TransformType.DCT16
+for bad in (
+    np.array([[99], [0]], dtype=np.int64),          # invalid type
+    np.array([[TransformType.DCT64], [0]], dtype=np.int64),  # doesn't fit
+    np.array([[TransformType.DCT8], [-5]], dtype=np.int64),  # bad mul
+):
+    try:
+        native.place_varblocks(bad, 4, 4, 32, sizes)
+        raise AssertionError("expected JxlValidationError")
+    except JxlValidationError:
+        pass
+
+# 2c. one-pass sparse extraction (count > capacity overflow path too)
+arr = rng.integers(-5, 6, 4096).astype(np.int32)
+idx = np.zeros(4096, dtype=np.int32)
+val = np.zeros(4096, dtype=np.int32)
+cnt, ma = native.sparse_extract(arr, idx, val)
+assert cnt == int(np.count_nonzero(arr))
+assert ma == int(np.abs(arr).max())
+small_i = np.zeros(8, dtype=np.int32)
+small_v = np.zeros(8, dtype=np.int32)
+cnt2, _ = native.sparse_extract(arr, small_i, small_v)
+assert cnt2 == cnt  # counts past capacity without writing
+
 # 3. ICC decode (native 41-context stream) via a real container file
 cmyk = os.path.join(
     "/root/reference/crates/jxl-oxide-tests/tests/cms/cmyk_layers.jxl"

@@ -96,7 +96,7 @@ class HuffmanCode:
 
 
 class BuiltHuffmanTable:
-    __slots__ = ("lengths", "bits")
+    __slots__ = ("lengths", "bits", "_native_arrs")
 
     def __init__(self, lengths=None, bits=None):
         self.lengths = lengths or [0] * 256
@@ -898,6 +898,31 @@ def _process_scan(out, si, smi, frame_header, header, coeff_planes,
     ss = max(si.ss, 1)
     se = si.se + 1
     al = si.al
+
+    # Native (C++) scan encoder: the whole per-block Huffman hot loop in
+    # one call (reconstruct.rs process_scan + bit_writer.rs parity).
+    from .. import native as _native
+
+    if _native.available():
+        comps_data = []
+        for cidx, c in enumerate(comps):
+            idx = c.comp_idx if do_ycbcr else [1, 0, 2][c.comp_idx]
+            comps_data.append((
+                lf_quant_planes[idx], coeff_planes[idx], dc_offset[idx],
+                hsamples[cidx], vsamples[cidx],
+                dc_tables[c.dc_tbl_idx], ac_tables[c.ac_tbl_idx],
+            ))
+        encoded, new_pos = _native.jbr_encode_scan(
+            comps_data, scan_type, si.ss == 0, ss, se, al, w8, h8,
+            restart_interval, smi.reset_points, smi.extra_zero_runs,
+            nat8,
+            padding_bs.data if padding_bs is not None else None,
+            padding_bs.pos if padding_bs is not None else 0,
+        )
+        if padding_bs is not None:
+            padding_bs.pos = new_pos
+        out += encoded
+        return
 
     state = _ScanState(len(comps))
     block_idx = 0

@@ -307,6 +307,102 @@ def decode_modular_native(
     bs.pos = bit_pos.value
 
 
+def _jbr_table_arrays(table):
+    """BuiltHuffmanTable -> (bits u64[256] MSB-aligned, lens i32[256]),
+    cached on the table object."""
+    cached = getattr(table, "_native_arrs", None)
+    if cached is not None:
+        return cached
+    lens = np.asarray(table.lengths, dtype=np.int32)
+    bits = np.asarray(table.bits, dtype=np.uint64)
+    table._native_arrs = (bits, lens)
+    return bits, lens
+
+
+def jbr_encode_scan(comps_data, scan_type: int, has_dc: bool, ss: int,
+                    se: int, al: int, w8: int, h8: int,
+                    restart_interval: int, reset_points, extra_zero_runs,
+                    nat8, padding_bits: bytes | None,
+                    padding_pos: int) -> tuple[bytes, int]:
+    """Encode one JPEG scan in C++ (jxlhost_jbr_encode_scan).
+
+    comps_data: list of (lf_plane i32, hf_plane i32, dc_offset, hs, vs,
+    dc_table | None, ac_table | None). Returns (encoded bytes, new
+    padding bit position). Raises JxlError on missing huffman codes and
+    JxlEofError when the padding bit stream runs out."""
+    from ..utils.errors import JxlEofError, JxlError
+
+    lib = get_lib()
+    n = len(comps_data)
+    comp_meta = np.zeros(n * 10, dtype=np.int64)
+    plane_ptrs = (ctypes.c_void_p * (n * 2))()
+    bits_ptrs = (ctypes.c_void_p * (n * 2))()
+    lens_ptrs = (ctypes.c_void_p * (n * 2))()
+    keepalive = []
+    for i, (lf, hf, dco, hs, vs, dc_t, ac_t) in enumerate(comps_data):
+        lf = np.ascontiguousarray(lf, dtype=np.int32)
+        hf = np.ascontiguousarray(hf, dtype=np.int32)
+        keepalive += [lf, hf]
+        comp_meta[i * 10 : i * 10 + 9] = (
+            dco, hs, vs,
+            lf.shape[0], lf.shape[1], lf.strides[0] // 4,
+            hf.shape[0], hf.shape[1], hf.strides[0] // 4,
+        )
+        plane_ptrs[i * 2] = lf.ctypes.data
+        plane_ptrs[i * 2 + 1] = hf.ctypes.data
+        for j, t in enumerate((dc_t, ac_t)):
+            if t is not None:
+                b, ln = _jbr_table_arrays(t)
+                keepalive += [b, ln]
+                bits_ptrs[i * 2 + j] = b.ctypes.data
+                lens_ptrs[i * 2 + j] = ln.ctypes.data
+    resets = np.asarray(sorted(reset_points), dtype=np.int64)
+    ezr_items = sorted(extra_zero_runs.items())
+    ezr_idx = np.asarray([k for k, _ in ezr_items], dtype=np.int64)
+    ezr_n = np.asarray([v for _, v in ezr_items], dtype=np.int32)
+    nat8_arr = np.asarray(
+        [v for xy in nat8 for v in xy], dtype=np.int32
+    )
+    pad_pos = ctypes.c_uint64(padding_pos)
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_uint64(0)
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    ret = lib.jxlhost_jbr_encode_scan(
+        ctypes.c_int32(n),
+        comp_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.cast(plane_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(bits_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(lens_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.c_int32(scan_type), ctypes.c_int32(1 if has_dc else 0),
+        ctypes.c_int32(ss), ctypes.c_int32(se), ctypes.c_int32(al),
+        ctypes.c_int32(w8), ctypes.c_int32(h8),
+        ctypes.c_int32(restart_interval or 0),
+        resets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(resets)),
+        ezr_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ip(ezr_n), ctypes.c_int64(len(ezr_idx)),
+        ip(nat8_arr),
+        ctypes.c_char_p(padding_bits) if padding_bits is not None else None,
+        ctypes.c_uint64(len(padding_bits) * 8 if padding_bits else 0),
+        ctypes.byref(pad_pos),
+        ctypes.byref(out_ptr), ctypes.byref(out_len),
+    )
+    if ret == 1:
+        raise JxlError("JPEG huffman symbol has no code")
+    if ret == 3:
+        raise JxlEofError("jbrd: padding bit stream exhausted")
+    if ret != 0:
+        raise JxlError(f"native jbr scan encode error {ret}")
+    try:
+        encoded = ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.jxlhost_buf_free(out_ptr)
+    return encoded, int(pad_pos.value)
+
+
 def sparse_extract(flat_i32: np.ndarray, out_idx: np.ndarray,
                    out_val: np.ndarray) -> tuple[int, int]:
     """One-pass nonzero extraction: fills out_idx/out_val (both int32, up

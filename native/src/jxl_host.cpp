@@ -869,6 +869,408 @@ int jxlhost_decode_modular(
   return ret;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG bitstream reconstruction: per-scan Huffman re-encode
+// (jxl-jbr reconstruct.rs process_scan + bit_writer.rs). The Python side
+// parses the jbrd header and emits all markers; this runs the per-block
+// hot loop of one SOS scan (sequential, progressive-first and
+// progressive-refinement) and returns the entropy-coded bytes.
+
+namespace {
+
+struct JbrWriter {
+  std::vector<u8> out;
+  u64 buf = 0;
+  int valid = 0;
+
+  inline void emit_word(u64 w, int nbytes) {
+    for (int i = 0; i < nbytes; i++) {
+      u8 b = (u8)(w >> (56 - 8 * i));
+      out.push_back(b);
+      if (b == 0xFF) out.push_back(0);  // JPEG byte stuffing
+    }
+  }
+  inline void write_huffman(u64 bits, int length) {
+    buf |= bits >> valid;
+    valid += length;
+    if (valid >= 64) {
+      int extra = valid - 64;
+      u64 w = buf;
+      valid = extra;
+      int sh = length - extra;
+      buf = sh < 64 ? (bits << sh) : 0;
+      emit_word(w, 8);
+    }
+  }
+  inline void write_raw(u64 bits, int length) {
+    if (length == 0) return;
+    write_huffman(bits << (64 - length), length);
+  }
+  inline int padding_bits() const { return (8 - valid % 8) % 8; }
+  void finalize() {
+    int nbytes = (valid + 7) / 8;
+    if (nbytes) emit_word(buf, nbytes);
+    buf = 0;
+    valid = 0;
+  }
+};
+
+struct JbrHuff {
+  const u64* bits;  // [256] MSB-aligned code bits
+  const i32* lens;  // [256] code lengths (0 = no code)
+};
+
+struct JbrScanState {
+  JbrWriter bw;
+  std::vector<i32> dc_pred;
+  i64 eobrun = 0;
+  JbrHuff last_ac{nullptr, nullptr};
+  bool last_ac_set = false;
+  std::vector<std::pair<u64, int>> refine_bits;
+  int rst_m = 0;
+  int err = 0;
+
+  inline i32 update_dc_pred(int ci, i32 coeff) {
+    int16_t diff = (int16_t)(coeff - dc_pred[ci]);  // wrapping i16
+    dc_pred[ci] = coeff;
+    return (i32)diff;
+  }
+  inline void huff(const JbrHuff& t, int sym) {
+    i32 len = t.lens[sym];
+    if (len == 0) { err = 1; return; }
+    bw.write_huffman(t.bits[sym], len);
+  }
+  void emit_eobrun() {
+    if (eobrun == 0 || err) return;
+    int eobn = 63 - __builtin_clzll((u64)eobrun);
+    huff(last_ac, (eobn << 4));
+    if (err) return;
+    bw.write_raw((u64)eobrun & ((1ull << eobn) - 1), eobn);
+    eobrun = 0;
+    for (auto& rb : refine_bits) bw.write_raw(rb.first, rb.second);
+    refine_bits.clear();
+  }
+  int flush(const u8* pad_data, u64 pad_len_bits, u64* pad_pos) {
+    emit_eobrun();
+    if (err) return err;
+    int pad = bw.padding_bits();
+    if (pad) {
+      u64 bits;
+      if (pad_data != nullptr) {
+        if (*pad_pos + (u64)pad > pad_len_bits) return 3;
+        BitReader pr{pad_data, pad_len_bits, *pad_pos};
+        bits = pr.read(pad);
+        *pad_pos = pr.pos;
+      } else {
+        bits = (1ull << pad) - 1;
+      }
+      bw.write_raw(bits, pad);
+    }
+    bw.finalize();
+    return 0;
+  }
+};
+
+inline int jbr_bitlen(i32 v) { return v ? 32 - __builtin_clz((u32)v) : 0; }
+
+// shared AC run-length encode; returns trailing zero count (or -1 on err)
+template <bool PROG>
+static int jbr_encode_ac_run(JbrScanState& st, const JbrHuff& ac_table,
+                             const i32* ac, int n, i32 ezr) {
+  int i = 0;
+  for (;;) {
+    int j = i;
+    while (j < n && ac[j] == 0) j++;
+    if (j >= n) break;
+    if (PROG) st.emit_eobrun();
+    int run = j - i;
+    i32 coeff = ac[j];
+    i = j + 1;
+    while (run >= 16) {
+      st.huff(ac_table, 0xF0);
+      run -= 16;
+    }
+    i32 mag;
+    u32 raw;
+    if (coeff < 0) {
+      mag = -coeff;
+      raw = (u32)(~mag) & 0xFFFF;
+    } else {
+      mag = coeff;
+      raw = (u32)coeff;
+    }
+    int bitlen = jbr_bitlen(mag);
+    st.huff(ac_table, (run << 4) | bitlen);
+    st.bw.write_raw(raw & ((1u << bitlen) - 1), bitlen);
+    if (st.err) return -1;
+  }
+  int num_zeros = n - i;
+  if (ezr > 0) {
+    if (PROG) st.emit_eobrun();
+    for (i32 k = 0; k < ezr; k++) st.huff(ac_table, 0xF0);
+    num_zeros -= ezr * 16;
+  }
+  return st.err ? -1 : num_zeros;
+}
+
+static void jbr_seq_block(JbrScanState& st, int ci, const JbrHuff& dc_table,
+                          const JbrHuff& ac_table, i32 dc, const i32* ac,
+                          int n, i32 ezr) {
+  i32 diff = st.update_dc_pred(ci, dc);
+  bool neg = diff < 0;
+  i32 mag = neg ? -diff : diff;
+  int bitlen = jbr_bitlen(mag);
+  u32 raw = neg ? (u32)(-mag - 1) & 0xFFFF : (u32)mag;
+  st.huff(dc_table, bitlen);
+  st.bw.write_raw(raw & ((1u << bitlen) - 1), bitlen);
+  int num_zeros = jbr_encode_ac_run<false>(st, ac_table, ac, n, ezr);
+  if (num_zeros > 0) st.huff(ac_table, 0);
+}
+
+static void jbr_prog_first_block(JbrScanState& st, int ci,
+                                 const JbrHuff& dc_table,
+                                 const JbrHuff& ac_table, bool has_dc, i32 dc,
+                                 const i32* ac, int n, i32 ezr) {
+  if (has_dc) {
+    i32 diff = st.update_dc_pred(ci, dc);
+    bool neg = diff < 0;
+    i32 mag = neg ? -diff : diff;
+    int bitlen = jbr_bitlen(mag);
+    u32 raw = neg ? (u32)(-mag - 1) & 0xFFFF : (u32)mag;
+    st.emit_eobrun();
+    st.huff(dc_table, bitlen);
+    st.bw.write_raw(raw & ((1u << bitlen) - 1), bitlen);
+  }
+  int num_zeros = jbr_encode_ac_run<true>(st, ac_table, ac, n, ezr);
+  if (st.eobrun == 0) {
+    st.last_ac = ac_table;
+    st.last_ac_set = true;
+  }
+  if (num_zeros > 0) {
+    st.eobrun++;
+    if (st.eobrun >= 32767) st.emit_eobrun();
+  }
+}
+
+static void jbr_prog_refine_block(JbrScanState& st, const JbrHuff& ac_table,
+                                  bool has_dc, i32 dc, const i32* ac, int n,
+                                  i32 ezr) {
+  if (has_dc) {
+    st.emit_eobrun();
+    st.bw.write_raw((u32)dc & 1, 1);
+  }
+  int pos = 0;
+  for (;;) {
+    int nonzero_idx = -1;
+    for (int i = pos; i < n; i++)
+      if (ac[i] == 1 || ac[i] == -1) { nonzero_idx = i; break; }
+    if (nonzero_idx < 0) break;
+    st.emit_eobrun();
+    int zero_runs = 0;
+    u64 ref_bits = 0;
+    int ref_len = 0;
+    for (int i = pos; i < nonzero_idx; i++) {
+      i32 c = ac[i];
+      if (c == 0) {
+        zero_runs++;
+        if (zero_runs == 16) {
+          st.huff(ac_table, 0xF0);
+          st.bw.write_raw(ref_bits, ref_len);
+          zero_runs = 0;
+          ref_len = 0;
+          ref_bits = 0;
+        }
+      } else {
+        ref_bits = (ref_bits << 1) | (u64)(c & 1);
+        ref_len++;
+      }
+    }
+    i32 coeff = ac[nonzero_idx];
+    pos = nonzero_idx + 1;
+    u32 bit = coeff == 1 ? 1 : 0;
+    st.huff(ac_table, (zero_runs << 4) | 1);
+    st.bw.write_raw(bit, 1);
+    st.bw.write_raw(ref_bits, ref_len);
+    if (st.err) return;
+  }
+
+  i32 remaining_zrl = ezr > 0 ? ezr : 0;
+  if (remaining_zrl > 0) {
+    st.emit_eobrun();
+    if (ac_table.lens[0xF0] == 0) { st.err = 1; return; }  // eager lookup
+  }
+
+  int zero_runs = 0;
+  u64 ref_bits = 0;
+  int ref_len = 0;
+  for (int i = pos; i < n; i++) {
+    i32 c = ac[i];
+    if (c == 0) {
+      zero_runs++;
+      if (remaining_zrl > 0 && zero_runs == 16) {
+        st.huff(ac_table, 0xF0);
+        st.bw.write_raw(ref_bits, ref_len);
+        zero_runs = 0;
+        ref_len = 0;
+        remaining_zrl--;
+      }
+    } else {
+      ref_bits = (ref_bits << 1) | (u64)(c & 1);
+      ref_len++;
+    }
+  }
+  for (i32 k = 0; k < remaining_zrl; k++) {
+    st.huff(ac_table, 0xF0);
+    st.bw.write_raw(ref_bits, ref_len);
+    zero_runs = 0;
+    ref_len = 0;
+  }
+  if (st.eobrun == 0) {
+    st.last_ac = ac_table;
+    st.last_ac_set = true;
+  }
+  if (zero_runs > 0 || ref_len > 0) {
+    st.eobrun++;
+    st.refine_bits.emplace_back(ref_bits, ref_len);
+    if (st.eobrun >= 32767) st.emit_eobrun();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void jxlhost_buf_free(u8* p) { free(p); }
+
+// One SOS scan. comp_meta per comp (10 i64s): dc_offset, hs, vs,
+// lf_h, lf_w, lf_stride, hf_h, hf_w, hf_stride, unused.
+// plane_ptrs per comp: [lf_plane (i32), hf_plane (i32)].
+// huff arrays per comp: [dc_bits, ac_bits] / [dc_lens, ac_lens]
+// (nullptr = empty table -> error 1 if used).
+// Returns 0 ok, 1 missing huffman code, 3 padding bits exhausted.
+int jxlhost_jbr_encode_scan(
+    i32 n_comps, const int64_t* comp_meta, const void* const* plane_ptrs,
+    const u64* const* huff_bits, const i32* const* huff_lens,
+    i32 scan_type, i32 has_dc, i32 ss, i32 se, i32 al,
+    i32 w8, i32 h8, i32 restart_interval,
+    const int64_t* reset_points, int64_t n_reset,
+    const int64_t* ezr_idx, const i32* ezr_n, int64_t n_ezr,
+    const i32* nat8_xy,  // [64*2] (x, y) pairs, natural order
+    const u8* padding_bits, u64 padding_len_bits, u64* padding_pos,
+    u8** out_ptr, u64* out_len
+) {
+  static const u64 EMPTY_BITS[256] = {0};
+  static const i32 EMPTY_LENS[256] = {0};
+
+  JbrScanState st;
+  st.dc_pred.assign(n_comps, 0);
+
+  int64_t block_idx = 0;
+  int64_t reset_i = 0, ezr_i = 0;
+  int n_ac = se - ss;
+  i32 ac[64];
+
+  for (i32 y8 = 0; y8 < h8 && !st.err; y8++) {
+    for (i32 x8 = 0; x8 < w8; x8++) {
+      int64_t mcu_idx = (int64_t)x8 + (int64_t)w8 * y8;
+      if (restart_interval && mcu_idx != 0 &&
+          mcu_idx % restart_interval == 0) {
+        // restart: reset DC prediction, flush, emit RSTm
+        for (auto& d : st.dc_pred) d = 0;
+        int fr = st.flush(padding_bits, padding_len_bits, padding_pos);
+        if (fr) return fr;
+        if (st.err) return st.err;
+        st.bw.out.push_back(0xFF);
+        st.bw.out.push_back((u8)(0xD0 + st.rst_m));
+        st.rst_m = (st.rst_m + 1) % 8;
+      }
+      for (i32 ci = 0; ci < n_comps; ci++) {
+        const int64_t* m = comp_meta + (int64_t)ci * 10;
+        i32 dco = (i32)m[0];
+        i32 hs = (i32)m[1], vs = (i32)m[2];
+        i32 lf_h = (i32)m[3], lf_w = (i32)m[4];
+        int64_t lf_stride = m[5];
+        i32 hf_h = (i32)m[6], hf_w = (i32)m[7];
+        int64_t hf_stride = m[8];
+        const i32* lfp = (const i32*)plane_ptrs[ci * 2];
+        const i32* hfp = (const i32*)plane_ptrs[ci * 2 + 1];
+        JbrHuff dc_t{huff_bits[ci * 2] ? huff_bits[ci * 2] : EMPTY_BITS,
+                     huff_lens[ci * 2] ? huff_lens[ci * 2] : EMPTY_LENS};
+        JbrHuff ac_t{huff_bits[ci * 2 + 1] ? huff_bits[ci * 2 + 1]
+                                           : EMPTY_BITS,
+                     huff_lens[ci * 2 + 1] ? huff_lens[ci * 2 + 1]
+                                           : EMPTY_LENS};
+        if (!st.last_ac_set) {
+          st.last_ac = ac_t;
+          st.last_ac_set = true;
+        }
+        for (i32 dy8 = 0; dy8 < vs; dy8++) {
+          i32 y_dc = y8 * vs + dy8;
+          for (i32 dx8 = 0; dx8 < hs; dx8++) {
+            i32 x_dc = x8 * hs + dx8;
+            i32 dc_coeff = 0;
+            if (has_dc) {
+              i32 qy = y_dc < lf_h - 1 ? y_dc : lf_h - 1;
+              i32 qx = x_dc < lf_w - 1 ? x_dc : lf_w - 1;
+              i64 v = (i64)lfp[(int64_t)qy * lf_stride + qx] - dco;
+              if (v < -2047) v = -2047;
+              if (v > 2047) v = 2047;
+              dc_coeff = v >= 0 ? (i32)(v >> al) : -(i32)((-v) >> al);
+            }
+            i32 y0 = y_dc * 8, x0 = x_dc * 8;
+            i32 bh = hf_h - y0;
+            if (bh > 8) bh = 8;
+            i32 bw_ = hf_w - x0;
+            if (bw_ > 8) bw_ = 8;
+            for (int k = 0; k < n_ac; k++) {
+              i32 cx = nat8_xy[(ss + k) * 2];
+              i32 cy = nat8_xy[(ss + k) * 2 + 1];
+              i32 c = 0;
+              if (cy < bh && cx < bw_)
+                c = hfp[(int64_t)(y0 + cy) * hf_stride + (x0 + cx)];
+              int16_t c16 = (int16_t)c;
+              i32 cc = (i32)c16;
+              ac[k] = cc < 0 ? -((-cc) >> al) : (cc >> al);
+            }
+            i32 ezr = 0;
+            while (ezr_i < n_ezr && ezr_idx[ezr_i] < block_idx) ezr_i++;
+            if (ezr_i < n_ezr && ezr_idx[ezr_i] == block_idx)
+              ezr = ezr_n[ezr_i];
+            while (reset_i < n_reset && reset_points[reset_i] < block_idx)
+              reset_i++;
+            if (reset_i < n_reset && reset_points[reset_i] == block_idx)
+              st.emit_eobrun();
+            if (scan_type == 0) {
+              jbr_seq_block(st, ci, dc_t, ac_t, dc_coeff, ac, n_ac, ezr);
+            } else if (scan_type == 1) {
+              jbr_prog_first_block(st, ci, dc_t, ac_t, has_dc, dc_coeff,
+                                   ac, n_ac, ezr);
+            } else {
+              jbr_prog_refine_block(st, ac_t, has_dc, dc_coeff, ac, n_ac,
+                                    ezr);
+            }
+            block_idx++;
+            if (st.err) return st.err;
+          }
+        }
+      }
+    }
+  }
+  if (st.err) return st.err;
+  int fr = st.flush(padding_bits, padding_len_bits, padding_pos);
+  if (fr) return fr;
+  if (st.err) return st.err;
+
+  u8* p = (u8*)malloc(st.bw.out.size() ? st.bw.out.size() : 1);
+  if (!p) return 7;
+  if (!st.bw.out.empty()) memcpy(p, st.bw.out.data(), st.bw.out.size());
+  *out_ptr = p;
+  *out_len = st.bw.out.size();
+  return 0;
+}
+
 // Single-pass sparse extraction for the coefficient upload: counts
 // nonzeros and (when a capacity is given) writes their flat indices and
 // int16/int32 values. Replaces a numpy flatnonzero + fancy-index +

@@ -393,3 +393,196 @@ def test_reconstruct_color_420():
                 np.clip(cr_dc[by, bx] * 16 / 8.0 + 128.0, 0, 255),
                 atol=3.0,
             )
+
+
+def make_jbrd_box_progressive(tail=b"") -> bytes:
+    """Grayscale PROGRESSIVE jbrd header: SOF2 + three scans
+    (DC first al=1, AC first ss=1..63, DC refinement ah=1)."""
+    w = BitWriter()
+    w.write_bool(True)  # is_gray
+    for m in [0xC2, 0xC4, 0xDB, 0xDA, 0xDA, 0xDA, 0xD9]:
+        w.write(m - 0xC0, 6)
+    w.write(0, 2)  # num_quant_tables - 1
+    w.write(0, 1)  # precision
+    w.write(0, 2)  # index
+    w.write_bool(True)  # is_last
+    w.write(0, 2)  # comp_type 0 -> ids [1]
+    w.write(0, 2)  # q_idx
+    w.write(1, 2)  # num_huff = 2
+    w.write(0, 3)
+    _write_huffman_code(w, False, 0, False, DC_COUNTS, DC_VALUES)
+    _write_huffman_code(w, True, 0, True, AC_COUNTS, AC_VALUES)
+    # ScanInfo x3: (ss, se, al, ah)
+    for ss, se, al, ah in ((0, 0, 1, 0), (1, 63, 0, 0), (0, 0, 0, 1)):
+        w.write(0, 2)  # num_comps - 1
+        w.write(ss, 6)
+        w.write(se, 6)
+        w.write(al, 4)
+        w.write(ah, 4)
+        w.write(0, 2)  # comp_idx
+        w.write(0, 2)  # ac_tbl
+        w.write(0, 2)  # dc_tbl
+        w.write(0, 2)  # last_needed_pass
+    for _ in range(3):  # ScanMoreInfo x3
+        w.write(0, 2)  # no reset points
+        w.write(0, 2)  # no extra zero runs
+    if len(tail) == 0:
+        w.write(0, 2)
+    else:
+        w.write(1, 2)
+        w.write(len(tail) - 1, 8)
+    w.write_bool(False)  # no padding bits
+    w.zero_pad_to_byte()
+    return w.to_bytes() + brotli_compress(tail)
+
+
+def test_reconstruct_progressive():
+    """Progressive JPEG (DC first + AC first + DC refinement): PIL must
+    decode it, pixels must match the coefficient math, and the native
+    scan encoder must produce bytes identical to the Python fallback."""
+    from PIL import Image
+
+    import jxl_oxide_tpu.native as native
+
+    quant = np.full((8, 8), 8, dtype=np.int32)
+    lf_quant = np.array([[5, -6], [7, 2]], dtype=np.int32)
+    coeff = np.zeros((16, 16), dtype=np.int32)
+    # a couple of AC values plus a nonzero at every block's zigzag tail
+    # (keeps eobrun at zero -> no EOBn symbols, absent from Annex K)
+    coeff[0, 1] = 4
+    coeff[3, 2] = -2
+    coeff[8 + 1, 8 + 2] = 3
+    for by in range(2):
+        for bx in range(2):
+            coeff[by * 8 + 7, bx * 8 + 7] = (-1) ** (by + bx) * (1 + bx)
+
+    jbrd = JpegBitstreamData(make_jbrd_box_progressive())
+    frame = make_fake_frame(16, 16, lf_quant, coeff, quant)
+    jpeg_native = reconstruct_jpeg(jbrd, frame)
+
+    old = (native._lib, native._tried)
+    native._lib, native._tried = None, True
+    try:
+        jpeg_py = reconstruct_jpeg(
+            JpegBitstreamData(make_jbrd_box_progressive()),
+            make_fake_frame(16, 16, lf_quant, coeff, quant),
+        )
+    finally:
+        native._lib, native._tried = old
+    assert jpeg_native == jpeg_py
+
+    img = Image.open(io.BytesIO(jpeg_native))
+    arr = np.asarray(img.convert("L"), dtype=np.float64) - 128.0
+    for by in range(2):
+        for bx in range(2):
+            F = coeff[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] * 8.0
+            F[0, 0] = lf_quant[by, bx] * 8.0
+            expected = idct2d((F / 8.0).astype(np.float32))
+            got = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            np.testing.assert_allclose(got, expected, atol=1.5,
+                                       err_msg=f"block {by},{bx}")
+
+
+def test_reconstruct_native_python_equivalence_sequential():
+    """Sequential + restart-free 4:2:0 scans: native and Python encoders
+    byte-identical."""
+    import jxl_oxide_tpu.native as native
+
+    quant = np.full((8, 8), 16, dtype=np.int32)
+    rng = np.random.default_rng(3)
+    lf_quant = rng.integers(-20, 21, (4, 4)).astype(np.int32)
+    coeff = rng.integers(-6, 7, (32, 32)).astype(np.int32)
+    coeff[rng.random((32, 32)) < 0.7] = 0
+
+    markers = [0xC0, 0xC4, 0xDB, 0xDA, 0xD9]
+
+    def run():
+        return reconstruct_jpeg(
+            JpegBitstreamData(make_jbrd_box(markers)),
+            make_fake_frame(32, 32, lf_quant, coeff, quant),
+        )
+
+    jpeg_native = run()
+    old = (native._lib, native._tried)
+    native._lib, native._tried = None, True
+    try:
+        jpeg_py = run()
+    finally:
+        native._lib, native._tried = old
+    assert jpeg_native == jpeg_py
+
+
+def make_jbrd_box_dri(restart_interval: int, tail=b"") -> bytes:
+    """Grayscale sequential jbrd with a DRI marker (restart intervals
+    exercise the per-MCU flush + RSTm emission + padding-bit path)."""
+    w = BitWriter()
+    w.write_bool(True)  # is_gray
+    for m in [0xC0, 0xC4, 0xDB, 0xDD, 0xDA, 0xD9]:
+        w.write(m - 0xC0, 6)
+    w.write(0, 2)
+    w.write(0, 1)
+    w.write(0, 2)
+    w.write_bool(True)
+    w.write(0, 2)
+    w.write(0, 2)
+    w.write(1, 2)
+    w.write(0, 3)
+    _write_huffman_code(w, False, 0, False, DC_COUNTS, DC_VALUES)
+    _write_huffman_code(w, True, 0, True, AC_COUNTS, AC_VALUES)
+    w.write(0, 2)  # num_comps - 1
+    w.write(0, 6)  # ss
+    w.write(63, 6)  # se
+    w.write(0, 4)  # al
+    w.write(0, 4)  # ah
+    w.write(0, 2)
+    w.write(0, 2)
+    w.write(0, 2)
+    w.write(0, 2)  # last_needed_pass
+    w.write(restart_interval, 16)  # DRI value (has_dri)
+    w.write(0, 2)  # no reset points
+    w.write(0, 2)  # no extra zero runs
+    w.write(0, 2)  # tail length 0
+    w.write_bool(False)  # no padding bits (restart pads with 1s)
+    w.zero_pad_to_byte()
+    return w.to_bytes() + brotli_compress(tail)
+
+
+def test_reconstruct_restart_intervals():
+    """DRI=2 over a 4-MCU-wide image: RST markers every 2 MCUs, PIL must
+    decode, native == Python bytes."""
+    from PIL import Image
+
+    import jxl_oxide_tpu.native as native
+
+    quant = np.full((8, 8), 16, dtype=np.int32)
+    rng = np.random.default_rng(9)
+    lf_quant = rng.integers(-15, 16, (2, 4)).astype(np.int32)
+    coeff = rng.integers(-4, 5, (16, 32)).astype(np.int32)
+    coeff[rng.random((16, 32)) < 0.75] = 0
+
+    def run():
+        return reconstruct_jpeg(
+            JpegBitstreamData(make_jbrd_box_dri(2)),
+            make_fake_frame(32, 16, lf_quant, coeff, quant),
+        )
+
+    jpeg_native = run()
+    assert b"\xff\xd0" in jpeg_native  # first restart marker present
+    old = (native._lib, native._tried)
+    native._lib, native._tried = None, True
+    try:
+        jpeg_py = run()
+    finally:
+        native._lib, native._tried = old
+    assert jpeg_native == jpeg_py
+
+    img = Image.open(io.BytesIO(jpeg_native))
+    arr = np.asarray(img.convert("L"), dtype=np.float64)
+    assert arr.shape == (16, 32)
+    for by in range(2):
+        for bx in range(4):
+            block = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            F = coeff[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] * 16.0
+            F[0, 0] = lf_quant[by, bx] * 16.0
+            expected = idct2d((F / 8.0).astype(np.float32))
+            np.testing.assert_allclose(block, expected, atol=1.5)

@@ -482,24 +482,11 @@ struct ScanState {
   }
 
   void compute_properties() {
+    // WP state must advance every sample when the tree needs it; the
+    // remaining properties evaluate lazily in get_property (trees touch
+    // only a handful per node, ma.rs FlatMaTree).
     if (wp) wp->predict(n, nw, get_ne(), w, get_nn());
-    i32 w_nw = wrap32((i64)w - nw);
-    props[0] = 0;
-    props[1] = 0;
-    props[2] = y;
-    props[3] = x;
-    props[4] = std::abs(n);
-    props[5] = std::abs(w);
-    props[6] = n;
-    props[7] = w;
-    props[8] = wrap32((i64)w - prev_grad);
-    props[9] = wrap32((i64)w_nw + n);
-    props[10] = w_nw;
-    props[11] = wrap32((i64)nw - n);
-    props[12] = wrap32((i64)n - get_ne());
-    props[13] = wrap32((i64)n - get_nn());
-    props[14] = wrap32((i64)w - get_ww());
-    props[15] = wp ? wp->max_error : 0;
+    props[9] = wrap32((i64)(wrap32((i64)w - nw)) + n);  // prev_grad chain
   }
 
   i32 get_extra(i32 prop_extra) const {
@@ -524,8 +511,25 @@ struct ScanState {
   }
 
   inline i32 get_property(i32 prop) const {
-    if (prop >= 16) return get_extra(prop - 16);
-    return props[prop];
+    switch (prop) {
+      case 0: return 0;   // channel idx: folded statically (ma.rs)
+      case 1: return 0;   // stream idx: folded statically
+      case 2: return y;
+      case 3: return x;
+      case 4: return std::abs(n);
+      case 5: return std::abs(w);
+      case 6: return n;
+      case 7: return w;
+      case 8: return wrap32((i64)w - prev_grad);
+      case 9: return props[9];
+      case 10: return wrap32((i64)w - nw);
+      case 11: return wrap32((i64)nw - n);
+      case 12: return wrap32((i64)n - get_ne());
+      case 13: return wrap32((i64)n - get_nn());
+      case 14: return wrap32((i64)w - get_ww());
+      case 15: return wp ? wp->max_error : 0;
+      default: return get_extra(prop - 16);
+    }
   }
 
   i32 predict(i32 predictor) const {

@@ -889,12 +889,6 @@ def _process_scan(out, si, smi, frame_header, header, coeff_planes,
     elif si.ss != 0 or si.se != 0x3F or si.al != 0 or si.ah != 0:
         raise JxlValidationError("jbrd: progressive params in sequential scan")
 
-    from ..models.vardct import jpeg_shifts
-
-    # channel shifts in [y, x, b] stream order
-    ups_swapped = jpeg_upsampling_ycbcr
-    shifts = jpeg_shifts(ups_swapped)
-
     ss = max(si.ss, 1)
     se = si.se + 1
     al = si.al

@@ -447,7 +447,7 @@ struct ScanState {
   i32 y = 0, x = 0;
   i32 w = 0, n = 0, nw = 0;
   i32 prev_grad = 0;
-  i32 props[16];
+  i32 grad9 = 0;  // property 9 of the current sample (prev_grad chain)
 
   i32 filled_rows = 0;
 
@@ -486,7 +486,7 @@ struct ScanState {
     // remaining properties evaluate lazily in get_property (trees touch
     // only a handful per node, ma.rs FlatMaTree).
     if (wp) wp->predict(n, nw, get_ne(), w, get_nn());
-    props[9] = wrap32((i64)(wrap32((i64)w - nw)) + n);  // prev_grad chain
+    grad9 = wrap32((i64)(wrap32((i64)w - nw)) + n);
   }
 
   i32 get_extra(i32 prop_extra) const {
@@ -521,7 +521,7 @@ struct ScanState {
       case 6: return n;
       case 7: return w;
       case 8: return wrap32((i64)w - prev_grad);
-      case 9: return props[9];
+      case 9: return grad9;
       case 10: return wrap32((i64)w - nw);
       case 11: return wrap32((i64)nw - n);
       case 12: return wrap32((i64)n - get_ne());
@@ -569,7 +569,7 @@ struct ScanState {
       w = n;
       nw = n;
     } else {
-      prev_grad = props[9];
+      prev_grad = grad9;
       w = sample;
       if (filled_rows == 0) {
         nw = sample;

@@ -72,6 +72,30 @@ for bad in (
     except JxlValidationError:
         pass
 
+# 2b2. JPEG scan encoder (sequential + progressive + DRI, raw-pointer
+# plane walks, huffman table indexing, 64-bit shift bit writer)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+from test_jbr import (  # noqa: E402
+    make_fake_frame,
+    make_jbrd_box,
+    make_jbrd_box_dri,
+    make_jbrd_box_progressive,
+)
+
+from jxl_oxide_tpu.jbr import JpegBitstreamData, reconstruct_jpeg  # noqa: E402
+
+_q = np.full((8, 8), 16, dtype=np.int32)
+_lf = rng.integers(-20, 21, (2, 4)).astype(np.int32)
+_co = rng.integers(-5, 6, (16, 32)).astype(np.int32)
+for box in (
+    make_jbrd_box([0xC0, 0xC4, 0xDB, 0xDA, 0xD9]),
+    make_jbrd_box_progressive(),
+    make_jbrd_box_dri(2),
+):
+    reconstruct_jpeg(
+        JpegBitstreamData(box), make_fake_frame(32, 16, _lf, _co, _q)
+    )
+
 # 2c. one-pass sparse extraction (count > capacity overflow path too)
 arr = rng.integers(-5, 6, 4096).astype(np.int32)
 idx = np.zeros(4096, dtype=np.int32)

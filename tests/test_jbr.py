@@ -592,3 +592,74 @@ def test_reconstruct_restart_intervals():
             F[0, 0] = lf_quant[by, bx] * 16.0
             expected = idct2d((F / 8.0).astype(np.float32))
             np.testing.assert_allclose(block, expected, atol=1.5)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_jbr_differential_sweep(seed):
+    """Randomized differential check: native and Python scan encoders
+    must agree byte-for-byte across scan types, subsampling, DRI, and
+    coefficient patterns."""
+    import jxl_oxide_tpu.native as native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    rng = np.random.default_rng(100 + seed)
+    quant = np.full((8, 8), int(rng.integers(4, 32)), dtype=np.int32)
+    kind = seed % 3
+    if kind == 0:  # grayscale sequential (+DRI on odd seeds)
+        h8, w8 = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        lf = rng.integers(-30, 31, (h8, w8)).astype(np.int32)
+        co = rng.integers(-8, 9, (h8 * 8, w8 * 8)).astype(np.int32)
+        co[rng.random(co.shape) < 0.6] = 0
+        box_fn = (lambda: make_jbrd_box_dri(int(rng.integers(1, 4)))) \
+            if seed % 2 else (lambda: make_jbrd_box([0xC0, 0xC4, 0xDB, 0xDA, 0xD9]))
+        frame_fn = lambda: make_fake_frame(w8 * 8, h8 * 8, lf, co, quant)
+    elif kind == 1:  # grayscale progressive
+        h8, w8 = 2, 2
+        lf = rng.integers(-20, 21, (h8, w8)).astype(np.int32)
+        co = rng.integers(-6, 7, (h8 * 8, w8 * 8)).astype(np.int32)
+        co[rng.random(co.shape) < 0.5] = 0
+        for by in range(h8):  # keep eobrun at 0 (no EOBn in Annex K)
+            for bx in range(w8):
+                co[by * 8 + 7, bx * 8 + 7] = 1
+        box_fn = make_jbrd_box_progressive
+        frame_fn = lambda: make_fake_frame(w8 * 8, h8 * 8, lf, co, quant)
+    else:  # color 4:2:0
+        box_fn = lambda: make_jbrd_box_color_420([0xC0, 0xC4, 0xDB, 0xDA, 0xD9])
+        yv = rng.integers(-7, 8, (32, 32)).astype(np.int32)
+        yv[rng.random((32, 32)) < 0.7] = 0
+        lf_planes = [rng.integers(-9, 10, (2, 2)).astype(np.int32),
+                     rng.integers(-9, 10, (4, 4)).astype(np.int32),
+                     rng.integers(-9, 10, (2, 2)).astype(np.int32)]
+
+        def frame_fn():
+            frame_header = types.SimpleNamespace(
+                encoding=Encoding.VARDCT, do_ycbcr=True,
+                jpeg_upsampling=(0, 1, 0), flags=_Flags(),
+                width=32, height=32, lf_groups_per_row=1, lf_group_dim=2048)
+            image_header = types.SimpleNamespace(
+                metadata=types.SimpleNamespace(xyb_encoded=False),
+                size=types.SimpleNamespace(width=32, height=32))
+            state = types.SimpleNamespace(
+                coeff_planes=[np.zeros((16, 16), np.int32), yv.copy(),
+                              np.zeros((16, 16), np.int32)],
+                lf_quant_planes=[p.copy() for p in lf_planes],
+                plane_shapes=[(16, 16), (32, 32), (16, 16)],
+                width_rounded=32, height_rounded=32, lf_groups={},
+                header=frame_header)
+            hf_global = types.SimpleNamespace(
+                dequant_matrices=types.SimpleNamespace(
+                    jpeg_quant_values=[list(quant.ravel())] * 3))
+            return types.SimpleNamespace(
+                header=frame_header, image_header=image_header,
+                _vardct_state=state, _hf_global=hf_global)
+
+    jpeg_native = reconstruct_jpeg(JpegBitstreamData(box_fn()), frame_fn())
+    old = (native._lib, native._tried)
+    native._lib, native._tried = None, True
+    try:
+        jpeg_py = reconstruct_jpeg(JpegBitstreamData(box_fn()), frame_fn())
+    finally:
+        native._lib, native._tried = old
+    assert jpeg_native == jpeg_py

@@ -1218,7 +1218,11 @@ int jxlhost_jbr_encode_scan(
             if (has_dc) {
               i32 qy = y_dc < lf_h - 1 ? y_dc : lf_h - 1;
               i32 qx = x_dc < lf_w - 1 ? x_dc : lf_w - 1;
-              i64 v = (i64)lfp[(int64_t)qy * lf_stride + qx] - dco;
+              if (qy < 0) qy = 0;  // zero-size plane guard
+              if (qx < 0) qx = 0;
+              i64 v = lf_h > 0 && lf_w > 0
+                          ? (i64)lfp[(int64_t)qy * lf_stride + qx] - dco
+                          : -(i64)dco;
               if (v < -2047) v = -2047;
               if (v > 2047) v = 2047;
               dc_coeff = v >= 0 ? (i32)(v >> al) : -(i32)((-v) >> al);

@@ -906,6 +906,17 @@ class JxlImage:
         return tr
 
     @traced("Transform to requested color encoding")
+    def _needs_full_frame_postprocess(self) -> bool:
+        """Peak-detect HDR tone mapping (relative_to_max_display) reads
+        whole-image luminance statistics, so the ROI crop can't move
+        before the color tail (convert.rs:478-500 detect_peak)."""
+        tm = self.image_header.metadata.tone_mapping
+        return (
+            tm is not None
+            and getattr(tm, "relative_to_max_display", False)
+            and getattr(tm, "intensity_target", 255.0) > 255.0
+        )
+
     def _postprocess(self, kf: KeyframeRender, crop=None) -> Render:
         """postprocess_keyframe (render/lib.rs:884-994): YCbCr -> RGB,
         then color transform to the requested encoding."""
@@ -915,6 +926,23 @@ class JxlImage:
             p if _is_jax(p) else np.asarray(p, dtype=np.float32)
             for p in kf.color
         ]
+        extra_pre = list(kf.extra)
+
+        # ROI: slice BEFORE the color tail — every op below is pointwise,
+        # so cropping commutes, and a 16384^2 frame then color-transforms
+        # and downloads only the requested pixels. Peak-detect tone
+        # mapping reads whole-image statistics, so it keeps the full
+        # planes (crop applied at the end as before).
+        if crop is not None and not self._needs_full_frame_postprocess():
+            ch, cw = color[0].shape
+            left, top, width, height = _orient_region_inverse(
+                crop, cw, ch, meta.orientation
+            )
+            color = [p[top : top + height, left : left + width] for p in color]
+            extra_pre = [
+                p[top : top + height, left : left + width] for p in extra_pre
+            ]
+            crop = None
 
         if frame_header.do_ycbcr:
             from .ops.color import ycbcr_to_rgb
@@ -923,7 +951,7 @@ class JxlImage:
             r, g, b = ycbcr_to_rgb(cb, y, cr)
             color = [r, g, b]
 
-        extra = [np.asarray(p, dtype=np.float32) for p in kf.extra]
+        extra = [np.asarray(p, dtype=np.float32) for p in extra_pre]
 
         source = (
             ColourEncoding(colour_space=ColourSpace.XYB)

@@ -141,7 +141,7 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
                          cfl_base=(0.0, 1.0),
                          gabor_weights=None, epf_params=None,
                          sparse_coeff_n: int | None = None,
-                         crop=None):
+                         crop=None, embed=None):
     """One jitted function for the whole per-frame device pipeline:
     LF dequant/CfL/smoothing -> HF dequant -> HF CfL -> bucketed inverse
     transforms -> gaborish -> EPF.
@@ -274,6 +274,13 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
             if epf_params.iters >= 2:
                 out = epf_step(out, sigma, 2, cs,
                                float(epf_params.pass2_sigma_scale), bsm)
+        if embed is not None:
+            # ROI rect: place the computed sub-plane into a zero canvas at
+            # its frame position (downstream stages keep full-size planes;
+            # the zeros are cropped away before the color tail)
+            fh, fw, oy, ox = embed
+            full = jnp.zeros((3, fh, fw), dtype=jnp.float32)
+            out = jax.lax.dynamic_update_slice(full, out, (0, oy, ox))
         if crop is not None:
             # final frame-size crop fused in: no separate slice dispatch
             out = out[:, : crop[0], : crop[1]]

@@ -61,6 +61,35 @@ def frame_supports_roi(frame) -> bool:
     return True
 
 
+# device-rect padding: the crop edge behaves like a plane edge inside the
+# fused program (adaptive LF smoothing skips the outermost LF row/col =
+# 8px) and the pixel filters reach another 7px, so keep the ROI at least
+# 8 + 7 px away from the rect border
+DEVICE_RECT_PAD = 24
+
+
+def device_rect(frame, state, region):
+    """Group-aligned plane rect (x0, y0, x1, y1) covering the padded ROI,
+    or None when the rect is (nearly) the whole plane. The fused device
+    program then computes only this rect (region.rs pushdown past the
+    host stage)."""
+    header = frame.header
+    left, top, w, h = region
+    left -= header.x0
+    top -= header.y0
+    ph, pw = state.plane_shapes[0]
+    gd = header.group_dim
+    x0 = max(0, left - DEVICE_RECT_PAD) // gd * gd
+    y0 = max(0, top - DEVICE_RECT_PAD) // gd * gd
+    x1 = min(pw, -(-(left + w + DEVICE_RECT_PAD) // gd) * gd)
+    y1 = min(ph, -(-(top + h + DEVICE_RECT_PAD) // gd) * gd)
+    if x1 <= x0 or y1 <= y0:
+        return None
+    if (x1 - x0) * (y1 - y0) * 2 >= pw * ph:
+        return None  # covers most of the plane: not worth a special program
+    return (x0, y0, x1, y1)
+
+
 def group_intersects(frame, group_idx: int, region) -> bool:
     """Does a 256px pass group intersect the padded region (in frame
     coordinates: the image-space region translated by -x0/-y0)?"""

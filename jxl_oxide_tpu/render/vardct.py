@@ -478,13 +478,14 @@ class VardctFrameState:
 
     # -- top level ----------------------------------------------------------
 
-    def run_device_pipeline(self, hf_global: HfGlobal):
+    def run_device_pipeline(self, hf_global: HfGlobal, rect=None):
         """Dequant -> CfL -> inverse transforms, all on device. Returns
         [x, y, b] float32 planes at shifted rounded sizes.
 
         Non-subsampled frames take the fused single-dispatch path (one XLA
         computation, one device->host transfer); subsampled frames fall
-        back to staged per-plane calls."""
+        back to staged per-plane calls. `rect` restricts the device
+        program to a plane sub-rect (ROI pushdown)."""
         from ..parallel import get_decode_mesh
 
         mesh = get_decode_mesh()
@@ -498,7 +499,7 @@ class VardctFrameState:
                 "(group rows %% devices != 0); using single-device path"
             )
         if not self.subsampled:
-            return self._run_fused(hf_global)
+            return self._run_fused(hf_global, rect=rect)
         if (
             self.header.flags.skip_adaptive_lf_smoothing
             and self.lf_override is None
@@ -520,9 +521,15 @@ class VardctFrameState:
 
     _fused_cache: dict = {}
 
-    def _fused_host_inputs(self, hf_global: HfGlobal | None):
+    def _fused_host_inputs(self, hf_global: HfGlobal | None, rect=None):
         """Host-assembled inputs shared by the single-device and sharded
-        fused pipelines."""
+        fused pipelines.
+
+        rect = (x0, y0, x1, y1) in plane pixels (group-aligned origin,
+        ends clamped to the plane): every grid input is sliced to the
+        rect and bucket positions rebase to its origin, so the device
+        program computes only the region (ROI pushdown past the host
+        stage, jxl-render/src/region.rs semantics)."""
         header = self.header
         quantizer = self.frame.lf_global.vardct.quantizer
         lf_dequant = self.frame.lf_global.lf_dequant
@@ -613,12 +620,54 @@ class VardctFrameState:
             sh_ = sigma_blocks[sy0 : sy0 + sg.shape[0], sx0 : sx0 + sg.shape[1]]
             sh_[:, :] = sg[: sh_.shape[0], : sh_.shape[1]]
 
-        coeff_stack = np.stack(self.coeff_planes)
-        lf_input = (
-            lf_override
-            if lf_override is not None
-            else np.stack(self.lf_quant_planes)
-        )
+        if rect is not None:
+            x0, y0, x1, y1 = rect
+            coeff_stack = np.stack(
+                [p[y0:y1, x0:x1] for p in self.coeff_planes]
+            )
+            if lf_override is not None:
+                lf_input = np.ascontiguousarray(
+                    lf_override[:, y0 // 8 : -(-y1 // 8),
+                                x0 // 8 : -(-x1 // 8)]
+                )
+            else:
+                lf_input = np.stack([
+                    p[y0 // 8 : -(-y1 // 8), x0 // 8 : -(-x1 // 8)]
+                    for p in self.lf_quant_planes
+                ])
+            x_grid = np.ascontiguousarray(
+                x_grid[y0 // 64 : -(-y1 // 64), x0 // 64 : -(-x1 // 64)]
+            )
+            b_grid = np.ascontiguousarray(
+                b_grid[y0 // 64 : -(-y1 // 64), x0 // 64 : -(-x1 // 64)]
+            )
+            sigma_blocks = np.ascontiguousarray(
+                sigma_blocks[y0 // 8 : -(-y1 // 8), x0 // 8 : -(-x1 // 8)]
+            )
+            bx0, by0 = x0 // 8, y0 // 8
+            bx1, by1 = -(-x1 // 8), -(-y1 // 8)
+            rect_shape = (y1 - y0, x1 - x0)
+            rect_lf = (-(-(y1 - y0) // 8), -(-(x1 - x0) // 8))
+            rbuckets = []
+            for b in buckets:
+                p3 = b.pos3
+                m = (
+                    (p3[:, 0] >= bx0) & (p3[:, 0] < bx1)
+                    & (p3[:, 1] >= by0) & (p3[:, 1] < by1)
+                )
+                if m.any():
+                    sub = p3[m].copy()
+                    sub[:, 0] -= bx0
+                    sub[:, 1] -= by0
+                    rbuckets.append(_Bucket(b.sel, sub, rect_shape, rect_lf))
+            buckets = rbuckets
+        else:
+            coeff_stack = np.stack(self.coeff_planes)
+            lf_input = (
+                lf_override
+                if lf_override is not None
+                else np.stack(self.lf_quant_planes)
+            )
         return dict(
             quantizer=quantizer,
             lf_scale_arr=lf_scale_arr,
@@ -638,12 +687,22 @@ class VardctFrameState:
         )
 
     @traced("Dequant and transform")
-    def _run_fused(self, hf_global: HfGlobal | None):
+    def _run_fused(self, hf_global: HfGlobal | None, rect=None):
         import jax.numpy as jnp
 
         from ..ops.vardct_pipeline import build_fused_pipeline
 
-        hi = self._fused_host_inputs(hf_global)
+        hi = self._fused_host_inputs(hf_global, rect=rect)
+        if rect is not None:
+            rx0, ry0, rx1, ry1 = rect
+            plane_shape = (ry1 - ry0, rx1 - rx0)
+            lf_shape = (-(-(ry1 - ry0) // 8), -(-(rx1 - rx0) // 8))
+            embed = (self.plane_shapes[0][0], self.plane_shapes[0][1],
+                     ry0, rx0)
+        else:
+            plane_shape = self.plane_shapes[0]
+            lf_shape = self.lf_shapes[0]
+            embed = None
         quantizer = hi["quantizer"]
         corr = hi["corr"]
         buckets = hi["buckets"]
@@ -690,7 +749,7 @@ class VardctFrameState:
 
         key = (
             sparse_n,
-            self.plane_shapes[0], self.lf_shapes[0], bucket_meta,
+            plane_shape, lf_shape, embed, bucket_meta,
             tuple(float(q) for q in self.opsin.quant_bias),
             float(self.opsin.quant_bias_numerator),
             quantizer.global_scale, qm_scale, lf_smooth_scale,
@@ -708,7 +767,7 @@ class VardctFrameState:
         fn = self._fused_cache.get(key)
         if fn is None:
             fn = build_fused_pipeline(
-                self.plane_shapes[0], self.lf_shapes[0], bucket_meta,
+                plane_shape, lf_shape, bucket_meta,
                 matrices,
                 tuple(float(q) for q in self.opsin.quant_bias),
                 float(self.opsin.quant_bias_numerator),
@@ -721,6 +780,7 @@ class VardctFrameState:
                 epf_params=epf_params,
                 sparse_coeff_n=sparse_n,
                 crop=(self.height, self.width),
+                embed=embed,
             )
             self._fused_cache[key] = fn
 
@@ -729,7 +789,7 @@ class VardctFrameState:
         # out of range, so gathers clip to garbage and the mode="drop"
         # scatter discards it (negative sentinels would be normalized by
         # +size and could wrap IN range for tall planes)
-        ph, pw = self.plane_shapes[0]
+        ph, pw = plane_shape
         sentinel = (pw // 8, ph // 8)
         for (_, n_pad), b in zip(bucket_meta, buckets):
             muls, pos = b.muls, b.pos

@@ -1218,6 +1218,12 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
     gmodular = lf_global.gmodular
     modular = gmodular.modular
 
+    from .roi import frame_supports_roi, get_decode_region
+
+    roi = get_decode_region()
+    if roi is not None and not frame_supports_roi(frame):
+        roi = None
+
     state = VardctFrameState(frame)
 
     if modular is not None:
@@ -1257,16 +1263,7 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
 
         # ROI pushdown: decode only sections whose groups intersect the
         # padded region (jxl-frame/src/lib.rs:626-649 adjust_region)
-        from .roi import (
-            frame_supports_roi,
-            get_decode_region,
-            group_intersects,
-            lf_group_intersects,
-        )
-
-        roi = get_decode_region()
-        if roi is not None and not frame_supports_roi(frame):
-            roi = None
+        from .roi import group_intersects, lf_group_intersects
 
         lf_jobs = [
             lf_idx for lf_idx in range(header.num_lf_groups)
@@ -1358,14 +1355,21 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
 
     frame._vardct_state = state  # for EPF sigma grids (render.py)
     frame._hf_global = hf_global  # for JPEG reconstruction (jbr)
-    xyb = state.run_device_pipeline(hf_global)
+    dev_rect = None
+    if roi is not None:
+        from .roi import device_rect
+
+        dev_rect = device_rect(frame, state, roi)
+    xyb = state.run_device_pipeline(hf_global, rect=dev_rect)
     # Crop rounded planes to sample size (per channel shift).
     cropped = []
     for c in range(3):
         hs, vs = state.shifts[c]
         w = _ceil_shift(state.width, hs)
         h = _ceil_shift(state.height, vs)
-        cropped.append(xyb[c][:h, :w])
+        cropped.append(
+            xyb[c] if xyb[c].shape == (h, w) else xyb[c][:h, :w]
+        )
 
     extra = []
     if modular is not None:

@@ -973,3 +973,47 @@ def test_replay_fuzz_found_regressions():
             data = f.read()
         fail = fuzz_mod.try_decode(data)
         assert fail is None, (name, fail)
+
+
+def test_roi_device_rect_with_filters():
+    """ROI decode runs the fused device program on a group-aligned
+    sub-rect (roi.device_rect); output must match the full decode's crop
+    exactly even with gaborish + EPF + adaptive LF smoothing active and
+    mixed transform types (the rect edge behaves like a plane edge inside
+    the program, so the padding must keep that band out of the ROI)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, "/root/repo/tests")
+    from encoder_vardct import encode_jxl_vardct_tiled
+    from test_parallel import _random_varblock_grid
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+
+    rng = np.random.default_rng(83)
+    h = w = 1024
+    bh, bw = h // 8, w // 8
+    sel, mul = _random_varblock_grid(
+        bh, bw, rng, [T.DCT8, T.DCT16, T.DCT2, T.DCT4, T.HORNUSS])
+    coeff = rng.integers(-10, 11, (3, h, w)).astype(np.int64)
+    coeff[rng.random((3, h, w)) < 0.8] = 0
+    lf_q = rng.integers(-50, 51, (3, bh, bw)).astype(np.int64)
+    sharp = rng.integers(0, 8, (bh, bw)).astype(np.int64)
+    data = encode_jxl_vardct_tiled(h, w, sel, mul, coeff, lf_q, gabor=True,
+                                   epf_iters=2, sharpness=sharp)
+
+    full = JxlImage.from_bytes(data).render_frame(0).to_u8()
+
+    for left, top, cw, ch in (
+        (300, 420, 200, 150),   # interior
+        (0, 0, 128, 128),       # top-left corner (rect edge = global edge)
+        (900, 950, 124, 74),    # bottom-right corner
+        (500, 0, 64, 300),      # touching the top edge
+    ):
+        img = JxlImage.from_bytes(data)
+        img.set_image_region(left, top, cw, ch)
+        crop = img.render_frame(0).to_u8()
+        np.testing.assert_array_equal(
+            crop, full[top : top + ch, left : left + cw],
+            err_msg=f"rect {(left, top, cw, ch)}",
+        )

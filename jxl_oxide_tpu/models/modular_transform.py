@@ -437,28 +437,39 @@ class Squeeze:
                 slot.arr = parent
 
 
+def _wrap_i32_arr(v: np.ndarray) -> np.ndarray:
+    return v.astype(np.uint64).astype(np.uint32).view(np.int32).astype(np.int64)
+
+
+def _trunc_div(num: np.ndarray, d: int) -> np.ndarray:
+    return np.sign(num) * (np.abs(num) // d)
+
+
 def _tendency(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Vectorized tendency (squeeze.rs tendency_i32), wrapping i32, truncating
-    division by 12."""
+    """Vectorized tendency (squeeze.rs tendency_i32): every multiply/add
+    wraps at i32 exactly like the reference's Wrapping<i32>, division
+    truncates toward zero."""
     a64 = a.astype(np.int64)
     b64 = b.astype(np.int64)
     c64 = c.astype(np.int64)
+    two_ab = _wrap_i32_arr(2 * (a64 - b64))
+    two_bc = _wrap_i32_arr(2 * (b64 - c64))
 
     # case 1: a >= b >= c
-    num1 = 4 * a64 - 3 * c64 - b64 + 6
-    x1 = np.sign(num1) * (np.abs(num1) // 12)  # trunc div (num1 always >= 0 here? keep safe)
-    cond1a = (x1 - (x1 & 1)) > 2 * (a64 - b64)
-    x1 = np.where(cond1a, 2 * (a64 - b64) + 1, x1)
-    cond1b = (x1 + (x1 & 1)) > 2 * (b64 - c64)
-    x1 = np.where(cond1b, 2 * (b64 - c64), x1)
+    num1 = _wrap_i32_arr(4 * a64 - 3 * c64 - b64 + 6)
+    x1 = _trunc_div(num1, 12)
+    cond1a = _wrap_i32_arr(x1 - (x1 & 1)) > two_ab
+    x1 = np.where(cond1a, _wrap_i32_arr(two_ab + 1), x1)
+    cond1b = _wrap_i32_arr(x1 + (x1 & 1)) > two_bc
+    x1 = np.where(cond1b, two_bc, x1)
 
     # case 2: a <= b <= c
-    num2 = 4 * a64 - 3 * c64 - b64 - 6
-    x2 = np.sign(num2) * (np.abs(num2) // 12)
-    cond2a = (x2 + (x2 & 1)) < 2 * (a64 - b64)
-    x2 = np.where(cond2a, 2 * (a64 - b64) - 1, x2)
-    cond2b = (x2 - (x2 & 1)) < 2 * (b64 - c64)
-    x2 = np.where(cond2b, 2 * (b64 - c64), x2)
+    num2 = _wrap_i32_arr(4 * a64 - 3 * c64 - b64 - 6)
+    x2 = _trunc_div(num2, 12)
+    cond2a = _wrap_i32_arr(x2 + (x2 & 1)) < two_ab
+    x2 = np.where(cond2a, _wrap_i32_arr(two_ab - 1), x2)
+    cond2b = _wrap_i32_arr(x2 - (x2 & 1)) < two_bc
+    x2 = np.where(cond2b, two_bc, x2)
 
     out = np.where(
         (a64 >= b64) & (b64 >= c64),
@@ -483,14 +494,20 @@ def inverse_squeeze_h(avg: np.ndarray, residu: np.ndarray) -> np.ndarray:
         return avg.astype(np.int32, copy=True)
     avg64 = avg.astype(np.int32)
     res = residu.astype(np.int32)
+
+    from .. import native as _native
+
+    if _native.available():
+        return _native.inverse_squeeze_h(avg64, res, h, aw, rw)
+
     left = avg64[:, 0].copy()
     with np.errstate(over="ignore"):
         for x in range(rw):
             a = avg64[:, x]
             next_avg = avg64[:, x + 1] if x + 1 < aw else a
             diff = res[:, x] + _tendency(left, a, next_avg)
-            # trunc div by 2
-            half = np.sign(diff) * (np.abs(diff) // 2)
+            # trunc div by 2 in i64 (np.abs of i32 min wraps)
+            half = _trunc_div(diff.astype(np.int64), 2).astype(np.int32)
             first = a + half
             second = first - diff
             out[:, 2 * x] = first

@@ -403,6 +403,31 @@ def jbr_encode_scan(comps_data, scan_type: int, has_dc: bool, ss: int,
     return encoded, int(pad_pos.value)
 
 
+def inverse_squeeze_h(avg: np.ndarray, res: np.ndarray,
+                      h: int, aw: int, rw: int) -> np.ndarray:
+    """Horizontal un-squeeze in C++ (squeeze.rs inverse_h_i32_base
+    wrapping semantics). avg/res are int32 [h, aw] / [h, rw]; returns
+    int32 [h, aw+rw]."""
+    lib = get_lib()
+    assert avg.dtype == np.int32 and res.dtype == np.int32
+    out = np.empty((h, aw + rw), dtype=np.int32)
+
+    def sp(a, i):  # stride in elements along axis i
+        return ctypes.c_int64(a.strides[i] // 4)
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    lib.jxlhost_inverse_squeeze_h(
+        ip(avg), sp(avg, 0), sp(avg, 1),
+        ip(res) if rw else ip(avg), sp(res, 0) if rw else sp(avg, 0),
+        sp(res, 1) if rw else sp(avg, 1),
+        ctypes.c_int32(h), ctypes.c_int32(aw), ctypes.c_int32(rw),
+        ip(out), sp(out, 0), sp(out, 1),
+    )
+    return out
+
+
 def sparse_extract(flat_i32: np.ndarray, out_idx: np.ndarray,
                    out_val: np.ndarray) -> tuple[int, int]:
     """One-pass nonzero extraction: fills out_idx/out_val (both int32, up

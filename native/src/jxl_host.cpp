@@ -1279,6 +1279,68 @@ int jxlhost_jbr_encode_scan(
   return 0;
 }
 
+// Inverse horizontal squeeze (jxl-modular squeeze.rs inverse_h_i32_base):
+// sequential recurrence in x, independent rows. Strides are in elements
+// (callers pass transposed views for the vertical direction). All sample
+// arithmetic wraps at i32 like the reference.
+// Wrapping<i32> arithmetic exactly as the reference (squeeze.rs
+// tendency_i32): every multiply/add/sub wraps at i32, division is plain
+// truncating i32 division, comparisons see the wrapped values.
+static inline i32 squeeze_tendency(i32 a, i32 b, i32 c) {
+  u32 ua = (u32)a, ub = (u32)b, uc = (u32)c;
+  if (a >= b && b >= c) {
+    i32 x = (i32)(4u * ua - 3u * uc - ub + 6u) / 12;
+    i32 two_ab = (i32)(2u * (ua - ub));
+    if ((i32)((u32)x - ((u32)x & 1u)) > two_ab)
+      x = (i32)((u32)two_ab + 1u);
+    i32 two_bc = (i32)(2u * (ub - uc));
+    if ((i32)((u32)x + ((u32)x & 1u)) > two_bc) x = two_bc;
+    return x;
+  }
+  if (a <= b && b <= c) {
+    i32 x = (i32)(4u * ua - 3u * uc - ub - 6u) / 12;
+    i32 two_ab = (i32)(2u * (ua - ub));
+    if ((i32)((u32)x + ((u32)x & 1u)) < two_ab)
+      x = (i32)((u32)two_ab - 1u);
+    i32 two_bc = (i32)(2u * (ub - uc));
+    if ((i32)((u32)x - ((u32)x & 1u)) < two_bc) x = two_bc;
+    return x;
+  }
+  return 0;
+}
+
+extern "C" int jxlhost_inverse_squeeze_h(
+    const i32* avg, int64_t avg_rs, int64_t avg_cs,
+    const i32* res, int64_t res_rs, int64_t res_cs,
+    i32 h, i32 aw, i32 rw,
+    i32* out, int64_t out_rs, int64_t out_cs
+) {
+  i32 w = aw + rw;
+  for (i32 y = 0; y < h; y++) {
+    const i32* arow = avg + (int64_t)y * avg_rs;
+    const i32* rrow = res + (int64_t)y * res_rs;
+    i32* orow = out + (int64_t)y * out_rs;
+    if (rw == 0) {
+      for (i32 x = 0; x < aw; x++) orow[x * out_cs] = arow[x * avg_cs];
+      continue;
+    }
+    i32 left = arow[0];
+    for (i32 x = 0; x < rw; x++) {
+      i32 a = arow[(int64_t)x * avg_cs];
+      i32 next = x + 1 < aw ? arow[(int64_t)(x + 1) * avg_cs] : a;
+      i32 diff = (i32)((u32)rrow[(int64_t)x * res_cs] +
+                       (u32)squeeze_tendency(left, a, next));
+      i32 first = (i32)((u32)a + (u32)(diff / 2));
+      i32 second = (i32)((u32)first - (u32)diff);
+      orow[(int64_t)(2 * x) * out_cs] = first;
+      orow[(int64_t)(2 * x + 1) * out_cs] = second;
+      left = second;
+    }
+    if (w % 2 == 1) orow[(int64_t)(w - 1) * out_cs] = arow[(int64_t)(aw - 1) * avg_cs];
+  }
+  return 0;
+}
+
 // Single-pass sparse extraction for the coefficient upload: counts
 // nonzeros and (when a capacity is given) writes their flat indices and
 // int16/int32 values. Replaces a numpy flatnonzero + fancy-index +

@@ -89,6 +89,49 @@ def test_squeeze_roundtrip_exact():
         np.testing.assert_array_equal(outv, v.T)
 
 
+def test_squeeze_native_python_wrapping_equivalence():
+    """Native vs Python inverse squeeze on extreme i32 values: both must
+    implement the reference's Wrapping<i32> arithmetic (squeeze.rs
+    tendency_i32 / inverse_h_i32_base), so overflowing inputs still agree
+    bit-for-bit."""
+    import os
+
+    from jxl_oxide_tpu import native as _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    lo, hi = -(2**31), 2**31 - 1
+    cases = []
+    # dense extreme values plus uniform randoms
+    extremes = np.array([lo, lo + 1, -1, 0, 1, hi - 1, hi], dtype=np.int64)
+    cases.append((
+        rng.choice(extremes, size=(8, 9)).astype(np.int32),
+        rng.choice(extremes, size=(8, 8)).astype(np.int32),
+    ))
+    cases.append((
+        rng.integers(lo, hi, (16, 17), dtype=np.int64).astype(np.int32),
+        rng.integers(lo, hi, (16, 16), dtype=np.int64).astype(np.int32),
+    ))
+    for avg, res in cases:
+        h, aw = avg.shape
+        rw = res.shape[1]
+        got_native = _native.inverse_squeeze_h(avg, res, h, aw, rw)
+        os.environ["JXL_TPU_NO_NATIVE"] = "1"
+        try:
+            # re-run through the pure-Python fallback
+            saved_lib, saved_tried = _native._lib, _native._tried
+            _native._lib, _native._tried = None, True
+            got_py = inverse_squeeze_h(avg, res)
+        finally:
+            _native._lib, _native._tried = saved_lib, saved_tried
+            del os.environ["JXL_TPU_NO_NATIVE"]
+        np.testing.assert_array_equal(got_native, got_py)
+
+
 def test_squeeze_end_to_end_bitstream():
     """One explicit horizontal squeeze step through the bitstream: encoder
     writes [avg, residual] channels; the decoder's transform machinery

@@ -944,6 +944,31 @@ class JxlImage:
             ]
             crop = None
 
+        # Canvas already converted to the signaled encoding before blending
+        # (convert_color_for_record, save_before_ct=false): skip YCbCr and
+        # the color transform (postprocess_keyframe lib.rs:934 ct_done).
+        if getattr(kf, "ct_done", False):
+            extra = [np.asarray(p, dtype=np.float32) for p in extra_pre]
+            if crop is not None:
+                ch, cw = color[0].shape
+                left, top, width, height = _orient_region_inverse(
+                    crop, cw, ch, meta.orientation
+                )
+                color = [
+                    p[top : top + height, left : left + width] for p in color
+                ]
+                extra = [
+                    p[top : top + height, left : left + width] for p in extra
+                ]
+            return Render(
+                planes=color,
+                extra=extra,
+                ec_info=list(meta.ec_info),
+                orientation=meta.orientation,
+                name=kf.name,
+                duration=kf.duration,
+            )
+
         if frame_header.do_ycbcr:
             from .ops.color import ycbcr_to_rgb
 

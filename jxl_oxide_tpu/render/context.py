@@ -29,6 +29,9 @@ class KeyframeRender:
     frame: object
     name: str = ""
     duration: int = 0
+    # color planes are already in the signaled target encoding (blend.rs:219
+    # propagates the new frame's ct_done flag onto the composited canvas)
+    ct_done: bool = False
 
     @property
     def color_channels(self) -> int:
@@ -197,6 +200,7 @@ class RenderContext:
                 frame, cache=getattr(frame, "_progressive_cache", None)
             )
         self._apply_features(fr, frame)
+        self._convert_color_for_record(fr, frame)
         canvas_color, canvas_extra = self._composite(fr, frame)
 
         if header.can_reference:
@@ -220,6 +224,7 @@ class RenderContext:
                 frame=frame,
                 name=header.name,
                 duration=header.duration,
+                ct_done=fr.ct_done,
             )
             self.keyframes.append(kf)
             self._num_prev_keyframes += 1
@@ -236,6 +241,7 @@ class RenderContext:
         bookkeeping). The render_loading_frame contract
         (jxl-render/src/lib.rs:723-894 + image.rs:788-845)."""
         self._apply_features(fr, frame)
+        self._convert_color_for_record(fr, frame)
         canvas_color, canvas_extra = self._composite(fr, frame)
         return KeyframeRender(
             color=canvas_color,
@@ -243,6 +249,7 @@ class RenderContext:
             frame=frame,
             name=frame.header.name,
             duration=frame.header.duration,
+            ct_done=fr.ct_done,
         )
 
     def _apply_features(self, fr, frame) -> None:
@@ -285,6 +292,60 @@ class RenderContext:
                     fr.color, header, visible, invisible, base_corr,
                     lf_global.noise.lut,
                 )
+
+    def _convert_color_for_record(self, fr, frame) -> None:
+        """Convert a frame's color to the signaled target encoding BEFORE
+        blending/recording when save_before_ct is false (jxl-render
+        render.rs:151 + image.rs:807 composite_preprocess +
+        util.rs:311-375 convert_color_for_record). Blending frames in an
+        xyb_encoded animation therefore composite in the signaled target
+        space, matching the reference; sets fr.ct_done so the postprocess
+        tail skips the second transform."""
+        header = frame.header
+        meta = self.image_header.metadata
+        skip_blending = (not header.frame_type.is_normal) or header.resets_canvas
+        if (
+            fr.ct_done
+            or header.save_before_ct
+            or (header.is_last and skip_blending)
+        ):
+            return
+
+        if header.do_ycbcr:
+            # xyb_encoded = false here (spec: do_ycbcr implies non-XYB)
+            from ..ops.color import ycbcr_to_rgb
+
+            cb, y, cr = fr.color[0], fr.color[1], fr.color[2]
+            r, g, b = ycbcr_to_rgb(cb, y, cr)
+            from ..headers.image import ColourSpace
+
+            if meta.colour_encoding.colour_space == ColourSpace.GREY:
+                fr.color = [np.asarray(r, dtype=np.float32)]
+                fr.color_channels = 1
+            else:
+                fr.color = [np.asarray(p, np.float32) for p in (r, g, b)]
+            fr.ct_done = True
+        elif meta.xyb_encoded:
+            from ..headers.image import ColourSpace
+
+            enc = meta.colour_encoding
+            if enc.want_icc or enc.colour_space in (
+                ColourSpace.XYB, ColourSpace.UNKNOWN,
+            ):
+                # want_icc: blending does not occur on the CMS leg;
+                # XYB/Unknown target: nothing to convert to (util.rs:332-347)
+                return
+            from ..color.convert import ColorTransform
+
+            tr = ColorTransform.build(
+                type(enc)(colour_space=ColourSpace.XYB), enc,
+                meta.opsin_inverse_matrix, meta.tone_mapping,
+            )
+            if not tr.is_noop:
+                fr.color = [
+                    np.asarray(p, dtype=np.float32) for p in tr.run(fr.color)
+                ]
+            fr.ct_done = True
 
     def _composite(self, fr, frame):
         """Blend the rendered frame onto its base canvas (blend.rs blend);

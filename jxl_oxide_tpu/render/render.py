@@ -29,6 +29,11 @@ class FrameRender:
     color_channels: int
     frame: object
     gray_converted_to_rgb: bool = False
+    # color planes already converted to the signaled target encoding
+    # (image.rs:266 ct_done): set by convert_color_for_record for blending
+    # frames with save_before_ct=false, checked by postprocess to avoid a
+    # second transform
+    ct_done: bool = False
 
 
 def _parse_integer_samples(arr: np.ndarray, bit_depth) -> np.ndarray:

@@ -157,6 +157,56 @@ def test_modular_xyb_decode():
     np.testing.assert_allclose(out, want, atol=1e-5)
 
 
+def test_xyb_animation_blends_in_target_space():
+    """Blending frames with save_before_ct=false convert XYB -> the
+    signaled (sRGB) encoding BEFORE compositing (render.rs:151 +
+    util.rs:311-375 convert_color_for_record, image.rs ct_done), so an
+    alpha blend mixes sRGB values, not XYB values. Expected per-frame sRGB
+    comes from decoding each frame as a standalone image."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(19)
+    h, w = 12, 16
+
+    def xyb_chans(seed):
+        r = np.random.default_rng(seed)
+        y_ch = r.integers(60, 200, (h, w))
+        x_ch = r.integers(-6, 7, (h, w))
+        b_stored = r.integers(-10, 11, (h, w))
+        return [y_ch, x_ch, b_stored]
+
+    c0, c1 = xyb_chans(101), xyb_chans(102)
+
+    def solo_srgb(chans):
+        data = encode_jxl_modular(chans, bit_depth=8, grayscale=False,
+                                  xyb=True)
+        return np.stack(
+            JxlImage.from_bytes(data).render_frame(0).image_planar(), -1
+        )
+
+    srgb0, srgb1 = solo_srgb(c0), solo_srgb(c1)
+
+    a0 = np.full((h, w), 255, dtype=np.int64)   # opaque base
+    a1 = np.full((h, w), 128, dtype=np.int64)   # 128/255 blend
+    data = encode_jxl_modular(
+        c0 + [a0], bit_depth=8, grayscale=False, xyb=True,
+        animation_frames=[c0 + [a0], c1 + [a1]],
+        extra_alpha=True, animation_blend=True,
+    )
+    img = JxlImage.from_bytes(data)
+    assert img.num_frames == 2
+    out = np.stack(img.render_frame(1).image_planar(), -1)
+
+    na = 128.0 / 255.0  # base alpha = 1 -> out = na*new + (1-na)*base
+    want = na * srgb1 + (1.0 - na) * srgb0
+    np.testing.assert_allclose(out, want, atol=1e-5)
+    # and the blend genuinely discriminates: mixing in XYB then converting
+    # gives a different answer
+    assert not np.allclose(out, srgb1, atol=1e-3)
+
+
 def test_all_predictors_against_reference_model():
     """Each non-WP predictor (predictor.rs:26-127) validated end-to-end:
     residuals computed by an independent reimplementation of the

@@ -636,9 +636,17 @@ def encode_jxl_modular(
             is_last = False
         if not is_last:
             out.write(save_as_reference, 2)
-        if frame_type == 2:
+        # save_before_ct: present iff (header.rs:119-128) the frame is
+        # ReferenceOnly, or resets the canvas while being a non-last
+        # zero-duration/referenced frame. resets_canvas here: normal frame
+        # with full-canvas Replace blending (blend=False, crop=None).
+        resets_canvas = frame_type in (0, 3) and not blend and crop is None
+        if frame_type == 2 or (
+            resets_canvas
+            and not is_last
+            and (duration == 0 or save_as_reference != 0)
+        ):
             out.write_bool(False)  # save_before_ct
-        # else: save_before_ct skipped (resets_canvas branch)
         out.write_u32_sel(0, 0, 0)  # name len = 0
         # RestorationFilter: not default
         out.write_bool(False)

@@ -159,7 +159,9 @@ def _bench_device_resident(data: bytes, h: int, w: int, reps: int = 4) -> float:
             import jax
 
             if isinstance(planes[0], jax.Array):
-                planes[0].block_until_ready()
+                # scalar readback: block_until_ready is unreliable on the
+                # tunneled platform (returns before execution completes)
+                float(np.asarray(planes[0][0, 0]))
         except ImportError:
             pass
         return planes
@@ -200,7 +202,7 @@ def _bench_transfer() -> float:
         x = np.zeros((mib << 20,), dtype=np.uint8)
         t0 = time.perf_counter()
         d = jax.device_put(x)
-        d.block_until_ready()
+        float(np.asarray(d[0]))  # force upload completion (see below)
         up = mib / (time.perf_counter() - t0)
         t0 = time.perf_counter()
         _ = np.asarray(d)
@@ -215,21 +217,44 @@ def _bench_transfer() -> float:
 
 
 def _bench_compute_only(size: int = 2048) -> float:
+    """Chip compute throughput with per-dispatch RPC latency cancelled:
+    time K and 2K chained iterations (one dispatch each, lax.fori_loop)
+    and take the paired difference — the constant dispatch/readback
+    overhead subtracts out exactly, leaving K * t_iter."""
     import jax
 
-    from __graft_entry__ import _pipeline_fn, _synthetic_frame
+    from __graft_entry__ import _chained_pipeline_fn, _synthetic_frame
 
     h = w = size
-    fn = _pipeline_fn(h, w)
+    k = 2048 if size <= 512 else 128
+    fn1 = _chained_pipeline_fn(h, w, k)
+    fn2 = _chained_pipeline_fn(h, w, 2 * k)
     args = [jax.device_put(a) for a in _synthetic_frame(h, w)]
-    fn(*args).block_until_ready()
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return (h * w * reps) / dt / 1e6
+
+    def run(fn):
+        # scalar readback forces true completion: on the tunneled axon
+        # platform block_until_ready returns before execution finishes,
+        # which made async dispatch look like compute throughput
+        return float(np.asarray(fn(*args)[0, 0, 0]))
+
+    run(fn1)
+    run(fn2)
+
+    def best(fn, reps=3):
+        dts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(fn)
+            dts.append(time.perf_counter() - t0)
+        return min(dts)
+
+    t1, t2 = best(fn1), best(fn2)
+    diff = t2 - t1
+    if diff < 0.05 * t2:
+        # tunnel jitter swamped the pairing; fall back to the
+        # conservative whole-dispatch estimate
+        diff = t2 / 2.0
+    return (h * w * k) / diff / 1e6
 
 
 def main() -> None:

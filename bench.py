@@ -179,6 +179,88 @@ def _bench_device_resident(data: bytes, h: int, w: int, reps: int = 4) -> float:
     return best
 
 
+def _bench_real_pipeline(size: int = 1024) -> float:
+    """Honest device throughput of the REAL fused decoder program (LF +
+    HF dequant + CfL + bucketed inverse transforms + gaborish + EPF-2)
+    captured from an actual decode: the builder is wrapped to capture the
+    jitted fn and its device args, then K and 2K chained iterations run
+    inside single dispatches and the paired difference cancels RPC
+    latency (same method as _bench_compute_only)."""
+    import jax
+    import jax.numpy as jnp
+
+    import jxl_oxide_tpu.ops.vardct_pipeline as vp
+    from encoder_vardct import encode_jxl_vardct
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.render.vardct import VardctFrameState
+
+    h = w = size
+    data = encode_jxl_vardct(_smooth_rgb(h, w, seed=9), gabor=True,
+                             epf_iters=2)
+
+    captured = {}
+    orig = vp.build_fused_pipeline
+
+    def spy_builder(*a, **k):
+        inner = orig(*a, **k)
+
+        def spy(*args):
+            captured["fn"], captured["args"] = inner, args
+            return inner(*args)
+
+        return spy
+
+    cache_keys = set(VardctFrameState._fused_cache)
+    vp.build_fused_pipeline = spy_builder
+    try:
+        JxlImage.from_bytes(data).render_frame(0).to_u8()
+    finally:
+        vp.build_fused_pipeline = orig
+        for key in set(VardctFrameState._fused_cache) - cache_keys:
+            del VardctFrameState._fused_cache[key]
+    if "fn" not in captured:
+        return 0.0
+    fn, args = captured["fn"], captured["args"]
+
+    def chained(k):
+        @jax.jit
+        def f(*args):
+            lf = args[1]
+
+            def body(i, acc):
+                out = fn(args[0], lf + (i & 1), *args[2:])
+                return acc + out[0]
+
+            return jax.lax.fori_loop(
+                0, k, body, jnp.zeros((h, w), jnp.float32)
+            )
+
+        return f
+
+    k = 64
+    f1, f2 = chained(k), chained(2 * k)
+
+    def run(f):
+        return float(np.asarray(f(*args)[0, 0]))
+
+    run(f1)
+    run(f2)
+
+    def best(f, reps=3):
+        dts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(f)
+            dts.append(time.perf_counter() - t0)
+        return min(dts)
+
+    t1, t2 = best(f1), best(f2)
+    diff = t2 - t1
+    if diff < 0.05 * t2:
+        diff = t2 / 2.0
+    return (h * w * k) / diff / 1e6
+
+
 def _bench_host_entropy() -> float:
     import multiprocessing
 

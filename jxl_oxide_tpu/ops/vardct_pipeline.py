@@ -118,6 +118,76 @@ def scatter_blocks(plane, idx, values):
     return flat.reshape(plane.shape)
 
 
+def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
+                             mul_grid, entries, matrices, global_scale,
+                             qm_scale):
+    """All varblock inverse transforms as DENSE per-(type, residue-offset)
+    passes — no gathers or scatters, which are pathologically slow on TPU
+    (the former [n, h, w] flat-index take/scatter made the pipeline ~100x
+    slower than its MXU speed-of-light).
+
+    Varblock types partition the 8x8-block grid, so for each entry
+    (dct_select, oy, ox) the plane is retiled at that block offset with
+    pure reshapes, ALL aligned positions run through one batched inverse
+    transform (MXU matmuls), and only tiles whose anchor in `code_grid`
+    carries this entry's id contribute (masked add). Per-pixel op order
+    matches the old gather path bit for bit.
+
+    biased:   [C, H, W] f32 (dequant bias already applied)
+    lf_planes:[C, BH, BW] f32 dequantized+smoothed LF (DC source)
+    kx_map/kb_map: [H, W] CfL factor maps, or None for single-channel
+    code_grid:[BH, BW] int, entry id at each varblock anchor, -1 elsewhere
+    mul_grid: [BH, BW] f32 hf_mul at anchors
+    entries:  tuple of (dct_select, oy, ox) — compile-time plan
+    matrices: {sel: [C, h, w]} dequant matrix constants
+    """
+    from ..models.vardct import TransformType as _T
+
+    C, H, W = biased.shape
+    BH, BW = code_grid.shape
+    out = jnp.zeros((C, H, W), dtype=jnp.float32)
+    qm = jnp.asarray(qm_scale, dtype=jnp.float32)
+    gs = np.float32(65536.0 / global_scale)
+
+    for eid, (sel, oy, ox) in enumerate(entries):
+        tw, th = _T.SELECT_SIZE[sel]   # x-span, y-span in 8px blocks
+        h0, w0 = th * 8, tw * 8
+        ny = (BH - oy) // th
+        nx = (BW - ox) // tw
+        if ny <= 0 or nx <= 0:
+            continue
+        ys, xs = oy * 8, ox * 8
+        region = biased[:, ys:ys + ny * h0, xs:xs + nx * w0]
+        tiles = region.reshape(C, ny, h0, nx, w0).transpose(0, 1, 3, 2, 4)
+        mat = jnp.asarray(matrices[sel])               # [C, h0, w0] const
+        mul_b = mul_grid[oy:oy + ny * th:th, ox:ox + nx * tw:tw]
+        scale = gs * qm[:, None, None] / mul_b[None]   # [C, ny, nx]
+        deq = (tiles * mat[:, None, None]) * scale[..., None, None]
+        if kx_map is not None:
+            kx_t = kx_map[ys:ys + ny * h0, xs:xs + nx * w0].reshape(
+                ny, h0, nx, w0).transpose(0, 2, 1, 3)
+            kb_t = kb_map[ys:ys + ny * h0, xs:xs + nx * w0].reshape(
+                ny, h0, nx, w0).transpose(0, 2, 1, 3)
+            deq = jnp.stack([
+                deq[0] + kx_t * deq[1],
+                deq[1],
+                deq[2] + kb_t * deq[1],
+            ])
+        lf_t = lf_planes[:, oy:oy + ny * th, ox:ox + nx * tw].reshape(
+            C, ny, th, nx, tw).transpose(0, 1, 3, 2, 4)
+        pix = inverse_varblock_batch(
+            deq.reshape(C * ny * nx, h0, w0),
+            lf_t.reshape(C * ny * nx, th, tw),
+            sel,
+        ).reshape(C, ny, nx, h0, w0)
+        anchors = code_grid[oy:oy + ny * th:th, ox:ox + nx * tw:tw] == eid
+        contrib = jnp.where(anchors[None, :, :, None, None], pix, 0.0)
+        block = contrib.transpose(0, 1, 3, 2, 4).reshape(
+            C, ny * h0, nx * w0)
+        out = out.at[:, ys:ys + ny * h0, xs:xs + nx * w0].add(block)
+    return out
+
+
 def transform_buckets(coeff_plane, lf_plane, out_plane, buckets):
     """Apply all varblock inverse transforms for one channel.
 
@@ -133,7 +203,7 @@ def transform_buckets(coeff_plane, lf_plane, out_plane, buckets):
     return out_plane
 
 
-def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
+def build_fused_pipeline(plane_shape, lf_shape, entries,
                          matrices, quant_bias, quant_bias_numerator,
                          global_scale, qm_scale, lf_scale,
                          skip_smoothing: bool,
@@ -143,16 +213,17 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
                          sparse_coeff_n: int | None = None,
                          crop=None, embed=None):
     """One jitted function for the whole per-frame device pipeline:
-    LF dequant/CfL/smoothing -> HF dequant -> HF CfL -> bucketed inverse
+    LF dequant/CfL/smoothing -> HF dequant -> HF CfL -> dense inverse
     transforms -> gaborish -> EPF.
 
     Everything is ONE XLA computation: a decode is a single dispatch with
     one coefficient upload and one pixel download. Dequant matrices and
-    bucket geometry are compile-time constants; per-block positions, HF
-    multipliers, CfL factor grids and the EPF sigma grid are small runtime
-    inputs expanded on device.
+    the transform plan are compile-time constants; the per-block entry/
+    multiplier grids, CfL factor grids and the EPF sigma grid are small
+    runtime inputs expanded on device.
 
-    bucket_meta: tuple of (dct_select, n) per bucket.
+    entries: tuple of (dct_select, oy, ox) — the dense transform plan
+    (see dense_transform_channels).
     matrices: {sel: np [3, h, w]} dequant matrices (canonical orientation
     already resolved to the varblock region layout).
     """
@@ -162,7 +233,7 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
     LH, LW = lf_shape
 
     def pipeline(coeff, lf_quant, lf_scale_arr, x_grid, b_grid,
-                 sigma_blocks, *bucket_args):
+                 sigma_blocks, code_grid, mul_grid):
         if sparse_coeff_n is not None:
             # sparse upload: coeff is (flat_idx [N] i32, values [N] i16)
             # padded with (0, 0); scatter-add is pad-safe. Cuts the
@@ -196,62 +267,18 @@ def build_fused_pipeline(plane_shape, lf_shape, bucket_meta,
         kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H, :W]
         kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H, :W]
 
-        coeff_flat = coeff.reshape(3, -1)
-        lf_flat = lf_planes.reshape(3, -1)
-        kx_flat = kx_map.reshape(-1)
-        kb_flat = kb_map.reshape(-1)
-        out_flat = jnp.zeros((3, H * W), dtype=jnp.float32)
+        # dequant bias (vardct/mod.rs:443-541), dense over the plane
+        q = coeff.astype(jnp.float32)
         qbn = np.float32(quant_bias_numerator)
+        safe_q = jnp.where(q == 0.0, 1.0, q)
+        qb = jnp.asarray(quant_bias, dtype=jnp.float32)[:, None, None]
+        biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
 
-        for i, (sel, n) in enumerate(bucket_meta):
-            # positions/multipliers may upload as int16 (halves transfer);
-            # widen on device before arithmetic
-            pos = bucket_args[2 * i].astype(jnp.int32)      # [n, 2]
-            muls = bucket_args[2 * i + 1].astype(jnp.float32)  # [n] hf_mul
-            from ..models.vardct import TransformType as _T
-
-            bw, bh = _T.SELECT_SIZE[sel]
-            h, w = bh * 8, bw * 8
-            dy = jnp.arange(h)[:, None]
-            dx = jnp.arange(w)[None, :]
-            rows = pos[:, 1, None, None] * 8 + dy
-            cols = pos[:, 0, None, None] * 8 + dx
-            idx = rows * W + cols  # [n, h, w]
-            ldy = jnp.arange(bh)[:, None]
-            ldx = jnp.arange(bw)[None, :]
-            lf_idx = (pos[:, 1, None, None] + ldy) * LW + (pos[:, 0, None, None] + ldx)
-
-            q = jnp.take(coeff_flat, idx, axis=1).astype(jnp.float32)
-            # dequant bias (vardct/mod.rs:443-541)
-            safe_q = jnp.where(q == 0.0, 1.0, q)
-            qb = jnp.asarray(quant_bias, dtype=jnp.float32)[:, None, None, None]
-            biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
-            mat = jnp.asarray(matrices[sel])  # [3, h, w] constant
-            scale = (np.float32(65536.0 / global_scale)
-                     * jnp.asarray(qm_scale, dtype=jnp.float32)[:, None]
-                     / muls[None, :])  # [3, n]
-            deq = biased * mat[:, None] * scale[:, :, None, None]
-            # HF CfL per gathered block
-            kxg = jnp.take(kx_flat, idx)
-            kbg = jnp.take(kb_flat, idx)
-            deq = jnp.stack([
-                deq[0] + kxg * deq[1],
-                deq[1],
-                deq[2] + kbg * deq[1],
-            ])
-            lf_g = jnp.take(lf_flat, lf_idx, axis=1)
-            pix = inverse_varblock_batch(
-                deq.reshape((3 * n, h, w)),
-                lf_g.reshape((3 * n, bh, bw)),
-                sel,
-            ).reshape(3, n, h, w)
-            out_flat = jax.vmap(
-                lambda o, v: o.at[idx.reshape(-1)].set(
-                    v.reshape(-1), mode="drop"
-                )
-            )(out_flat, pix)
-
-        out = out_flat.reshape(3, H, W)
+        out = dense_transform_channels(
+            biased, lf_planes, kx_map, kb_map,
+            code_grid, mul_grid.astype(jnp.float32), entries, matrices,
+            global_scale, qm_scale,
+        )
 
         # --- restoration filters, fused in ---
         if gabor_weights is not None:
@@ -333,7 +360,7 @@ def _smooth_local(lf_planes, lf_scale, axis, vloc_lf: int, lh_valid: int,
 
 
 def build_fused_pipeline_sharded(
-    mesh, axis, local_plane_shape, local_lf_shape, bucket_meta,
+    mesh, axis, local_plane_shape, local_lf_shape, entries,
     matrices, quant_bias, quant_bias_numerator,
     global_scale, qm_scale, lf_scale,
     skip_smoothing: bool,
@@ -345,7 +372,7 @@ def build_fused_pipeline_sharded(
     crop=None,
 ):
     """The fused per-frame device pipeline under shard_map: the REAL
-    decoder program (bucketed varblock transforms, per-block dequant, CfL
+    decoder program (dense varblock transforms, per-block dequant, CfL
     grids, LF smoothing, gaborish, EPF sigma grids) sharded by rows of
     groups across the mesh — the reference's per-group data parallelism
     (jxl-render/src/vardct/mod.rs:250-376) as SPMD, with the halo contract
@@ -353,16 +380,16 @@ def build_fused_pipeline_sharded(
 
     Shapes are LOCAL (per shard): plane rows are padded to
     n_shards * H_loc with H_loc a multiple of group_dim, so no varblock
-    crosses a shard boundary (varblocks never leave their 256x256 group).
-    Bucket positions/muls arrive as runtime inputs sharded on a leading
-    mesh axis, padded per shard to a common count with off-plane sentinel
-    positions (gather reads garbage that the mode="drop" scatter then
-    discards). vloc/vloc_lf: valid rows in the LAST shard (static).
+    crosses a shard boundary (varblocks never leave their 256x256 group),
+    and shard bases stay residue-aligned for every transform span (spans
+    divide the group block count). The per-block entry-id and hf_mul
+    grids shard by rows like the sigma grid.
 
     Returns (jitted_fn, in_shardings): fn(coeff [3, Hp, W] int, lf_quant
     [3, LHp, LW], lf_scale_arr [3], x_grid/b_grid [h64p, w64] int,
-    sigma_blocks [bhp, bw] f32, *bucket_args) -> [3, Hp, W] f32 where the
-    leading-global row dimension is sharded over `axis`.
+    sigma_blocks [bhp, bw] f32, code_grid [bhp, bw] int16,
+    mul_grid [bhp, bw] f32) -> [3, Hp, W] f32 where the leading-global
+    row dimension is sharded over `axis`.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -378,7 +405,7 @@ def build_fused_pipeline_sharded(
     lh_valid, lw_valid = lf_valid
 
     def pipeline(coeff, lf_quant, lf_scale_arr, x_grid, b_grid,
-                 sigma_blocks, *bucket_args):
+                 sigma_blocks, code_grid, mul_grid):
         if sparse_coeff_n is not None:
             # per-shard sparse upload: (local flat idx [1, N], values
             # [1, N]) padded with (0, 0); scatter-add is pad-safe
@@ -409,58 +436,19 @@ def build_fused_pipeline_sharded(
         kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H_loc, :W]
         kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H_loc, :W]
 
-        coeff_flat = coeff.reshape(3, -1)
-        lf_flat = lf_planes.reshape(3, -1)
-        kx_flat = kx_map.reshape(-1)
-        kb_flat = kb_map.reshape(-1)
-        out_flat = jnp.zeros((3, H_loc * W), dtype=jnp.float32)
+        # dense dequant bias, then the dense per-(type, residue) engine
+        # over shard-local rows (same plan as single-device: shard bases
+        # are whole group rows, so block residues are shard-invariant)
+        q = coeff.astype(jnp.float32)
         qbn = np.float32(quant_bias_numerator)
-
-        for i, (sel, n) in enumerate(bucket_meta):
-            pos = bucket_args[2 * i][0].astype(jnp.int32)  # [n, 2] local
-            muls = bucket_args[2 * i + 1][0].astype(jnp.float32)  # [n]
-            from ..models.vardct import TransformType as _T
-
-            bw, bh = _T.SELECT_SIZE[sel]
-            h, w = bh * 8, bw * 8
-            dy = jnp.arange(h)[:, None]
-            dx = jnp.arange(w)[None, :]
-            rows = pos[:, 1, None, None] * 8 + dy
-            cols = pos[:, 0, None, None] * 8 + dx
-            idx = rows * W + cols  # [n, h, w]; pad entries out of range
-            ldy = jnp.arange(bh)[:, None]
-            ldx = jnp.arange(bw)[None, :]
-            lf_idx = (pos[:, 1, None, None] + ldy) * LW + (pos[:, 0, None, None] + ldx)
-
-            q = jnp.take(coeff_flat, idx, axis=1, mode="clip").astype(jnp.float32)
-            safe_q = jnp.where(q == 0.0, 1.0, q)
-            qb = jnp.asarray(quant_bias, dtype=jnp.float32)[:, None, None, None]
-            biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
-            mat = jnp.asarray(matrices[sel])  # [3, h, w] constant
-            scale = (np.float32(65536.0 / global_scale)
-                     * jnp.asarray(qm_scale, dtype=jnp.float32)[:, None]
-                     / muls[None, :])  # [3, n]
-            deq = biased * mat[:, None] * scale[:, :, None, None]
-            kxg = jnp.take(kx_flat, idx, mode="clip")
-            kbg = jnp.take(kb_flat, idx, mode="clip")
-            deq = jnp.stack([
-                deq[0] + kxg * deq[1],
-                deq[1],
-                deq[2] + kbg * deq[1],
-            ])
-            lf_g = jnp.take(lf_flat, lf_idx, axis=1, mode="clip")
-            pix = inverse_varblock_batch(
-                deq.reshape((3 * n, h, w)),
-                lf_g.reshape((3 * n, bh, bw)),
-                sel,
-            ).reshape(3, n, h, w)
-            out_flat = jax.vmap(
-                lambda o, v: o.at[idx.reshape(-1)].set(
-                    v.reshape(-1), mode="drop"
-                )
-            )(out_flat, pix)
-
-        out = out_flat.reshape(3, H_loc, W)
+        safe_q = jnp.where(q == 0.0, 1.0, q)
+        qb = jnp.asarray(quant_bias, dtype=jnp.float32)[:, None, None]
+        biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
+        out = dense_transform_channels(
+            biased, lf_planes, kx_map, kb_map,
+            code_grid, mul_grid.astype(jnp.float32), entries, matrices,
+            global_scale, qm_scale,
+        )
 
         # --- restoration filters with ICI halo exchange ---
         if gabor_weights is not None:
@@ -503,10 +491,8 @@ def build_fused_pipeline_sharded(
         if sparse_coeff_n is not None
         else spec_c
     )
-    in_specs = [coeff_spec, spec_c, P(None), spec_grid, spec_grid, spec_grid]
-    for _ in bucket_meta:
-        in_specs.append(P(axis, None, None))  # pos [n_sh, n, 2]
-        in_specs.append(P(axis, None))        # muls [n_sh, n]
+    in_specs = [coeff_spec, spec_c, P(None), spec_grid, spec_grid,
+                spec_grid, spec_grid, spec_grid]
     fn = shard_map(
         pipeline,
         mesh=mesh,
@@ -531,57 +517,34 @@ def build_fused_pipeline_sharded(
     return jax.jit(fn), shardings
 
 
-def build_fused_pipeline_1ch(plane_shape, lf_shape, bucket_meta, matrices,
+def build_fused_pipeline_1ch(plane_shape, lf_shape, entries, matrices,
                              quant_bias: float, quant_bias_numerator: float,
                              global_scale, qm_scale: float, lf_scale: float):
     """Single-channel fused pipeline for chroma-subsampled frames
     (do_ycbcr with jpeg_upsampling != 0): per-channel plane geometries
-    differ, so each channel runs its own dequant -> bucketed inverse
+    differ, so each channel runs its own dequant -> dense inverse
     transform program (no CfL across channels; filters run after chroma
     upsampling in the render path, image.rs:448-486).
 
-    bucket_meta: ((sel, n), ...); matrices: {sel: [h, w]} for this channel.
-    fn(coeff [H, W] int, lf_quant [LH, LW], *bucket_args) -> [H, W] f32.
+    entries: ((sel, oy, ox), ...); matrices: {sel: [h, w]} this channel.
+    fn(coeff [H, W] int, lf_quant [LH, LW], code_grid, mul_grid)
+    -> [H, W] f32.
     """
     H, W = plane_shape
-    LH, LW = lf_shape
+    mats3 = {sel: np.asarray(m)[None] for sel, m in matrices.items()}
 
-    def pipeline(coeff, lf_quant, *bucket_args):
+    def pipeline(coeff, lf_quant, code_grid, mul_grid):
         lf_plane = lf_quant.astype(jnp.float32) * np.float32(lf_scale)
-        coeff_flat = coeff.reshape(-1)
-        lf_flat = lf_plane.reshape(-1)
-        out_flat = jnp.zeros((H * W,), dtype=jnp.float32)
         qbn = np.float32(quant_bias_numerator)
         qb = np.float32(quant_bias)
-
-        for i, (sel, n) in enumerate(bucket_meta):
-            pos = bucket_args[2 * i].astype(jnp.int32)       # [n, 2]
-            muls = bucket_args[2 * i + 1].astype(jnp.float32)  # [n]
-            from ..models.vardct import TransformType as _T
-
-            bw, bh = _T.SELECT_SIZE[sel]
-            h, w = bh * 8, bw * 8
-            dy = jnp.arange(h)[:, None]
-            dx = jnp.arange(w)[None, :]
-            rows = pos[:, 1, None, None] * 8 + dy
-            cols = pos[:, 0, None, None] * 8 + dx
-            idx = rows * W + cols
-            ldy = jnp.arange(bh)[:, None]
-            ldx = jnp.arange(bw)[None, :]
-            lf_idx = (pos[:, 1, None, None] + ldy) * LW + (pos[:, 0, None, None] + ldx)
-
-            q = jnp.take(coeff_flat, idx, mode="clip").astype(jnp.float32)
-            safe_q = jnp.where(q == 0.0, 1.0, q)
-            biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
-            mat = jnp.asarray(matrices[sel])  # [h, w] constant
-            scale = (np.float32(65536.0 / global_scale)
-                     * np.float32(qm_scale) / muls)  # [n]
-            deq = biased * mat[None] * scale[:, None, None]
-            lf_g = jnp.take(lf_flat, lf_idx, mode="clip")
-            pix = inverse_varblock_batch(deq, lf_g, sel)
-            out_flat = out_flat.at[idx.reshape(-1)].set(
-                pix.reshape(-1), mode="drop"
-            )
-        return out_flat.reshape(H, W)
+        q = coeff.astype(jnp.float32)
+        safe_q = jnp.where(q == 0.0, 1.0, q)
+        biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
+        out = dense_transform_channels(
+            biased[None], lf_plane[None], None, None,
+            code_grid, mul_grid.astype(jnp.float32), entries, mats3,
+            global_scale, (qm_scale,),
+        )
+        return out[0]
 
     return jax.jit(pipeline)

@@ -467,6 +467,42 @@ class VardctFrameState:
         cache[channel] = buckets
         return buckets
 
+    @staticmethod
+    def dense_plan(buckets, lf_shape):
+        """Dense transform plan from per-type varblock buckets: entry
+        list (sel, oy, ox) keyed by block-offset residue class, plus the
+        anchor entry-id grid and hf_mul grid consumed by
+        ops.vardct_pipeline.dense_transform_channels (which replaces the
+        TPU-hostile per-element gather/scatter bucketing)."""
+        bh_g, bw_g = lf_shape
+        code = np.full((bh_g, bw_g), -1, dtype=np.int16)
+        mul = np.ones((bh_g, bw_g), dtype=np.float32)
+        entries: list[tuple[int, int, int]] = []
+        eidx: dict[tuple[int, int, int], int] = {}
+        for b in buckets:
+            tw, th = TransformType.SELECT_SIZE[b.sel]
+            p = b.pos3
+            if not len(p):
+                continue
+            x = p[:, 0].astype(np.int64)
+            y = p[:, 1].astype(np.int64)
+            # drop malformed anchors outside the grid (the parser bounds
+            # these for valid streams; fuzz streams may not)
+            ok = (x >= 0) & (y >= 0) & (x < bw_g) & (y < bh_g)
+            x, y, m = x[ok], y[ok], p[ok, 2]
+            res = (y % th) * tw + (x % tw)
+            for r in np.unique(res):
+                key = (b.sel, int(r) // tw, int(r) % tw)
+                eid = eidx.get(key)
+                if eid is None:
+                    eid = len(entries)
+                    eidx[key] = eid
+                    entries.append(key)
+                sel_m = res == r
+                code[y[sel_m], x[sel_m]] = eid
+            mul[y, x] = m.astype(np.float32)
+        return tuple(entries), code, mul
+
     def build_transform_buckets(self, channel: int):
         """Gather/scatter index plans (without muls), for the per-plane
         fallback path."""
@@ -567,7 +603,6 @@ class VardctFrameState:
             skip_smoothing = True
 
         buckets = self.buckets(0)
-        bucket_meta = tuple((b.sel, b.n) for b in buckets)
         matrices = {}
         qm_scale = (
             0.8 ** (header.x_qm_scale - 2),
@@ -714,14 +749,11 @@ class VardctFrameState:
         gabor_weights = hi["gabor_weights"]
         epf_params = hi["epf_params"]
         coeff_stack = hi["coeff_stack"]
-        # pad bucket counts to powers of two: decodes of DIFFERENT images
-        # with the same plane geometry and transform-type set then hit the
-        # jit cache instead of recompiling per image (sentinel positions
-        # gather garbage that the mode="drop" scatter discards)
-        bucket_meta = tuple(
-            (b.sel, max(16, 1 << (b.n - 1).bit_length()))
-            for b in buckets
-        )
+        # dense transform plan: the compile key depends only on the set of
+        # (type, block-offset residue) entries present, so decodes of
+        # DIFFERENT images with the same plane geometry and plan hit the
+        # jit cache regardless of block counts
+        entries, code_grid, mul_grid = self.dense_plan(buckets, lf_shape)
 
         # sparse coefficient upload when it beats dense int16 (quantized
         # HF coefficients are mostly zero); padded to pow2 to bound the
@@ -749,7 +781,7 @@ class VardctFrameState:
 
         key = (
             sparse_n,
-            plane_shape, lf_shape, embed, bucket_meta,
+            plane_shape, lf_shape, embed, entries,
             tuple(float(q) for q in self.opsin.quant_bias),
             float(self.opsin.quant_bias_numerator),
             quantizer.global_scale, qm_scale, lf_smooth_scale,
@@ -767,7 +799,7 @@ class VardctFrameState:
         fn = self._fused_cache.get(key)
         if fn is None:
             fn = build_fused_pipeline(
-                plane_shape, lf_shape, bucket_meta,
+                plane_shape, lf_shape, entries,
                 matrices,
                 tuple(float(q) for q in self.opsin.quant_bias),
                 float(self.opsin.quant_bias_numerator),
@@ -784,32 +816,6 @@ class VardctFrameState:
             )
             self._fused_cache[key] = fn
 
-        bucket_args = []
-        # sentinel = one block row past the plane: strictly positive and
-        # out of range, so gathers clip to garbage and the mode="drop"
-        # scatter discards it (negative sentinels would be normalized by
-        # +size and could wrap IN range for tall planes)
-        ph, pw = plane_shape
-        sentinel = (pw // 8, ph // 8)
-        for (_, n_pad), b in zip(bucket_meta, buckets):
-            muls, pos = b.muls, b.pos
-            n = len(pos)
-            # int16 upload when coordinates/multipliers fit (block coords
-            # max out at 8192 for 65536px planes; hf_mul is usually tiny)
-            pos_dt = np.int16 if max(sentinel) < 32768 else np.int32
-            pos_p = np.empty((n_pad, 2), dtype=pos_dt)
-            pos_p[:, 0] = sentinel[0]
-            pos_p[:, 1] = sentinel[1]
-            pos_p[:n] = pos
-            mul_dt = (
-                np.int16
-                if n == 0 or muls.max(initial=1) < 32768
-                else np.float32
-            )
-            mul_p = np.ones(n_pad, dtype=mul_dt)
-            mul_p[:n] = muls.astype(mul_dt)
-            bucket_args.append(pos_p)
-            bucket_args.append(mul_p)
         if sparse_n is not None:
             if idx_buf is not None:
                 c_idx = idx_buf[:sparse_n]
@@ -838,7 +844,8 @@ class VardctFrameState:
         # ONE batched host->device transfer for every input
         placed = jax.device_put([
             coeff_input, hi["lf_input"], hi["lf_scale_arr"],
-            hi["x_grid"], hi["b_grid"], hi["sigma_blocks"], *bucket_args,
+            hi["x_grid"], hi["b_grid"], hi["sigma_blocks"],
+            code_grid, mul_grid,
         ])
         out = fn(*placed)
         # stay on device: downstream stages (ycbcr, upsampling, color
@@ -908,32 +915,12 @@ class VardctFrameState:
         b_grid = pad_rows(hi["b_grid"], H_pad // 64, 0)
         sigma_blocks = pad_rows(hi["sigma_blocks"], H_pad // 8, 0)
 
-        # split each bucket's varblocks by shard (origin block row //
-        # blocks-per-shard); pad every shard to the max count with
-        # off-plane sentinel positions (scatter mode="drop" discards them)
-        hb_loc = H_loc // 8
-        sh_buckets = []  # (sel, n_max, pos [n_sh, n_max, 2], muls)
-        for b in buckets:
-            sel, muls, pos = b.sel, b.muls, b.pos
-            shard_of = pos[:, 1] // hb_loc
-            per = [np.nonzero(shard_of == s)[0] for s in range(n_sh)]
-            n_max = max((len(p) for p in per), default=0)
-            # pow2 padding: same-geometry images share compiled programs
-            n_max = max(16, 1 << max(n_max - 1, 0).bit_length())
-            # positive out-of-range sentinel (see single-device path)
-            pos_arr = np.empty((n_sh, n_max, 2), dtype=np.int32)
-            pos_arr[..., 0] = W // 8
-            pos_arr[..., 1] = H_loc // 8
-            mul_arr = np.ones((n_sh, n_max), dtype=np.float32)
-            for s, sel_idx in enumerate(per):
-                k = len(sel_idx)
-                if k:
-                    local = pos[sel_idx].astype(np.int32)
-                    local[:, 1] -= s * hb_loc
-                    pos_arr[s, :k] = local
-                    mul_arr[s, :k] = muls[sel_idx].astype(np.float32)
-            sh_buckets.append((int(sel), n_max, pos_arr, mul_arr))
-        bucket_meta = tuple((sel, n) for sel, n, _p, _m in sh_buckets)
+        # dense transform plan over the PADDED global block grid; the
+        # entry-id/mul grids shard by rows like the sigma grid (shard
+        # bases are whole group rows, so residues are shard-invariant)
+        entries, code_grid, mul_grid = self.dense_plan(
+            buckets, (H_pad // 8, W // 8)
+        )
 
         qm_scale = hi["qm_scale"]
         kx, kb = hi["kx"], hi["kb"]
@@ -941,7 +928,7 @@ class VardctFrameState:
         key = (
             "sharded", sparse_n, mesh_fingerprint(mesh),
             (H_loc, W), (LH_loc, LW), vloc, vloc_lf, (LH, LW),
-            bucket_meta,
+            entries,
             tuple(float(q) for q in self.opsin.quant_bias),
             float(self.opsin.quant_bias_numerator),
             quantizer.global_scale, qm_scale, hi["lf_smooth_scale"],
@@ -959,7 +946,7 @@ class VardctFrameState:
         cached = self._fused_cache.get(key)
         if cached is None:
             cached = build_fused_pipeline_sharded(
-                mesh, axis, (H_loc, W), (LH_loc, LW), bucket_meta,
+                mesh, axis, (H_loc, W), (LH_loc, LW), entries,
                 hi["matrices"],
                 tuple(float(q) for q in self.opsin.quant_bias),
                 float(self.opsin.quant_bias_numerator),
@@ -1008,11 +995,8 @@ class VardctFrameState:
             coeff_input = coeff_stack
         inputs = [
             coeff_input, lf_input, hi["lf_scale_arr"],
-            x_grid, b_grid, sigma_blocks,
+            x_grid, b_grid, sigma_blocks, code_grid, mul_grid,
         ]
-        for _sel, _n, pos_arr, mul_arr in sh_buckets:
-            inputs.append(pos_arr)
-            inputs.append(mul_arr)
         placed = [
             jax.device_put(a, s) for a, s in zip(inputs, shardings)
         ]
@@ -1045,9 +1029,8 @@ class VardctFrameState:
         out = []
         for c in range(3):
             buckets = self.buckets(c)
-            bucket_meta = tuple(
-                (b.sel, max(16, 1 << (b.n - 1).bit_length()))
-                for b in buckets
+            entries, code_grid, mul_grid = self.dense_plan(
+                buckets, self.lf_shapes[c]
             )
             matrices = {}
             for sel in (b.sel for b in buckets):
@@ -1061,7 +1044,7 @@ class VardctFrameState:
             lf_scale = float(lf_dequant[c] * precision_scale / scale_inv)
             key = (
                 "sub1ch", c, self.plane_shapes[c], self.lf_shapes[c],
-                bucket_meta,
+                entries,
                 float(self.opsin.quant_bias[c]),
                 float(self.opsin.quant_bias_numerator),
                 quantizer.global_scale, qm_scale[c], lf_scale,
@@ -1070,40 +1053,21 @@ class VardctFrameState:
             fn = self._fused_cache.get(key)
             if fn is None:
                 fn = build_fused_pipeline_1ch(
-                    self.plane_shapes[c], self.lf_shapes[c], bucket_meta,
+                    self.plane_shapes[c], self.lf_shapes[c], entries,
                     matrices,
                     float(self.opsin.quant_bias[c]),
                     float(self.opsin.quant_bias_numerator),
                     quantizer.global_scale, qm_scale[c], lf_scale,
                 )
                 self._fused_cache[key] = fn
-            ph, pw = self.plane_shapes[c]
-            sentinel = (pw // 8, ph // 8)
-            bucket_args = []
-            for (_, n_pad), b in zip(bucket_meta, buckets):
-                muls, pos = b.muls, b.pos
-                n = len(pos)
-                pos_dt = np.int16 if max(sentinel) < 32768 else np.int32
-                pos_p = np.empty((n_pad, 2), dtype=pos_dt)
-                pos_p[:, 0] = sentinel[0]
-                pos_p[:, 1] = sentinel[1]
-                pos_p[:n] = pos
-                mul_dt = (
-                    np.int16
-                    if n == 0 or muls.max(initial=1) < 32768
-                    else np.float32
-                )
-                mul_p = np.ones(n_pad, dtype=mul_dt)
-                mul_p[:n] = muls.astype(mul_dt)
-                bucket_args.append(jnp.asarray(pos_p))
-                bucket_args.append(jnp.asarray(mul_p))
             coeff = self.coeff_planes[c]
             if np.abs(coeff).max(initial=0) < 32768:
                 coeff = coeff.astype(np.int16)
             out.append(fn(
                 jnp.asarray(coeff),
                 jnp.asarray(self.lf_quant_planes[c]),
-                *bucket_args,
+                jnp.asarray(code_grid),
+                jnp.asarray(mul_grid),
             ))
         return out
 

@@ -349,6 +349,13 @@ def main() -> None:
     print(f"transfer: {transfer} MiB/s", file=sys.stderr)
     device_mpps = _bench_compute_only(2048 if transfer > 16 else 512)
     print(f"compute-only pipeline: {device_mpps:.1f} MP/s", file=sys.stderr)
+    try:
+        real_pipe_mpps = _bench_real_pipeline(1024)
+    except Exception as e:  # pragma: no cover
+        print(f"real-pipeline bench failed: {e}", file=sys.stderr)
+        real_pipe_mpps = 0.0
+    print(f"real fused pipeline (gabor+EPF2): {real_pipe_mpps:.1f} MP/s",
+          file=sys.stderr)
 
     import os
 
@@ -393,6 +400,7 @@ def main() -> None:
         "vs_baseline": round(e2e / 1000.0, 4),
         "host_entropy_mpps": round(host_mpps, 1),
         "device_mpps": round(device_mpps, 1),
+        "device_real_pipeline_mpps": round(real_pipe_mpps, 1),
         "transfer_mbps": transfer,
         "e2e_device_resident_mpps": round(dev_resident, 2),
         "corpus_geomean_mpps": round(geomean, 2),

@@ -164,10 +164,16 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
         scale = gs * qm[:, None, None] / mul_b[None]   # [C, ny, nx]
         deq = (tiles * mat[:, None, None]) * scale[..., None, None]
         if kx_map is not None:
-            kx_t = kx_map[ys:ys + ny * h0, xs:xs + nx * w0].reshape(
-                ny, h0, nx, w0).transpose(0, 2, 1, 3)
-            kb_t = kb_map[ys:ys + ny * h0, xs:xs + nx * w0].reshape(
-                ny, h0, nx, w0).transpose(0, 2, 1, 3)
+            if isinstance(kx_map, float):
+                # constant factor grids (all-zero correlation grids are
+                # common): no [H, W] map materialization
+                kx_t = np.float32(kx_map)
+                kb_t = np.float32(kb_map)
+            else:
+                kx_t = kx_map[ys:ys + ny * h0, xs:xs + nx * w0].reshape(
+                    ny, h0, nx, w0).transpose(0, 2, 1, 3)
+                kb_t = kb_map[ys:ys + ny * h0, xs:xs + nx * w0].reshape(
+                    ny, h0, nx, w0).transpose(0, 2, 1, 3)
             deq = jnp.stack([
                 deq[0] + kx_t * deq[1],
                 deq[1],
@@ -211,7 +217,7 @@ def build_fused_pipeline(plane_shape, lf_shape, entries,
                          cfl_base=(0.0, 1.0),
                          gabor_weights=None, epf_params=None,
                          sparse_coeff_n: int | None = None,
-                         crop=None, embed=None):
+                         crop=None, embed=None, cfl_const: bool = False):
     """One jitted function for the whole per-frame device pipeline:
     LF dequant/CfL/smoothing -> HF dequant -> HF CfL -> dense inverse
     transforms -> gaborish -> EPF.
@@ -257,15 +263,21 @@ def build_fused_pipeline(plane_shape, lf_shape, entries,
             )
             lf_planes = jnp.stack(list(sm))
 
-        # --- HF CfL factor maps from per-64x64 grids, expanded on device ---
-        h64 = -(-H // 64)
-        w64 = -(-W // 64)
-        kx_map = (np.float32(cfl_base[0])
-                  + x_grid.astype(jnp.float32) / np.float32(cfl_colour_factor))
-        kb_map = (np.float32(cfl_base[1])
-                  + b_grid.astype(jnp.float32) / np.float32(cfl_colour_factor))
-        kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H, :W]
-        kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H, :W]
+        # --- HF CfL factor maps from per-64x64 grids, expanded on device
+        # (all-zero correlation grids collapse to scalar factors: no
+        # [H, W] map materialization, detected by the host) ---
+        if cfl_const:
+            kx_map = float(cfl_base[0])
+            kb_map = float(cfl_base[1])
+        else:
+            kx_map = (np.float32(cfl_base[0])
+                      + x_grid.astype(jnp.float32)
+                      / np.float32(cfl_colour_factor))
+            kb_map = (np.float32(cfl_base[1])
+                      + b_grid.astype(jnp.float32)
+                      / np.float32(cfl_colour_factor))
+            kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H, :W]
+            kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H, :W]
 
         # dequant bias (vardct/mod.rs:443-541), dense over the plane
         q = coeff.astype(jnp.float32)
@@ -369,7 +381,7 @@ def build_fused_pipeline_sharded(
     cfl_base=(0.0, 1.0),
     gabor_weights=None, epf_params=None,
     sparse_coeff_n: int | None = None,
-    crop=None,
+    crop=None, cfl_const: bool = False,
 ):
     """The fused per-frame device pipeline under shard_map: the REAL
     decoder program (dense varblock transforms, per-block dequant, CfL
@@ -429,12 +441,18 @@ def build_fused_pipeline_sharded(
             )
 
         # --- HF CfL factor maps from per-64x64 grids (shard-local rows) ---
-        kx_map = (np.float32(cfl_base[0])
-                  + x_grid.astype(jnp.float32) / np.float32(cfl_colour_factor))
-        kb_map = (np.float32(cfl_base[1])
-                  + b_grid.astype(jnp.float32) / np.float32(cfl_colour_factor))
-        kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H_loc, :W]
-        kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H_loc, :W]
+        if cfl_const:
+            kx_map = float(cfl_base[0])
+            kb_map = float(cfl_base[1])
+        else:
+            kx_map = (np.float32(cfl_base[0])
+                      + x_grid.astype(jnp.float32)
+                      / np.float32(cfl_colour_factor))
+            kb_map = (np.float32(cfl_base[1])
+                      + b_grid.astype(jnp.float32)
+                      / np.float32(cfl_colour_factor))
+            kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H_loc, :W]
+            kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H_loc, :W]
 
         # dense dequant bias, then the dense per-(type, residue) engine
         # over shard-local rows (same plan as single-device: shard bases

@@ -779,8 +779,14 @@ class VardctFrameState:
             if nz_flat.size * 6 < dense_bytes // 2:
                 sparse_n = 1 << max(10, int(nz_flat.size - 1).bit_length())
 
+        # constant CfL factor maps (all-zero correlation grids): the
+        # pipeline folds the factors to scalars — no [H, W] maps
+        cfl_const = bool(
+            not np.asarray(hi["x_grid"]).any()
+            and not np.asarray(hi["b_grid"]).any()
+        )
         key = (
-            sparse_n,
+            sparse_n, cfl_const,
             plane_shape, lf_shape, embed, entries,
             tuple(float(q) for q in self.opsin.quant_bias),
             float(self.opsin.quant_bias_numerator),
@@ -813,6 +819,7 @@ class VardctFrameState:
                 sparse_coeff_n=sparse_n,
                 crop=(self.height, self.width),
                 embed=embed,
+                cfl_const=cfl_const,
             )
             self._fused_cache[key] = fn
 
@@ -914,6 +921,7 @@ class VardctFrameState:
         x_grid = pad_rows(hi["x_grid"], H_pad // 64, 0)
         b_grid = pad_rows(hi["b_grid"], H_pad // 64, 0)
         sigma_blocks = pad_rows(hi["sigma_blocks"], H_pad // 8, 0)
+        cfl_const = bool(not x_grid.any() and not b_grid.any())
 
         # dense transform plan over the PADDED global block grid; the
         # entry-id/mul grids shard by rows like the sigma grid (shard
@@ -926,7 +934,7 @@ class VardctFrameState:
         kx, kb = hi["kx"], hi["kb"]
         epf_params = hi["epf_params"]
         key = (
-            "sharded", sparse_n, mesh_fingerprint(mesh),
+            "sharded", sparse_n, cfl_const, mesh_fingerprint(mesh),
             (H_loc, W), (LH_loc, LW), vloc, vloc_lf, (LH, LW),
             entries,
             tuple(float(q) for q in self.opsin.quant_bias),
@@ -960,6 +968,7 @@ class VardctFrameState:
                 epf_params=epf_params,
                 sparse_coeff_n=sparse_n,
                 crop=(self.height, self.width),
+                cfl_const=cfl_const,
             )
             self._fused_cache[key] = cached
         fn, shardings = cached

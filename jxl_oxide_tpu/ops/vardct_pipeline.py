@@ -118,6 +118,30 @@ def scatter_blocks(plane, idx, values):
     return flat.reshape(plane.shape)
 
 
+def _sep_apply_dense(x, Bv, Bh_, C, ny, v0, nx, h0):
+    """Separable per-tile 2-D transform over a DENSE region [C, Hr, Wr]
+    (Hr = ny*v0, Wr = nx*h0) with NO tile transposes: a vertical
+    within-tile einsum keeps the full width in the lane dimension, then
+    one [C, Hr, Wr] transpose and the same trick horizontally. ~40x
+    faster on TPU than the [n, v0, h0] batched-tile layout, whose 8-wide
+    lanes starve the VPU/MXU.
+
+    Bv: [v0, v0] vertical basis (out_row <- coeff_row),
+    Bh_: [h0, h0] horizontal basis (out_col <- coeff_col).
+    """
+    Hr, Wr = ny * v0, nx * h0
+    v = jnp.einsum(
+        "yj,cbjw->cbyw", Bv, x.reshape(C, ny, v0, Wr),
+        preferred_element_type=jnp.float32,
+    ).reshape(C, Hr, Wr)
+    vt = v.swapaxes(1, 2).reshape(C, nx, h0, Hr)
+    h = jnp.einsum(
+        "xj,cbjh->cbxh", Bh_, vt,
+        preferred_element_type=jnp.float32,
+    ).reshape(C, Wr, Hr)
+    return h.swapaxes(1, 2)
+
+
 def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
                              mul_grid, entries, matrices, global_scale,
                              qm_scale):
@@ -129,25 +153,38 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
     Varblock types partition the 8x8-block grid, so for each entry
     (dct_select, oy, ox) the plane is retiled at that block offset with
     pure reshapes, ALL aligned positions run through one batched inverse
-    transform (MXU matmuls), and only tiles whose anchor in `code_grid`
-    carries this entry's id contribute (masked add). Per-pixel op order
-    matches the old gather path bit for bit.
+    transform, and only tiles whose anchor in `code_grid` carries this
+    entry's id contribute (masked add). The separable DCTnxm family
+    (incl. DCT8 and every rectangular size) runs fully dense with the
+    width kept in the lane dimension (_sep_apply_dense); only the
+    non-separable 8x8 specials (DCT2/DCT4/Hornuss/DCT4x8/AFV) fall back
+    to the batched-tile layout.
 
     biased:   [C, H, W] f32 (dequant bias already applied)
     lf_planes:[C, BH, BW] f32 dequantized+smoothed LF (DC source)
-    kx_map/kb_map: [H, W] CfL factor maps, or None for single-channel
+    kx_map/kb_map: [H, W] CfL factor maps, scalar floats (constant
+    correlation grids), or None for single-channel
     code_grid:[BH, BW] int, entry id at each varblock anchor, -1 elsewhere
     mul_grid: [BH, BW] f32 hf_mul at anchors
     entries:  tuple of (dct_select, oy, ox) — compile-time plan
     matrices: {sel: [C, h, w]} dequant matrix constants
     """
     from ..models.vardct import TransformType as _T
+    from .dct import dct_basis_forward, dct_basis_inverse
+    from .varblock import scale_f_map
 
     C, H, W = biased.shape
     BH, BW = code_grid.shape
     out = jnp.zeros((C, H, W), dtype=jnp.float32)
     qm = jnp.asarray(qm_scale, dtype=jnp.float32)
     gs = np.float32(65536.0 / global_scale)
+
+    def expand(a, shape5, flat):
+        """Broadcast [.., ny, .., nx, ..]-style factors to the flat
+        region layout [.., Hr, Wr]: all arithmetic stays in [C, Hr, Wr]
+        (lanes on the full width) — 5-D broadcast arithmetic with an
+        8-wide minor dim runs ~3x slower on TPU."""
+        return jnp.broadcast_to(a, shape5).reshape(flat)
 
     for eid, (sel, oy, ox) in enumerate(entries):
         tw, th = _T.SELECT_SIZE[sel]   # x-span, y-span in 8px blocks
@@ -157,40 +194,77 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
         if ny <= 0 or nx <= 0:
             continue
         ys, xs = oy * 8, ox * 8
-        region = biased[:, ys:ys + ny * h0, xs:xs + nx * w0]
-        tiles = region.reshape(C, ny, h0, nx, w0).transpose(0, 1, 3, 2, 4)
+        Hr, Wr = ny * h0, nx * w0
+        region = biased[:, ys:ys + Hr, xs:xs + Wr]
         mat = jnp.asarray(matrices[sel])               # [C, h0, w0] const
         mul_b = mul_grid[oy:oy + ny * th:th, ox:ox + nx * tw:tw]
         scale = gs * qm[:, None, None] / mul_b[None]   # [C, ny, nx]
-        deq = (tiles * mat[:, None, None]) * scale[..., None, None]
+        mat_f = expand(mat[:, None, :, None, :], (C, ny, h0, nx, w0),
+                       (C, Hr, Wr))
+        scale_f_ = expand(scale[:, :, None, :, None], (C, ny, h0, nx, w0),
+                          (C, Hr, Wr))
+        deq = (region * mat_f) * scale_f_
         if kx_map is not None:
             if isinstance(kx_map, float):
                 # constant factor grids (all-zero correlation grids are
                 # common): no [H, W] map materialization
-                kx_t = np.float32(kx_map)
-                kb_t = np.float32(kb_map)
+                kx_r = np.float32(kx_map)
+                kb_r = np.float32(kb_map)
             else:
-                kx_t = kx_map[ys:ys + ny * h0, xs:xs + nx * w0].reshape(
-                    ny, h0, nx, w0).transpose(0, 2, 1, 3)
-                kb_t = kb_map[ys:ys + ny * h0, xs:xs + nx * w0].reshape(
-                    ny, h0, nx, w0).transpose(0, 2, 1, 3)
+                kx_r = kx_map[ys:ys + Hr, xs:xs + Wr]
+                kb_r = kb_map[ys:ys + Hr, xs:xs + Wr]
             deq = jnp.stack([
-                deq[0] + kx_t * deq[1],
+                deq[0] + kx_r * deq[1],
                 deq[1],
-                deq[2] + kb_t * deq[1],
+                deq[2] + kb_r * deq[1],
             ])
-        lf_t = lf_planes[:, oy:oy + ny * th, ox:ox + nx * tw].reshape(
-            C, ny, th, nx, tw).transpose(0, 1, 3, 2, 4)
-        pix = inverse_varblock_batch(
-            deq.reshape(C * ny * nx, h0, w0),
-            lf_t.reshape(C * ny * nx, th, tw),
-            sel,
-        ).reshape(C, ny, nx, h0, w0)
+
+        separable = sel == _T.DCT8 or th * tw > 1
+        if separable:
+            ry = jnp.arange(Hr) % h0
+            rx = jnp.arange(Wr) % w0
+            corner = (ry < th)[:, None] & (rx < tw)[None, :]
+            if th * tw == 1:
+                # DCT8: the LF sample IS the DC coefficient
+                lf_a = lf_planes[:, oy:oy + ny, ox:ox + nx]
+                lf_full = expand(lf_a[:, :, None, :, None],
+                                 (C, ny, h0, nx, w0), (C, Hr, Wr))
+            else:
+                # multi-block DCTnxm: embed fwd-DCT of the LF tile into
+                # the low corner (transform_common.rs:11-77), all dense
+                lf5 = lf_planes[:, oy:oy + ny * th, ox:ox + nx * tw]
+                av = jnp.asarray(dct_basis_forward(th))
+                ah = jnp.asarray(dct_basis_forward(tw))
+                lf_c = _sep_apply_dense(lf5, av, ah, C, ny, th, nx, tw)
+                sf = jnp.asarray(scale_f_map(th, tw))
+                sf_f = expand(sf[None, None, :, None, :],
+                              (C, ny, th, nx, tw), (C, ny * th, nx * tw))
+                lf_c = lf_c / sf_f
+                # place each tile's [th, tw] corner into the [h0, w0]
+                # grid: pad the per-tile view out to the full tile size
+                lf_full = jnp.pad(
+                    lf_c.reshape(C, ny, th, nx, tw),
+                    ((0, 0), (0, 0), (0, h0 - th), (0, 0), (0, w0 - tw)),
+                ).reshape(C, Hr, Wr)
+            deq = jnp.where(corner[None], lf_full, deq)
+            bv = jnp.asarray(dct_basis_inverse(h0))
+            bh_ = jnp.asarray(dct_basis_inverse(w0))
+            pix = _sep_apply_dense(deq, bv, bh_, C, ny, h0, nx, w0)
+        else:
+            # non-separable 8x8 specials: batched-tile layout
+            tiles = deq.reshape(C, ny, h0, nx, w0).transpose(0, 1, 3, 2, 4)
+            lf_t = lf_planes[:, oy:oy + ny, ox:ox + nx]
+            pix = inverse_varblock_batch(
+                tiles.reshape(C * ny * nx, h0, w0),
+                lf_t.reshape(C * ny * nx, 1, 1),
+                sel,
+            ).reshape(C, ny, nx, h0, w0).transpose(0, 1, 3, 2, 4).reshape(
+                C, Hr, Wr)
+
         anchors = code_grid[oy:oy + ny * th:th, ox:ox + nx * tw:tw] == eid
-        contrib = jnp.where(anchors[None, :, :, None, None], pix, 0.0)
-        block = contrib.transpose(0, 1, 3, 2, 4).reshape(
-            C, ny * h0, nx * w0)
-        out = out.at[:, ys:ys + ny * h0, xs:xs + nx * w0].add(block)
+        am = expand(anchors[:, None, :, None], (ny, h0, nx, w0), (Hr, Wr))
+        contrib = jnp.where(am[None], pix, 0.0)
+        out = out.at[:, ys:ys + Hr, xs:xs + Wr].add(contrib)
     return out
 
 

@@ -824,13 +824,29 @@ class VardctFrameState:
             self._fused_cache[key] = fn
 
         if sparse_n is not None:
+            # pads carry ascending OUT-OF-BOUNDS indices (>= plane size)
+            # so the device scatter can truthfully claim sorted+unique
+            # (mode="drop" discards them); the extractor emits ascending
+            # unique indices by construction
+            size = coeff_stack.size
             if idx_buf is not None:
-                c_idx = idx_buf[:sparse_n]
-                vals = val_buf[:sparse_n]
+                if idx_buf.size < sparse_n:
+                    idx_buf = np.resize(idx_buf, sparse_n)
+                    val_buf = np.resize(val_buf, sparse_n)
+                c_idx = idx_buf[:sparse_n].copy()
+                nz_n = min(int(nz_count), sparse_n)
+                c_idx[nz_n:] = size + np.arange(
+                    sparse_n - nz_n, dtype=np.int32
+                )
+                vals = val_buf[:sparse_n].copy()
+                vals[nz_n:] = 0
                 c_val = vals.astype(np.int16) if max_abs < 32768 else vals
             else:
-                c_idx = np.zeros(sparse_n, dtype=np.int32)
+                c_idx = np.empty(sparse_n, dtype=np.int32)
                 c_idx[: nz_flat.size] = nz_flat
+                c_idx[nz_flat.size:] = size + np.arange(
+                    sparse_n - nz_flat.size, dtype=np.int32
+                )
                 vals = coeff_stack.reshape(-1)[nz_flat]
                 c_val = np.zeros(
                     sparse_n,
@@ -984,10 +1000,11 @@ class VardctFrameState:
                     coeff_stack[:, s_ * H_loc : (s_ + 1) * H_loc]
                 )
                 if _native.available():
-                    _, ma = _native.sparse_extract(
+                    cnt, ma = _native.sparse_extract(
                         slab.reshape(-1), c_idx[s_], c_val32[s_]
                     )
                     max_abs = max(max_abs, ma)
+                    nzn = min(int(cnt), sparse_n)
                 else:
                     nzf = np.flatnonzero(slab)
                     c_idx[s_, : nzf.size] = nzf
@@ -996,6 +1013,11 @@ class VardctFrameState:
                         max_abs,
                         int(np.abs(c_val32[s_]).max(initial=0)),
                     )
+                    nzn = nzf.size
+                # ascending OOB pads -> sorted+unique scatter fast path
+                c_idx[s_, nzn:] = slab.size + np.arange(
+                    sparse_n - nzn, dtype=np.int32
+                )
             c_val = c_val32.astype(np.int16) if max_abs < 32768 else c_val32
             coeff_input = (c_idx, c_val)
         else:

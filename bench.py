@@ -225,10 +225,19 @@ def _bench_real_pipeline(size: int = 1024) -> float:
     def chained(k):
         @jax.jit
         def f(*args):
-            lf = args[1]
+            # vary EVERY runtime input per iteration: XLA hoists
+            # loop-invariant computation out of the fori_loop, so a
+            # fixed coefficient input would let the scatter + dequant
+            # stages run once and overstate throughput
+            coeff, lf = args[0], args[1]
 
             def body(i, acc):
-                out = fn(args[0], lf + (i & 1), *args[2:])
+                d = (i & 1).astype(jnp.int32)
+                if isinstance(coeff, tuple):
+                    c = (coeff[0], coeff[1] + d.astype(coeff[1].dtype))
+                else:
+                    c = coeff + d
+                out = fn(c, lf + d.astype(lf.dtype), *args[2:])
                 return acc + out[0]
 
             return jax.lax.fori_loop(

@@ -249,6 +249,42 @@ def _inv_afv(jnp, c, variant):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def special_lowrank_factors(dct_select: int, max_rank: int = 12):
+    """Kronecker low-rank factorization of a non-separable 8x8 special
+    transform: the 64x64 linear map M (probed by impulses through
+    inverse_varblock_batch, with the LF/DC substitution folded into the
+    (0, 0) input slot) decomposes as M = sum_i V_i (x) H_i. Each term
+    applies as a width-in-lanes separable pass over the dense plane
+    (~0.018 ms/term at 1024^2 vs 0.83 ms for the batched-tile layout),
+    so any type with Kronecker rank <= max_rank runs flat: DCT4x8 is
+    rank 2, Hornuss 9, DCT2 10; DCT4/AFV are rank 18-19 (see max_rank
+    at the call site); DCT8x4 is a per-tile-transposing map (rank 64)
+    and stays on the tiled path.
+
+    Returns (V [r, 8, 8], H [r, 8, 8]) float32, or None.
+    """
+    import jax
+
+    coeffs = np.zeros((64, 8, 8), dtype=np.float32)
+    lf = np.zeros((64, 1, 1), dtype=np.float32)
+    lf[0, 0, 0] = 1.0
+    for k in range(1, 64):
+        coeffs[k, k // 8, k % 8] = 1.0
+    with jax.ensure_compile_time_eval():
+        out = np.asarray(inverse_varblock_batch(coeffs, lf, dct_select))
+    m = out.reshape(64, 64).T.astype(np.float64)   # [(y,x), (j,l)]
+    k2 = m.reshape(8, 8, 8, 8).transpose(0, 2, 1, 3).reshape(64, 64)
+    u, s, vt = np.linalg.svd(k2)
+    rank = int((s > s[0] * 1e-6).sum())
+    if rank > max_rank:
+        return None
+    sq = np.sqrt(s[:rank])
+    v = (u[:, :rank] * sq).T.reshape(rank, 8, 8).astype(np.float32)
+    h = (vt[:rank] * sq[:, None]).reshape(rank, 8, 8).astype(np.float32)
+    return v, h
+
+
 def inverse_varblock_batch(coeffs, lf, dct_select: int):
     """Inverse transform for a batch of varblocks of one type.
 

@@ -219,13 +219,18 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
                 deq[2] + kb_r * deq[1],
             ])
 
-        separable = sel == _T.DCT8 or th * tw > 1
+        lowrank = None
+        if th * tw == 1 and sel != _T.DCT8:
+            from .varblock import special_lowrank_factors
+
+            lowrank = special_lowrank_factors(sel, max_rank=20)
+        separable = sel == _T.DCT8 or th * tw > 1 or lowrank is not None
         if separable:
             ry = jnp.arange(Hr) % h0
             rx = jnp.arange(Wr) % w0
             corner = (ry < th)[:, None] & (rx < tw)[None, :]
             if th * tw == 1:
-                # DCT8: the LF sample IS the DC coefficient
+                # 1x1 types: the LF sample IS the DC input slot
                 lf_a = lf_planes[:, oy:oy + ny, ox:ox + nx]
                 lf_full = expand(lf_a[:, :, None, :, None],
                                  (C, ny, h0, nx, w0), (C, Hr, Wr))
@@ -247,9 +252,20 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
                     ((0, 0), (0, 0), (0, h0 - th), (0, 0), (0, w0 - tw)),
                 ).reshape(C, Hr, Wr)
             deq = jnp.where(corner[None], lf_full, deq)
-            bv = jnp.asarray(dct_basis_inverse(h0))
-            bh_ = jnp.asarray(dct_basis_inverse(w0))
-            pix = _sep_apply_dense(deq, bv, bh_, C, ny, h0, nx, w0)
+            if lowrank is not None:
+                # non-separable special as a sum of Kronecker terms
+                vs, hs = lowrank
+                pix = _sep_apply_dense(
+                    deq, jnp.asarray(vs[0]), jnp.asarray(hs[0]),
+                    C, ny, h0, nx, w0)
+                for q in range(1, vs.shape[0]):
+                    pix = pix + _sep_apply_dense(
+                        deq, jnp.asarray(vs[q]), jnp.asarray(hs[q]),
+                        C, ny, h0, nx, w0)
+            else:
+                bv = jnp.asarray(dct_basis_inverse(h0))
+                bh_ = jnp.asarray(dct_basis_inverse(w0))
+                pix = _sep_apply_dense(deq, bv, bh_, C, ny, h0, nx, w0)
         else:
             # non-separable 8x8 specials: batched-tile layout
             tiles = deq.reshape(C, ny, h0, nx, w0).transpose(0, 1, 3, 2, 4)

@@ -132,3 +132,38 @@ def test_natural_order_is_permutation(order_id):
     lbw, lbh = bw // 8, bh // 8
     for i in range(lbw * lbh):
         assert order[i] == (i % lbw, i // lbw)
+
+
+@pytest.mark.parametrize("sel", [
+    TransformType.DCT2, TransformType.DCT4, TransformType.HORNUSS,
+    TransformType.DCT4X8, TransformType.AFV0, TransformType.AFV1,
+    TransformType.AFV2, TransformType.AFV3,
+])
+def test_special_lowrank_factors_reconstruct(sel):
+    """The Kronecker factor sum must reproduce the tiled transform's
+    64x64 linear map (incl. the LF/DC substitution in the (0,0) slot)."""
+    from jxl_oxide_tpu.ops.varblock import special_lowrank_factors
+
+    factors = special_lowrank_factors(sel, 20)
+    assert factors is not None
+    v, h = factors
+    # reference map by impulses through the tiled path
+    coeffs = np.zeros((64, 8, 8), dtype=np.float32)
+    lf = np.zeros((64, 1, 1), dtype=np.float32)
+    lf[0, 0, 0] = 1.0
+    for k in range(1, 64):
+        coeffs[k, k // 8, k % 8] = 1.0
+    ref = np.asarray(inverse_varblock_batch(coeffs, lf, sel))
+    for k in range(64):
+        tile = np.zeros((8, 8), dtype=np.float64)
+        src = np.zeros((8, 8), dtype=np.float64)
+        src[k // 8, k % 8] = 1.0
+        for i in range(v.shape[0]):
+            tile += v[i].astype(np.float64) @ src @ h[i].astype(np.float64).T
+        np.testing.assert_allclose(tile, ref[k], atol=2e-5)
+
+
+def test_dct8x4_stays_tiled():
+    from jxl_oxide_tpu.ops.varblock import special_lowrank_factors
+
+    assert special_lowrank_factors(TransformType.DCT8X4, 20) is None

@@ -225,6 +225,12 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
 
             lowrank = special_lowrank_factors(sel, max_rank=20)
         separable = sel == _T.DCT8 or th * tw > 1 or lowrank is not None
+
+        # anchor mask applied to the transform INPUT: every transform is
+        # linear, so zeroed tiles produce zeroed pixels and no output
+        # masking pass is needed (one less full-plane op per entry)
+        anchors = code_grid[oy:oy + ny * th:th, ox:ox + nx * tw:tw] == eid
+        am = expand(anchors[:, None, :, None], (ny, h0, nx, w0), (Hr, Wr))
         if separable:
             ry = jnp.arange(Hr) % h0
             rx = jnp.arange(Wr) % w0
@@ -251,7 +257,8 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
                     lf_c.reshape(C, ny, th, nx, tw),
                     ((0, 0), (0, 0), (0, h0 - th), (0, 0), (0, w0 - tw)),
                 ).reshape(C, Hr, Wr)
-            deq = jnp.where(corner[None], lf_full, deq)
+            deq = jnp.where(am[None] & corner[None], lf_full,
+                            jnp.where(am[None], deq, 0.0))
             if lowrank is not None:
                 # non-separable special as a sum of Kronecker terms
                 vs, hs = lowrank
@@ -267,9 +274,12 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
                 bh_ = jnp.asarray(dct_basis_inverse(w0))
                 pix = _sep_apply_dense(deq, bv, bh_, C, ny, h0, nx, w0)
         else:
-            # non-separable 8x8 specials: batched-tile layout
+            # non-separable 8x8 specials: batched-tile layout (inputs
+            # pre-masked, incl. the LF/DC values of non-anchor tiles)
+            deq = jnp.where(am[None], deq, 0.0)
             tiles = deq.reshape(C, ny, h0, nx, w0).transpose(0, 1, 3, 2, 4)
-            lf_t = lf_planes[:, oy:oy + ny, ox:ox + nx]
+            lf_t = jnp.where(anchors[None],
+                             lf_planes[:, oy:oy + ny, ox:ox + nx], 0.0)
             pix = inverse_varblock_batch(
                 tiles.reshape(C * ny * nx, h0, w0),
                 lf_t.reshape(C * ny * nx, 1, 1),
@@ -277,10 +287,7 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
             ).reshape(C, ny, nx, h0, w0).transpose(0, 1, 3, 2, 4).reshape(
                 C, Hr, Wr)
 
-        anchors = code_grid[oy:oy + ny * th:th, ox:ox + nx * tw:tw] == eid
-        am = expand(anchors[:, None, :, None], (ny, h0, nx, w0), (Hr, Wr))
-        contrib = jnp.where(am[None], pix, 0.0)
-        out = out.at[:, ys:ys + Hr, xs:xs + Wr].add(contrib)
+        out = out.at[:, ys:ys + Hr, xs:xs + Wr].add(pix)
     return out
 
 

@@ -279,11 +279,14 @@ def _bench_host_entropy() -> float:
 
     data = make_stream(1024, dense=True)
     threads = min(8, multiprocessing.cpu_count())
-    best = None
+    best = best1 = None
     for _ in range(3):
         dt, mp, _ = host_stage(data, threads)
         best = dt if best is None else min(best, dt)
-    return mp / best
+    for _ in range(2):
+        dt, mp, _ = host_stage(data, 1)
+        best1 = dt if best1 is None else min(best1, dt)
+    return mp / best, mp / best1
 
 
 def _bench_transfer() -> float:
@@ -351,8 +354,9 @@ def _bench_compute_only(size: int = 2048) -> float:
 
 
 def main() -> None:
-    host_mpps = _bench_host_entropy()
-    print(f"host entropy stage: {host_mpps:.1f} MP/s", file=sys.stderr)
+    host_mpps, host_mpps_1t = _bench_host_entropy()
+    print(f"host entropy stage: {host_mpps:.1f} MP/s "
+          f"({host_mpps_1t:.1f} MP/s/core single-thread)", file=sys.stderr)
     # transfer FIRST: the compute bench sizes its synthetic inputs by the
     # link speed (a 2048^2 arg set is ~60 MB — minutes on a congested
     # tunnel, nothing on a locally-attached chip)
@@ -410,6 +414,8 @@ def main() -> None:
         "unit": "Mpixel/s",
         "vs_baseline": round(e2e / 1000.0, 4),
         "host_entropy_mpps": round(host_mpps, 1),
+        "host_entropy_mpps_per_core": round(host_mpps_1t, 1),
+        "host_cores": __import__("multiprocessing").cpu_count(),
         "device_mpps": round(device_mpps, 1),
         "device_real_pipeline_mpps": round(real_pipe_mpps, 1),
         "transfer_mbps": transfer,

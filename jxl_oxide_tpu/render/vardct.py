@@ -1057,7 +1057,11 @@ class VardctFrameState:
             1.0,
             0.8 ** (header.b_qm_scale - 2),
         )
-        out = []
+        import jax
+
+        fns = []
+        inputs = []
+        keys = []
         for c in range(3):
             buckets = self.buckets(c)
             entries, code_grid, mul_grid = self.dense_plan(
@@ -1081,6 +1085,7 @@ class VardctFrameState:
                 quantizer.global_scale, qm_scale[c], lf_scale,
                 tuple(sorted((sel, m.tobytes()) for sel, m in matrices.items())),
             )
+            keys.append(key)
             fn = self._fused_cache.get(key)
             if fn is None:
                 fn = build_fused_pipeline_1ch(
@@ -1091,16 +1096,26 @@ class VardctFrameState:
                     quantizer.global_scale, qm_scale[c], lf_scale,
                 )
                 self._fused_cache[key] = fn
+            fns.append(fn)
             coeff = self.coeff_planes[c]
             if np.abs(coeff).max(initial=0) < 32768:
                 coeff = coeff.astype(np.int16)
-            out.append(fn(
-                jnp.asarray(coeff),
-                jnp.asarray(self.lf_quant_planes[c]),
-                jnp.asarray(code_grid),
-                jnp.asarray(mul_grid),
+            inputs.append((
+                coeff, self.lf_quant_planes[c], code_grid, mul_grid,
             ))
-        return out
+
+        # ONE dispatch and one batched transfer for all 3 channels: the
+        # per-channel jitted fns inline into a combined program (each
+        # link round trip costs more than the compute on a remote chip)
+        comb_key = ("sub3", tuple(keys))
+        comb = self._fused_cache.get(comb_key)
+        if comb is None:
+            comb = jax.jit(lambda a, b, c_: (
+                fns[0](*a), fns[1](*b), fns[2](*c_)
+            ))
+            self._fused_cache[comb_key] = comb
+        placed = jax.device_put(inputs)
+        return list(comb(*placed))
 
     def _run_staged(self, hf_global: HfGlobal | None):
         import jax.numpy as jnp

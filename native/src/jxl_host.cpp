@@ -204,8 +204,48 @@ struct DecoderState {
     return ((((u64)t << n) | rest) << lsb) | low;
   }
 
+  // Fused ANS symbol + hybrid-uint read for the dominant configuration
+  // (ANS, no LZ77): ONE 48-bit window load serves both the 16-bit
+  // renormalization and the raw uint bits (16 + n<=31 <= 48), instead
+  // of two independent loads with their own shift/mask chains. Bit
+  // semantics identical to read_symbol + read_uint (the window
+  // zero-extends past the end exactly like two separate peeks).
+  __attribute__((always_inline)) inline u32 read_varint_ans_fast(int cluster) {
+    const AnsTable& t = spec->ans[cluster];
+    u32 idx = state & 0xFFF;
+    u32 i = idx >> t.log_bucket_size;
+    u32 posb = idx & ((1u << t.log_bucket_size) - 1);
+    const AnsBucket b = t.buckets[i];
+    bool al = posb >= b.cutoff;
+    u32 symbol = al ? b.alias_symbol : i;
+    u32 offset = al ? (u32)b.alias_offset + posb : posb;
+    u32 d = al ? b.dist_alias : b.dist_self;
+    u32 next = (state >> 12) * d + offset;
+    u64 window = br->peek(48);
+    u32 need = next < (1u << 16);
+    state = need ? ((next << 16) | (u32)(window & 0xFFFF)) : next;
+    u64 rest_window = need ? (window >> 16) : window;
+    int pos_add = need ? 16 : 0;
+    const IntCfg& cfg = spec->cfgs[cluster];
+    if (symbol < cfg.split()) {
+      br->consume(pos_add);
+      return symbol;
+    }
+    int msb = cfg.msb, lsb = cfg.lsb;
+    u32 n = (u32)(cfg.split_exponent - (msb + lsb)) +
+            ((symbol - cfg.split()) >> (msb + lsb));
+    n &= 31;
+    u32 rest = (u32)(rest_window & ((1ull << n) - 1));
+    br->consume(pos_add + (int)n);
+    u32 low = symbol & ((1u << lsb) - 1);
+    u32 tt = (symbol >> lsb) & ((1u << msb) - 1);
+    tt |= 1u << msb;
+    return (u32)(((((u64)tt << n) | rest) << lsb) | low);
+  }
+
   u32 read_varint_clustered(int cluster, u32 dist_multiplier) {
     if (!spec->lz77_enabled) {
+      if (!spec->use_prefix) return read_varint_ans_fast(cluster);
       u32 token = read_symbol(cluster);
       return read_uint(spec->cfgs[cluster], token);
     }

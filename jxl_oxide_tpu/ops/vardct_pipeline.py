@@ -118,20 +118,20 @@ def scatter_blocks(plane, idx, values):
     return flat.reshape(plane.shape)
 
 
-def _sep_apply_dense(x, Bv, Bh_, C, ny, v0, nx, h0):
-    """Separable per-tile 2-D transform over a DENSE region [C, Hr, Wr]
-    (Hr = ny*v0, Wr = nx*h0) with NO tile transposes: a vertical
-    within-tile einsum keeps the full width in the lane dimension, then
-    one [C, Hr, Wr] transpose and the same trick horizontally. ~40x
-    faster on TPU than the [n, v0, h0] batched-tile layout, whose 8-wide
-    lanes starve the VPU/MXU.
+def _sep_apply_4d(x4, Bv, Bh_, C, ny, v0, nx, h0):
+    """Separable per-tile 2-D transform over a dense region given in the
+    4-D einsum view [C, ny, v0, Wr] (Wr = nx*h0), with NO tile
+    transposes: a vertical within-tile einsum keeps the full width in
+    the lane dimension, then one [C, Hr, Wr] transpose and the same
+    trick horizontally. ~40x faster on TPU than the [n, v0, h0]
+    batched-tile layout, whose 8-wide lanes starve the VPU/MXU.
 
     Bv: [v0, v0] vertical basis (out_row <- coeff_row),
     Bh_: [h0, h0] horizontal basis (out_col <- coeff_col).
     """
     Hr, Wr = ny * v0, nx * h0
     v = jnp.einsum(
-        "yj,cbjw->cbyw", Bv, x.reshape(C, ny, v0, Wr),
+        "yj,cbjw->cbyw", Bv, x4,
         preferred_element_type=jnp.float32,
     ).reshape(C, Hr, Wr)
     vt = v.swapaxes(1, 2).reshape(C, nx, h0, Hr)
@@ -140,6 +140,13 @@ def _sep_apply_dense(x, Bv, Bh_, C, ny, v0, nx, h0):
         preferred_element_type=jnp.float32,
     ).reshape(C, Wr, Hr)
     return h.swapaxes(1, 2)
+
+
+def _sep_apply_dense(x, Bv, Bh_, C, ny, v0, nx, h0):
+    """_sep_apply_4d on a [C, Hr, Wr] input."""
+    return _sep_apply_4d(
+        x.reshape(C, ny, v0, nx * h0), Bv, Bh_, C, ny, v0, nx, h0
+    )
 
 
 def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
@@ -176,15 +183,8 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
     C, H, W = biased.shape
     BH, BW = code_grid.shape
     out = jnp.zeros((C, H, W), dtype=jnp.float32)
-    qm = jnp.asarray(qm_scale, dtype=jnp.float32)
+    qm = np.asarray(qm_scale, dtype=np.float32)
     gs = np.float32(65536.0 / global_scale)
-
-    def expand(a, shape5, flat):
-        """Broadcast [.., ny, .., nx, ..]-style factors to the flat
-        region layout [.., Hr, Wr]: all arithmetic stays in [C, Hr, Wr]
-        (lanes on the full width) — 5-D broadcast arithmetic with an
-        8-wide minor dim runs ~3x slower on TPU."""
-        return jnp.broadcast_to(a, shape5).reshape(flat)
 
     for eid, (sel, oy, ox) in enumerate(entries):
         tw, th = _T.SELECT_SIZE[sel]   # x-span, y-span in 8px blocks
@@ -195,28 +195,34 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
             continue
         ys, xs = oy * 8, ox * 8
         Hr, Wr = ny * h0, nx * w0
-        region = biased[:, ys:ys + Hr, xs:xs + Wr]
-        mat = jnp.asarray(matrices[sel])               # [C, h0, w0] const
+        # ALL per-tile factors are built as broadcasts along existing
+        # axes of the 4-D einsum view [C, ny, h0, Wr] — no
+        # broadcast_to+reshape expansion (which materializes a full-size
+        # intermediate per factor and defeats XLA fusion; the 4-D form
+        # measured 9x faster for a pure-DCT8 plane)
+        region4 = biased[:, ys:ys + Hr, xs:xs + Wr].reshape(C, ny, h0, Wr)
+        matv = np.asarray(matrices[sel], dtype=np.float32)
+        if matv.nbytes * nx <= (4 << 20):
+            mat4 = jnp.asarray(np.tile(matv, (1, 1, nx)))  # [C, h0, Wr]
+        else:  # rare huge-tile-x-wide-plane case: tile on device
+            mat4 = jnp.tile(jnp.asarray(matv), (1, 1, nx))
         mul_b = mul_grid[oy:oy + ny * th:th, ox:ox + nx * tw:tw]
-        scale = gs * qm[:, None, None] / mul_b[None]   # [C, ny, nx]
-        mat_f = expand(mat[:, None, :, None, :], (C, ny, h0, nx, w0),
-                       (C, Hr, Wr))
-        scale_f_ = expand(scale[:, :, None, :, None], (C, ny, h0, nx, w0),
-                          (C, Hr, Wr))
-        deq = (region * mat_f) * scale_f_
+        scale = gs * jnp.asarray(qm)[:, None, None] / mul_b[None]
+        scale4 = jnp.repeat(scale, w0, axis=-1)        # [C, ny, Wr]
+        deq = (region4 * mat4[:, None]) * scale4[:, :, None, :]
         if kx_map is not None:
             if isinstance(kx_map, float):
                 # constant factor grids (all-zero correlation grids are
                 # common): no [H, W] map materialization
-                kx_r = np.float32(kx_map)
-                kb_r = np.float32(kb_map)
+                kx4 = np.float32(kx_map)
+                kb4 = np.float32(kb_map)
             else:
-                kx_r = kx_map[ys:ys + Hr, xs:xs + Wr]
-                kb_r = kb_map[ys:ys + Hr, xs:xs + Wr]
+                kx4 = kx_map[ys:ys + Hr, xs:xs + Wr].reshape(ny, h0, Wr)
+                kb4 = kb_map[ys:ys + Hr, xs:xs + Wr].reshape(ny, h0, Wr)
             deq = jnp.stack([
-                deq[0] + kx_r * deq[1],
+                deq[0] + kx4 * deq[1],
                 deq[1],
-                deq[2] + kb_r * deq[1],
+                deq[2] + kb4 * deq[1],
             ])
 
         lowrank = None
@@ -230,16 +236,17 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
         # linear, so zeroed tiles produce zeroed pixels and no output
         # masking pass is needed (one less full-plane op per entry)
         anchors = code_grid[oy:oy + ny * th:th, ox:ox + nx * tw:tw] == eid
-        am = expand(anchors[:, None, :, None], (ny, h0, nx, w0), (Hr, Wr))
+        am4 = jnp.repeat(anchors, w0, axis=-1)         # [ny, Wr]
         if separable:
-            ry = jnp.arange(Hr) % h0
-            rx = jnp.arange(Wr) % w0
-            corner = (ry < th)[:, None] & (rx < tw)[None, :]
+            # corner mask [h0, Wr]: within-tile rows < th, cols < tw
+            corner = np.zeros((h0, Wr), dtype=bool)
+            corner[:th, :] = np.tile(
+                (np.arange(Wr) % w0 < tw)[None, :], (th, 1))
+            corner4 = jnp.asarray(corner)
             if th * tw == 1:
                 # 1x1 types: the LF sample IS the DC input slot
                 lf_a = lf_planes[:, oy:oy + ny, ox:ox + nx]
-                lf_full = expand(lf_a[:, :, None, :, None],
-                                 (C, ny, h0, nx, w0), (C, Hr, Wr))
+                lf4 = jnp.repeat(lf_a, w0, axis=-1)[:, :, None, :]
             else:
                 # multi-block DCTnxm: embed fwd-DCT of the LF tile into
                 # the low corner (transform_common.rs:11-77), all dense
@@ -247,36 +254,36 @@ def dense_transform_channels(biased, lf_planes, kx_map, kb_map, code_grid,
                 av = jnp.asarray(dct_basis_forward(th))
                 ah = jnp.asarray(dct_basis_forward(tw))
                 lf_c = _sep_apply_dense(lf5, av, ah, C, ny, th, nx, tw)
-                sf = jnp.asarray(scale_f_map(th, tw))
-                sf_f = expand(sf[None, None, :, None, :],
-                              (C, ny, th, nx, tw), (C, ny * th, nx * tw))
-                lf_c = lf_c / sf_f
+                sf = scale_f_map(th, tw)               # [th, tw] const
+                sf4 = jnp.asarray(np.tile(sf, (1, nx)))  # [th, nx*tw]
+                lf_c4 = lf_c.reshape(C, ny, th, nx * tw) / sf4[None, None]
                 # place each tile's [th, tw] corner into the [h0, w0]
                 # grid: pad the per-tile view out to the full tile size
-                lf_full = jnp.pad(
-                    lf_c.reshape(C, ny, th, nx, tw),
+                lf4 = jnp.pad(
+                    lf_c4.reshape(C, ny, th, nx, tw),
                     ((0, 0), (0, 0), (0, h0 - th), (0, 0), (0, w0 - tw)),
-                ).reshape(C, Hr, Wr)
-            deq = jnp.where(am[None] & corner[None], lf_full,
-                            jnp.where(am[None], deq, 0.0))
+                ).reshape(C, ny, h0, Wr)
+            deq = jnp.where(
+                am4[None, :, None, :] & corner4[None, None], lf4,
+                jnp.where(am4[None, :, None, :], deq, 0.0))
             if lowrank is not None:
                 # non-separable special as a sum of Kronecker terms
                 vs, hs = lowrank
-                pix = _sep_apply_dense(
+                pix = _sep_apply_4d(
                     deq, jnp.asarray(vs[0]), jnp.asarray(hs[0]),
                     C, ny, h0, nx, w0)
                 for q in range(1, vs.shape[0]):
-                    pix = pix + _sep_apply_dense(
+                    pix = pix + _sep_apply_4d(
                         deq, jnp.asarray(vs[q]), jnp.asarray(hs[q]),
                         C, ny, h0, nx, w0)
             else:
                 bv = jnp.asarray(dct_basis_inverse(h0))
                 bh_ = jnp.asarray(dct_basis_inverse(w0))
-                pix = _sep_apply_dense(deq, bv, bh_, C, ny, h0, nx, w0)
+                pix = _sep_apply_4d(deq, bv, bh_, C, ny, h0, nx, w0)
         else:
             # non-separable 8x8 specials: batched-tile layout (inputs
             # pre-masked, incl. the LF/DC values of non-anchor tiles)
-            deq = jnp.where(am[None], deq, 0.0)
+            deq = jnp.where(am4[None, :, None, :], deq, 0.0)
             tiles = deq.reshape(C, ny, h0, nx, w0).transpose(0, 1, 3, 2, 4)
             lf_t = jnp.where(anchors[None],
                              lf_planes[:, oy:oy + ny, ox:ox + nx], 0.0)

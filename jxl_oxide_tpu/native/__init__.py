@@ -55,8 +55,12 @@ def _build() -> bool:
         opt = ["-O1", "-g", "-fsanitize=address,undefined",
                "-fno-sanitize-recover=undefined"]
     else:
-        # built at runtime on the host it runs on, so native codegen is safe
-        opt = ["-O3", "-march=native"]
+        # built at runtime on the host it runs on, so native codegen is
+        # safe. AVX-512 is disabled (harmless no-op where absent): with
+        # it enabled, gcc spills the interleaved HF decoder's
+        # loop-carried state into k-mask registers, and the kmov
+        # round-trips sit on the ANS dependency chain (~25% slower).
+        opt = ["-O3", "-march=native", "-mno-avx512f"]
     try:
         subprocess.run(
             ["g++", *opt, "-shared", "-fPIC", "-std=c++17", "-pthread",

@@ -1778,6 +1778,392 @@ int decode_hf_group_core(DecoderState& dec, const DecoderSpec& spec,
   return dec.finalize();
 }
 
+// ---------------------------------------------------------------------------
+// Interleaved dual-section HF decode. The ANS symbol chain is strictly
+// serial within a section (state -> cluster -> table -> bucket -> state:
+// ~5 dependent loads per symbol), so a single stream runs far below the
+// core's ILP capacity. Sections of DIFFERENT groups are independent
+// bitstreams (SURVEY §2.3); stepping two of them alternately in one loop
+// overlaps their dependency chains (~1.5x per core, measured). The walk
+// below is a resumable-cursor re-expression of decode_hf_group_core with
+// identical bit semantics (validated by the native-vs-Python parity and
+// sharded equivalence tests).
+
+// One section's decode state between coefficient reads.
+struct HfCursor {
+  DecoderState dec;
+  BitReader br;
+  const DecoderSpec* spec;
+  i64 ctx_offset;
+  const HfFrameCtx* fc;
+  HfGroupIo gp;
+  // derived per section
+  i64 lf_idx_mul, hf_idx_mul;
+  bool has_lf_quant;
+  std::vector<i64> nzr[3];
+  // block walk position
+  i32 y, x;
+  int ci;  // channel slot; 3 => advance to the next varblock
+  // current varblock
+  int sel;
+  i64 qf;
+  i32 w8, h8, num_blocks;
+  int num_blocks_log;
+  i32 order_id;
+  i64 lf_idx, hf_idx;
+  // active coefficient run. The order walk is pre-folded into a plane
+  // OFFSET table per (order_id, channel, transpose): one load replaces
+  // order-x/y loads + transpose select + stride multiply, and frees
+  // registers so two interleaved streams fit the GP file.
+  u32 non_zeros, is_prev_nonzero;
+  i32* run_out;            // out plane + varblock origin
+  const i64* run_offs;     // offtab + num_blocks (indexed by oi2)
+  i32 olen2;               // order_len - num_blocks
+  const i32* cmap_coeff;   // cluster_map + ctx_offset + coeff_ctx_base
+  i32 oi2;                 // coefficient index within the run
+  i32 coeff_shift;
+  // offset-table cache, keyed by (order_id*3 + channel)*2 + transpose;
+  // rebuilt per section (orders are per pass, strides per channel)
+  std::vector<i64> offtab[13 * 3 * 2];
+  // status: 0 = in a coefficient run, 1 = needs hf_advance,
+  // 2 = section done (result = section return code), >2 = error result
+  int status;
+  int result;
+};
+
+// Begin a section on the cursor (mirrors the preamble of run_section):
+// reads the HF preset bits and the ANS initial state. Returns false if
+// the preset index is invalid (cursor marked done with result 7).
+static bool hf_cursor_begin(HfCursor& c, const DecoderSpec& spec,
+                            const u8* data, u64 len_bytes, u64 bit_pos,
+                            int nhp, i64 num_block_clusters,
+                            const HfFrameCtx& fc, const HfGroupIo& gp,
+                            i64& ctx_offset_out) {
+  c.spec = &spec;
+  c.br = BitReader{data, len_bytes * 8, bit_pos};
+  int hfp_bits = 0;
+  while ((1 << hfp_bits) < nhp) hfp_bits++;
+  u32 hfp = (u32)c.br.read(hfp_bits);
+  if (hfp >= (u32)nhp) {
+    c.status = 2;
+    c.result = 7;
+    return false;
+  }
+  c.ctx_offset = (i64)hfp * 495 * num_block_clusters;
+  ctx_offset_out = c.ctx_offset;
+  c.dec = DecoderState{};
+  c.dec.spec = &spec;
+  c.dec.br = &c.br;
+  c.dec.begin();
+  c.fc = &fc;
+  c.gp = gp;
+  c.lf_idx_mul = (i64)(fc.lf_thr_counts[0] + 1) * (fc.lf_thr_counts[1] + 1) *
+                 (fc.lf_thr_counts[2] + 1);
+  c.hf_idx_mul = fc.num_qf_thresholds + 1;
+  c.has_lf_quant = gp.lf_quant_ptrs[0] != nullptr;
+  c.coeff_shift = gp.coeff_shift;
+  for (int ch = 0; ch < 3; ch++) {
+    i32 w = (gp.grid_w + (1 << fc.hshifts[ch]) - 1) >> fc.hshifts[ch];
+    c.nzr[ch].assign(w, 0);
+  }
+  c.y = 0;
+  c.x = -1;  // hf_advance pre-increments
+  c.ci = 3;
+  c.status = 1;
+  c.result = 0;
+  for (auto& t : c.offtab) t.clear();
+  return true;
+}
+
+// Walk the block/channel bookkeeping from the cursor's position until a
+// coefficient run begins (status 0), the section completes (status 2),
+// or a decode error occurs (status 2, result set). Line-for-line the
+// outer loops of decode_hf_group_core.
+static void hf_advance(HfCursor& c) {
+  const HfFrameCtx& fc = *c.fc;
+  const HfGroupIo& gp = c.gp;
+  const i32* lf_thr_counts = fc.lf_thr_counts;
+  const i32* hshifts = fc.hshifts;
+  const i32* vshifts = fc.vshifts;
+  const signed char* block_sel = gp.block_sel;
+  i64 grid_stride = gp.grid_stride;
+
+  for (;;) {
+    if (c.ci >= 3) {
+      // next occupied varblock anchor
+      for (;;) {
+        c.x++;
+        if (c.x >= gp.grid_w) {
+          c.x = 0;
+          c.y++;
+        }
+        if (c.y >= gp.grid_h) {
+          c.status = 2;
+          c.result = c.br.pos > c.br.len_bits ? 4 : c.dec.finalize();
+          return;
+        }
+        if (block_sel[(i64)c.y * grid_stride + c.x] >= 0) break;
+      }
+      c.sel = block_sel[(i64)c.y * grid_stride + c.x];
+      c.qf = gp.block_mul[(i64)c.y * grid_stride + c.x];
+      c.w8 = SELECT_SIZE[c.sel][0];
+      c.h8 = SELECT_SIZE[c.sel][1];
+      c.num_blocks = c.w8 * c.h8;
+      c.num_blocks_log = 0;
+      while ((1 << c.num_blocks_log) < c.num_blocks) c.num_blocks_log++;
+      c.order_id = ORDER_ID_TBL[c.sel];
+
+      c.lf_idx = 0;
+      if (c.has_lf_quant) {
+        const int cs[3] = {0, 2, 1};
+        for (int k = 0; k < 3; k++) {
+          int ch = cs[k];
+          c.lf_idx *= lf_thr_counts[ch] + 1;
+          i32 qx = c.x >> hshifts[ch], qy = c.y >> vshifts[ch];
+          i32 q = gp.lf_quant_ptrs[ch][(i64)qy * gp.lf_quant_strides[ch] + qx];
+          for (int t = 0; t < lf_thr_counts[ch]; t++)
+            if (q > fc.lf_thr[ch][t]) c.lf_idx++;
+        }
+      }
+      c.hf_idx = 0;
+      for (int t = 0; t < fc.num_qf_thresholds; t++)
+        if (c.qf > fc.qf_thresholds[t]) c.hf_idx++;
+      c.ci = 0;
+    }
+
+    for (; c.ci < 3;) {
+      int ci = c.ci;
+      i64 ch_idx = ci * 13 + c.order_id;
+      int ch = (int[]){1, 0, 2}[ci];
+      int hs = hshifts[ch], vs = vshifts[ch];
+      i32 sx = c.x >> hs, sy = c.y >> vs;
+      if (hs || vs) {
+        if ((sx << hs) != c.x || (sy << vs) != c.y ||
+            block_sel[(i64)sy * grid_stride + sx] < 0) {
+          c.ci++;
+          continue;
+        }
+      }
+
+      i64 idx = (ch_idx * c.hf_idx_mul + c.hf_idx) * c.lf_idx_mul + c.lf_idx;
+      i32 block_ctx = fc.block_ctx_map[idx];
+      i64 predicted;
+      if (sy == 0) predicted = sx == 0 ? 32 : c.nzr[ch][sx - 1];
+      else if (sx == 0) predicted = c.nzr[ch][sx];
+      else predicted = (c.nzr[ch][sx] + c.nzr[ch][sx - 1] + 1) >> 1;
+      i64 nz_idx = predicted >= 8 ? 4 + predicted / 2 : predicted;
+      i64 non_zeros_ctx = block_ctx + nz_idx * fc.num_block_clusters;
+
+      u32 non_zeros = c.dec.read_varint_clustered(
+          c.spec->cluster_map[c.ctx_offset + non_zeros_ctx], 0);
+      if (c.dec.error) {
+        c.status = 2;
+        c.result = 10 + c.dec.error;
+        return;
+      }
+      if (non_zeros > (u32)(63 << c.num_blocks_log)) {
+        c.status = 2;
+        c.result = 5;
+        return;
+      }
+      i64 nz_val = ((i64)non_zeros + c.num_blocks - 1) >> c.num_blocks_log;
+      for (int dx = 0; dx < c.w8; dx++) c.nzr[ch][sx + dx] = nz_val;
+      c.ci++;  // resume at the next channel after this run
+      if (non_zeros == 0) continue;
+
+      c.non_zeros = non_zeros;
+      c.is_prev_nonzero = non_zeros <= (u32)(c.num_blocks * 4) ? 1 : 0;
+      bool transpose = need_transpose_tbl(c.sel);
+      int oid3 = c.order_id * 3 + ch;
+      i64 out_stride = gp.out_strides[ch];
+      i32 order_len = gp.order_lengths[oid3];
+      std::vector<i64>& tab = c.offtab[oid3 * 2 + transpose];
+      if (tab.empty()) {
+        const i32* order = gp.orders_blob + gp.order_offsets[oid3];
+        tab.resize(order_len);
+        for (i32 oi = 0; oi < order_len; oi++) {
+          i32 dx = order[oi * 2], dy = order[oi * 2 + 1];
+          if (transpose) { i32 t = dx; dx = dy; dy = t; }
+          tab[oi] = (i64)dy * out_stride + dx;
+        }
+      }
+      c.run_out = gp.out_ptrs[ch] + (i64)sy * 8 * out_stride + (i64)sx * 8;
+      c.run_offs = tab.data() + c.num_blocks;
+      c.olen2 = order_len - c.num_blocks;
+      c.cmap_coeff = c.spec->cluster_map + c.ctx_offset +
+                     (i64)block_ctx * 458 + 37 * fc.num_block_clusters;
+      c.oi2 = 0;
+      c.status = 0;
+      return;
+    }
+    // channel loop exhausted; move to the next varblock
+  }
+}
+
+// BitReader::peek(48) on raw locals (bit semantics identical).
+static inline u64 hf_peek48(const u8* __restrict__ data, u64 len_bits,
+                            u64 pos) {
+  u64 byte0 = pos >> 3;
+  int shift = (int)(pos & 7);
+  u64 avail_bytes = (len_bits + 7) >> 3;
+  u64 window;
+  if (__builtin_expect(byte0 + 8 <= avail_bytes, 1)) {
+    std::memcpy(&window, data + byte0, 8);
+  } else {
+    window = 0;
+    u64 nbytes = (u64)((shift + 48 + 7) >> 3);
+    for (u64 i = 0; i < nbytes && byte0 + i < avail_bytes; i++)
+      window |= (u64)data[byte0 + i] << (8 * i);
+  }
+  return (window >> shift) & ((1ull << 48) - 1);
+}
+
+// Fused dual-run: steps two active coefficient runs alternately with ALL
+// loop-carried state in locals. Operating on the cursor structs directly
+// defeats register allocation (the out-plane i32 stores may alias the
+// cursors' i32 fields), which erases the interleaving win; with locals
+// the two ANS chains overlap in the OoO window. Exits when either run
+// ends (statuses written back); the caller pumps and re-enters.
+static void hf_dual_run(HfCursor& A, HfCursor& B) {
+#define HF_LOCALS(p, C)                                                   \
+  u32 p##_state = C.dec.state;                                            \
+  const u8* __restrict__ p##_data = C.br.data;                            \
+  const u64 p##_len = C.br.len_bits;                                      \
+  u64 p##_pos = C.br.pos;                                                 \
+  u32 p##_nz = C.non_zeros;                                               \
+  u32 p##_prev = C.is_prev_nonzero;                                       \
+  i32 p##_oi = C.oi2;                                                     \
+  const i32 p##_olen = C.olen2;                                           \
+  const i64* __restrict__ p##_offs = C.run_offs;                          \
+  const i32* __restrict__ p##_cmap = C.cmap_coeff;                        \
+  i32* __restrict__ p##_out = C.run_out;                                  \
+  const int p##_log = C.num_blocks_log;                                   \
+  const i32 p##_shift = C.coeff_shift;                                    \
+  const AnsTable* __restrict__ p##_ans = C.spec->ans;                     \
+  const IntCfg* __restrict__ p##_cfgs = C.spec->cfgs;                     \
+  bool p##_live = true;
+
+#define HF_SAVE(p, C)                                                     \
+  C.dec.state = p##_state;                                                \
+  C.br.pos = p##_pos;                                                     \
+  C.non_zeros = p##_nz;                                                   \
+  C.is_prev_nonzero = p##_prev;                                           \
+  C.oi2 = p##_oi;
+
+  // One coefficient iteration on the p-prefixed locals; identical bit
+  // semantics to hf_step (read_varint_ans_fast inlined on locals).
+#define HF_STEP(p, C)                                                     \
+  if (p##_live) {                                                         \
+    i64 nzc = ((i64)p##_nz - 1) >> p##_log;                               \
+    i64 fi = (i64)(p##_oi >> p##_log);                                    \
+    i64 cctx = (COEFF_NUM_NONZERO_CONTEXT[nzc] +                          \
+                COEFF_FREQ_CONTEXT[fi]) * 2 + p##_prev;                   \
+    if (__builtin_expect(cctx >= 458, 0)) {                               \
+      C.status = 2;                                                       \
+      C.result = 6;                                                       \
+      p##_live = false;                                                   \
+    } else {                                                              \
+      int cluster = p##_cmap[cctx];                                       \
+      const AnsTable& t = p##_ans[cluster];                               \
+      u32 idx = p##_state & 0xFFF;                                        \
+      u32 bi = idx >> t.log_bucket_size;                                  \
+      u32 posb = idx & ((1u << t.log_bucket_size) - 1);                   \
+      const AnsBucket bu = t.buckets[bi];                                 \
+      bool al = posb >= bu.cutoff;                                        \
+      u32 symbol = al ? bu.alias_symbol : bi;                             \
+      u32 offset = al ? (u32)bu.alias_offset + posb : posb;               \
+      u32 dd = al ? bu.dist_alias : bu.dist_self;                         \
+      u32 next = (p##_state >> 12) * dd + offset;                         \
+      u64 window = hf_peek48(p##_data, p##_len, p##_pos);                 \
+      u32 need = next < (1u << 16);                                       \
+      p##_state = need ? ((next << 16) | (u32)(window & 0xFFFF)) : next;  \
+      u64 rest_window = need ? (window >> 16) : window;                   \
+      int pos_add = need ? 16 : 0;                                        \
+      /* branchless hybrid uint: compute the wide path unconditionally  \
+         and select — the literal/wide branch is data-dependent and     \
+         mispredicts flush BOTH interleaved pipelines */                \
+      const IntCfg& cfg = p##_cfgs[cluster];                              \
+      int msb = cfg.msb, lsb = cfg.lsb;                                  \
+      u32 n = (u32)(cfg.split_exponent - (msb + lsb)) +                  \
+              ((symbol - cfg.split()) >> (msb + lsb));                   \
+      n &= 31;                                                           \
+      bool is_lit = symbol < cfg.split();                                \
+      n = is_lit ? 0 : n;                                                \
+      u32 rest = (u32)(rest_window & ((1ull << n) - 1));                 \
+      p##_pos += pos_add + (int)n;                                       \
+      u32 low = symbol & ((1u << lsb) - 1);                              \
+      u32 tt = (symbol >> lsb) & ((1u << msb) - 1);                      \
+      tt |= 1u << msb;                                                   \
+      u32 wide = (u32)(((((u64)tt << n) | rest) << lsb) | low);          \
+      u32 ucoeff = is_lit ? symbol : wide;                               \
+      /* branchless zero/nonzero: unpack_signed(0) == 0, so a zero      \
+         token adds 0 at its (valid) order position */                  \
+      u32 nzf = ucoeff != 0;                                             \
+      i32 coeff = (i32)((u32)unpack_signed(ucoeff) << p##_shift);        \
+      p##_out[p##_offs[p##_oi]] += coeff;                                \
+      p##_prev = nzf;                                                    \
+      p##_nz -= nzf;                                                     \
+      ++p##_oi;                                                          \
+      if (p##_nz == 0 || p##_oi >= p##_olen) {                           \
+        C.status = 1;                                                    \
+        p##_live = false;                                                \
+      }                                                                  \
+    }                                                                     \
+  }
+
+  HF_LOCALS(a, A)
+  HF_LOCALS(b, B)
+  for (;;) {
+    HF_STEP(a, A)
+    HF_STEP(b, B)
+    if (!(a_live & b_live)) break;
+  }
+  // let the surviving run finish single-stream while its state is hot
+  while (a_live) {
+    HF_STEP(a, A)
+  }
+  while (b_live) {
+    HF_STEP(b, B)
+  }
+  HF_SAVE(a, A)
+  HF_SAVE(b, B)
+#undef HF_LOCALS
+#undef HF_SAVE
+#undef HF_STEP
+}
+
+// One coefficient iteration (the body of decode_hf_group_core's inner
+// loop, ANS fast path). Returns true while the run continues; on false
+// the cursor is status 1 (run ended) or status 2 (error in result).
+__attribute__((always_inline)) static inline bool hf_step(HfCursor& c) {
+  i64 nz_for_ctx = ((i64)c.non_zeros - 1) >> c.num_blocks_log;
+  i64 fi = (i64)(c.oi2 >> c.num_blocks_log);
+  i64 coeff_ctx = (COEFF_NUM_NONZERO_CONTEXT[nz_for_ctx] +
+                   COEFF_FREQ_CONTEXT[fi]) * 2 + c.is_prev_nonzero;
+  if (coeff_ctx >= 458) {
+    c.status = 2;
+    c.result = 6;
+    return false;
+  }
+  u32 ucoeff = c.dec.read_varint_ans_fast(c.cmap_coeff[coeff_ctx]);
+  if (ucoeff == 0) {
+    c.is_prev_nonzero = 0;
+  } else {
+    i32 coeff = (i32)((u32)unpack_signed(ucoeff) << c.coeff_shift);
+    c.run_out[c.run_offs[c.oi2]] += coeff;
+    c.is_prev_nonzero = 1;
+    if (--c.non_zeros == 0) {
+      c.status = 1;
+      return false;
+    }
+  }
+  if (++c.oi2 >= c.olen2) {
+    c.status = 1;
+    return false;
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1931,22 +2317,132 @@ int jxlhost_decode_hf_groups_batch(
     return ret;
   };
 
+  auto run_job_single = [&](i32 j) {
+    i32 s = job_start[j], e = s + job_count[j];
+    for (i32 k = s; k < e; k++) {
+      int ret = run_section(k);
+      sec_ret[k] = ret;
+      if (ret != 0) {
+        // later passes of this group would decode garbage on top of a
+        // failed earlier pass; mark them skipped (-1) and move on
+        for (i32 m = k + 1; m < e; m++) sec_ret[m] = -1;
+        break;
+      }
+    }
+  };
+
+  // Interleaved pair driver: one job (group) is a strictly sequential
+  // chain of pass sections, but two jobs are independent bitstreams, so
+  // their ANS dependency chains overlap when stepped alternately.
+  struct JobState {
+    i32 k, end;
+    HfCursor cur;
+    bool in_section = false;
+    bool done = false;
+  };
+
+  auto fail_job = [&](JobState& js, int ret) {
+    sec_ret[js.k] = ret;
+    for (i32 m = js.k + 1; m < js.end; m++) sec_ret[m] = -1;
+    js.in_section = false;
+    js.done = true;
+  };
+
+  // Bring the job to an active coefficient run (cur.status == 0) or to
+  // completion, starting new sections / running fallback shapes as
+  // needed. Sections whose pass uses LZ77 or prefix codes take the
+  // reference single-stream core (read_varint_ans_fast is ANS-only).
+  auto pump = [&](JobState& js) {
+    for (;;) {
+      if (js.done) return;
+      if (!js.in_section) {
+        if (js.k >= js.end) {
+          js.done = true;
+          return;
+        }
+        i32 p = sec_pass[js.k];
+        const SpecHolder& holder = holders[p];
+        if (holder.spec.lz77_enabled || holder.spec.use_prefix) {
+          int ret = run_section(js.k);
+          sec_ret[js.k] = ret;
+          if (ret != 0) {
+            for (i32 m = js.k + 1; m < js.end; m++) sec_ret[m] = -1;
+            js.done = true;
+            return;
+          }
+          js.k++;
+          continue;
+        }
+        i32 k = js.k;
+        i32 nhp = pass_num_hf_presets[p];
+        HfGroupIo gp{sec_sel[k], sec_mul[k],
+                     sec_grid_w[k], sec_grid_h[k], sec_grid_stride[k],
+                     sec_lf_ptrs + (i64)k * 3, sec_lf_strides + (i64)k * 3,
+                     sec_out_ptrs + (i64)k * 3, sec_out_strides + (i64)k * 3,
+                     pass_coeff_shift[p],
+                     pass_orders[p * 3], pass_orders[p * 3 + 1],
+                     pass_orders[p * 3 + 2]};
+        i64 co;
+        if (!hf_cursor_begin(js.cur, holder.spec, sec_data[k],
+                             sec_len_bytes[k], sec_bit_pos[k], nhp,
+                             num_block_clusters, fc, gp, co)) {
+          fail_job(js, js.cur.result);
+          return;
+        }
+        js.in_section = true;
+        continue;
+      }
+      if (js.cur.status == 0) return;
+      if (js.cur.status == 1) {
+        hf_advance(js.cur);
+        continue;
+      }
+      // status 2: section finished (result 0) or failed
+      sec_bit_pos[js.k] = js.cur.br.pos;
+      sec_ret[js.k] = js.cur.result;
+      js.in_section = false;
+      if (js.cur.result != 0) {
+        for (i32 m = js.k + 1; m < js.end; m++) sec_ret[m] = -1;
+        js.done = true;
+        return;
+      }
+      js.k++;
+    }
+  };
+
+  auto run_job_pair = [&](i32 j1, i32 j2) {
+    JobState A, B;
+    A.k = job_start[j1];
+    A.end = A.k + job_count[j1];
+    B.k = job_start[j2];
+    B.end = B.k + job_count[j2];
+    pump(A);
+    pump(B);
+    while (!A.done && !B.done) {
+      hf_dual_run(A.cur, B.cur);
+      if (A.cur.status != 0) pump(A);
+      if (B.cur.status != 0) pump(B);
+    }
+    JobState& R = A.done ? B : A;
+    for (;;) {
+      pump(R);
+      if (R.done) break;
+      while (hf_step(R.cur)) {
+      }
+    }
+  };
+
   std::atomic<i32> next_job{0};
   auto worker = [&]() {
     for (;;) {
-      i32 j = next_job.fetch_add(1, std::memory_order_relaxed);
-      if (j >= n_jobs) break;
-      i32 s = job_start[j], e = s + job_count[j];
-      for (i32 k = s; k < e; k++) {
-        int ret = run_section(k);
-        sec_ret[k] = ret;
-        if (ret != 0) {
-          // later passes of this group would decode garbage on top of a
-          // failed earlier pass; mark them skipped (-1) and move on
-          for (i32 m = k + 1; m < e; m++) sec_ret[m] = -1;
-          break;
-        }
+      i32 j1 = next_job.fetch_add(1, std::memory_order_relaxed);
+      if (j1 >= n_jobs) break;
+      i32 j2 = next_job.fetch_add(1, std::memory_order_relaxed);
+      if (j2 >= n_jobs) {
+        run_job_single(j1);
+        break;
       }
+      run_job_pair(j1, j2);
     }
   };
 

@@ -429,6 +429,10 @@ def encode_jxl_modular(
 
     channels: list of (H, W) integer arrays (1 = grayscale, 3 = RGB).
     """
+    assert np.asarray(channels[0]).ndim == 2, (
+        "channels must be a LIST of (H, W) planes, not an interleaved "
+        "(H, W, C) array"
+    )
     h, w = image_size if image_size is not None else channels[0].shape
     ch_h, ch_w = channels[0].shape
     n_ch = len(channels)

@@ -243,6 +243,44 @@ struct DecoderState {
     return (u32)(((((u64)tt << n) | rest) << lsb) | low);
   }
 
+  // Branchless variant of read_varint_ans_fast: the literal/wide hybrid
+  // split is selected with cmov instead of a data-dependent branch (the
+  // branch mispredicts on mixed-entropy token streams), and the call is
+  // guaranteed inline — read_varint_clustered is too big to inline into
+  // per-sample decode loops and cost a real call per sample.
+  __attribute__((always_inline)) inline u32 read_varint_ans_fast_bl(
+      int cluster) {
+    const AnsTable& t = spec->ans[cluster];
+    u32 idx = state & 0xFFF;
+    u32 i = idx >> t.log_bucket_size;
+    u32 posb = idx & ((1u << t.log_bucket_size) - 1);
+    const AnsBucket b = t.buckets[i];
+    bool al = posb >= b.cutoff;
+    u32 symbol = al ? b.alias_symbol : i;
+    u32 offset = al ? (u32)b.alias_offset + posb : posb;
+    u32 d = al ? b.dist_alias : b.dist_self;
+    u32 next = (state >> 12) * d + offset;
+    u64 window = br->peek(48);
+    u32 need = next < (1u << 16);
+    state = need ? ((next << 16) | (u32)(window & 0xFFFF)) : next;
+    u64 rest_window = need ? (window >> 16) : window;
+    int pos_add = need ? 16 : 0;
+    const IntCfg& cfg = spec->cfgs[cluster];
+    int msb = cfg.msb, lsb = cfg.lsb;
+    u32 n = (u32)(cfg.split_exponent - (msb + lsb)) +
+            ((symbol - cfg.split()) >> (msb + lsb));
+    n &= 31;
+    bool is_lit = symbol < cfg.split();
+    n = is_lit ? 0 : n;
+    u32 rest = (u32)(rest_window & ((1ull << n) - 1));
+    br->consume(pos_add + (int)n);
+    u32 low = symbol & ((1u << lsb) - 1);
+    u32 tt = (symbol >> lsb) & ((1u << msb) - 1);
+    tt |= 1u << msb;
+    u32 wide = (u32)(((((u64)tt << n) | rest) << lsb) | low);
+    return is_lit ? symbol : wide;
+  }
+
   u32 read_varint_clustered(int cluster, u32 dist_multiplier) {
     if (!spec->lz77_enabled) {
       if (!spec->use_prefix) return read_varint_ans_fast(cluster);
@@ -635,7 +673,7 @@ inline const TreeNode* walk_tree(const TreeNode* nodes, const ScanState& st) {
 // no property vector, no shadow rows — neighbors come straight from the
 // decoded output buffer. Templated on sample type and predictor so the
 // per-sample work compiles down to the ANS read plus a couple of loads.
-template <typename S, int PRED>
+template <typename S, int PRED, bool FAST>
 static int decode_single_leaf_loop(DecoderState& dec, const ChannelDesc& cd,
                                    const TreeNode* leaf, u32 dm) {
   S* buf = (S*)cd.buf;
@@ -688,8 +726,9 @@ static int decode_single_leaf_loop(DecoderState& dec, const ChannelDesc& cd,
           }
         }
       }
-      u32 token = dec.read_varint_clustered(cluster, dm);
-      if (dec.error) return 10 + dec.error;
+      u32 token = FAST ? dec.read_varint_ans_fast_bl(cluster)
+                       : dec.read_varint_clustered(cluster, dm);
+      if (!FAST && dec.error) return 10 + dec.error;
       i64 diff = (i64)unpack_signed(token) * mul + off;
       crow[x] = (S)wrap32(diff + p);
     }
@@ -697,25 +736,78 @@ static int decode_single_leaf_loop(DecoderState& dec, const ChannelDesc& cd,
   return 0;
 }
 
-template <typename S>
+template <typename S, bool FAST>
 static int decode_single_leaf(DecoderState& dec, const ChannelDesc& cd,
                               const TreeNode* leaf, u32 dm) {
   switch (leaf->b) {
-    case 0: return decode_single_leaf_loop<S, 0>(dec, cd, leaf, dm);
-    case 1: return decode_single_leaf_loop<S, 1>(dec, cd, leaf, dm);
-    case 2: return decode_single_leaf_loop<S, 2>(dec, cd, leaf, dm);
-    case 3: return decode_single_leaf_loop<S, 3>(dec, cd, leaf, dm);
-    case 4: return decode_single_leaf_loop<S, 4>(dec, cd, leaf, dm);
-    case 5: return decode_single_leaf_loop<S, 5>(dec, cd, leaf, dm);
-    case 7: return decode_single_leaf_loop<S, 7>(dec, cd, leaf, dm);
-    case 8: return decode_single_leaf_loop<S, 8>(dec, cd, leaf, dm);
-    case 9: return decode_single_leaf_loop<S, 9>(dec, cd, leaf, dm);
-    case 10: return decode_single_leaf_loop<S, 10>(dec, cd, leaf, dm);
-    case 11: return decode_single_leaf_loop<S, 11>(dec, cd, leaf, dm);
-    case 12: return decode_single_leaf_loop<S, 12>(dec, cd, leaf, dm);
-    case 13: return decode_single_leaf_loop<S, 13>(dec, cd, leaf, dm);
+    case 0: return decode_single_leaf_loop<S, 0, FAST>(dec, cd, leaf, dm);
+    case 1: return decode_single_leaf_loop<S, 1, FAST>(dec, cd, leaf, dm);
+    case 2: return decode_single_leaf_loop<S, 2, FAST>(dec, cd, leaf, dm);
+    case 3: return decode_single_leaf_loop<S, 3, FAST>(dec, cd, leaf, dm);
+    case 4: return decode_single_leaf_loop<S, 4, FAST>(dec, cd, leaf, dm);
+    case 5: return decode_single_leaf_loop<S, 5, FAST>(dec, cd, leaf, dm);
+    case 7: return decode_single_leaf_loop<S, 7, FAST>(dec, cd, leaf, dm);
+    case 8: return decode_single_leaf_loop<S, 8, FAST>(dec, cd, leaf, dm);
+    case 9: return decode_single_leaf_loop<S, 9, FAST>(dec, cd, leaf, dm);
+    case 10: return decode_single_leaf_loop<S, 10, FAST>(dec, cd, leaf, dm);
+    case 11: return decode_single_leaf_loop<S, 11, FAST>(dec, cd, leaf, dm);
+    case 12: return decode_single_leaf_loop<S, 12, FAST>(dec, cd, leaf, dm);
+    case 13: return decode_single_leaf_loop<S, 13, FAST>(dec, cd, leaf, dm);
     default: return -1;  // predictor 6 (WP) etc.: caller uses general path
   }
+}
+
+// Decode ONE channel of a modular sub-stream (fast single-leaf paths or
+// the general property/tree loop). Returns 0 or >0 error codes.
+static int decode_modular_channel(DecoderState& dec, ChannelDesc& cd,
+                                  i32 dist_multiplier, const WpParams& wpp) {
+  const TreeNode* root = cd.tree;
+  bool single = root->is_leaf != 0;
+
+  bool fast_ans = !dec.spec->lz77_enabled && !dec.spec->use_prefix;
+  if (single && !cd.need_wp) {
+    int ret;
+    if (fast_ans)
+      ret = cd.is16
+          ? decode_single_leaf<int16_t, true>(dec, cd, root,
+                                              (u32)dist_multiplier)
+          : decode_single_leaf<i32, true>(dec, cd, root,
+                                          (u32)dist_multiplier);
+    else
+      ret = cd.is16
+          ? decode_single_leaf<int16_t, false>(dec, cd, root,
+                                               (u32)dist_multiplier)
+          : decode_single_leaf<i32, false>(dec, cd, root,
+                                           (u32)dist_multiplier);
+    if (ret >= 0) return ret;
+    // ret < 0: unsupported predictor, fall through to the general loop
+  }
+
+  WpState wps;
+  WpState* wp = nullptr;
+  if (cd.need_wp) {
+    wps.init(cd.width, wpp);
+    wp = &wps;
+  }
+  ScanState st;
+  st.init(&cd, wp);
+
+  for (i32 y = 0; y < cd.height; y++) {
+    i64 row_base = (i64)y * cd.stride;
+    for (i32 x = 0; x < cd.width; x++) {
+      st.compute_properties();
+      const TreeNode* leaf = single ? root : walk_tree(root, st);
+      u32 token = fast_ans
+          ? dec.read_varint_ans_fast_bl(leaf->a)
+          : dec.read_varint_clustered(leaf->a, (u32)dist_multiplier);
+      if (dec.error) return 10 + dec.error;
+      i64 diff = (i64)unpack_signed(token) * leaf->d + leaf->c;
+      i32 val = wrap32(diff + st.predict(leaf->b));
+      sample_store(cd.buf, cd.is16, row_base + x, val);
+      st.record(val);
+    }
+  }
+  return 0;
 }
 
 // One modular sub-stream: all channels sharing one entropy stream.
@@ -724,52 +816,244 @@ static int decode_modular_stream_core(DecoderState& dec, BitReader& br,
                                       ChannelDesc* chans, int num_channels,
                                       i32 dist_multiplier,
                                       const WpParams& wpp) {
-  WpState wps;
-  ScanState st;
-
   for (int c = 0; c < num_channels; c++) {
     ChannelDesc& cd = chans[c];
     if (cd.width == 0 || cd.height == 0) continue;
-
-    const TreeNode* root = cd.tree;
-    bool single = root->is_leaf != 0;
-
-    if (single && !cd.need_wp) {
-      int ret = cd.is16
-          ? decode_single_leaf<int16_t>(dec, cd, root, (u32)dist_multiplier)
-          : decode_single_leaf<i32>(dec, cd, root, (u32)dist_multiplier);
-      if (ret >= 0) {
-        if (ret != 0) return ret;
-        continue;
-      }
-      // ret < 0: unsupported predictor, fall through to the general loop
-    }
-
-    WpState* wp = nullptr;
-    if (cd.need_wp) {
-      wps.init(cd.width, wpp);
-      wp = &wps;
-    }
-    st = ScanState();
-    st.init(&cd, wp);
-
-    for (i32 y = 0; y < cd.height; y++) {
-      i64 row_base = (i64)y * cd.stride;
-      for (i32 x = 0; x < cd.width; x++) {
-        st.compute_properties();
-        const TreeNode* leaf = single ? root : walk_tree(root, st);
-        u32 token = dec.read_varint_clustered(leaf->a, (u32)dist_multiplier);
-        if (dec.error) return 10 + dec.error;
-        i64 diff = (i64)unpack_signed(token) * leaf->d + leaf->c;
-        i32 val = wrap32(diff + st.predict(leaf->b));
-        sample_store(cd.buf, cd.is16, row_base + x, val);
-        st.record(val);
-      }
-    }
+    int ret = decode_modular_channel(dec, cd, dist_multiplier, wpp);
+    if (ret != 0) return ret;
   }
 
   if (br.pos > br.len_bits) return 4;  // consumed past end: truncated
   return dec.finalize();
+}
+
+// ---------------------------------------------------------------------------
+// Interleaved dual-section modular decode (the modular twin of the HF
+// cursor machinery): two independent sections' ANS chains stepped
+// alternately so their serial dependency chains overlap. The hot shape
+// is the single-leaf GRADIENT channel (the fast-lossless default); rows
+// y >= 1 run as interleaved register-resident runs, everything else
+// (row 0, other predictors, MA trees, WP, LZ77/prefix streams) decodes
+// serially inside the advance step via the reference code paths above.
+
+// BitReader::peek(48) on raw locals (bit semantics identical). Shared by
+// the modular and HF interleaved steppers.
+static inline u64 hf_peek48(const u8* __restrict__ data, u64 len_bits,
+                            u64 pos) {
+  u64 byte0 = pos >> 3;
+  int shift = (int)(pos & 7);
+  u64 avail_bytes = (len_bits + 7) >> 3;
+  u64 window;
+  if (__builtin_expect(byte0 + 8 <= avail_bytes, 1)) {
+    std::memcpy(&window, data + byte0, 8);
+  } else {
+    window = 0;
+    u64 nbytes = (u64)((shift + 48 + 7) >> 3);
+    for (u64 i = 0; i < nbytes && byte0 + i < avail_bytes; i++)
+      window |= (u64)data[byte0 + i] << (8 * i);
+  }
+  return (window >> shift) & ((1ull << 48) - 1);
+}
+
+struct ModCursor {
+  DecoderState dec;
+  BitReader br;
+  ChannelDesc* chans;
+  int nc;
+  i32 dm;
+  const WpParams* wpp;
+  int c;   // current channel
+  i32 y;   // current row; -1 = channel not started
+  // active gradient row run
+  void* crow;
+  const void* prow;
+  i32 x, W;
+  i32 w, nw;  // carried neighbor values (post-store sample domain)
+  int cluster;
+  i32 off, mul;
+  int is16;
+  // status: 0 = in-run, 1 = needs mod_advance, 2 = done (see result)
+  int status;
+  int result;
+};
+
+// Decode row 0 of a single-leaf gradient channel (prow == null): every
+// predictor input collapses to W, exactly decode_single_leaf_loop's
+// first-row semantics.
+template <typename S>
+static void mod_row0(DecoderState& dec, ChannelDesc& cd, int cluster,
+                     i32 off, i32 mul) {
+  S* crow = (S*)cd.buf;
+  i32 w = 0;
+  for (i32 x = 0; x < cd.width; x++) {
+    u32 token = dec.read_varint_ans_fast_bl(cluster);
+    i64 diff = (i64)unpack_signed(token) * mul + off;
+    S val = (S)wrap32(diff + w);
+    crow[x] = val;
+    w = (i32)val;
+  }
+}
+
+// Walk the cursor to the next gradient row run (status 0) or to section
+// completion (status 2). Non-hot shapes decode inline via the reference
+// channel decoder.
+static void mod_advance(ModCursor& cu) {
+  bool fast_ans = !cu.dec.spec->lz77_enabled && !cu.dec.spec->use_prefix;
+  for (;;) {
+    if (cu.c >= cu.nc) {
+      cu.status = 2;
+      cu.result = cu.br.pos > cu.br.len_bits ? 4 : cu.dec.finalize();
+      return;
+    }
+    ChannelDesc& cd = cu.chans[cu.c];
+    if (cd.width == 0 || cd.height == 0) {
+      cu.c++;
+      cu.y = -1;
+      continue;
+    }
+    if (cu.y < 0) {
+      const TreeNode* root = cd.tree;
+      bool grad_fast = fast_ans && root->is_leaf != 0 && !cd.need_wp &&
+                       root->b == 5;
+      if (!grad_fast) {
+        int ret = decode_modular_channel(cu.dec, cd, cu.dm, *cu.wpp);
+        if (ret != 0) {
+          cu.status = 2;
+          cu.result = ret;
+          return;
+        }
+        cu.c++;
+        continue;
+      }
+      cu.cluster = root->a;
+      cu.off = root->c;
+      cu.mul = root->d;
+      cu.is16 = cd.is16;
+      if (cd.is16) mod_row0<int16_t>(cu.dec, cd, cu.cluster, cu.off, cu.mul);
+      else mod_row0<i32>(cu.dec, cd, cu.cluster, cu.off, cu.mul);
+      cu.y = 1;
+    }
+    ChannelDesc& cd2 = cu.chans[cu.c];
+    if (cu.y >= cd2.height) {
+      cu.c++;
+      cu.y = -1;
+      continue;
+    }
+    // start the run for row y: w = nw = prow[0] makes the x == 0 sample
+    // come out identical to the reference formula (n = nw = w = prow[0])
+    i64 elem = cd2.is16 ? 2 : 4;
+    char* base = (char*)cd2.buf;
+    cu.crow = base + (i64)cu.y * cd2.stride * elem;
+    cu.prow = base + (i64)(cu.y - 1) * cd2.stride * elem;
+    cu.x = 0;
+    cu.W = cd2.width;
+    i32 p0 = cd2.is16 ? (i32)((const int16_t*)cu.prow)[0]
+                      : ((const i32*)cu.prow)[0];
+    cu.w = p0;
+    cu.nw = p0;
+    cu.y++;  // resume position after this run
+    cu.status = 0;
+    return;
+  }
+}
+
+// Fused dual gradient-row stepper: all loop-carried state in locals
+// (see hf_dual_run for why the cursor-struct form defeats register
+// allocation). Exits when either run ends; statuses written back.
+template <typename SA, typename SB>
+static void mod_dual_run(ModCursor& A, ModCursor& B) {
+#define MOD_LOCALS(p, C, S)                                               \
+  u32 p##_state = C.dec.state;                                            \
+  const u8* __restrict__ p##_data = C.br.data;                            \
+  const u64 p##_len = C.br.len_bits;                                      \
+  u64 p##_pos = C.br.pos;                                                 \
+  S* __restrict__ p##_crow = (S*)C.crow;                                  \
+  const S* __restrict__ p##_prow = (const S*)C.prow;                      \
+  i32 p##_x = C.x;                                                        \
+  const i32 p##_W = C.W;                                                  \
+  i32 p##_w = C.w, p##_nw = C.nw;                                         \
+  const i32 p##_off = C.off, p##_mul = C.mul;                             \
+  const AnsTable& p##_t = C.dec.spec->ans[C.cluster];                     \
+  const IntCfg p##_cfg = C.dec.spec->cfgs[C.cluster];                     \
+  bool p##_live = true;
+
+#define MOD_SAVE(p, C)                                                    \
+  C.dec.state = p##_state;                                                \
+  C.br.pos = p##_pos;                                                     \
+  C.x = p##_x;                                                            \
+  C.w = p##_w;                                                            \
+  C.nw = p##_nw;
+
+#define MOD_STEP(p, C, S)                                                 \
+  if (p##_live) {                                                         \
+    i32 n = (i32)p##_prow[p##_x];                                         \
+    i32 pr = grad_clamped(n, p##_w, p##_nw);                              \
+    u32 idx = p##_state & 0xFFF;                                          \
+    u32 bi = idx >> p##_t.log_bucket_size;                                \
+    u32 posb = idx & ((1u << p##_t.log_bucket_size) - 1);                 \
+    const AnsBucket bu = p##_t.buckets[bi];                               \
+    bool al = posb >= bu.cutoff;                                          \
+    u32 symbol = al ? bu.alias_symbol : bi;                               \
+    u32 offset = al ? (u32)bu.alias_offset + posb : posb;                 \
+    u32 dd = al ? bu.dist_alias : bu.dist_self;                           \
+    u32 next = (p##_state >> 12) * dd + offset;                           \
+    u64 window = hf_peek48(p##_data, p##_len, p##_pos);                   \
+    u32 need = next < (1u << 16);                                         \
+    p##_state = need ? ((next << 16) | (u32)(window & 0xFFFF)) : next;    \
+    u64 rest_window = need ? (window >> 16) : window;                     \
+    int pos_add = need ? 16 : 0;                                          \
+    int msb = p##_cfg.msb, lsb = p##_cfg.lsb;                             \
+    u32 nn = (u32)(p##_cfg.split_exponent - (msb + lsb)) +                \
+             ((symbol - p##_cfg.split()) >> (msb + lsb));                 \
+    nn &= 31;                                                             \
+    bool is_lit = symbol < p##_cfg.split();                               \
+    nn = is_lit ? 0 : nn;                                                 \
+    u32 rest = (u32)(rest_window & ((1ull << nn) - 1));                   \
+    p##_pos += pos_add + (int)nn;                                         \
+    u32 low = symbol & ((1u << lsb) - 1);                                 \
+    u32 tt = (symbol >> lsb) & ((1u << msb) - 1);                         \
+    tt |= 1u << msb;                                                      \
+    u32 wide = (u32)(((((u64)tt << nn) | rest) << lsb) | low);            \
+    u32 token = is_lit ? symbol : wide;                                   \
+    i64 diff = (i64)unpack_signed(token) * p##_mul + p##_off;             \
+    S val = (S)wrap32(diff + pr);                                         \
+    p##_crow[p##_x] = val;                                                \
+    p##_w = (i32)val;                                                     \
+    p##_nw = n;                                                           \
+    if (++p##_x >= p##_W) {                                               \
+      C.status = 1;                                                       \
+      p##_live = false;                                                   \
+    }                                                                     \
+  }
+
+  MOD_LOCALS(a, A, SA)
+  MOD_LOCALS(b, B, SB)
+  for (;;) {
+    MOD_STEP(a, A, SA)
+    MOD_STEP(b, B, SB)
+    if (!(a_live & b_live)) break;
+  }
+  while (a_live) {
+    MOD_STEP(a, A, SA)
+  }
+  while (b_live) {
+    MOD_STEP(b, B, SB)
+  }
+  MOD_SAVE(a, A)
+  MOD_SAVE(b, B)
+#undef MOD_LOCALS
+#undef MOD_SAVE
+#undef MOD_STEP
+}
+
+static void mod_dual_dispatch(ModCursor& A, ModCursor& B) {
+  if (A.is16) {
+    if (B.is16) mod_dual_run<int16_t, int16_t>(A, B);
+    else mod_dual_run<int16_t, i32>(A, B);
+  } else {
+    if (B.is16) mod_dual_run<i32, int16_t>(A, B);
+    else mod_dual_run<i32, i32>(A, B);
+  }
 }
 
 }  // namespace
@@ -1530,12 +1814,138 @@ int jxlhost_decode_modular_batch(
     return ret;
   };
 
+  // Interleaved pair state: one cursor per section, channel descriptors
+  // and WP params owned alongside (the cursor holds raw pointers).
+  struct SecState {
+    i32 k = -1;
+    std::vector<ChannelDesc> chans;
+    WpParams wpp;
+    ModCursor cur;
+    bool done = true;
+  };
+
+  auto sec_begin = [&](SecState& ss, i32 k) {
+    ss.k = k;
+    ss.done = false;
+    const i32* wpp_a = sec_wp_params + (i64)k * 11;
+    ss.wpp.p1 = wpp_a[0]; ss.wpp.p2 = wpp_a[1];
+    ss.wpp.p3a = wpp_a[2]; ss.wpp.p3b = wpp_a[3]; ss.wpp.p3c = wpp_a[4];
+    ss.wpp.p3d = wpp_a[5]; ss.wpp.p3e = wpp_a[6];
+    for (int i = 0; i < 4; i++) ss.wpp.w[i] = wpp_a[7 + i];
+    i32 c0 = sec_chan_start[k], nc = sec_chan_count[k];
+    ss.chans.assign(nc, ChannelDesc{});
+    for (i32 c = 0; c < nc; c++) {
+      ChannelDesc& cd = ss.chans[c];
+      i32 gc = c0 + c;
+      cd.buf = chan_bufs[gc];
+      cd.stride = chan_strides[gc];
+      cd.width = chan_dims[gc * 2];
+      cd.height = chan_dims[gc * 2 + 1];
+      cd.tree = trees[gc];
+      cd.tree_len = tree_meta[gc * 2];
+      cd.need_wp = tree_meta[gc * 2 + 1];
+      cd.num_prev = prev_counts[gc];
+      cd.prev_bufs = prev_bufs_flat + prev_offsets[gc];
+      cd.prev_strides = prev_strides_flat + prev_offsets[gc];
+      cd.is16 = sec_is16[k];
+    }
+    ModCursor& cu = ss.cur;
+    cu.br = BitReader{sec_data[k], sec_len_bytes[k] * 8, sec_bit_pos[k]};
+    cu.dec = DecoderState{};
+    cu.dec.spec = &holders[sec_spec[k]].spec;
+    cu.dec.br = &cu.br;
+    cu.dec.begin();
+    cu.chans = ss.chans.data();
+    cu.nc = nc;
+    cu.dm = sec_dist_mul[k];
+    cu.wpp = &ss.wpp;
+    cu.c = 0;
+    cu.y = -1;
+    cu.status = 1;
+    cu.result = 0;
+  };
+
+  auto sec_finish = [&](SecState& ss) {
+    sec_bit_pos[ss.k] = ss.cur.br.pos;
+    sec_ret[ss.k] = ss.cur.result;
+    ss.done = true;
+  };
+
+  // Bring the section to an active gradient run or completion.
+  auto pump = [&](SecState& ss) {
+    while (!ss.done) {
+      if (ss.cur.status == 0) return;
+      if (ss.cur.status == 1) {
+        mod_advance(ss.cur);
+        continue;
+      }
+      sec_finish(ss);
+    }
+  };
+
   std::atomic<i32> next_job{0};
   auto worker = [&]() {
+    SecState A, B;
     for (;;) {
-      i32 k = next_job.fetch_add(1, std::memory_order_relaxed);
-      if (k >= n_sections) break;
-      sec_ret[k] = run_section(k);
+      i32 k1 = next_job.fetch_add(1, std::memory_order_relaxed);
+      if (k1 >= n_sections) break;
+      i32 k2 = next_job.fetch_add(1, std::memory_order_relaxed);
+      if (k2 >= n_sections) {
+        sec_ret[k1] = run_section(k1);
+        break;
+      }
+      sec_begin(A, k1);
+      sec_begin(B, k2);
+      pump(A);
+      pump(B);
+      while (!A.done && !B.done) {
+        mod_dual_dispatch(A.cur, B.cur);
+        if (A.cur.status != 0) pump(A);
+        if (B.cur.status != 0) pump(B);
+      }
+      SecState& R = A.done ? B : A;
+      while (!R.done) {
+        if (R.cur.status == 0) {
+          // drain the active run single-stream (pair it with itself is
+          // not possible; the tail is short)
+          ModCursor dummy;  // unused
+          (void)dummy;
+          // step via the dual stepper's single-live path: reuse
+          // mod_advance-compatible serial loop
+          ModCursor& cu = R.cur;
+          if (cu.is16) {
+            int16_t* crow = (int16_t*)cu.crow;
+            const int16_t* prow = (const int16_t*)cu.prow;
+            while (cu.x < cu.W) {
+              i32 n = (i32)prow[cu.x];
+              i32 pr = grad_clamped(n, cu.w, cu.nw);
+              u32 token = cu.dec.read_varint_ans_fast_bl(cu.cluster);
+              i64 diff = (i64)unpack_signed(token) * cu.mul + cu.off;
+              int16_t val = (int16_t)wrap32(diff + pr);
+              crow[cu.x] = val;
+              cu.w = (i32)val;
+              cu.nw = n;
+              cu.x++;
+            }
+          } else {
+            i32* crow = (i32*)cu.crow;
+            const i32* prow = (const i32*)cu.prow;
+            while (cu.x < cu.W) {
+              i32 n = prow[cu.x];
+              i32 pr = grad_clamped(n, cu.w, cu.nw);
+              u32 token = cu.dec.read_varint_ans_fast_bl(cu.cluster);
+              i64 diff = (i64)unpack_signed(token) * cu.mul + cu.off;
+              i32 val = wrap32(diff + pr);
+              crow[cu.x] = val;
+              cu.w = val;
+              cu.nw = n;
+              cu.x++;
+            }
+          }
+          cu.status = 1;
+        }
+        pump(R);
+      }
     }
   };
 
@@ -1998,24 +2408,6 @@ static void hf_advance(HfCursor& c) {
     }
     // channel loop exhausted; move to the next varblock
   }
-}
-
-// BitReader::peek(48) on raw locals (bit semantics identical).
-static inline u64 hf_peek48(const u8* __restrict__ data, u64 len_bits,
-                            u64 pos) {
-  u64 byte0 = pos >> 3;
-  int shift = (int)(pos & 7);
-  u64 avail_bytes = (len_bits + 7) >> 3;
-  u64 window;
-  if (__builtin_expect(byte0 + 8 <= avail_bytes, 1)) {
-    std::memcpy(&window, data + byte0, 8);
-  } else {
-    window = 0;
-    u64 nbytes = (u64)((shift + 48 + 7) >> 3);
-    for (u64 i = 0; i < nbytes && byte0 + i < avail_bytes; i++)
-      window |= (u64)data[byte0 + i] << (8 * i);
-  }
-  return (window >> shift) & ((1ull << 48) - 1);
 }
 
 // Fused dual-run: steps two active coefficient runs alternately with ALL

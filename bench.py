@@ -97,13 +97,15 @@ def _make_cases() -> dict:
                                 epf_iters=2, sharpness=sharp),
         mh, mw)
 
-    # lossless Modular: RLE-friendly (flat runs) and noisy (entropy heavy)
+    # lossless Modular: fast-lossless LZ77-RLE (flat runs) and noisy
+    # (entropy heavy)
     rng = np.random.default_rng(6)
     flat = [
         np.repeat(rng.integers(0, 256, (1024, 32), dtype=np.int64), 32, 1)
         for _ in range(3)
     ]
-    cases["modular_rle"] = (encode_jxl_modular(flat, bit_depth=8), 1024, 1024)
+    cases["modular_rle"] = (
+        encode_jxl_modular(flat, bit_depth=8, lz77_rle=True), 1024, 1024)
     noisy = [
         rng.integers(0, 256, (512, 512), dtype=np.int64) for _ in range(3)
     ]

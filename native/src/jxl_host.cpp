@@ -159,7 +159,8 @@ struct DecoderState {
       state = (u32)br->read(32);
       initial = false;
     }
-    if (spec->lz77_enabled && window.empty()) window.resize(LZ_WINDOW_SIZE);
+    // the LZ77 window allocates lazily on first use: RLE-mode streams
+    // (single dist symbol == 1) never touch it
   }
 
   __attribute__((always_inline)) inline u32 read_symbol(int cluster) {
@@ -287,6 +288,7 @@ struct DecoderState {
       u32 token = read_symbol(cluster);
       return read_uint(spec->cfgs[cluster], token);
     }
+    if (window.empty()) window.resize(LZ_WINDOW_SIZE);
     u32 r;
     if (num_to_copy > 0) {
       r = window[copy_pos & LZ_WINDOW_MASK];
@@ -810,12 +812,115 @@ static int decode_modular_channel(DecoderState& dec, ChannelDesc& cd,
   return 0;
 }
 
+// RLE fast-lossless probing (jxl-coding lib.rs:105-123): LZ77 on, the
+// distance cluster is a single ANS symbol == 1 with split_exponent 0.
+// Every match then copies the previous value (token 1 -> special
+// distance (1,0) -> effective distance 1), so runs repeat the last
+// literal and the 1<<20 window is never needed.
+static bool spec_rle_mode(const DecoderSpec& spec) {
+  if (!spec.lz77_enabled || spec.use_prefix) return false;
+  int lz_cluster = spec.cluster_map[spec.num_dist - 1];
+  if (spec.cfgs[lz_cluster].split_exponent != 0) return false;
+  const AnsTable& t = spec.ans[lz_cluster];
+  const AnsBucket& b0 = t.buckets[0];
+  return b0.cutoff == 0 && b0.alias_symbol == 1 && b0.dist_alias == 4096;
+}
+
+// The fast-lossless shape: every channel is a bare single-leaf Gradient
+// tree (offset 0, multiplier 1) — image.rs:493-534 decode_fast_lossless.
+static bool all_simple_gradient(const ChannelDesc* chans, int nc) {
+  for (int c = 0; c < nc; c++) {
+    const ChannelDesc& cd = chans[c];
+    if (cd.width == 0 || cd.height == 0) continue;
+    const TreeNode* r = cd.tree;
+    if (!r->is_leaf || cd.need_wp || r->b != 5 || r->c != 0 || r->d != 1)
+      return false;
+  }
+  return true;
+}
+
+// Whole-stream RLE + gradient decode: one length token covers a whole
+// run (the generic path pays a no-op distance read, window bookkeeping
+// and the LZ77 branch cascade per SAMPLE). rle state spans channels,
+// like the window does on the generic path.
+template <typename S>
+static int decode_stream_rle_gradient(DecoderState& dec, BitReader& br,
+                                      ChannelDesc* chans, int nc) {
+  const DecoderSpec& spec = *dec.spec;
+  i32 rle_value = 0;
+  u64 rle_repeat = 0;
+  for (int c = 0; c < nc; c++) {
+    ChannelDesc& cd = chans[c];
+    if (cd.width == 0 || cd.height == 0) continue;
+    const int cluster = cd.tree->a;
+    const IntCfg& cfg = spec.cfgs[cluster];
+    S* buf = (S*)cd.buf;
+    const i64 stride = cd.stride;
+    const i32 W = cd.width, H = cd.height;
+    for (i32 y = 0; y < H; y++) {
+      S* crow = buf + (i64)y * stride;
+      const S* prow = y > 0 ? crow - stride : nullptr;
+      i32 x = 0;
+      while (x < W) {
+        if (rle_repeat == 0) {
+          u32 token = dec.read_symbol(cluster);
+          if (token >= spec.min_symbol) {
+            rle_repeat =
+                (u64)dec.read_uint(spec.len_cfg, token - spec.min_symbol) +
+                spec.min_length;
+          } else {
+            rle_value = unpack_signed(dec.read_uint(cfg, token));
+            rle_repeat = 1;
+          }
+        }
+        // consume up to the row end from the current run, applying the
+        // gradient predictor per sample
+        i64 take64 = (i64)(rle_repeat < (u64)(W - x) ? rle_repeat
+                                                     : (u64)(W - x));
+        i32 take = (i32)take64;
+        rle_repeat -= (u64)take;
+        if (prow) {
+          i32 w = x > 0 ? (i32)crow[x - 1] : (i32)prow[0];
+          i32 nw = x > 0 ? (i32)prow[x - 1] : w;
+          for (i32 e = x + take; x < e; x++) {
+            i32 n = (i32)prow[x];
+            S val = (S)wrap32((i64)grad_clamped(n, w, nw) + rle_value);
+            crow[x] = val;
+            w = (i32)val;
+            nw = n;
+          }
+        } else {
+          i32 w = x > 0 ? (i32)crow[x - 1] : 0;
+          for (i32 e = x + take; x < e; x++) {
+            S val = (S)wrap32((i64)w + rle_value);
+            crow[x] = val;
+            w = (i32)val;
+          }
+        }
+      }
+    }
+  }
+
+  if (br.pos > br.len_bits) return 4;
+  return dec.finalize();
+}
+
 // One modular sub-stream: all channels sharing one entropy stream.
 // dec/br are begun by the caller. Returns 0 or >0 error codes.
 static int decode_modular_stream_core(DecoderState& dec, BitReader& br,
                                       ChannelDesc* chans, int num_channels,
                                       i32 dist_multiplier,
                                       const WpParams& wpp) {
+  if (spec_rle_mode(*dec.spec) &&
+      all_simple_gradient(chans, num_channels)) {
+    bool is16 = false;
+    for (int c = 0; c < num_channels; c++)
+      if (chans[c].width && chans[c].height) { is16 = chans[c].is16; break; }
+    return is16
+        ? decode_stream_rle_gradient<int16_t>(dec, br, chans, num_channels)
+        : decode_stream_rle_gradient<i32>(dec, br, chans, num_channels);
+  }
+
   for (int c = 0; c < num_channels; c++) {
     ChannelDesc& cd = chans[c];
     if (cd.width == 0 || cd.height == 0) continue;
@@ -1827,6 +1932,15 @@ int jxlhost_decode_modular_batch(
   auto sec_begin = [&](SecState& ss, i32 k) {
     ss.k = k;
     ss.done = false;
+    // LZ77/prefix streams take the reference single-stream core (which
+    // includes the RLE fast-lossless path); the cursor stepper is
+    // ANS-only
+    const DecoderSpec& sp = holders[sec_spec[k]].spec;
+    if (sp.lz77_enabled || sp.use_prefix) {
+      sec_ret[k] = run_section(k);
+      ss.done = true;
+      return;
+    }
     const i32* wpp_a = sec_wp_params + (i64)k * 11;
     ss.wpp.p1 = wpp_a[0]; ss.wpp.p2 = wpp_a[1];
     ss.wpp.p3a = wpp_a[2]; ss.wpp.p3b = wpp_a[3]; ss.wpp.p3c = wpp_a[4];

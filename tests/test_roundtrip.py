@@ -12,7 +12,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT / "tools"))
 
 from encoder import PRED_GRADIENT, PRED_WEST, PRED_ZERO, encode_jxl_modular  # noqa: E402
 
@@ -67,6 +68,72 @@ def test_16bit_bitexact():
     img = RNG.integers(0, 65536, (40, 40), dtype=np.int32)
     out = decode_modular(encode_jxl_modular([img], bit_depth=16))
     assert np.array_equal(out[0], img)
+
+
+def test_lz77_rle_fast_lossless_bitexact():
+    """LZ77 run-length streams (fast-lossless shape: single dist symbol
+    == 1, split_exponent 0 -> repeat-last; jxl-coding lib.rs:105-123,
+    image.rs:493-534). Exercises the native RLE + gradient fast path and
+    the generic LZ77 window path must agree (lib.rs special distance
+    (1,0) == effective distance 1)."""
+    flat = [
+        np.repeat(RNG.integers(0, 256, (96, 4), dtype=np.int32), 24, 1)
+        for _ in range(3)
+    ]
+    noisy = [RNG.integers(0, 256, (48, 80), dtype=np.int32) for _ in range(3)]
+    const = [np.full((40, 40), 191, dtype=np.int32)]
+    for chans in (flat, noisy, const):
+        out = decode_modular(encode_jxl_modular(chans, lz77_rle=True))
+        for o, c in zip(out, chans):
+            assert np.array_equal(o, c)
+
+
+def test_lz77_rle_multigroup_and_16bit():
+    # multi-group: per-group pass streams each carry their own rle state
+    img = np.repeat(RNG.integers(0, 256, (520, 10), dtype=np.int32), 30, 1)
+    out = decode_modular(encode_jxl_modular([img], lz77_rle=True))
+    assert np.array_equal(out[0], img)
+    # 16-bit values with small residuals stay under the length-token base
+    img16 = np.cumsum(
+        RNG.integers(-3, 4, (64, 64)), axis=1, dtype=np.int64
+    ).astype(np.int32) + 3000
+    out = decode_modular(
+        encode_jxl_modular([img16], bit_depth=16, lz77_rle=True)
+    )
+    assert np.array_equal(out[0], img16)
+
+
+def test_lz77_rle_native_matches_python():
+    import os
+    import subprocess
+    import sys as _sys
+
+    # the pure-Python decoder has its own fast-lossless path
+    # (_decode_fast_lossless); assert byte-identical output to native
+    flat = [
+        np.repeat(RNG.integers(0, 256, (64, 8), dtype=np.int32), 8, 1)
+        for _ in range(3)
+    ]
+    data = encode_jxl_modular(flat, lz77_rle=True)
+    native_out = decode_modular(data)
+    code = (
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {str(ROOT)!r})\n"
+        f"sys.path.insert(0, {str(ROOT / 'tests')!r})\n"
+        "from test_roundtrip import decode_modular\n"
+        "import sys as s\n"
+        "data = s.stdin.buffer.read()\n"
+        "out = decode_modular(data)\n"
+        "np.save(s.stdout.buffer, np.stack(out))\n"
+    )
+    env = dict(os.environ, JXL_TPU_NO_NATIVE="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([_sys.executable, "-c", code], input=data,
+                       capture_output=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    import io
+
+    py_out = np.load(io.BytesIO(r.stdout))
+    assert np.array_equal(py_out, np.stack(native_out))
 
 
 def test_nonsquare_odd_sizes():

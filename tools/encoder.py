@@ -215,6 +215,75 @@ class AnsStreamEncoder:
 
 DEFAULT_CFG = IntegerConfig(split_exponent=4, msb_in_token=2, lsb_in_token=2)
 
+# LZ77 run-length coding shape (the "fast-lossless" stream layout):
+# min_symbol 224, min_length 3, length tokens coded with a bare
+# exponential config (split_exponent 0).
+RLE_MIN_SYMBOL = 224
+RLE_MIN_LENGTH = 3
+RLE_LEN_CFG = IntegerConfig(split_exponent=0, msb_in_token=0, lsb_in_token=0)
+
+
+class RleAnsStreamEncoder(AnsStreamEncoder):
+    """AnsStreamEncoder variant that emits an LZ77-enabled stream in the
+    RLE shape the decoders fast-path (jxl-coding lib.rs as_rle: the
+    distance cluster is a single symbol == 1 with split_exponent 0, so
+    every match copies the previous value). Distance symbols are state
+    no-ops in rANS (full 2^12 mass) and are not emitted; run lengths ride
+    the same value cluster at token >= RLE_MIN_SYMBOL."""
+
+    def write_header(self, w: BitWriter):
+        from jxl_oxide_tpu.coding.entropy import add_log2_ceil
+
+        w.write_bool(True)   # lz77 enabled
+        w.write(0, 2)        # min_symbol U32 selector 0 -> 224
+        w.write(0, 2)        # min_length U32 selector 0 -> 3
+        # len_config, parsed with log_alphabet_size=8 context
+        w.write(RLE_LEN_CFG.split_exponent, add_log2_ceil(8))
+        # split_exponent 0 != 8 -> msb/lsb fields are 0-bit wide
+        # cluster map over num_dist+1 distributions: samples -> 0, dist -> 1
+        w.write_bool(True)   # simple cluster map
+        w.write(1, 2)        # nbits = 1
+        for _ in range(self.num_dist):
+            w.write(0, 1)
+        w.write(1, 1)        # the lz77 distance distribution
+        w.write_bool(False)  # use_prefix_code = false
+        w.write(self.log_alphabet_size - 5, 2)
+        # cluster 0: sample/length tokens; cluster 1: distances
+        self._write_integer_config(w)
+        w.write(0, add_log2_ceil(self.log_alphabet_size))  # dist split_exp 0
+        self._write_histogram(w)
+        # distance histogram: unary (single symbol) form, symbol 1
+        w.write_bool(True)
+        w.write_bool(False)
+        self._write_u8_coded(w, 1)
+
+    def encode_rle_values(self, w: BitWriter, values: list[int]):
+        """RLE-tokenize packed residuals: runs >= RLE_MIN_LENGTH of the
+        current value become one length token (repeat-last semantics)."""
+        toks = []
+        prev = None
+        i, n = 0, len(values)
+        while i < n:
+            v = values[i]
+            if v == prev:
+                j = i
+                while j < n and values[j] == prev:
+                    j += 1
+                run = j - i
+                if run >= RLE_MIN_LENGTH:
+                    t, nb, rest = tokenize_uint(run - RLE_MIN_LENGTH,
+                                                RLE_LEN_CFG)
+                    assert RLE_MIN_SYMBOL + t < self.alphabet_size
+                    toks.append((RLE_MIN_SYMBOL + t, nb, rest))
+                    i = j
+                    continue
+            t, nb, rest = tokenize_uint(v, self.cfg)
+            assert t < RLE_MIN_SYMBOL, "literal token collides with lengths"
+            toks.append((t, nb, rest))
+            prev = v
+            i += 1
+        self.encode_raw_tokens(w, toks)
+
 
 # ---------------------------------------------------------------------------
 # Forward prediction (encoder side)
@@ -251,7 +320,7 @@ def forward_residuals(arr: np.ndarray, predictor: int) -> list[int]:
 # Modular sub-stream encoding
 
 
-def write_ma_config(w: BitWriter, predictor: int):
+def write_ma_config(w: BitWriter, predictor: int, lz77_rle: bool = False):
     """Single-leaf MA tree + token decoder header.
 
     Tree stream tokens (ctx order): prop+1=0 (leaf), predictor, offset=0,
@@ -261,7 +330,8 @@ def write_ma_config(w: BitWriter, predictor: int):
     tree_enc.write_header(w)
     tree_enc.encode_tokens(w, [0, predictor, 0, 0, 0])
     # token decoder for 1 leaf context
-    sample_enc = AnsStreamEncoder(1, 256, 8, DEFAULT_CFG)
+    cls = RleAnsStreamEncoder if lz77_rle else AnsStreamEncoder
+    sample_enc = cls(1, 256, 8, DEFAULT_CFG)
     sample_enc.write_header(w)
     return sample_enc
 
@@ -326,7 +396,10 @@ def encode_stream_tokens(w: BitWriter, enc: AnsStreamEncoder, channels, predicto
     for arr in channels:
         for r in forward_residuals(arr, predictor):
             values.append(_pack_signed(r))
-    enc.encode_tokens(w, values)
+    if isinstance(enc, RleAnsStreamEncoder):
+        enc.encode_rle_values(w, values)
+    else:
+        enc.encode_tokens(w, values)
 
 
 # ---------------------------------------------------------------------------
@@ -424,6 +497,7 @@ def encode_jxl_modular(
     orientation: int = 1,
     crop: tuple | None = None,
     alpha_dim_shift: int = 0,
+    lz77_rle: bool = False,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -704,7 +778,7 @@ def encode_jxl_modular(
             tree_tokens, num_leaves, token_fn = custom_tree
             sample_enc = write_ma_config_tree(lf, tree_tokens, num_leaves)
         else:
-            sample_enc = write_ma_config(lf, predictor)
+            sample_enc = write_ma_config(lf, predictor, lz77_rle=lz77_rle)
         write_modular_header(lf, use_global_tree=True,
                              rct_begin=0 if rct else None,
                              squeeze_h=squeeze, palette_spec=palette_spec)

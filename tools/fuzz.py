@@ -46,6 +46,9 @@ def gather_seeds(rng) -> list[bytes]:
     seeds.append(encode_jxl_modular(chans, bit_depth=8))
     seeds.append(encode_jxl_modular(chans, bit_depth=8, rct=True,
                                     squeeze=True))
+    flat = [np.repeat(rng.integers(0, 256, (48, 4)).astype(np.int64), 12, 1)
+            for _ in range(3)]
+    seeds.append(encode_jxl_modular(flat, bit_depth=8, lz77_rle=True))
     seeds.append(
         encode_jxl_vardct(rng.random((64, 64, 3)).astype(np.float32),
                           gabor=True, epf_iters=1)
@@ -104,6 +107,12 @@ def try_decode(data: bytes) -> str | None:
 
 
 def main() -> int:
+    # host-only correctness sweep: force the CPU backend so the fuzzer
+    # never blocks on a remote-device tunnel (the image's sitecustomize
+    # pre-imports jax on the tunneled platform)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--seed", type=int, default=0)

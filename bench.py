@@ -111,13 +111,38 @@ def _make_cases() -> dict:
     ]
     cases["modular_noisy"] = (
         encode_jxl_modular(noisy, bit_depth=8), 512, 512)
+
+    # BASELINE config 4: animated GOP with blending (all keyframes decode)
+    rng = np.random.default_rng(7)
+    frames = []
+    base = [rng.integers(0, 200, (512, 512), dtype=np.int64)
+            for _ in range(3)]
+    frames.append(base)
+    for _ in range(3):
+        frames.append([np.clip(c + rng.integers(-8, 9, c.shape), 0, 255)
+                       for c in frames[-1]])
+    cases["animation_4f_blend"] = (
+        encode_jxl_modular(frames[0], bit_depth=8, animation_frames=frames),
+        512 * 4, 512)
+
+    # BASELINE config 2 geometry: 2048x1536 lossy VarDCT with the full
+    # restoration path (gaborish + EPF-2) — placed last so a congested
+    # tunnel budget-skips it rather than the cheaper cases
+    cases["vardct_2048x1536_epf2"] = (
+        encode_jxl_vardct(_smooth_rgb(1536, 2048, seed=8), gabor=True,
+                          epf_iters=2),
+        1536, 2048)
     return cases
 
 
 def _decode(data: bytes) -> np.ndarray:
     from jxl_oxide_tpu import JxlImage
 
-    return JxlImage.from_bytes(data).render_frame(0).to_u8()
+    img = JxlImage.from_bytes(data)
+    out = None
+    for i in range(img.num_keyframes):
+        out = img.render_frame(i).to_u8()
+    return out
 
 
 def _bench_case(data: bytes, h: int, w: int, reps: int = 12,
@@ -355,6 +380,34 @@ def _bench_compute_only(size: int = 2048) -> float:
     return (h * w * k) / diff / 1e6
 
 
+def _bench_jbr_reconstruct(size: int = 1024, reps: int = 4) -> float:
+    """BASELINE config 5: JPEG bitstream reconstruction (jxl-jbr).
+    Host-only: jbrd header + coefficients -> byte-exact JPEG via the
+    native scan encoder. Uses the test harness's synthetic jbrd builder
+    (tests/test_jbr.py), the same path the PIL-validated tests drive."""
+    sys.path.insert(0, "/root/repo/tests")
+    from test_jbr import make_fake_frame, make_jbrd_box
+
+    from jxl_oxide_tpu.jbr import JpegBitstreamData, reconstruct_jpeg
+
+    rng = np.random.default_rng(12)
+    h8 = w8 = size // 8
+    lf = rng.integers(-40, 41, (h8, w8)).astype(np.int32)
+    coeff = rng.integers(-6, 7, (size, size)).astype(np.int32)
+    coeff[np.abs(coeff) < 5] = 0  # sparse AC, like real quantized scans
+    quant = np.ones((8, 8), dtype=np.int32) * 4
+    frame = make_fake_frame(size, size, lf, coeff, quant)
+    jbrd = JpegBitstreamData(make_jbrd_box([0xC0, 0xC4, 0xDB, 0xDA, 0xD9]))
+    reconstruct_jpeg(jbrd, frame)  # warm
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        reconstruct_jpeg(jbrd, frame)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return size * size / best / 1e6
+
+
 def _device_available(timeout_s: float = 180.0) -> bool:
     """Probe the (possibly tunneled) device in a subprocess with a hard
     timeout: a hung tunnel must degrade to a host-only bench artifact,
@@ -375,6 +428,12 @@ def main() -> None:
     host_mpps, host_mpps_1t = _bench_host_entropy()
     print(f"host entropy stage: {host_mpps:.1f} MP/s "
           f"({host_mpps_1t:.1f} MP/s/core single-thread)", file=sys.stderr)
+    try:
+        jbr_mpps = _bench_jbr_reconstruct()
+    except Exception as e:  # pragma: no cover
+        print(f"jbr bench failed: {e}", file=sys.stderr)
+        jbr_mpps = 0.0
+    print(f"jpeg reconstruction: {jbr_mpps:.1f} MP/s", file=sys.stderr)
 
     if not _device_available():
         print("device unreachable (tunnel down?) -- emitting host-only "
@@ -388,6 +447,7 @@ def main() -> None:
             "host_entropy_mpps": round(host_mpps, 1),
             "host_entropy_mpps_per_core": round(host_mpps_1t, 1),
             "host_cores": __import__("multiprocessing").cpu_count(),
+            "jbr_reconstruct_mpps": round(jbr_mpps, 1),
         }))
         return
     # transfer FIRST: the compute bench sizes its synthetic inputs by the
@@ -453,6 +513,7 @@ def main() -> None:
         "device_real_pipeline_mpps": round(real_pipe_mpps, 1),
         "transfer_mbps": transfer,
         "e2e_device_resident_mpps": round(dev_resident, 2),
+        "jbr_reconstruct_mpps": round(jbr_mpps, 1),
         "corpus_geomean_mpps": round(geomean, 2),
         "cases": results,
     }))

@@ -2000,10 +2000,22 @@ int jxlhost_decode_modular_batch(
   std::atomic<i32> next_job{0};
   auto worker = [&]() {
     SecState A, B;
+    // tiny sections (the global/meta stream is usually a few bytes)
+    // would waste a pairing slot: their partner drains single-stream
+    // almost immediately. Run them serially and pair only substantial
+    // sections.
+    auto next_substantial = [&]() -> i32 {
+      for (;;) {
+        i32 k = next_job.fetch_add(1, std::memory_order_relaxed);
+        if (k >= n_sections) return k;
+        if (sec_len_bytes[k] >= 256) return k;
+        sec_ret[k] = run_section(k);
+      }
+    };
     for (;;) {
-      i32 k1 = next_job.fetch_add(1, std::memory_order_relaxed);
+      i32 k1 = next_substantial();
       if (k1 >= n_sections) break;
-      i32 k2 = next_job.fetch_add(1, std::memory_order_relaxed);
+      i32 k2 = next_substantial();
       if (k2 >= n_sections) {
         sec_ret[k1] = run_section(k1);
         break;

@@ -56,11 +56,16 @@ def _build() -> bool:
                "-fno-sanitize-recover=undefined"]
     else:
         # built at runtime on the host it runs on, so native codegen is
-        # safe. AVX-512 is disabled (harmless no-op where absent): with
-        # it enabled, gcc spills the interleaved HF decoder's
-        # loop-carried state into k-mask registers, and the kmov
-        # round-trips sit on the ANS dependency chain (~25% slower).
-        opt = ["-O3", "-march=native", "-mno-avx512f"]
+        # safe. On x86, AVX-512 is disabled: with it enabled, gcc spills
+        # the interleaved decoders' loop-carried state into k-mask
+        # registers, and the kmov round-trips sit on the ANS dependency
+        # chain (~25% slower). The flag is x86-only; other arches reject
+        # it outright.
+        import platform
+
+        opt = ["-O3", "-march=native"]
+        if platform.machine().lower() in ("x86_64", "amd64", "i686"):
+            opt.append("-mno-avx512f")
     try:
         subprocess.run(
             ["g++", *opt, "-shared", "-fPIC", "-std=c++17", "-pthread",

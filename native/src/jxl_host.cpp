@@ -1151,6 +1151,26 @@ static void mod_dual_run(ModCursor& A, ModCursor& B) {
 #undef MOD_STEP
 }
 
+// Serial drain of one active gradient run (the partner section already
+// finished; the tail is short).
+template <typename S>
+static void mod_drain_run(ModCursor& cu) {
+  S* crow = (S*)cu.crow;
+  const S* prow = (const S*)cu.prow;
+  while (cu.x < cu.W) {
+    i32 n = (i32)prow[cu.x];
+    i32 pr = grad_clamped(n, cu.w, cu.nw);
+    u32 token = cu.dec.read_varint_ans_fast_bl(cu.cluster);
+    i64 diff = (i64)unpack_signed(token) * cu.mul + cu.off;
+    S val = (S)wrap32(diff + pr);
+    crow[cu.x] = val;
+    cu.w = (i32)val;
+    cu.nw = n;
+    cu.x++;
+  }
+  cu.status = 1;
+}
+
 static void mod_dual_dispatch(ModCursor& A, ModCursor& B) {
   if (A.is16) {
     if (B.is16) mod_dual_run<int16_t, int16_t>(A, B);
@@ -2032,56 +2052,40 @@ int jxlhost_decode_modular_batch(
       SecState& R = A.done ? B : A;
       while (!R.done) {
         if (R.cur.status == 0) {
-          // drain the active run single-stream (pair it with itself is
-          // not possible; the tail is short)
-          ModCursor dummy;  // unused
-          (void)dummy;
-          // step via the dual stepper's single-live path: reuse
-          // mod_advance-compatible serial loop
-          ModCursor& cu = R.cur;
-          if (cu.is16) {
-            int16_t* crow = (int16_t*)cu.crow;
-            const int16_t* prow = (const int16_t*)cu.prow;
-            while (cu.x < cu.W) {
-              i32 n = (i32)prow[cu.x];
-              i32 pr = grad_clamped(n, cu.w, cu.nw);
-              u32 token = cu.dec.read_varint_ans_fast_bl(cu.cluster);
-              i64 diff = (i64)unpack_signed(token) * cu.mul + cu.off;
-              int16_t val = (int16_t)wrap32(diff + pr);
-              crow[cu.x] = val;
-              cu.w = (i32)val;
-              cu.nw = n;
-              cu.x++;
-            }
-          } else {
-            i32* crow = (i32*)cu.crow;
-            const i32* prow = (const i32*)cu.prow;
-            while (cu.x < cu.W) {
-              i32 n = prow[cu.x];
-              i32 pr = grad_clamped(n, cu.w, cu.nw);
-              u32 token = cu.dec.read_varint_ans_fast_bl(cu.cluster);
-              i64 diff = (i64)unpack_signed(token) * cu.mul + cu.off;
-              i32 val = wrap32(diff + pr);
-              crow[cu.x] = val;
-              cu.w = val;
-              cu.nw = n;
-              cu.x++;
-            }
-          }
-          cu.status = 1;
+          if (R.cur.is16) mod_drain_run<int16_t>(R.cur);
+          else mod_drain_run<i32>(R.cur);
         }
         pump(R);
       }
     }
   };
 
-  if (n_threads <= 1 || n_sections <= 1) {
-    worker();
+  auto worker_single = [&]() {
+    for (;;) {
+      i32 k = next_job.fetch_add(1, std::memory_order_relaxed);
+      if (k >= n_sections) break;
+      sec_ret[k] = run_section(k);
+    }
+  };
+
+  // Pair only when sections comfortably outnumber workers (see the HF
+  // batch: greedy two-job claiming would otherwise idle threads).
+  i32 nt = (n_threads <= 1 || n_sections <= 1)
+               ? 1
+               : (n_threads < n_sections ? n_threads : n_sections);
+  const bool pair_mode = n_sections >= 2 * nt;
+
+  auto worker_any = [&]() {
+    if (pair_mode) worker();
+    else worker_single();
+  };
+
+  if (nt <= 1) {
+    worker_any();
   } else {
-    i32 nt = n_threads < n_sections ? n_threads : n_sections;
     std::vector<std::thread> threads;
     threads.reserve(nt);
-    for (i32 t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (i32 t = 0; t < nt; t++) threads.emplace_back(worker_any);
     for (auto& th : threads) th.join();
   }
   return 0;
@@ -2950,11 +2954,23 @@ int jxlhost_decode_hf_groups_batch(
     }
   };
 
+  // Interleave pairs only when jobs comfortably outnumber workers:
+  // greedy two-job claiming with n_jobs <= n_threads would idle half the
+  // pool (two jobs on one core at ~1.5x lose to two cores at 2x).
+  i32 nt = (n_threads <= 1 || n_jobs <= 1)
+               ? 1
+               : (n_threads < n_jobs ? n_threads : n_jobs);
+  const bool pair_mode = n_jobs >= 2 * nt;
+
   std::atomic<i32> next_job{0};
   auto worker = [&]() {
     for (;;) {
       i32 j1 = next_job.fetch_add(1, std::memory_order_relaxed);
       if (j1 >= n_jobs) break;
+      if (!pair_mode) {
+        run_job_single(j1);
+        continue;
+      }
       i32 j2 = next_job.fetch_add(1, std::memory_order_relaxed);
       if (j2 >= n_jobs) {
         run_job_single(j1);
@@ -2964,10 +2980,9 @@ int jxlhost_decode_hf_groups_batch(
     }
   };
 
-  if (n_threads <= 1 || n_jobs <= 1) {
+  if (nt <= 1) {
     worker();
   } else {
-    i32 nt = n_threads < n_jobs ? n_threads : n_jobs;
     std::vector<std::thread> threads;
     threads.reserve(nt);
     for (i32 t = 0; t < nt; t++) threads.emplace_back(worker);

@@ -602,6 +602,24 @@ class Decoder:
         self.configs = [
             IntegerConfig(int(a), int(b), int(c)) for a, b, c in p["cfgs"]
         ]
+        # Histogram OBJECT construction is deferred: on the native decode
+        # path only the flat serialized tables (p["tables"]) are ever
+        # used, and building the Python-side histogram views costs ~35us
+        # per cluster (~1.4 ms per VarDCT frame). __getattr__ builds them
+        # on first Python-path access (read_symbol / rle_mode).
+        self._parsed = p
+        self._native_tables = p["tables"]
+        self.state = 0
+        self._initial = True
+
+    def __getattr__(self, name):
+        if name in ("ans_hists", "prefix_hists") and "_parsed" in self.__dict__:
+            self._build_hists_from_parsed()
+            return self.__dict__[name]
+        raise AttributeError(name)
+
+    def _build_hists_from_parsed(self) -> None:
+        p = self._parsed
         blob = p["blob"]
         if self.use_prefix_code:
             self.ans_hists = None
@@ -649,9 +667,6 @@ class Decoder:
                 h.single_symbol = int(full[0]) if full.size else None
                 hists.append(h)
             self.ans_hists = hists
-        self._native_tables = p["tables"]
-        self.state = 0
-        self._initial = True
 
     def _init_python(self, bs: Bitstream, num_dist: int, allow_lz77: bool):
         lz77_enabled = bs.read_bool()

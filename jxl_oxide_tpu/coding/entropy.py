@@ -596,7 +596,10 @@ class Decoder:
             self.lz77_min_symbol = 0
             self.lz77_min_length = 0
         self.num_clusters = p["num_clusters"]
-        self.clusters = [int(c) for c in p["cluster_map"]]
+        # kept as the int32 array the native parser produced: consumers
+        # only index/slice, and the per-element int() conversion cost
+        # ~1 ms per VarDCT frame on large HF context maps
+        self.clusters = np.asarray(p["cluster_map"], dtype=np.int32)
         self.use_prefix_code = p["use_prefix"]
         self.log_alphabet_size = p["log_alphabet_size"]
         self.configs = [

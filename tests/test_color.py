@@ -325,6 +325,26 @@ def test_parse_icc_reference_profiles():
     assert 21999000 <= enc.tf.gamma <= 22001000
 
 
+def test_parse_icc_real_world_grayscale():
+    """The reference's vendored real-world grayscale ICC
+    (jxl-oxide-tests/tests/image/grayscale.icc, used by its
+    grayscale-image decode tests) must parse to Grey / D65 / sRGB TF /
+    relative intent."""
+    import os
+
+    from jxl_oxide_tpu.color.parse import parse_icc
+
+    path = "/root/reference/crates/jxl-oxide-tests/tests/image/grayscale.icc"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture unavailable")
+    with open(path, "rb") as f:
+        enc = parse_icc(f.read())
+    assert enc.colour_space.name == "GREY"
+    assert enc.white_point.kind == "d65"
+    assert enc.tf.kind == "srgb"
+    assert enc.rendering_intent.name == "RELATIVE"
+
+
 def test_parse_icc_synthesize_roundtrip():
     """Synthesized profiles must parse back to the same enum encoding."""
     from jxl_oxide_tpu.color.parse import parse_icc

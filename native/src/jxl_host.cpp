@@ -2546,6 +2546,9 @@ static void hf_advance(HfCursor& c) {
 // cursors' i32 fields), which erases the interleaving win; with locals
 // the two ANS chains overlap in the OoO window. Exits when either run
 // ends (statuses written back); the caller pumps and re-enters.
+// kL0A/kL0B: num_blocks_log == 0 (1x1 varblocks, the dominant shape) —
+// folds the two context shifts, which sit on the per-symbol chain.
+template <bool kL0A, bool kL0B>
 static void hf_dual_run(HfCursor& A, HfCursor& B) {
 #define HF_LOCALS(p, C)                                                   \
   u32 p##_state = C.dec.state;                                            \
@@ -2559,7 +2562,7 @@ static void hf_dual_run(HfCursor& A, HfCursor& B) {
   const i64* __restrict__ p##_offs = C.run_offs;                          \
   const i32* __restrict__ p##_cmap = C.cmap_coeff;                        \
   i32* __restrict__ p##_out = C.run_out;                                  \
-  const int p##_log = C.num_blocks_log;                                   \
+  const int p##_log = (p##_kL0) ? 0 : C.num_blocks_log;                   \
   const i32 p##_shift = C.coeff_shift;                                    \
   const AnsTable* __restrict__ p##_ans = C.spec->ans;                     \
   const IntCfg* __restrict__ p##_cfgs = C.spec->cfgs;                     \
@@ -2633,6 +2636,8 @@ static void hf_dual_run(HfCursor& A, HfCursor& B) {
     }                                                                     \
   }
 
+  constexpr bool a_kL0 = kL0A;
+  constexpr bool b_kL0 = kL0B;
   HF_LOCALS(a, A)
   HF_LOCALS(b, B)
   for (;;) {
@@ -2652,6 +2657,14 @@ static void hf_dual_run(HfCursor& A, HfCursor& B) {
 #undef HF_LOCALS
 #undef HF_SAVE
 #undef HF_STEP
+}
+
+static void hf_dual_dispatch(HfCursor& A, HfCursor& B) {
+  bool a0 = A.num_blocks_log == 0, b0 = B.num_blocks_log == 0;
+  if (a0 & b0) hf_dual_run<true, true>(A, B);
+  else if (a0) hf_dual_run<true, false>(A, B);
+  else if (b0) hf_dual_run<false, true>(A, B);
+  else hf_dual_run<false, false>(A, B);
 }
 
 // One coefficient iteration (the body of decode_hf_group_core's inner
@@ -2941,7 +2954,7 @@ int jxlhost_decode_hf_groups_batch(
     pump(A);
     pump(B);
     while (!A.done && !B.done) {
-      hf_dual_run(A.cur, B.cur);
+      hf_dual_dispatch(A.cur, B.cur);
       if (A.cur.status != 0) pump(A);
       if (B.cur.status != 0) pump(B);
     }

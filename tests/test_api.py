@@ -864,6 +864,67 @@ def test_mutation_fuzz_short():
     assert not failures, failures
 
 
+def test_native_python_differential_sweep():
+    """Randomized multi-configuration differential: the native decoders
+    (incl. the interleaved dual-section cursor paths and their pairing
+    heuristics) must be bit-identical to the pure-Python reference
+    implementation across stream shapes — multi-group VarDCT with
+    filters, multi-pass, paired/unpaired modular sections, RLE, and the
+    single-group (non-paired) path."""
+    import subprocess
+    import sys as _sys
+
+    from encoder import encode_jxl_modular
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(77)
+    streams = {}
+    smooth = np.kron(
+        rng.random((33, 33, 3)).astype(np.float32), np.ones((16, 16, 1))
+    )[:512, :512]
+    streams["vardct_multigroup_epf"] = encode_jxl_vardct(
+        np.clip(smooth, 0, 1), gabor=True, epf_iters=1)
+    streams["vardct_2pass"] = encode_jxl_vardct(
+        np.clip(smooth, 0, 1), num_passes=2)
+    streams["modular_multigroup"] = encode_jxl_modular(
+        [rng.integers(0, 8, (384, 384)).astype(np.int64) * 32
+         for _ in range(3)], bit_depth=8)
+    streams["modular_rle"] = encode_jxl_modular(
+        [np.repeat(rng.integers(0, 256, (384, 12)).astype(np.int64), 32, 1)
+         for _ in range(3)], bit_depth=8, lz77_rle=True)
+    streams["modular_single_group"] = encode_jxl_modular(
+        [rng.integers(0, 8, (160, 160)).astype(np.int64) * 31
+         for _ in range(3)], bit_depth=8)
+
+    native_out = {}
+    for name, data in streams.items():
+        img = JxlImage.from_bytes(data)
+        native_out[name] = img.render_frame(0).to_u8()
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import sys, pickle\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "import numpy as np\n"
+        "from jxl_oxide_tpu import JxlImage\n"
+        "streams = pickle.load(sys.stdin.buffer)\n"
+        "out = {n: JxlImage.from_bytes(d).render_frame(0).to_u8()\n"
+        "       for n, d in streams.items()}\n"
+        "pickle.dump(out, sys.stdout.buffer)\n"
+    )
+    import pickle
+
+    env = dict(os.environ, JXL_TPU_NO_NATIVE="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([_sys.executable, "-c", code],
+                       input=pickle.dumps(streams), capture_output=True,
+                       env=env, timeout=540)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    py_out = pickle.loads(r.stdout)
+    for name in streams:
+        np.testing.assert_array_equal(
+            native_out[name], py_out[name], err_msg=name)
+
+
 def test_cmyk_layers_frozen_golden():
     """Frozen expected pixels for the real-world cmyk_layers.jxl (the only
     vendored real bitstream): byte-exact against values produced by the

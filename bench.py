@@ -112,6 +112,33 @@ def _make_cases() -> dict:
     cases["modular_noisy"] = (
         encode_jxl_modular(noisy, bit_depth=8), 512, 512)
 
+    # MA-tree content (the reference's effort-7 lossless shape): a
+    # decision tree routes samples between gradient leaves, driving the
+    # general walk-tree decode path instead of the single-leaf fast path
+    from encoder import _pack_signed, forward_residuals
+
+    def _pk(v):
+        return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+    rng = np.random.default_rng(9)
+    tree_chans = [rng.integers(0, 256, (512, 512)).astype(np.int64)
+                  for _ in range(3)]
+    tree_tokens = [4, _pk(255),          # decision: prop 3 (x) > 255
+                   0, 5, 0, 0, 0,        # both leaves: gradient
+                   0, 5, 0, 0, 0]
+
+    def _tree_token_fn(channels):
+        toks = []
+        for arr in channels:
+            for r in forward_residuals(np.asarray(arr), 5):
+                toks.append(_pack_signed(r))
+        return toks
+
+    cases["modular_ma_tree"] = (
+        encode_jxl_modular(tree_chans,
+                           custom_tree=(tree_tokens, 2, _tree_token_fn)),
+        512, 512)
+
     # BASELINE config 4: animated GOP with blending (all keyframes decode)
     rng = np.random.default_rng(7)
     frames = []

@@ -32,6 +32,13 @@ from ..utils.trace import span, traced
 __all__ = ["HfGlobal", "LfGroup", "decode_vardct_frame"]
 
 
+# Cap on dense transform-plan entries before the decoder falls back to
+# the staged gather path (each entry is a full-plane XLA pass; valid but
+# pathological streams can stagger large transforms across hundreds of
+# block-offset residue classes).
+DENSE_PLAN_MAX_ENTRIES = 96
+
+
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -754,6 +761,14 @@ class VardctFrameState:
         # DIFFERENT images with the same plane geometry and plan hit the
         # jit cache regardless of block counts
         entries, code_grid, mul_grid = self.dense_plan(buckets, lf_shape)
+        if rect is None and len(entries) > DENSE_PLAN_MAX_ENTRIES:
+            # Each entry is a full-plane dense pass and a chunk of XLA
+            # program: a stream that staggers large transforms across
+            # hundreds of block-offset residue classes (valid but
+            # pathological, incl. adversarial inputs) would explode
+            # compile time. The staged gather path's program size is
+            # bounded by the 27 transform types instead.
+            return self._run_staged(hf_global)
 
         # sparse coefficient upload when it beats dense int16 (quantized
         # HF coefficients are mostly zero); padded to pow2 to bound the
@@ -945,6 +960,8 @@ class VardctFrameState:
         entries, code_grid, mul_grid = self.dense_plan(
             buckets, (H_pad // 8, W // 8)
         )
+        if len(entries) > DENSE_PLAN_MAX_ENTRIES:
+            return self._run_staged(hf_global)  # see _run_fused
 
         qm_scale = hi["qm_scale"]
         kx, kb = hi["kx"], hi["kb"]

@@ -929,3 +929,51 @@ def test_tall_image_bucket_padding_no_wraparound():
     rest = planes.copy()
     rest[:, :8, :8] = 0
     assert np.abs(rest).max() == 0.0, float(np.abs(rest).max())
+
+
+def test_dense_plan_entry_cap_falls_back_to_staged():
+    """Streams that stagger transforms across many block-offset residue
+    classes must fall back to the bounded staged path (each dense-plan
+    entry is a full-plane XLA pass; adversarial streams could otherwise
+    explode compile time). The fallback must be pixel-identical."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct_mixed
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+    from jxl_oxide_tpu.render import vardct as vmod
+
+    h = w = 128
+    bh = bw = 16
+    rng = np.random.default_rng(17)
+    sel = np.full((bh, bw), -1, dtype=np.int64)
+    # staggered DCT16s (2x2 blocks) at all four residues + DCT8 filler
+    sel[1, 1] = T.DCT16
+    sel[1, 4] = T.DCT16
+    sel[4, 1] = T.DCT16
+    sel[4, 4] = T.DCT16
+    covered = np.zeros((bh, bw), dtype=bool)
+    for (y, x) in ((1, 1), (1, 4), (4, 1), (4, 4)):
+        covered[y:y + 2, x:x + 2] = True
+    sel[8, 8] = T.DCT16X8
+    covered[8, 8:10] = True
+    for y in range(bh):
+        for x in range(bw):
+            if not covered[y, x] and sel[y, x] < 0:
+                sel[y, x] = T.DCT8
+    mul = np.ones((bh, bw), dtype=np.int64)
+    coeff = rng.integers(-6, 7, (3, h, w)).astype(np.int64)
+    coeff[np.abs(coeff) < 5] = 0
+    lf_q = rng.integers(-30, 31, (3, bh, bw)).astype(np.int64)
+    data = encode_jxl_vardct_mixed(h, w, sel, mul, coeff, lf_q)
+
+    fused = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    old = vmod.DENSE_PLAN_MAX_ENTRIES
+    vmod.DENSE_PLAN_MAX_ENTRIES = 2  # force the cap
+    try:
+        staged = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    finally:
+        vmod.DENSE_PLAN_MAX_ENTRIES = old
+    np.testing.assert_array_equal(fused, staged)

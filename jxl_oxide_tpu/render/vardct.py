@@ -1084,6 +1084,8 @@ class VardctFrameState:
             entries, code_grid, mul_grid = self.dense_plan(
                 buckets, self.lf_shapes[c]
             )
+            if len(entries) > DENSE_PLAN_MAX_ENTRIES:
+                return self._run_staged(hf_global)  # see _run_fused
             matrices = {}
             for sel in (b.sel for b in buckets):
                 if hf_global is not None:

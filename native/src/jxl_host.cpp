@@ -759,6 +759,44 @@ static int decode_single_leaf(DecoderState& dec, const ChannelDesc& cd,
   }
 }
 
+// Single-leaf WEIGHTED-predictor channel (the effort-7 lossless shape):
+// neighbors read straight from the output buffer, no ScanState property
+// machinery or row double-buffering — only the spec-mandated WP state
+// update remains per sample (predictor.rs:136-359).
+template <typename S, bool FAST>
+static int decode_single_leaf_wp(DecoderState& dec, const ChannelDesc& cd,
+                                 const TreeNode* leaf, u32 dm,
+                                 const WpParams& wpp) {
+  S* buf = (S*)cd.buf;
+  const i64 stride = cd.stride;
+  const i32 W = cd.width, H = cd.height;
+  const int cluster = leaf->a;
+  const i32 off = leaf->c, mul = leaf->d;
+  WpState wps;
+  wps.init(W, wpp);
+  for (i32 y = 0; y < H; y++) {
+    S* crow = buf + (i64)y * stride;
+    const S* prow = y > 0 ? crow - stride : nullptr;
+    const S* pprow = y > 1 ? crow - 2 * stride : nullptr;
+    for (i32 x = 0; x < W; x++) {
+      i32 w = x > 0 ? (i32)crow[x - 1] : (prow ? (i32)prow[0] : 0);
+      i32 n = prow ? (i32)prow[x] : w;
+      i32 nw = (x > 0 && prow) ? (i32)prow[x - 1] : w;
+      i32 ne = (prow && x + 1 < W) ? (i32)prow[x + 1] : n;
+      i32 nn = pprow ? (i32)pprow[x] : n;
+      wps.predict(n, nw, ne, w, nn);
+      u32 token = FAST ? dec.read_varint_ans_fast_bl(cluster)
+                       : dec.read_varint_clustered(cluster, dm);
+      if (!FAST && dec.error) return 10 + dec.error;
+      i64 diff = (i64)unpack_signed(token) * mul + off;
+      i32 val = wrap32(diff + (i32)((wps.prediction + 3) >> 3));
+      crow[x] = (S)val;
+      wps.record((i32)(S)val);
+    }
+  }
+  return 0;
+}
+
 // Decode ONE channel of a modular sub-stream (fast single-leaf paths or
 // the general property/tree loop). Returns 0 or >0 error codes.
 static int decode_modular_channel(DecoderState& dec, ChannelDesc& cd,
@@ -767,6 +805,19 @@ static int decode_modular_channel(DecoderState& dec, ChannelDesc& cd,
   bool single = root->is_leaf != 0;
 
   bool fast_ans = !dec.spec->lz77_enabled && !dec.spec->use_prefix;
+  if (single && cd.need_wp && root->b == 6) {
+    if (fast_ans)
+      return cd.is16
+          ? decode_single_leaf_wp<int16_t, true>(dec, cd, root,
+                                                 (u32)dist_multiplier, wpp)
+          : decode_single_leaf_wp<i32, true>(dec, cd, root,
+                                             (u32)dist_multiplier, wpp);
+    return cd.is16
+        ? decode_single_leaf_wp<int16_t, false>(dec, cd, root,
+                                                (u32)dist_multiplier, wpp)
+        : decode_single_leaf_wp<i32, false>(dec, cd, root,
+                                            (u32)dist_multiplier, wpp);
+  }
   if (single && !cd.need_wp) {
     int ret;
     if (fast_ans)

@@ -139,6 +139,35 @@ def _make_cases() -> dict:
                            custom_tree=(tree_tokens, 2, _tree_token_fn)),
         512, 512)
 
+    # weighted-predictor lossless (the effort-7 shape): tokens generated
+    # with the independent Python WP oracle from the test suite
+    sys.path.insert(0, "/root/repo/tests")
+    from test_roundtrip import _RefWp
+
+    rng = np.random.default_rng(13)
+    wp_h = wp_w = 256
+    wp_target = rng.integers(0, 32, (wp_h, wp_w)).astype(np.int64) * 8
+    wp_state = _RefWp(wp_w)
+    wp_toks = []
+    for y in range(wp_h):
+        for x in range(wp_w):
+            a = wp_target
+            W = int(a[y, x - 1]) if x > 0 else (int(a[y - 1, 0]) if y > 0
+                                                else 0)
+            N = int(a[y - 1, x]) if y > 0 else W
+            NW = int(a[y - 1, x - 1]) if (x > 0 and y > 0) else W
+            NE = int(a[y - 1, x + 1]) if (y > 0 and x + 1 < wp_w) else N
+            NN = int(a[y - 2, x]) if y >= 2 else N
+            pred = (wp_state.predict(N, NW, NE, W, NN) + 3) >> 3
+            v = int(a[y, x]) - pred
+            wp_toks.append((v << 1) if v >= 0 else (-(v << 1) - 1))
+            wp_state.record(int(a[y, x]))
+    cases["modular_wp"] = (
+        encode_jxl_modular([wp_target], bit_depth=8, grayscale=True,
+                           custom_tree=([0, 6, 0, 0, 0], 1,
+                                        lambda _c: list(wp_toks))),
+        wp_h, wp_w)
+
     # BASELINE config 4: animated GOP with blending (all keyframes decode)
     rng = np.random.default_rng(7)
     frames = []

@@ -36,9 +36,11 @@ _init_compilation_cache()
 
 from .api import JxlImage, Render
 from .parallel import decode_mesh, set_decode_mesh
+from .serving import decode_batch, decode_iter
 from .utils.errors import JxlError
 
 __all__ = [
     "JxlImage", "Render", "JxlError", "decode_mesh", "set_decode_mesh",
+    "decode_batch", "decode_iter",
 ]
 __version__ = "0.2.0"

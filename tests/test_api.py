@@ -1078,3 +1078,42 @@ def test_roi_device_rect_with_filters():
             crop, full[top : top + ch, left : left + cw],
             err_msg=f"rect {(left, top, cw, ch)}",
         )
+
+
+def test_decode_batch_and_iter():
+    """Serving API: concurrent batch decode returns results in input
+    order across output kinds; decode_iter streams with a bounded
+    window."""
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import decode_batch, decode_iter
+
+    rng = np.random.default_rng(23)
+    streams = []
+    expected = []
+    for i in range(5):
+        chans = [rng.integers(0, 256, (32 + 8 * i, 40), dtype=np.int64)
+                 for _ in range(3)]
+        streams.append(encode_jxl_modular(chans, bit_depth=8))
+        expected.append(np.stack(chans, axis=-1).astype(np.uint8))
+
+    outs = decode_batch(streams, num_workers=4)
+    assert len(outs) == 5
+    for got, exp in zip(outs, expected):
+        np.testing.assert_array_equal(got, exp)
+
+    # f32 and render outputs
+    f32 = decode_batch(streams[:2], output="f32", num_workers=2)
+    assert f32[0].dtype == np.float32
+    rends = decode_batch(streams[:2], output="render", num_workers=2)
+    assert hasattr(rends[0], "to_u8")
+
+    # streaming variant, tiny window
+    it = decode_iter(iter(streams), num_workers=2, window=2)
+    for got, exp in zip(it, expected):
+        np.testing.assert_array_equal(got, exp)
+
+    # error propagation: a corrupt stream raises, valid ones still decode
+    bad = streams[0][:40]
+    with pytest.raises(Exception):
+        decode_batch([bad], num_workers=1)

@@ -596,10 +596,11 @@ class Decoder:
             self.lz77_min_symbol = 0
             self.lz77_min_length = 0
         self.num_clusters = p["num_clusters"]
-        # kept as the int32 array the native parser produced: consumers
-        # only index/slice, and the per-element int() conversion cost
-        # ~1 ms per VarDCT frame on large HF context maps
-        self.clusters = np.asarray(p["cluster_map"], dtype=np.int32)
+        # conversion of the (possibly large) cluster map to a Python list
+        # is deferred with the histograms: eager per-element int() cost
+        # ~1 ms per VarDCT frame, while the Python symbol path wants list
+        # indexing (numpy scalar boxing per token is slower)
+        self._clusters_arr = np.asarray(p["cluster_map"], dtype=np.int32)
         self.use_prefix_code = p["use_prefix"]
         self.log_alphabet_size = p["log_alphabet_size"]
         self.configs = [
@@ -619,6 +620,9 @@ class Decoder:
         if name in ("ans_hists", "prefix_hists") and "_parsed" in self.__dict__:
             self._build_hists_from_parsed()
             return self.__dict__[name]
+        if name == "clusters" and "_clusters_arr" in self.__dict__:
+            self.clusters = self._clusters_arr.tolist()
+            return self.clusters
         raise AttributeError(name)
 
     def _build_hists_from_parsed(self) -> None:

@@ -761,14 +761,18 @@ class VardctFrameState:
         # DIFFERENT images with the same plane geometry and plan hit the
         # jit cache regardless of block counts
         entries, code_grid, mul_grid = self.dense_plan(buckets, lf_shape)
-        if rect is None and len(entries) > DENSE_PLAN_MAX_ENTRIES:
+        if len(entries) > DENSE_PLAN_MAX_ENTRIES:
             # Each entry is a full-plane dense pass and a chunk of XLA
             # program: a stream that staggers large transforms across
             # hundreds of block-offset residue classes (valid but
             # pathological, incl. adversarial inputs) would explode
             # compile time. The staged gather path's program size is
             # bounded by the 27 transform types instead.
-            return self._run_staged(hf_global)
+            planes = self._run_staged(hf_global)
+            if rect is not None:
+                rx0, ry0, rx1, ry1 = rect
+                planes = [p[ry0:ry1, rx0:rx1] for p in planes]
+            return planes
 
         # sparse coefficient upload when it beats dense int16 (quantized
         # HF coefficients are mostly zero); padded to pow2 to bound the
@@ -1155,30 +1159,51 @@ class VardctFrameState:
         # LF: dequant (copy_lf_dequant, vardct/mod.rs:387-413)
         scale_inv = quantizer.global_scale * quantizer.quant_lf
         precision_scale = 1 << (9 - self.extra_precision)
-        lf_planes = []
-        for c in range(3):
-            m_lf = lf_dequant[c]
-            scale = np.float32(m_lf * precision_scale / scale_inv)
-            lf_planes.append(
-                jnp.asarray(self.lf_quant_planes[c], dtype=jnp.float32) * scale
-            )
-
-        if not self.subsampled:
-            kx = corr.base_correlation_x + (corr.x_factor_lf - 128) / corr.colour_factor
-            kb = corr.base_correlation_b + (corr.b_factor_lf - 128) / corr.colour_factor
-            lf_x, lf_b = cfl_lf(lf_planes[0], lf_planes[1], lf_planes[2],
-                                np.float32(kx), np.float32(kb))
-            lf_planes = [lf_x, lf_planes[1], lf_b]
-
-        if not header.flags.skip_adaptive_lf_smoothing:
-            lf_scale = tuple(
-                np.float32(512.0 * lf_dequant[c] / scale_inv) for c in range(3)
-            )
-            lf_planes = list(
-                adaptive_lf_smoothing(
-                    lf_planes[0], lf_planes[1], lf_planes[2], lf_scale
+        if self.lf_override is not None:
+            # LF comes pre-dequantized from the LF frame: identity scale,
+            # no LF CfL, no smoothing (vardct/mod.rs:176-182) — same
+            # semantics as the fused path's lf_override handling
+            lf_planes = []
+            for c in range(3):
+                lh, lw = self.lf_shapes[c]
+                src = np.asarray(self.lf_override[c], dtype=np.float32)
+                padded = np.zeros((lh, lw), dtype=np.float32)
+                sh, sw = min(src.shape[0], lh), min(src.shape[1], lw)
+                padded[:sh, :sw] = src[:sh, :sw]
+                if sh < lh:
+                    padded[sh:, :sw] = src[sh - 1 : sh, :sw]
+                if sw < lw:
+                    padded[:, sw:] = padded[:, sw - 1 : sw]
+                lf_planes.append(jnp.asarray(padded))
+        else:
+            lf_planes = []
+            for c in range(3):
+                m_lf = lf_dequant[c]
+                scale = np.float32(m_lf * precision_scale / scale_inv)
+                lf_planes.append(
+                    jnp.asarray(self.lf_quant_planes[c], dtype=jnp.float32)
+                    * scale
                 )
-            )
+
+            if not self.subsampled:
+                kx = (corr.base_correlation_x
+                      + (corr.x_factor_lf - 128) / corr.colour_factor)
+                kb = (corr.base_correlation_b
+                      + (corr.b_factor_lf - 128) / corr.colour_factor)
+                lf_x, lf_b = cfl_lf(lf_planes[0], lf_planes[1], lf_planes[2],
+                                    np.float32(kx), np.float32(kb))
+                lf_planes = [lf_x, lf_planes[1], lf_b]
+
+            if not header.flags.skip_adaptive_lf_smoothing:
+                lf_scale = tuple(
+                    np.float32(512.0 * lf_dequant[c] / scale_inv)
+                    for c in range(3)
+                )
+                lf_planes = list(
+                    adaptive_lf_smoothing(
+                        lf_planes[0], lf_planes[1], lf_planes[2], lf_scale
+                    )
+                )
 
         # HF: dequant + CfL + transforms
         dmaps = self.build_dequant_maps(

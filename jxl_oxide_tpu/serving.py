@@ -17,11 +17,11 @@ from __future__ import annotations
 import concurrent.futures as _cf
 from typing import Iterable, Sequence
 
-import numpy as np
-
-from .api import JxlImage, Render
+from .api import JxlImage
 
 __all__ = ["decode_batch", "decode_iter"]
+
+_OUTPUT_KINDS = ("u8", "f32", "device", "render")
 
 
 def _decode_one(data: bytes, frame: int, output: str, builder_kwargs):
@@ -30,13 +30,12 @@ def _decode_one(data: bytes, frame: int, output: str, builder_kwargs):
     if output == "render":
         return r
     if output == "device":
-        planes = r.planes
-        return planes
+        # oriented, alpha-inclusive [H, W, C]; stays on the accelerator
+        # when the decode produced device-resident planes
+        return r._image_device()
     if output == "u8":
         return r.to_u8()
-    if output == "f32":
-        return r.image()
-    raise ValueError(f"unknown output kind {output!r}")
+    return r.image()  # "f32"
 
 
 def decode_batch(streams: Sequence[bytes], *, frame: int = 0,
@@ -51,6 +50,8 @@ def decode_batch(streams: Sequence[bytes], *, frame: int = 0,
     Results are returned in input order; a failed decode raises (the
     remaining futures are still awaited).
     """
+    if output not in _OUTPUT_KINDS:
+        raise ValueError(f"unknown output kind {output!r}")
     streams = list(streams)
     if not streams:
         return []
@@ -69,8 +70,11 @@ def decode_iter(streams: Iterable[bytes], *, frame: int = 0,
     """Streaming variant: yields decoded results in input order while at
     most `window` (default 2*num_workers) decodes are in flight — bounded
     memory for arbitrarily long input streams."""
+    if output not in _OUTPUT_KINDS:
+        raise ValueError(f"unknown output kind {output!r}")
     if window is None:
         window = 2 * num_workers
+    window = max(1, window)
     import collections
 
     pending: collections.deque = collections.deque()

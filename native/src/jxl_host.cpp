@@ -791,6 +791,10 @@ static int decode_single_leaf_wp(DecoderState& dec, const ChannelDesc& cd,
       i64 diff = (i64)unpack_signed(token) * mul + off;
       i32 val = wrap32(diff + (i32)((wps.prediction + 3) >> 3));
       crow[x] = (S)val;
+      // record the lane-narrowed value: neighbors re-read from the
+      // narrow output buffer, so the WP history stays self-consistent
+      // (matches jxl-modular's i16 lane; valid streams never overflow
+      // the lane, so this equals the wide general path on them)
       wps.record((i32)(S)val);
     }
   }

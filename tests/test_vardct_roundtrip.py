@@ -957,8 +957,8 @@ def test_dense_plan_entry_cap_falls_back_to_staged():
     covered = np.zeros((bh, bw), dtype=bool)
     for (y, x) in ((1, 1), (1, 4), (4, 1), (4, 4)):
         covered[y:y + 2, x:x + 2] = True
-    sel[8, 8] = T.DCT16X8
-    covered[8, 8:10] = True
+    sel[8, 8] = T.DCT16X8  # 1 block wide x 2 blocks tall
+    covered[8:10, 8] = True
     for y in range(bh):
         for x in range(bw):
             if not covered[y, x] and sel[y, x] < 0:
@@ -977,3 +977,29 @@ def test_dense_plan_entry_cap_falls_back_to_staged():
     finally:
         vmod.DENSE_PLAN_MAX_ENTRIES = old
     np.testing.assert_array_equal(fused, staged)
+
+
+def test_dense_plan_cap_preserves_lf_frame_and_roi():
+    """The entry-cap fallback must carry the LF-frame override into the
+    staged path (it is pre-dequantized: identity scale, no LF CfL, no
+    smoothing) and slice staged output to the ROI rect."""
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.render import vardct as vmod
+
+    img = _smooth_image(128, 96, seed=43)
+    data = encode_jxl_vardct(img, global_scale=65536, use_lf_frame=True)
+    fused = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    old = vmod.DENSE_PLAN_MAX_ENTRIES
+    vmod.DENSE_PLAN_MAX_ENTRIES = 0
+    try:
+        staged = JxlImage.from_bytes(data).render_frame(0).to_u8()
+        # ROI decode through the capped path
+        roi_img = JxlImage.from_bytes(data)
+        roi_img.set_image_region(16, 8, 64, 48)
+        roi = roi_img.render_frame(0).to_u8()
+    finally:
+        vmod.DENSE_PLAN_MAX_ENTRIES = old
+    np.testing.assert_array_equal(fused, staged)
+    np.testing.assert_array_equal(roi, fused[8 : 8 + 48, 16 : 16 + 64])

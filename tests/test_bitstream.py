@@ -86,3 +86,31 @@ def test_unpack_signed():
 def test_peek_zero_extends_past_eof():
     bs = Bitstream(b"\xff")
     assert bs.peek_bits(16) == 0x00FF
+
+
+def test_read_extensions_skips_payloads():
+    """Extension payload skipping (jxl-image lib.rs:214-236): bitmask ->
+    one u64 length per set bit -> payloads skipped in order; the reader
+    must land exactly on the trailing data."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder import BitWriter
+
+    from jxl_oxide_tpu.headers.image import read_extensions
+
+    w = BitWriter()
+    # u64 selector 1 -> 4-bit (value - 1): bitmask 0b101 (ext 0 and 2)
+    w.write(1, 2)
+    w.write(0b101 - 1, 4)
+    for ln in (5, 9):  # payload lengths in bits
+        w.write(1, 2)
+        w.write(ln - 1, 4)
+    w.write(0b10101, 5)   # payload 0
+    w.write(0x1AB & 0x1FF, 9)  # payload 2
+    w.write(0x5A, 8)      # sentinel after the extensions block
+    bs = Bitstream(w.to_bytes())
+    mask = read_extensions(bs)
+    assert mask == 0b101
+    assert bs.read_bits(8) == 0x5A

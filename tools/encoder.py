@@ -320,7 +320,70 @@ def forward_residuals(arr: np.ndarray, predictor: int) -> list[int]:
 # Modular sub-stream encoding
 
 
-def write_ma_config(w: BitWriter, predictor: int, lz77_rle: bool = False):
+class Lz77AnsStreamEncoder(AnsStreamEncoder):
+    """LZ77 stream with GENERAL matches (not the RLE shape): every
+    distribution incl. the distance one maps to one shared cluster, so
+    distance tokens are plain hybrid-uint values. Used to drive the
+    decoder's generic LZ77 window path with 2-D special distances
+    (jxl-coding lib.rs:487-569) through full images."""
+
+    def write_header(self, w: BitWriter):
+        from jxl_oxide_tpu.coding.entropy import add_log2_ceil
+
+        w.write_bool(True)   # lz77 enabled
+        w.write(0, 2)        # min_symbol = 224
+        w.write(0, 2)        # min_length = 3
+        w.write(RLE_LEN_CFG.split_exponent, add_log2_ceil(8))
+        # cluster map over num_dist+1 distributions: ALL -> cluster 0
+        w.write_bool(True)
+        w.write(0, 2)        # nbits = 0
+        w.write_bool(False)  # ANS
+        w.write(self.log_alphabet_size - 5, 2)
+        self._write_integer_config(w)
+        self._write_histogram(w)
+
+    def encode_lz77_values(self, w: BitWriter, values: list[int],
+                           width: int):
+        """Greedy match emission: runs copying from `width` back (the 2-D
+        row-above special distance) or 1 back (repeat-last) become one
+        (length, distance) token pair. Distance values decode through
+        SPECIAL_DIST with dist_multiplier == width and an effective
+        distance of (a + width*b - 1) + 1: value 1 -> (1,0) -> distance
+        1 (repeat-last); value 0 -> (0,1) -> distance width (row
+        above)."""
+        toks = []
+        i, n = 0, len(values)
+        while i < n:
+            best_len, best_dist_tok = 0, 0
+            if i >= width:
+                L = 0
+                while i + L < n and values[i + L] == values[i + L - width]:
+                    L += 1
+                if L > best_len:
+                    best_len, best_dist_tok = L, 0
+            if i >= 1:
+                L = 0
+                while i + L < n and values[i + L] == values[i - 1]:
+                    L += 1
+                if L > best_len:
+                    best_len, best_dist_tok = L, 1
+            if best_len >= RLE_MIN_LENGTH:
+                t, nb, rest = tokenize_uint(best_len - RLE_MIN_LENGTH,
+                                            RLE_LEN_CFG)
+                assert RLE_MIN_SYMBOL + t < self.alphabet_size
+                toks.append((RLE_MIN_SYMBOL + t, nb, rest))
+                toks.append(tokenize_uint(best_dist_tok, self.cfg))
+                i += best_len
+                continue
+            t, nb, rest = tokenize_uint(values[i], self.cfg)
+            assert t < RLE_MIN_SYMBOL
+            toks.append((t, nb, rest))
+            i += 1
+        self.encode_raw_tokens(w, toks)
+
+
+def write_ma_config(w: BitWriter, predictor: int, lz77_rle: bool = False,
+                    lz77_matches: bool = False):
     """Single-leaf MA tree + token decoder header.
 
     Tree stream tokens (ctx order): prop+1=0 (leaf), predictor, offset=0,
@@ -330,7 +393,8 @@ def write_ma_config(w: BitWriter, predictor: int, lz77_rle: bool = False):
     tree_enc.write_header(w)
     tree_enc.encode_tokens(w, [0, predictor, 0, 0, 0])
     # token decoder for 1 leaf context
-    cls = RleAnsStreamEncoder if lz77_rle else AnsStreamEncoder
+    cls = (Lz77AnsStreamEncoder if lz77_matches
+           else RleAnsStreamEncoder if lz77_rle else AnsStreamEncoder)
     sample_enc = cls(1, 256, 8, DEFAULT_CFG)
     sample_enc.write_header(w)
     return sample_enc
@@ -396,7 +460,10 @@ def encode_stream_tokens(w: BitWriter, enc: AnsStreamEncoder, channels, predicto
     for arr in channels:
         for r in forward_residuals(arr, predictor):
             values.append(_pack_signed(r))
-    if isinstance(enc, RleAnsStreamEncoder):
+    if isinstance(enc, Lz77AnsStreamEncoder):
+        width = int(channels[0].shape[1]) if len(channels) else 1
+        enc.encode_lz77_values(w, values, width)
+    elif isinstance(enc, RleAnsStreamEncoder):
         enc.encode_rle_values(w, values)
     else:
         enc.encode_tokens(w, values)
@@ -498,6 +565,7 @@ def encode_jxl_modular(
     crop: tuple | None = None,
     alpha_dim_shift: int = 0,
     lz77_rle: bool = False,
+    lz77_matches: bool = False,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -778,7 +846,8 @@ def encode_jxl_modular(
             tree_tokens, num_leaves, token_fn = custom_tree
             sample_enc = write_ma_config_tree(lf, tree_tokens, num_leaves)
         else:
-            sample_enc = write_ma_config(lf, predictor, lz77_rle=lz77_rle)
+            sample_enc = write_ma_config(lf, predictor, lz77_rle=lz77_rle,
+                                         lz77_matches=lz77_matches)
         write_modular_header(lf, use_global_tree=True,
                              rct_begin=0 if rct else None,
                              squeeze_h=squeeze, palette_spec=palette_spec)

@@ -1003,3 +1003,21 @@ def test_dense_plan_cap_preserves_lf_frame_and_roi():
         vmod.DENSE_PLAN_MAX_ENTRIES = old
     np.testing.assert_array_equal(fused, staged)
     np.testing.assert_array_equal(roi, fused[8 : 8 + 48, 16 : 16 + 64])
+
+
+def test_multiple_hf_presets_roundtrip():
+    """num_hf_presets > 1: each pass-group section selects its preset and
+    the HF decode uses ctx_offset = hfp * 495 * num_block_clusters
+    (hf_global.rs num_hf_presets, hf_coeff.rs context base) — previously
+    untested plumbing in both the Python and native batch paths."""
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+
+    img = _smooth_image(300, 520, seed=27)
+    data1 = encode_jxl_vardct(img, global_scale=8192)
+    data3 = encode_jxl_vardct(img, global_scale=8192, num_hf_presets=3)
+    out1 = JxlImage.from_bytes(data1).render_frame(0).to_u8()
+    out3 = JxlImage.from_bytes(data3).render_frame(0).to_u8()
+    # same quantized coefficients, only the preset routing differs
+    np.testing.assert_array_equal(out1, out3)

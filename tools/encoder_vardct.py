@@ -77,6 +77,7 @@ def encode_jxl_vardct(
     xyb: bool = False,
     x_qm_scale: int = 3,
     b_qm_scale: int = 2,
+    num_hf_presets: int = 1,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -128,7 +129,8 @@ def encode_jxl_vardct(
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
                      frame_kind="regular", num_passes=num_passes,
                      dct8_params=dct8_params, xyb=xyb,
-                     x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale)
+                     x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale,
+                     num_hf_presets=num_hf_presets)
     return out.to_bytes()
 
 
@@ -166,6 +168,7 @@ def _write_frame(
     xyb: bool = False,
     x_qm_scale: int = 3,
     b_qm_scale: int = 2,
+    num_hf_presets: int = 1,
 ) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
@@ -372,12 +375,18 @@ def _write_frame(
                 sec.write(int(np.float16(v).view(np.uint16)), 16)
         for _ in range(16):
             sec.write(0, 3)  # library default
-    # num_hf_presets bits = ceil_log2(num_groups); write 0 -> 1 preset
+    # num_hf_presets in ceil_log2(num_groups) bits (hf_global.rs); multi-
+    # preset therefore requires a multi-group frame. The shared cluster
+    # map sends every (preset, ctx) to one cluster, so preset selection
+    # exercises the per-section ctx_offset plumbing without changing the
+    # coded symbols.
     hfp_bits = max(num_groups - 1, 0).bit_length()
+    assert 1 <= num_hf_presets <= max(num_groups, 1)
+    assert num_hf_presets == 1 or hfp_bits, "multi-preset needs multi-group"
     if hfp_bits:
-        sec.write(0, hfp_bits)
+        sec.write(num_hf_presets - 1, hfp_bits)
     # Per-pass HfPass: used_orders = 0 (selector 2), hf_dist decoder
-    num_clusters_ctx = 495 * 15  # 15 default block context clusters
+    num_clusters_ctx = 495 * 15 * num_hf_presets
     hf_encs = []
     for _ in range(num_passes):
         sec.write(2, 2)
@@ -425,10 +434,16 @@ def _write_frame(
         sections = [sec]
     else:
         sections = [_lf_global_sec, lf_group_sec, hf_global_sec]
+        sel_bits = max(num_hf_presets - 1, 0).bit_length()
         for p in range(num_passes):
             for gy in range(gpc):
                 for gx in range(gpr):
                     gsec = BitWriter()
+                    if sel_bits:
+                        # vary the preset per group: same shared cluster,
+                        # different ctx_offset on the decode side
+                        gsec.write((gy * gpr + gx) % num_hf_presets,
+                                   sel_bits)
                     genc = AnsStreamEncoder(
                         num_clusters_ctx, 256, 8, DEFAULT_CFG
                     )

@@ -1021,3 +1021,46 @@ def test_multiple_hf_presets_roundtrip():
     out3 = JxlImage.from_bytes(data3).render_frame(0).to_u8()
     # same quantized coefficients, only the preset routing differs
     np.testing.assert_array_equal(out1, out3)
+
+
+def test_custom_gabor_weights_applied():
+    """Non-default gaborish weights (filter.rs Gabor::Enabled custom):
+    the decode must match applying the standalone gabor op with the same
+    weights to the unfiltered decode."""
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu.ops.filters import apply_gabor
+
+    img = _smooth_image(64, 64, seed=55)
+    weights = [(0.2, 0.04), (0.1, 0.08), (0.15, 0.02)]
+    w16 = [tuple(np.float32(np.float16(v)) for v in pair)
+           for pair in weights]  # f16 storage quantization
+    plain = encode_jxl_vardct(img, global_scale=4096)
+    custom = encode_jxl_vardct(img, global_scale=4096, gabor=True,
+                               gabor_weights=weights)
+    (x0, y0, b0), _ = decode(plain)
+    (x1, y1, b1), _ = decode(custom)
+    g = [np.asarray(p) for p in apply_gabor([x0, y0, b0], tuple(w16))]
+    np.testing.assert_allclose(np.stack([x1, y1, b1]), np.stack(g),
+                               atol=2e-4)
+
+
+def test_custom_epf_params_applied():
+    """Custom EPF sharp_lut + sigma params (filter.rs EpfParams custom
+    branches) must change the output versus default EPF while remaining a
+    faithful reconstruction."""
+    from encoder_vardct import encode_jxl_vardct
+
+    img = _smooth_image(96, 96, seed=56)
+    default_epf = encode_jxl_vardct(img, global_scale=4096, epf_iters=2)
+    custom = encode_jxl_vardct(
+        img, global_scale=4096, epf_iters=2,
+        epf_sharp_lut=[0.2] * 8,
+        epf_sigma=(0.9, 1.5, 5.0, 0.5),
+    )
+    (x0, y0, b0), _ = decode(default_epf)
+    (x1, y1, b1), _ = decode(custom)
+    d = np.abs(np.stack([x0, y0, b0]) - np.stack([x1, y1, b1])).max()
+    assert d > 1e-4, "custom EPF params had no effect"
+    p = psnr(np.clip(np.stack([x1, y1, b1], -1), 0, 1), img)
+    assert p > 30.0, f"custom EPF wrecked the image: {p:.2f} dB"

@@ -78,6 +78,9 @@ def encode_jxl_vardct(
     x_qm_scale: int = 3,
     b_qm_scale: int = 2,
     num_hf_presets: int = 1,
+    gabor_weights: list | None = None,
+    epf_sharp_lut: list | None = None,
+    epf_sigma: tuple | None = None,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -130,7 +133,9 @@ def encode_jxl_vardct(
                      frame_kind="regular", num_passes=num_passes,
                      dct8_params=dct8_params, xyb=xyb,
                      x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale,
-                     num_hf_presets=num_hf_presets)
+                     num_hf_presets=num_hf_presets,
+                     gabor_weights=gabor_weights,
+                     epf_sharp_lut=epf_sharp_lut, epf_sigma=epf_sigma)
     return out.to_bytes()
 
 
@@ -169,6 +174,9 @@ def _write_frame(
     x_qm_scale: int = 3,
     b_qm_scale: int = 2,
     num_hf_presets: int = 1,
+    gabor_weights: list | None = None,
+    epf_sharp_lut: list | None = None,
+    epf_sigma: tuple | None = None,   # (quant_mul, pass0, pass2, border)
 ) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
@@ -295,17 +303,36 @@ def _write_frame(
         out.write_u32_sel(0, 0, 0)  # blending Replace
         out.write_bool(True)  # is_last
     out.write_u32_sel(0, 0, 0)  # name len 0
+    def _f16(v):
+        return int(np.float16(v).view(np.uint16))
+
     out.write_bool(False)  # restoration filter not default
     if gabor:
         out.write_bool(True)   # gabor on
-        out.write_bool(False)  # default weights
+        if gabor_weights is None:
+            out.write_bool(False)  # default weights
+        else:
+            out.write_bool(True)
+            for (w1, w2) in gabor_weights:
+                out.write(_f16(w1), 16)
+                out.write(_f16(w2), 16)
     else:
         out.write_bool(False)  # gabor off
     out.write(epf_iters, 2)
     if epf_iters:
-        out.write_bool(False)  # sharp_lut default
+        if epf_sharp_lut is None:
+            out.write_bool(False)  # sharp_lut default
+        else:
+            out.write_bool(True)
+            for v in epf_sharp_lut:
+                out.write(_f16(v), 16)
         out.write_bool(False)  # channel_scale default
-        out.write_bool(False)  # sigma default
+        if epf_sigma is None:
+            out.write_bool(False)  # sigma default
+        else:
+            out.write_bool(True)
+            for v in epf_sigma:   # quant_mul, pass0, pass2, border
+                out.write(_f16(v), 16)
     out.write_u64_zero()  # rf extensions
     out.write_u64_zero()  # frame extensions
 

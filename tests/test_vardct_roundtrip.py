@@ -1057,6 +1057,7 @@ def test_custom_epf_params_applied():
         img, global_scale=4096, epf_iters=2,
         epf_sharp_lut=[0.2] * 8,
         epf_sigma=(0.9, 1.5, 5.0, 0.5),
+        epf_channel_scale=(30.0, 4.0, 1.5),
     )
     (x0, y0, b0), _ = decode(default_epf)
     (x1, y1, b1), _ = decode(custom)

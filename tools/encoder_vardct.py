@@ -81,6 +81,7 @@ def encode_jxl_vardct(
     gabor_weights: list | None = None,
     epf_sharp_lut: list | None = None,
     epf_sigma: tuple | None = None,
+    epf_channel_scale: tuple | None = None,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -135,7 +136,8 @@ def encode_jxl_vardct(
                      x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale,
                      num_hf_presets=num_hf_presets,
                      gabor_weights=gabor_weights,
-                     epf_sharp_lut=epf_sharp_lut, epf_sigma=epf_sigma)
+                     epf_sharp_lut=epf_sharp_lut, epf_sigma=epf_sigma,
+                     epf_channel_scale=epf_channel_scale)
     return out.to_bytes()
 
 
@@ -177,6 +179,7 @@ def _write_frame(
     gabor_weights: list | None = None,
     epf_sharp_lut: list | None = None,
     epf_sigma: tuple | None = None,   # (quant_mul, pass0, pass2, border)
+    epf_channel_scale: tuple | None = None,
 ) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
@@ -326,7 +329,13 @@ def _write_frame(
             out.write_bool(True)
             for v in epf_sharp_lut:
                 out.write(_f16(v), 16)
-        out.write_bool(False)  # channel_scale default
+        if epf_channel_scale is None:
+            out.write_bool(False)  # channel_scale default
+        else:
+            out.write_bool(True)
+            for v in epf_channel_scale:
+                out.write(_f16(v), 16)
+            out.write(0, 32)  # ignored field (filter.rs DctSelect bits)
         if epf_sigma is None:
             out.write_bool(False)  # sigma default
         else:

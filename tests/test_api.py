@@ -1117,3 +1117,26 @@ def test_decode_batch_and_iter():
     bad = streams[0][:40]
     with pytest.raises(Exception):
         decode_batch([bad], num_workers=1)
+
+
+def test_custom_up2_weights_from_header():
+    """Custom 2x upsampling weights in ImageMetadata (lib.rs:163-168 /
+    CustomTransformData cw_mask): the decoder must build the kernel from
+    the header weights, not the spec defaults."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(31)
+    chans = [rng.integers(0, 256, (20, 28), dtype=np.int64)
+             for _ in range(3)]
+    default = encode_jxl_modular(chans, bit_depth=8, upsampling=2,
+                                 image_size=(40, 56))
+    # near-default weights, perturbed: output must parse AND differ
+    weights = [0.01746] + [0.0] * 14
+    custom = encode_jxl_modular(chans, bit_depth=8, upsampling=2,
+                                image_size=(40, 56), up2_weights=weights)
+    img_c = JxlImage.from_bytes(custom)
+    assert img_c.image_header.metadata.up2_weight is not None
+    out_d = JxlImage.from_bytes(default).render_frame(0).to_u8()
+    out_c = img_c.render_frame(0).to_u8()
+    assert out_c.shape == out_d.shape == (40, 56, 3)
+    assert not np.array_equal(out_c, out_d), "custom weights had no effect"

@@ -566,6 +566,7 @@ def encode_jxl_modular(
     alpha_dim_shift: int = 0,
     lz77_rle: bool = False,
     lz77_matches: bool = False,
+    up2_weights: list | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -687,7 +688,16 @@ def encode_jxl_modular(
     if animation_frames is not None or orientation != 1:
         out.write_bool(True)  # tone_mapping all_default (extra_fields set)
     out.write_u64_zero()  # extensions
-    out.write_bool(True)  # default_m
+    if up2_weights is None:
+        out.write_bool(True)  # default_m
+    else:
+        # CustomTransformData: custom 2x upsampling kernel weights
+        # (lib.rs:163-168); xyb off in this encoder so no opsin field
+        out.write_bool(False)
+        assert not xyb and len(up2_weights) == 15
+        out.write(1, 3)  # cw_mask: up2 only
+        for v in up2_weights:
+            out.write(int(np.float16(v).view(np.uint16)), 16)
     out.zero_pad_to_byte()  # frames start byte-aligned (Frame::parse)
 
     def _write_one_frame(enc_channels, duration, is_last, frame_type=0,

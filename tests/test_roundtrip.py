@@ -665,3 +665,49 @@ def test_lz77_general_matches_native_matches_python():
 
     py_out = np.load(io.BytesIO(r.stdout))
     assert np.array_equal(py_out, np.stack(native_out))
+
+
+def test_opsin_inverse_matrix_override():
+    """A custom opsin inverse matrix in CustomTransformData
+    (jxl-image lib.rs:163-168, OpsinInverseMatrix non-default) must be
+    used by the XYB->RGB transform: the decode must match the reference
+    math with the OVERRIDDEN matrix, not the spec default."""
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.headers.image import OpsinInverseMatrix
+    from jxl_oxide_tpu.ops.color import (
+        apply_matrix3, linear_to_srgb, xyb_to_mixed_lms,
+    )
+
+    rng = np.random.default_rng(84)
+    y_ch = rng.integers(60, 200, (12, 16))
+    x_ch = rng.integers(-6, 7, (12, 16))
+    b_stored = rng.integers(-10, 11, (12, 16))
+    default_oim = OpsinInverseMatrix()
+    # perturb the matrix (f16-representable scale) so output must differ
+    inv_mat = tuple(
+        tuple(float(np.float16(v * 1.25)) for v in row)
+        for row in default_oim.inv_mat
+    )
+    override = {
+        "inv_mat": inv_mat,
+        "opsin_bias": default_oim.opsin_bias,
+        "quant_bias": default_oim.quant_bias,
+        "quant_bias_numerator": default_oim.quant_bias_numerator,
+    }
+    data = encode_jxl_modular(
+        [y_ch, x_ch, b_stored], bit_depth=8, grayscale=False, xyb=True,
+        opsin_override=override,
+    )
+    jx = JxlImage.from_bytes(data)
+    oim = jx.image_header.metadata.opsin_inverse_matrix
+    assert np.allclose(np.asarray(oim.inv_mat), np.asarray(inv_mat))
+    out = np.stack(jx.render_frame(0).image_planar(), -1)
+
+    m = [v / 128.0 for v in (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)]
+    xf = (x_ch * m[0]).astype(np.float32)
+    yf = (y_ch * m[1]).astype(np.float32)
+    bf = ((b_stored + y_ch) * m[2]).astype(np.float32)
+    l_, m_, s_ = xyb_to_mixed_lms(xf, yf, bf, oim.opsin_bias, 255.0)
+    r, g, b = apply_matrix3(l_, m_, s_, np.array(oim.inv_mat))
+    want = np.stack([np.asarray(linear_to_srgb(c)) for c in (r, g, b)], -1)
+    np.testing.assert_allclose(out, want, atol=1e-5)

@@ -567,6 +567,7 @@ def encode_jxl_modular(
     lz77_rle: bool = False,
     lz77_matches: bool = False,
     up2_weights: list | None = None,
+    opsin_override: dict | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -688,16 +689,38 @@ def encode_jxl_modular(
     if animation_frames is not None or orientation != 1:
         out.write_bool(True)  # tone_mapping all_default (extra_fields set)
     out.write_u64_zero()  # extensions
-    if up2_weights is None:
+    if up2_weights is None and opsin_override is None:
         out.write_bool(True)  # default_m
     else:
-        # CustomTransformData: custom 2x upsampling kernel weights
-        # (lib.rs:163-168); xyb off in this encoder so no opsin field
+        # CustomTransformData (lib.rs:163-168): optional opsin inverse
+        # matrix override (xyb streams only) + custom upsampling weights
         out.write_bool(False)
-        assert not xyb and len(up2_weights) == 15
-        out.write(1, 3)  # cw_mask: up2 only
-        for v in up2_weights:
+
+        def _f16w(v):
             out.write(int(np.float16(v).view(np.uint16)), 16)
+
+        if xyb:
+            if opsin_override is None:
+                out.write_bool(True)  # opsin all_default
+            else:
+                out.write_bool(False)
+                for row in opsin_override["inv_mat"]:
+                    for v in row:
+                        _f16w(v)
+                for v in opsin_override["opsin_bias"]:
+                    _f16w(v)
+                for v in opsin_override["quant_bias"]:
+                    _f16w(v)
+                _f16w(opsin_override["quant_bias_numerator"])
+        else:
+            assert opsin_override is None, "opsin override needs xyb"
+        if up2_weights is None:
+            out.write(0, 3)  # cw_mask: none
+        else:
+            assert len(up2_weights) == 15
+            out.write(1, 3)  # cw_mask: up2 only
+            for v in up2_weights:
+                _f16w(v)
     out.zero_pad_to_byte()  # frames start byte-aligned (Frame::parse)
 
     def _write_one_frame(enc_channels, duration, is_last, frame_type=0,

@@ -403,7 +403,7 @@ class JxlImage:
         ):
             save_pos = bs.pos
             try:
-                preview = Frame(self.image_header, bs)
+                preview = Frame(self.image_header, bs, is_preview=True)
             except JxlEofError:
                 bs.pos = save_pos
                 if tolerate_truncation:

@@ -274,11 +274,20 @@ class FrameHeader:
     # ------------------------------------------------------------------
 
     @classmethod
-    def parse(cls, bs: Bitstream, image_header: ImageHeader) -> "FrameHeader":
+    def parse(cls, bs: Bitstream, image_header: ImageHeader,
+              is_preview: bool = False) -> "FrameHeader":
         meta = image_header.metadata
         h = cls()
-        h.width = image_header.size.width
-        h.height = image_header.size.height
+        # the preview frame's canvas is the PreviewHeader size, not the
+        # image size (jxl-oxide lib.rs:384-411 skips it with the preview
+        # context; parsing it against the image size derives the wrong
+        # group/TOC structure for multi-group images)
+        if is_preview and meta.preview is not None:
+            base_w, base_h = meta.preview.width, meta.preview.height
+        else:
+            base_w, base_h = image_header.size.width, image_header.size.height
+        h.width = base_w
+        h.height = base_h
         h.ec_upsampling = [1] * len(meta.ec_info)
         h.ec_blending_info = [BlendingInfo() for _ in meta.ec_info]
         h.bit_depth = meta.bit_depth
@@ -320,7 +329,7 @@ class FrameHeader:
             def resets_for(mode: BlendMode) -> bool:
                 return cls._resets_canvas(
                     mode, h.have_crop, h.x0, h.y0, h.width, h.height,
-                    image_header.size.width, image_header.size.height,
+                    base_w, base_h,
                 )
 
             if h.frame_type.is_normal:
@@ -343,7 +352,7 @@ class FrameHeader:
                 h.save_as_reference = bs.read_bits(2)
             h.resets_canvas = cls._resets_canvas(
                 h.blending_info.mode, h.have_crop, h.x0, h.y0, h.width,
-                h.height, image_header.size.width, image_header.size.height,
+                h.height, base_w, base_h,
             )
             if h.frame_type == FrameType.REFERENCE_ONLY or (
                 h.resets_canvas

@@ -180,13 +180,14 @@ def parse_global_modular(
 class Frame:
     """One frame: header + TOC + per-section bytes + decode state."""
 
-    def __init__(self, image_header: ImageHeader, bs: Bitstream):
+    def __init__(self, image_header: ImageHeader, bs: Bitstream,
+                 is_preview: bool = False):
         """Parse frame header + TOC from the codestream bitstream positioned
         at the frame start (zero-padded)."""
         bs.zero_pad_to_byte()
         self.start_byte = bs.pos // 8
         self.image_header = image_header
-        header = FrameHeader.parse(bs, image_header)
+        header = FrameHeader.parse(bs, image_header, is_preview=is_preview)
         if header.width > (1 << 30) or header.height > (1 << 30):
             raise JxlValidationError("frame too large")
         if header.width * header.height > (1 << 40):

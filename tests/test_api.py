@@ -1140,3 +1140,28 @@ def test_custom_up2_weights_from_header():
     out_c = img_c.render_frame(0).to_u8()
     assert out_c.shape == out_d.shape == (40, 56, 3)
     assert not np.array_equal(out_c, out_d), "custom weights had no effect"
+
+
+def test_preview_frame_skipped_multigroup():
+    """A preview frame (PreviewHeader + a full small frame before the
+    first regular frame) must parse with the PREVIEW canvas dims — using
+    the image dims derives the wrong TOC entry count for a multi-group
+    main image and desyncs (jxl-oxide lib.rs:384-411)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(77)
+    # multi-group main image (group_dim 256 -> 2x3 groups)
+    chans = [rng.integers(0, 256, (300, 520), dtype=np.int64)
+             for _ in range(3)]
+    preview = [rng.integers(0, 256, (24, 32), dtype=np.int64)
+               for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8,
+                              preview_channels=preview)
+    img = JxlImage.from_bytes(data)
+    assert img.image_header.metadata.preview is not None
+    assert (img.image_header.metadata.preview.width,
+            img.image_header.metadata.preview.height) == (32, 24)
+    out = img.render_frame(0).to_u8()
+    for c in range(3):
+        np.testing.assert_array_equal(out[..., c],
+                                      chans[c].astype(np.uint8))

@@ -568,6 +568,7 @@ def encode_jxl_modular(
     lz77_matches: bool = False,
     up2_weights: list | None = None,
     opsin_override: dict | None = None,
+    preview_channels: list | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -625,11 +626,22 @@ def encode_jxl_modular(
         out.write(0, 2)  # tps_denominator = 1
         out.write(0, 2)  # num_loops = 0
         out.write_bool(False)  # have_timecodes
-    elif orientation != 1:
+    elif orientation != 1 or preview_channels is not None:
         out.write_bool(True)   # extra_fields
         out.write(orientation - 1, 3)
         out.write_bool(False)  # no intrinsic size
-        out.write_bool(False)  # no preview
+        if preview_channels is None:
+            out.write_bool(False)  # no preview
+        else:
+            out.write_bool(True)
+            ph, pw = preview_channels[0].shape
+            assert 1 <= ph <= 64 and 1 <= pw <= 64
+            out.write_bool(False)  # div8 = 0
+            out.write(0, 2)        # height selector 0: 1 + u(6)
+            out.write(ph - 1, 6)
+            out.write(0, 3)        # ratio = 0
+            out.write(0, 2)        # width selector 0
+            out.write(pw - 1, 6)
         out.write_bool(False)  # no animation
     else:
         out.write_bool(False)  # no extra_fields
@@ -686,7 +698,8 @@ def encode_jxl_modular(
         _write_enum(out, 1)  # relative intent
     else:
         out.write_bool(True)  # all_default -> sRGB
-    if animation_frames is not None or orientation != 1:
+    if (animation_frames is not None or orientation != 1
+            or preview_channels is not None):
         out.write_bool(True)  # tone_mapping all_default (extra_fields set)
     out.write_u64_zero()  # extensions
     if up2_weights is None and opsin_override is None:
@@ -726,7 +739,7 @@ def encode_jxl_modular(
     def _write_one_frame(enc_channels, duration, is_last, frame_type=0,
                          save_as_reference=0, patch_spec=None,
                          noise_lut=None, splines_spec=None,
-                         blend=False, crop=None):
+                         blend=False, crop=None, dims=None):
         out.zero_pad_to_byte()
         # --- FrameHeader ---
         out.write_bool(False)  # not all_default
@@ -844,15 +857,16 @@ def encode_jxl_modular(
         out.write_u64_zero()  # frame extensions
 
         # --- sections ---
+        fh, fw = dims if dims is not None else (h, w)
         group_dim = 128 << group_size_shift
-        gpr = -(-w // group_dim)
-        gpc = -(-h // group_dim)
+        gpr = -(-fw // group_dim)
+        gpc = -(-fh // group_dim)
         num_groups = gpr * gpc
         single = num_groups == 1  # num_passes == 1
 
         global_channels = []
         group_channels: dict[int, list[np.ndarray]] = {}
-        if w <= group_dim and h <= group_dim:
+        if fw <= group_dim and fh <= group_dim:
             global_channels = enc_channels
         else:
             for i, ch in enumerate(enc_channels):
@@ -895,7 +909,7 @@ def encode_jxl_modular(
         sections = [lf]
         if not single:
             # empty LF-group sections + HfGlobal + per-group pass sections
-            num_lf_groups = (-(-w // (group_dim * 8))) * (-(-h // (group_dim * 8)))
+            num_lf_groups = (-(-fw // (group_dim * 8))) * (-(-fh // (group_dim * 8)))
             for _ in range(num_lf_groups):
                 sections.append(BitWriter())
             sections.append(BitWriter())  # HfGlobal (empty for modular)
@@ -940,6 +954,14 @@ def encode_jxl_modular(
         for sb in section_bytes:
             for byte in sb:
                 out.write(byte, 8)
+
+    if preview_channels is not None:
+        # preview frame (skipped by the decoder; lib.rs:384-411): a
+        # complete regular frame over the PreviewHeader canvas
+        _write_one_frame(
+            [c.astype(np.int64) for c in preview_channels], 0, True,
+            dims=preview_channels[0].shape,
+        )
 
     if reference_patch is not None:
         ref_channels, patch_spec = reference_patch

@@ -139,6 +139,19 @@ class ColorTransform:
         ops: list[_Op] = []
         begin_channels = 1 if source.colour_space == ColourSpace.GREY else 3
 
+        # identical endpoints: a true no-op — the naive build would pair
+        # tf_inv with tf_fwd, burning a pow chain per pixel and losing
+        # a ULP on every same-encoding decode (convert.rs short-circuits
+        # equal encodings the same way)
+        if (
+            source.colour_space == target.colour_space
+            and source.white_point == target.white_point
+            and (source.colour_space == ColourSpace.GREY
+                 or source.primaries == target.primaries)
+            and source.tf == target.tf
+        ):
+            return cls([], begin_channels)
+
         # --- source -> linear, tracking current encoding ---
         if source.colour_space == ColourSpace.XYB:
             ops.append(_Op("xyb_to_lms", {

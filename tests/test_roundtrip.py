@@ -711,3 +711,22 @@ def test_opsin_inverse_matrix_override():
     r, g, b = apply_matrix3(l_, m_, s_, np.array(oim.inv_mat))
     want = np.stack([np.asarray(linear_to_srgb(c)) for c in (r, g, b)], -1)
     np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_float16_samples_bitexact():
+    """Float bit depth (BitDepth float form, 16-bit with 5 exponent
+    bits): modular samples are IEEE half bit patterns and the output
+    planes must be the exact float values (jxl-image lib.rs:458-487
+    parse_integer_samples float branch)."""
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(91)
+    vals = (rng.random((24, 32)) * 2.0 - 0.5).astype(np.float16)
+    bits = vals.view(np.uint16).astype(np.int32)
+    data = encode_jxl_modular([bits], bit_depth=16, grayscale=True,
+                              float_exp_bits=5)
+    img = JxlImage.from_bytes(data)
+    bd = img.image_header.metadata.bit_depth
+    assert bd.is_float and bd.bits_per_sample == 16 and bd.exp_bits == 5
+    out = np.asarray(img.render_frame(0).planes[0])
+    np.testing.assert_array_equal(out, vals.astype(np.float32))

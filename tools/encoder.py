@@ -569,6 +569,7 @@ def encode_jxl_modular(
     up2_weights: list | None = None,
     opsin_override: dict | None = None,
     preview_channels: list | None = None,
+    float_exp_bits: int | None = None,
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -645,11 +646,11 @@ def encode_jxl_modular(
         out.write_bool(False)  # no animation
     else:
         out.write_bool(False)  # no extra_fields
-    _write_bit_depth(out, bit_depth)
+    _write_bit_depth(out, bit_depth, float_exp_bits)
     # modular_16bit_buffers: promise that every modular sample (including
     # transform intermediates) fits i16 — only honest for small depths
     # (squeeze/RCT expand the range by a few bits)
-    out.write_bool(bit_depth <= 12)
+    out.write_bool(bit_depth <= 12 and float_exp_bits is None)
     if num_extra == 1:
         out.write(1, 2)  # num_extra U32 selector 1 (= 1)
     elif num_extra:
@@ -1000,7 +1001,21 @@ def _write_size_u32(w: BitWriter, v: int):
         w.write_u32_sel(3, v, 30, 1)
 
 
-def _write_bit_depth(w: BitWriter, bits: int):
+def _write_bit_depth(w: BitWriter, bits, float_exp_bits: int | None = None):
+    if float_exp_bits is not None:
+        # float samples (BitDepth float form): bits u32(32,16,24,1+u6)
+        w.write_bool(True)
+        if bits == 32:
+            w.write(0, 2)
+        elif bits == 16:
+            w.write(1, 2)
+        elif bits == 24:
+            w.write(2, 2)
+        else:
+            w.write(3, 2)
+            w.write(bits - 1, 6)
+        w.write(float_exp_bits - 1, 4)
+        return
     w.write_bool(False)  # integer samples
     if bits == 8:
         w.write(0, 2)

@@ -1165,3 +1165,42 @@ def test_preview_frame_skipped_multigroup():
     for c in range(3):
         np.testing.assert_array_equal(out[..., c],
                                       chans[c].astype(np.uint8))
+
+
+def test_header_breadth_tone_intrinsic_names_timecodes():
+    """Non-default header branches in one stream: custom ToneMapping,
+    intrinsic size, per-frame names, and a custom AnimationHeader with
+    timecodes (jxl-image lib.rs extra_fields; frame header.rs name /
+    timecode fields)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(41)
+    frames = [
+        [rng.integers(0, 256, (16, 24), dtype=np.int64) for _ in range(3)]
+        for _ in range(2)
+    ]
+    data = encode_jxl_modular(
+        frames[0], bit_depth=8, animation_frames=frames,
+        tone_mapping=(4000.0, 0.5, False, 0.25),
+        intrinsic_size=(12, 10),
+        frame_name="frameA",
+        animation_params=(24, 2, 3, True),
+    )
+    img = JxlImage.from_bytes(data)
+    meta = img.image_header.metadata
+    tm = meta.tone_mapping
+    assert tm.intensity_target == 4000.0 and tm.min_nits == 0.5
+    assert tm.linear_below == 0.25 and not tm.relative_to_max_display
+    assert (meta.intrinsic_size.width, meta.intrinsic_size.height) == (12, 10)
+    anim = meta.animation
+    assert (anim.tps_numerator, anim.tps_denominator) == (24, 2)
+    assert anim.num_loops == 3 and anim.have_timecodes
+    assert img.num_keyframes == 2
+    for i in range(2):
+        r = img.render_frame(i)
+        out = r.to_u8()
+        for c in range(3):
+            np.testing.assert_array_equal(
+                out[..., c], frames[i][c].astype(np.uint8))
+    assert img._frames[0].header.name == "frameA"
+    assert img._frames[1].header.timecode == 100

@@ -570,6 +570,10 @@ def encode_jxl_modular(
     opsin_override: dict | None = None,
     preview_channels: list | None = None,
     float_exp_bits: int | None = None,
+    tone_mapping: tuple | None = None,  # (intensity, min_nits, rel, linear_below)
+    intrinsic_size: tuple | None = None,  # (w, h)
+    frame_name: str = "",
+    animation_params: tuple | None = None,  # (tps_num, tps_den, loops, timecodes)
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -619,18 +623,45 @@ def encode_jxl_modular(
     if animation_frames is not None:
         out.write_bool(True)   # extra_fields
         out.write(orientation - 1, 3)
-        out.write_bool(False)  # no intrinsic size
+        if intrinsic_size is None:
+            out.write_bool(False)  # no intrinsic size
+        else:
+            out.write_bool(True)
+            iw, ih = intrinsic_size
+            out.write_bool(False)  # div8
+            _write_size_u32(out, ih)
+            out.write(0, 3)  # ratio
+            _write_size_u32(out, iw)
         out.write_bool(False)  # no preview
         out.write_bool(True)   # animation
-        # AnimationHeader: tps 100/1, loops 0, no timecodes
-        out.write(0, 2)  # tps_numerator = 100
-        out.write(0, 2)  # tps_denominator = 1
-        out.write(0, 2)  # num_loops = 0
-        out.write_bool(False)  # have_timecodes
-    elif orientation != 1 or preview_channels is not None:
+        if animation_params is None:
+            # AnimationHeader: tps 100/1, loops 0, no timecodes
+            out.write(0, 2)  # tps_numerator = 100
+            out.write(0, 2)  # tps_denominator = 1
+            out.write(0, 2)  # num_loops = 0
+            out.write_bool(False)  # have_timecodes
+        else:
+            tn, td, loops, timecodes = animation_params
+            out.write(2, 2)          # tps_numerator 1 + u(10)
+            out.write(tn - 1, 10)
+            out.write(2, 2)          # tps_denominator 1 + u(8)
+            out.write(td - 1, 8)
+            out.write(1, 2)          # num_loops u(3)
+            out.write(loops, 3)
+            out.write_bool(bool(timecodes))
+    elif (orientation != 1 or preview_channels is not None
+          or tone_mapping is not None or intrinsic_size is not None):
         out.write_bool(True)   # extra_fields
         out.write(orientation - 1, 3)
-        out.write_bool(False)  # no intrinsic size
+        if intrinsic_size is None:
+            out.write_bool(False)  # no intrinsic size
+        else:
+            out.write_bool(True)
+            iw, ih = intrinsic_size
+            out.write_bool(False)  # div8
+            _write_size_u32(out, ih)
+            out.write(0, 3)  # ratio
+            _write_size_u32(out, iw)
         if preview_channels is None:
             out.write_bool(False)  # no preview
         else:
@@ -700,8 +731,17 @@ def encode_jxl_modular(
     else:
         out.write_bool(True)  # all_default -> sRGB
     if (animation_frames is not None or orientation != 1
-            or preview_channels is not None):
-        out.write_bool(True)  # tone_mapping all_default (extra_fields set)
+            or preview_channels is not None or tone_mapping is not None
+            or intrinsic_size is not None):
+        if tone_mapping is None:
+            out.write_bool(True)  # tone_mapping all_default
+        else:
+            out.write_bool(False)
+            it, mn, rel, lb = tone_mapping
+            for v in (it, mn):
+                out.write(int(np.float16(v).view(np.uint16)), 16)
+            out.write_bool(bool(rel))
+            out.write(int(np.float16(lb).view(np.uint16)), 16)
     out.write_u64_zero()  # extensions
     if up2_weights is None and opsin_override is None:
         out.write_bool(True)  # default_m
@@ -824,6 +864,8 @@ def encode_jxl_modular(
                 else:
                     out.write(2, 2)
                     out.write(duration, 8)
+                if animation_params is not None and animation_params[3]:
+                    out.write(duration * 100, 32)  # timecode
             out.write_bool(is_last)
         else:
             is_last = False
@@ -840,7 +882,15 @@ def encode_jxl_modular(
             and (duration == 0 or save_as_reference != 0)
         ):
             out.write_bool(False)  # save_before_ct
-        out.write_u32_sel(0, 0, 0)  # name len = 0
+        if frame_name:
+            nm = frame_name.encode("utf-8")
+            assert 1 <= len(nm) <= 15
+            out.write(1, 2)  # name len u(4)
+            out.write(len(nm), 4)
+            for byte in nm:
+                out.write(byte, 8)
+        else:
+            out.write_u32_sel(0, 0, 0)  # name len = 0
         # RestorationFilter: not default
         out.write_bool(False)
         if gabor:

@@ -1204,3 +1204,36 @@ def test_header_breadth_tone_intrinsic_names_timecodes():
                 out[..., c], frames[i][c].astype(np.uint8))
     assert img._frames[0].header.name == "frameA"
     assert img._frames[1].header.timecode == 100
+
+
+def test_depth_cfa_named_extra_channels():
+    """Non-alpha extra channel types (Depth, CFA with channel index,
+    Thermal) with names and a distinct bit depth: the full
+    ExtraChannelInfo parse surface (jxl-image lib.rs:363-425), carried
+    through decode as extra planes."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(61)
+    color = [rng.integers(0, 256, (20, 24), dtype=np.int64)
+             for _ in range(3)]
+    depth = rng.integers(0, 256, (20, 24), dtype=np.int64)
+    cfa = rng.integers(0, 256, (20, 24), dtype=np.int64)
+    therm = rng.integers(0, 256, (20, 24), dtype=np.int64)
+    data = encode_jxl_modular(
+        color + [depth, cfa, therm], bit_depth=8,
+        extra_channel_specs=[
+            {"ty": 1, "name": "depthmap"},
+            {"ty": 5, "name": "bayer", "cfa_channel": 1},
+            {"ty": 6},
+        ],
+    )
+    img = JxlImage.from_bytes(data)
+    infos = img.image_header.metadata.ec_info
+    assert [i.ty.name for i in infos] == ["DEPTH", "CFA", "THERMAL"]
+    assert infos[0].name == "depthmap" and infos[1].name == "bayer"
+    assert infos[1].cfa_channel == 1
+    r = img.render_frame(0)
+    assert len(r.extra) == 3
+    got = [np.round(np.asarray(p) * 255).astype(np.int64) for p in r.extra]
+    for g, e in zip(got, (depth, cfa, therm)):
+        np.testing.assert_array_equal(g, e)

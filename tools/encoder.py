@@ -570,6 +570,7 @@ def encode_jxl_modular(
     opsin_override: dict | None = None,
     preview_channels: list | None = None,
     float_exp_bits: int | None = None,
+    extra_channel_specs: list | None = None,  # [{"ty", "name", ...}]
     tone_mapping: tuple | None = None,  # (intensity, min_nits, rel, linear_below)
     intrinsic_size: tuple | None = None,  # (w, h)
     frame_name: str = "",
@@ -586,7 +587,8 @@ def encode_jxl_modular(
     h, w = image_size if image_size is not None else channels[0].shape
     ch_h, ch_w = channels[0].shape
     n_ch = len(channels)
-    num_extra = (1 if extra_alpha else 0) + (1 if spot_colour else 0)
+    num_extra = ((1 if extra_alpha else 0) + (1 if spot_colour else 0)
+                 + len(extra_channel_specs or []))
     n_color = n_ch - num_extra
     if grayscale is None:
         grayscale = n_color == 1
@@ -717,6 +719,34 @@ def encode_jxl_modular(
         out.write_u32_sel(0, 0, 0)  # name len 0
         for v in spot_colour:  # (r, g, b, solidity) f16s
             out.write(int(np.float16(v).view(np.uint16)), 16)
+    for spec in (extra_channel_specs or []):
+        # full ExtraChannelInfo for any type (Depth/CFA/Thermal/...)
+        out.write_bool(False)
+        out_ty = int(spec["ty"])
+        _write_enum(out, out_ty)
+        _write_bit_depth(out, spec.get("bits", bit_depth))
+        out.write(0, 2)  # dim_shift = 0
+        nm = spec.get("name", "").encode("utf-8")
+        if nm:
+            assert 1 <= len(nm) <= 15
+            out.write(1, 2)  # name len u(4)
+            out.write(len(nm), 4)
+            for byte in nm:
+                out.write(byte, 8)
+        else:
+            out.write_u32_sel(0, 0, 0)
+        if out_ty == 0:
+            out.write_bool(bool(spec.get("alpha_associated", False)))
+        elif out_ty == 2:
+            for v in spec["spot_colour"]:
+                out.write(int(np.float16(v).view(np.uint16)), 16)
+        elif out_ty == 5:
+            cfa = int(spec.get("cfa_channel", 1))
+            if cfa == 1:
+                out.write(0, 2)
+            else:
+                out.write(1, 2)
+                out.write(cfa, 2)
     out.write_bool(xyb)  # xyb_encoded
     # colour_encoding
     if grayscale:

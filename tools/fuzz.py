@@ -49,6 +49,24 @@ def gather_seeds(rng) -> list[bytes]:
     flat = [np.repeat(rng.integers(0, 256, (48, 4)).astype(np.int64), 12, 1)
             for _ in range(3)]
     seeds.append(encode_jxl_modular(flat, bit_depth=8, lz77_rle=True))
+    # newer stream shapes: preview frame, float samples, typed/named ECs,
+    # general LZ77 matches, custom tone mapping/animation, multi-preset
+    seeds.append(encode_jxl_modular(
+        chans, bit_depth=8,
+        preview_channels=[rng.integers(0, 256, (16, 16)).astype(np.int64)
+                          for _ in range(3)]))
+    fvals = (rng.random((24, 24)) * 2 - 0.5).astype(np.float16)
+    seeds.append(encode_jxl_modular(
+        [fvals.view(np.uint16).astype(np.int64)], bit_depth=16,
+        grayscale=True, float_exp_bits=5))
+    seeds.append(encode_jxl_modular(
+        chans + [rng.integers(0, 256, (40, 56)).astype(np.int64)],
+        bit_depth=8,
+        extra_channel_specs=[{"ty": 1, "name": "depth"}]))
+    seeds.append(encode_jxl_modular(flat, bit_depth=8, lz77_matches=True))
+    seeds.append(encode_jxl_modular(
+        chans, bit_depth=8, tone_mapping=(1000.0, 0.1, False, 0.5),
+        intrinsic_size=(20, 20)))
     seeds.append(
         encode_jxl_vardct(rng.random((64, 64, 3)).astype(np.float32),
                           gabor=True, epf_iters=1)

@@ -149,6 +149,7 @@ class ColorTransform:
             and (source.colour_space == ColourSpace.GREY
                  or source.primaries == target.primaries)
             and source.tf == target.tf
+            and source.rendering_intent == target.rendering_intent
         ):
             return cls([], begin_channels)
 

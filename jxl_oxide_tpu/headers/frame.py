@@ -341,11 +341,18 @@ class FrameHeader:
                     h.ec_blending_info.append(
                         BlendingInfo.parse(bs, have_extra, lambda _m: resets_main)
                     )
-                if meta.animation is not None:
+                # preview frames never code duration/timecode/is_last
+                # (spec F.2: these fields are conditioned on !is_preview;
+                # is_last defaults true for a regular preview frame)
+                if meta.animation is not None and not is_preview:
                     h.duration = bs.read_u32(0, 1, U(8), U(32))
-                if meta.animation is not None and meta.animation.have_timecodes:
+                if (meta.animation is not None
+                        and meta.animation.have_timecodes and not is_preview):
                     h.timecode = bs.read_bits(32)
-                h.is_last = bs.read_bool()
+                if is_preview:
+                    h.is_last = h.frame_type == FrameType.REGULAR
+                else:
+                    h.is_last = bs.read_bool()
             else:
                 h.is_last = False
             if h.frame_type != FrameType.LF_FRAME and not h.is_last:

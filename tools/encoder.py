@@ -634,7 +634,18 @@ def encode_jxl_modular(
             _write_size_u32(out, ih)
             out.write(0, 3)  # ratio
             _write_size_u32(out, iw)
-        out.write_bool(False)  # no preview
+        if preview_channels is None:
+            out.write_bool(False)  # no preview
+        else:
+            out.write_bool(True)
+            ph, pw = preview_channels[0].shape
+            assert 1 <= ph <= 64 and 1 <= pw <= 64
+            out.write_bool(False)  # div8 = 0
+            out.write(0, 2)        # height selector 0: 1 + u(6)
+            out.write(ph - 1, 6)
+            out.write(0, 3)        # ratio = 0
+            out.write(0, 2)        # width selector 0
+            out.write(pw - 1, 6)
         out.write_bool(True)   # animation
         if animation_params is None:
             # AnimationHeader: tps 100/1, loops 0, no timecodes
@@ -810,7 +821,8 @@ def encode_jxl_modular(
     def _write_one_frame(enc_channels, duration, is_last, frame_type=0,
                          save_as_reference=0, patch_spec=None,
                          noise_lut=None, splines_spec=None,
-                         blend=False, crop=None, dims=None):
+                         blend=False, crop=None, dims=None,
+                         is_preview=False):
         out.zero_pad_to_byte()
         # --- FrameHeader ---
         out.write_bool(False)  # not all_default
@@ -885,7 +897,7 @@ def encode_jxl_modular(
                     out.write_u32_sel(0, 0, 0)  # EC blending Replace
                     if crop is not None:
                         out.write(0, 2)  # EC source
-            if animation_frames is not None:
+            if animation_frames is not None and not is_preview:
                 # duration U32(0, 1, U(8), U(32))
                 if duration == 0:
                     out.write(0, 2)
@@ -896,7 +908,9 @@ def encode_jxl_modular(
                     out.write(duration, 8)
                 if animation_params is not None and animation_params[3]:
                     out.write(duration * 100, 32)  # timecode
-            out.write_bool(is_last)
+            if not is_preview:
+                out.write_bool(is_last)
+            # preview frames: is_last is not coded (defaults true)
         else:
             is_last = False
         if not is_last:
@@ -1041,7 +1055,7 @@ def encode_jxl_modular(
         # complete regular frame over the PreviewHeader canvas
         _write_one_frame(
             [c.astype(np.int64) for c in preview_channels], 0, True,
-            dims=preview_channels[0].shape,
+            dims=preview_channels[0].shape, is_preview=True,
         )
 
     if reference_patch is not None:

@@ -23,9 +23,11 @@ from encoder import (  # noqa: E402
     DEFAULT_CFG,
     AnsStreamEncoder,
     BitWriter,
+    IntegerConfig,
     _pack_signed,
     _write_bit_depth,
     _write_size_u32,
+    tokenize_uint,
     write_ma_config,
     write_modular_header,
 )
@@ -62,6 +64,47 @@ def _encode_local_modular(w: BitWriter, channels: list[np.ndarray]):
         for v in arr.astype(np.int64).reshape(-1):
             values.append(_pack_signed(int(v)))
     enc.encode_tokens(w, values)
+
+
+
+class _PresetAnsEncoder:
+    """HF token encoder with one cluster PER PRESET (shared flat-256
+    histogram, distinct hybrid-uint configs), cluster map keyed by
+    ctx // ctx_per_preset."""
+
+    def __init__(self, ctx_per_preset: int, n_presets: int):
+        assert 2 <= n_presets <= 4
+        self.ctx_per_preset = ctx_per_preset
+        self.n_presets = n_presets
+        self.cfgs = [
+            IntegerConfig(split_exponent=4, msb_in_token=2, lsb_in_token=2),
+            IntegerConfig(split_exponent=8, msb_in_token=0, lsb_in_token=0),
+            IntegerConfig(split_exponent=6, msb_in_token=1, lsb_in_token=1),
+            IntegerConfig(split_exponent=5, msb_in_token=2, lsb_in_token=1),
+        ][:n_presets]
+        # one AnsStreamEncoder per cfg; all share the same flat histogram
+        self.encs = [AnsStreamEncoder(1, 256, 8, c) for c in self.cfgs]
+
+    def write_header(self, w: BitWriter):
+        e0 = self.encs[0]
+        w.write_bool(False)  # lz77 disabled
+        nbits = max(self.n_presets - 1, 0).bit_length()
+        w.write_bool(True)   # simple cluster map
+        w.write(nbits, 2)
+        total = self.ctx_per_preset * self.n_presets
+        for ctx in range(total):
+            w.write(ctx // self.ctx_per_preset, nbits)
+        w.write_bool(False)  # ANS
+        w.write(8 - 5, 2)
+        for enc in self.encs:
+            enc._write_integer_config(w)
+        for enc in self.encs:
+            enc._write_histogram(w)
+
+    def encode_tokens(self, w: BitWriter, values: list, preset: int = 0):
+        enc = self.encs[preset]
+        toks = [tokenize_uint(v, enc.cfg) for v in values]
+        enc.encode_raw_tokens(w, toks)
 
 
 def encode_jxl_vardct(
@@ -418,7 +461,6 @@ def _write_frame(
     # coded symbols.
     hfp_bits = max(num_groups - 1, 0).bit_length()
     assert 1 <= num_hf_presets <= max(num_groups, 1)
-    assert num_hf_presets == 1 or hfp_bits, "multi-preset needs multi-group"
     if hfp_bits:
         sec.write(num_hf_presets - 1, hfp_bits)
     # Per-pass HfPass: used_orders = 0 (selector 2), hf_dist decoder
@@ -426,8 +468,17 @@ def _write_frame(
     hf_encs = []
     for _ in range(num_passes):
         sec.write(2, 2)
-        enc_p = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
-        enc_p.write_header(sec)
+        if num_hf_presets == 1:
+            enc_p = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+            enc_p.write_header(sec)
+        else:
+            # preset-KEYED clusters with distinct integer configs: a
+            # decoder using a wrong per-preset ctx_offset lands in the
+            # wrong cluster and decodes different values (so the
+            # round-trip equality test is a true check of the offset
+            # math, not just of selector-bit consumption)
+            enc_p = _PresetAnsEncoder(495 * 15, num_hf_presets)
+            enc_p.write_header(sec)
         hf_encs.append(enc_p)
     hf_enc = hf_encs[0]
 
@@ -475,17 +526,19 @@ def _write_frame(
             for gy in range(gpc):
                 for gx in range(gpr):
                     gsec = BitWriter()
+                    toks = group_tokens(gx, gy, q_pass[p])
                     if sel_bits:
-                        # vary the preset per group: same shared cluster,
-                        # different ctx_offset on the decode side
-                        gsec.write((gy * gpr + gx) % num_hf_presets,
-                                   sel_bits)
-                    genc = AnsStreamEncoder(
-                        num_clusters_ctx, 256, 8, DEFAULT_CFG
-                    )
-                    # per-pass hf_dist is parsed once in HfGlobal; the
-                    # group stream holds only state+tokens
-                    genc.encode_tokens(gsec, group_tokens(gx, gy, q_pass[p]))
+                        hfp = (gy * gpr + gx) % num_hf_presets
+                        gsec.write(hfp, sel_bits)
+                        # per-pass hf_dist parsed once in HfGlobal; the
+                        # group stream holds only state+tokens, encoded
+                        # under this preset's cluster config
+                        hf_encs[p].encode_tokens(gsec, toks, preset=hfp)
+                    else:
+                        genc = AnsStreamEncoder(
+                            num_clusters_ctx, 256, 8, DEFAULT_CFG
+                        )
+                        genc.encode_tokens(gsec, toks)
                     sections.append(gsec)
 
     # --- TOC + assemble ---

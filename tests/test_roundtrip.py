@@ -730,3 +730,36 @@ def test_float16_samples_bitexact():
     assert bd.is_float and bd.bits_per_sample == 16 and bd.exp_bits == 5
     out = np.asarray(img.render_frame(0).planes[0])
     np.testing.assert_array_equal(out, vals.astype(np.float32))
+
+
+def test_custom_lf_dequant_weights_modular_xyb():
+    """Non-default LfChannelDequantization weights (lf.rs m_x/m_y/m_b):
+    the xyb modular path scales channels by m/128, so the decode must
+    match the reference math with the CUSTOM weights."""
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.headers.image import OpsinInverseMatrix
+    from jxl_oxide_tpu.ops.color import (
+        apply_matrix3, linear_to_srgb, xyb_to_mixed_lms,
+    )
+
+    rng = np.random.default_rng(67)
+    y_ch = rng.integers(60, 200, (12, 16))
+    x_ch = rng.integers(-6, 7, (12, 16))
+    b_stored = rng.integers(-10, 11, (12, 16))
+    custom = (1.0 / 16.0, 1.0 / 8.0, 1.0 / 4.0)
+    data = encode_jxl_modular(
+        [y_ch, x_ch, b_stored], bit_depth=8, grayscale=False, xyb=True,
+        lf_dequant=custom,
+    )
+    img = JxlImage.from_bytes(data)
+    out = np.stack(img.render_frame(0).image_planar(), -1)
+
+    m = [v / 128.0 for v in custom]
+    xf = (x_ch * m[0]).astype(np.float32)
+    yf = (y_ch * m[1]).astype(np.float32)
+    bf = ((b_stored + y_ch) * m[2]).astype(np.float32)
+    oim = OpsinInverseMatrix()
+    l_, m_, s_ = xyb_to_mixed_lms(xf, yf, bf, oim.opsin_bias, 255.0)
+    r, g, b = apply_matrix3(l_, m_, s_, np.array(oim.inv_mat))
+    want = np.stack([np.asarray(linear_to_srgb(c)) for c in (r, g, b)], -1)
+    np.testing.assert_allclose(out, want, atol=1e-5)

@@ -575,6 +575,7 @@ def encode_jxl_modular(
     intrinsic_size: tuple | None = None,  # (w, h)
     frame_name: str = "",
     animation_params: tuple | None = None,  # (tps_num, tps_den, loops, timecodes)
+    lf_dequant: tuple | None = None,  # custom (m_x, m_y, m_b) LF weights
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -982,7 +983,12 @@ def encode_jxl_modular(
             _encode_splines(lf, *splines_spec)
         if noise_lut is not None:
             _encode_noise(lf, noise_lut)
-        lf.write_bool(True)  # lf_dequant all_default
+        if lf_dequant is None:
+            lf.write_bool(True)  # lf_dequant all_default
+        else:
+            lf.write_bool(False)
+            for v in lf_dequant:
+                lf.write(int(np.float16(v).view(np.uint16)), 16)
         lf.write_bool(True)  # has global MA tree
         if custom_tree is not None:
             tree_tokens, num_leaves, token_fn = custom_tree

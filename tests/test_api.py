@@ -1237,3 +1237,19 @@ def test_depth_cfa_named_extra_channels():
     got = [np.round(np.asarray(p) * 255).astype(np.int64) for p in r.extra]
     for g, e in zip(got, (depth, cfa, therm)):
         np.testing.assert_array_equal(g, e)
+
+
+def test_odd_size_upsampling_all_factors():
+    """Upsampling 2/4/8 with canvases that are NOT multiples of the
+    factor: coded channels are ceil-divided and the upsampled output
+    truncates to the exact canvas (features/upsampling.rs edge rules)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(3)
+    for ups, (h, w) in ((2, (41, 55)), (4, (43, 57)), (8, (41, 63))):
+        chans = [rng.integers(0, 256, (-(-h // ups), -(-w // ups)),
+                              dtype=np.int64) for _ in range(3)]
+        data = encode_jxl_modular(chans, bit_depth=8, upsampling=ups,
+                                  image_size=(h, w))
+        out = JxlImage.from_bytes(data).render_frame(0).to_u8()
+        assert out.shape == (h, w, 3), (ups, out.shape)

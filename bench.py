@@ -372,6 +372,46 @@ def _bench_host_entropy() -> float:
     return mp / best, mp / best1
 
 
+def _bench_host_shapes() -> dict:
+    """Host-stage (no device) throughput per lossless content shape,
+    multi-threaded: used by the host-only fallback artifact."""
+    import multiprocessing
+    import time as _t
+
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    threads = min(8, multiprocessing.cpu_count())
+    rng = np.random.default_rng(6)
+    shapes = {
+        "modular_noisy": [rng.integers(0, 256, (1024, 1024), dtype=np.int64)
+                          for _ in range(3)],
+        "modular_rle": [np.repeat(
+            rng.integers(0, 256, (1024, 32), dtype=np.int64), 32, 1)
+            for _ in range(3)],
+    }
+    out = {}
+    for name, chans in shapes.items():
+        enc = encode_jxl_modular(
+            chans, bit_depth=8, lz77_rle=(name == "modular_rle"))
+
+        def host_only():
+            img = JxlImage(num_threads=threads)
+            img.feed_bytes(enc)
+            img.finish()
+            fr = img._frames[0]
+            g = fr.parse_lf_global().gmodular
+            t0 = _t.perf_counter()
+            fr.decode_modular_frame(g)
+            return _t.perf_counter() - t0
+
+        host_only()
+        best = min(host_only() for _ in range(3))
+        out[name] = round(1.048576 / best, 1)
+    return out
+
+
 def _bench_transfer() -> float:
     import jax
 
@@ -494,6 +534,13 @@ def main() -> None:
     if not _device_available():
         print("device unreachable (tunnel down?) -- emitting host-only "
               "results", file=sys.stderr)
+        # per-shape host-stage throughput so the artifact still carries a
+        # content breakdown (the corpus e2e cases need the device)
+        host_cases = {}
+        try:
+            host_cases = _bench_host_shapes()
+        except Exception as e:  # pragma: no cover
+            print(f"host shape bench failed: {e}", file=sys.stderr)
         print(json.dumps({
             "metric": "vardct_decode_end_to_end",
             "value": 0.0,
@@ -504,6 +551,7 @@ def main() -> None:
             "host_entropy_mpps_per_core": round(host_mpps_1t, 1),
             "host_cores": __import__("multiprocessing").cpu_count(),
             "jbr_reconstruct_mpps": round(jbr_mpps, 1),
+            "host_stage_cases_mpps": host_cases,
         }))
         return
     # transfer FIRST: the compute bench sizes its synthetic inputs by the

@@ -384,26 +384,29 @@ def _bench_host_shapes() -> dict:
 
     threads = min(8, multiprocessing.cpu_count())
     rng = np.random.default_rng(6)
+    # distinct names from the device corpus cases: different content
+    # sizes and a different measured stage (host symbol decode only)
     shapes = {
-        "modular_noisy": [rng.integers(0, 256, (1024, 1024), dtype=np.int64)
-                          for _ in range(3)],
-        "modular_rle": [np.repeat(
+        "host_modular_noisy_1024": [
+            rng.integers(0, 256, (1024, 1024), dtype=np.int64)
+            for _ in range(3)],
+        "host_modular_rle_1024": [np.repeat(
             rng.integers(0, 256, (1024, 32), dtype=np.int64), 32, 1)
             for _ in range(3)],
     }
     out = {}
     for name, chans in shapes.items():
         enc = encode_jxl_modular(
-            chans, bit_depth=8, lz77_rle=(name == "modular_rle"))
+            chans, bit_depth=8, lz77_rle=("rle" in name))
 
         def host_only():
             img = JxlImage(num_threads=threads)
             img.feed_bytes(enc)
             img.finish()
             fr = img._frames[0]
-            g = fr.parse_lf_global().gmodular
+            fr.parse_lf_global()
             t0 = _t.perf_counter()
-            fr.decode_modular_frame(g)
+            fr.decode_modular_frame()
             return _t.perf_counter() - t0
 
         host_only()

@@ -1247,9 +1247,18 @@ def test_odd_size_upsampling_all_factors():
 
     rng = np.random.default_rng(3)
     for ups, (h, w) in ((2, (41, 55)), (4, (43, 57)), (8, (41, 63))):
-        chans = [rng.integers(0, 256, (-(-h // ups), -(-w // ups)),
-                              dtype=np.int64) for _ in range(3)]
+        ch_shape = (-(-h // ups), -(-w // ups))
+        chans = [rng.integers(0, 256, ch_shape, dtype=np.int64)
+                 for _ in range(3)]
         data = encode_jxl_modular(chans, bit_depth=8, upsampling=ups,
                                   image_size=(h, w))
         out = JxlImage.from_bytes(data).render_frame(0).to_u8()
         assert out.shape == (h, w, 3), (ups, out.shape)
+        # same coded channels on the full even canvas: the odd-size
+        # output must be its exact top-left crop (truncation happens at
+        # the bottom/right, and the upsample kernel context is identical)
+        fh, fw = ch_shape[0] * ups, ch_shape[1] * ups
+        full = encode_jxl_modular(chans, bit_depth=8, upsampling=ups,
+                                  image_size=(fh, fw))
+        ref = JxlImage.from_bytes(full).render_frame(0).to_u8()
+        np.testing.assert_array_equal(out, ref[:h, :w], err_msg=str(ups))

@@ -1,7 +1,7 @@
 """On-chip measurement for the real fused pipeline (run when the tunnel
-is up). Honest timing: chained dispatches via repeated calls with varied
-inputs + scalar readback to force completion (block_until_ready is
-unreliable on the tunneled platform).
+is up). Honest timing: every rep is its own dispatch (fresh decode with
+its own coefficient upload) and a scalar readback forces completion
+(block_until_ready is unreliable on the tunneled platform).
 
 Usage: python tools/measure_device.py [--size 1024] [--reps 30]
 """
@@ -26,6 +26,14 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=30)
     args = ap.parse_args()
 
+    # guard the probe: jax.devices() hangs forever when the tunnel is
+    # down (see CLAUDE.md) — fail fast via bench.py's subprocess probe
+    sys.path.insert(0, str(ROOT))
+    from bench import _device_available
+
+    if not _device_available():
+        print("device unreachable (tunnel down)", file=sys.stderr)
+        raise SystemExit(1)
     import jax
 
     print("devices:", jax.devices(), file=sys.stderr)

@@ -140,6 +140,7 @@ class QuantSpline:
     quant_points: list
     xyb_dct: np.ndarray  # [3, 32] int
     sigma_dct: np.ndarray  # [32] int
+    manhattan_distance: int = 0
 
 
 class Splines:
@@ -181,9 +182,11 @@ class Splines:
             points = [start]
             cur = list(start)
             delta = [0, 0]
+            manhattan = 0
             for _ in range(num_points):
                 delta[0] += unpack_signed(decoder.read_varint(bs, 4))
                 delta[1] += unpack_signed(decoder.read_varint(bs, 4))
+                manhattan += abs(delta[0]) + abs(delta[1])
                 prev = tuple(cur)
                 cur[0] += delta[0]
                 cur[1] += delta[1]
@@ -197,9 +200,41 @@ class Splines:
             sigma_dct = np.array(
                 [unpack_signed(decoder.read_varint(bs, 5)) for _ in range(32)]
             )
-            splines.append(QuantSpline(points, xyb_dct, sigma_dct))
+            splines.append(QuantSpline(points, xyb_dct, sigma_dct, manhattan))
         decoder.finalize()
         return cls(splines, quant_adjust)
+
+    def estimate_area(self, base_correlation_xb=None) -> int:
+        """Upper-bound estimate of spline rasterization work
+        (jxl-frame/src/data/spline.rs:71-103); checked against the level-10
+        conformance limit before any rendering happens."""
+        kx, kb = base_correlation_xb if base_correlation_xb else (0.0, 1.0)
+        corr_x = int(np.ceil(abs(kx)))
+        corr_b = int(np.ceil(abs(kb)))
+        qa = int(self.quant_adjust)
+
+        def div_ceil_qa(dividend: int) -> int:
+            if qa >= 0:
+                return (8 * dividend + 7 + qa) // (8 + qa)
+            return dividend + -(-(dividend * -qa) // 8)
+
+        total_area = 0
+        for qs in self.quant_splines:
+            color_xyb = [
+                sum(div_ceil_qa(abs(int(q))) for q in qs.xyb_dct[c])
+                for c in range(3)
+            ]
+            color_xyb[0] += corr_x * color_xyb[1]
+            color_xyb[2] += corr_b * color_xyb[1]
+            log_color = max(1 + max(color_xyb), 1).bit_length() - 1
+            if (1 << log_color) < 1 + max(color_xyb):  # log2_ceil
+                log_color += 1
+            width_estimate = 0
+            for q in qs.sigma_dct:
+                weight = 1 + div_ceil_qa(abs(int(q)))
+                width_estimate += weight * weight * log_color
+            total_area += width_estimate * qs.manhattan_distance
+        return total_area
 
 
 class NoiseParameters:

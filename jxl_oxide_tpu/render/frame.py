@@ -104,6 +104,22 @@ def parse_lf_global(
     if frame_header.encoding == Encoding.VARDCT:
         vardct = vardct_mod.LfGlobalVarDct.parse(bs)
 
+    if splines is not None:
+        # level-10 conformance limit on estimated spline rasterization
+        # work (jxl-frame/src/data/lf_global.rs:133-146): reject before
+        # any rendering so a crafted stream can't request unbounded work
+        # inside the alloc budget
+        base_corr = None
+        if vardct is not None:
+            corr = vardct.lf_chan_corr
+            base_corr = (corr.base_correlation_x, corr.base_correlation_b)
+        image_size = frame_header.width * frame_header.height
+        estimated_area = splines.estimate_area(base_corr)
+        if estimated_area > min(1 << 42, 1024 * image_size + (1 << 32)):
+            raise JxlValidationError(
+                "too large estimated area for splines"
+            )
+
     gmodular = parse_global_modular(bs, image_header, frame_header, allow_partial)
     return LfGlobal(patches, splines, noise, lf_dequant, vardct, gmodular)
 
@@ -141,7 +157,14 @@ def parse_global_modular(
     for ec_upsampling, ec_info in zip(
         frame_header.ec_upsampling, meta.ec_info
     ):
-        ec_shift = (ec_upsampling.bit_length() - 1) + ec_info.dim_shift - color_ups_shift
+        ec_ups_shift = ec_upsampling.bit_length() - 1
+        if ec_ups_shift + ec_info.dim_shift > 6:
+            # jxl-frame/src/lib.rs:185-195: bounds the total EC upsampling
+            # work (each unit of shift quadruples the upsample output)
+            raise JxlValidationError(
+                "cumulative EC upsampling factor is too large"
+            )
+        ec_shift = ec_ups_shift + ec_info.dim_shift - color_ups_shift
         if ec_shift < 0:
             raise JxlValidationError("EC upsampling < color upsampling")
         w_s, h_s = _channel_shift_size(cw, ch, ec_shift, ec_shift)

@@ -211,3 +211,75 @@ def test_splines_end_to_end():
         np.round(np.stack(planes, -1) * 255), 0, 255
     ).astype(np.uint8)
     np.testing.assert_array_equal(out, want)
+
+
+def test_spline_estimated_area_limit():
+    """Level-10 conformance guard (jxl-frame/src/data/lf_global.rs:133-146):
+    a crafted stream whose splines request unbounded rasterization work is
+    rejected at LfGlobal parse time, before any rendering."""
+    import pytest
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.utils.errors import JxlValidationError
+
+    h = w = 48
+    base = [np.full((h, w), 128, dtype=np.int64) for _ in range(3)]
+    xyb_dct = np.zeros((3, 32), dtype=np.int64)
+    xyb_dct[:, 0] = [50, 80, 60]
+    # large sigma coefficients: weight ~ 10^3 per entry, squared, summed
+    # over 32 entries and scaled by log_color * manhattan -> estimated
+    # area ~2e10, far beyond min(2^42, 1024*48*48 + 2^32) ~ 4.3e9
+    sigma_dct = np.full(32, 1000, dtype=np.int64)
+    spec = dict(
+        points=[(2, 2), (40, 40)],
+        xyb_dct=xyb_dct,
+        sigma_dct=sigma_dct,
+    )
+    data = encode_jxl_modular(base, bit_depth=8,
+                              splines_spec=([spec], 0))
+    with pytest.raises(JxlValidationError, match="estimated area"):
+        JxlImage.from_bytes(data).render_frame(0)
+
+
+def test_spline_estimate_area_values():
+    """estimate_area mirrors the reference arithmetic
+    (data/spline.rs:71-103) including the negative quant_adjust branch."""
+    from jxl_oxide_tpu.render.features import QuantSpline, Splines
+
+    xyb = np.zeros((3, 32), dtype=np.int64)
+    xyb[0, 0] = 16
+    sigma = np.zeros(32, dtype=np.int64)
+    sigma[0] = 8
+    qs = QuantSpline([(0, 0), (3, 4)], xyb, sigma, manhattan_distance=7)
+    # qa = 0: div_ceil_qa(q) = ceil(8q/8) = q
+    # color_xyb = [16, 0, 0]; log_color = ceil(log2(17)) = 5
+    # weights: sigma[0] -> 1+8 = 9, others -> 1
+    # width_estimate = 81*5 + 31*1*5 = 405 + 155 = 560; area = 560*7
+    sp = Splines([qs], quant_adjust=0)
+    assert sp.estimate_area(None) == 560 * 7
+    # qa = -8: div_ceil_qa(q) = q + ceil(q*8/8) = 2q
+    # color_xyb = [32,0,0]; log_color = ceil(log2(33)) = 6
+    # weights: 1+16 = 17 -> 289*6; others 1*6 -> 31*6; total 2040; *7
+    sp = Splines([qs], quant_adjust=-8)
+    assert sp.estimate_area(None) == (289 * 6 + 31 * 6) * 7
+
+
+def test_ec_upsampling_cumulative_limit():
+    """Cumulative EC upsampling guard (jxl-frame/src/lib.rs:185-195):
+    ec_upsampling_shift + dim_shift > 6 is rejected."""
+    import pytest
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.utils.errors import JxlValidationError
+
+    h = w = 256
+    base = [np.full((h, w), 7, dtype=np.int64)]
+    alpha = np.full((h >> 7, w >> 7), 255, dtype=np.int64)
+    data = encode_jxl_modular(
+        base + [alpha], bit_depth=8, grayscale=True,
+        extra_alpha=True, alpha_dim_shift=7,
+    )
+    with pytest.raises(JxlValidationError, match="cumulative EC upsampling"):
+        JxlImage.from_bytes(data).render_frame(0)

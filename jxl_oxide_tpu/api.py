@@ -82,13 +82,16 @@ class Render:
     orientation: int
     name: str
     duration: int
+    _spot_applied: bool = False
 
     def image_planar(self) -> list:
         """Color planes with orientation applied."""
+        self.apply_spot_colors()
         return [_apply_orientation(p, self.orientation) for p in self.planes]
 
     def image_all_channels(self) -> np.ndarray:
         """[H, W, C] interleaved color + extra channels."""
+        self.apply_spot_colors()
         chans = [*self.planes, *self.extra]
         if any(_is_jax(c) for c in chans):
             return np.asarray(_finalize_fn(self.orientation, None, None)(chans))
@@ -102,6 +105,7 @@ class Render:
 
     def _output_chans(self) -> list:
         """Color planes + alpha (if present), un-oriented."""
+        self.apply_spot_colors()
         chans = list(self.planes)
         for info, ec in zip(self.ec_info, self.extra):
             if info.ty == ExtraChannelType.ALPHA:
@@ -120,9 +124,12 @@ class Render:
 
     def apply_spot_colors(self) -> None:
         """Composite SpotColour extra channels onto the color planes
-        (features/spot_colors.rs:5-37)."""
-        if len(self.planes) != 3:
+        (features/spot_colors.rs:5-37). Idempotent: every pixel output
+        (to_u8/to_u16/image*/ImageStream/CLI) triggers it once, matching
+        the facade's render semantics."""
+        if self._spot_applied or len(self.planes) != 3:
             return
+        self._spot_applied = True
         for info, ec in zip(self.ec_info, self.extra):
             if info.ty != ExtraChannelType.SPOT_COLOUR or not info.spot_colour:
                 continue

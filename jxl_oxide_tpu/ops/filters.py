@@ -20,22 +20,27 @@ import numpy as np
 __all__ = ["gabor", "epf_step", "sigma_map_from_blocks"]
 
 
-@functools.partial(jax.jit, static_argnames=("weights", "prepad_rows"))
-def gabor(plane, weights: tuple, prepad_rows: int = 0):
+@functools.partial(jax.jit, static_argnames=("weights", "prepad_rows",
+                                              "prepad_cols"))
+def gabor(plane, weights: tuple, prepad_rows: int = 0, prepad_cols: int = 0):
     """3x3 self-correlation smoothing (gabor.rs:8-121), one channel.
 
     weights = (w0, w1): side and diagonal weights; kernel is
     [[w1 w0 w1], [w0 1 w0], [w1 w0 w1]] / (1 + 4*w0 + 4*w1),
     clamp-to-edge boundary.
 
-    prepad_rows=1: `plane` already carries one extra row above and below
-    (real halo rows from a neighboring shard); only columns are padded
-    here. Output drops the halo rows. Used by the sharded pipeline.
+    prepad_rows=1 (or prepad_cols=1): `plane` already carries one extra
+    row (column) on each side — real halo data from a neighboring shard;
+    only the other dimension is padded here. Output drops the halo.
+    Used by the sharded pipeline.
     """
     w0, w1 = weights
     if prepad_rows:
-        assert prepad_rows == 1
+        assert prepad_rows == 1 and not prepad_cols
         p = jnp.pad(plane, ((0, 0), (1, 1)), mode="edge")
+    elif prepad_cols:
+        assert prepad_cols == 1
+        p = jnp.pad(plane, ((1, 1), (0, 0)), mode="edge")
     else:
         p = jnp.pad(plane, 1, mode="edge")
     c = p[1:-1, 1:-1]
@@ -73,26 +78,34 @@ def _shift(padded, dx, dy, h, w):
 @functools.partial(jax.jit, static_argnames=("step", "channel_scale",
                                              "step_multiplier",
                                              "border_sad_mul",
-                                             "prepad_rows"))
+                                             "prepad_rows", "prepad_cols"))
 def epf_step(planes, sigma, step: int, channel_scale: tuple,
              step_multiplier: float, border_sad_mul: float,
-             prepad_rows: int = 0):
+             prepad_rows: int = 0, prepad_cols: int = 0):
     """One EPF pass over the 3 color planes (impls/generic/epf.rs).
 
     planes: [3, H, W]; sigma: [H, W] per-pixel sigma (expanded from the
     per-8x8-block grid). Returns filtered [3, H, W].
 
-    prepad_rows=PAD: `planes` is [3, H+2*PAD, W] with real halo rows from
-    neighboring shards already attached; only columns are padded here.
+    prepad_rows=PAD (or prepad_cols=PAD): `planes` is [3, H+2*PAD, W]
+    ([3, H, W+2*PAD]) with real halo rows (columns) from neighboring
+    shards already attached; only the other dimension is padded here.
     sigma stays [H, W]. Output is [3, H, W]. Used by the sharded pipeline.
     """
     if prepad_rows:
-        assert prepad_rows == PAD
+        assert prepad_rows == PAD and not prepad_cols
         h = planes.shape[1] - 2 * PAD
         w = planes.shape[2]
         padded = jnp.pad(planes, ((0, 0), (0, 0), (PAD, PAD)),
                          mode="symmetric")
         planes = planes[:, PAD:-PAD, :]
+    elif prepad_cols:
+        assert prepad_cols == PAD
+        h = planes.shape[1]
+        w = planes.shape[2] - 2 * PAD
+        padded = jnp.pad(planes, ((0, 0), (PAD, PAD), (0, 0)),
+                         mode="symmetric")
+        planes = planes[:, :, PAD:-PAD]
     else:
         _, h, w = planes.shape
         padded = jnp.pad(planes, ((0, 0), (PAD, PAD), (PAD, PAD)),

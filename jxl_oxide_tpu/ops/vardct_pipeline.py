@@ -436,17 +436,22 @@ def build_fused_pipeline(plane_shape, lf_shape, entries,
     return jax.jit(pipeline)
 
 
-def _smooth_local(lf_planes, lf_scale, axis, vloc_lf: int, lh_valid: int,
-                  lw_valid: int, lh_loc: int):
-    """Adaptive LF smoothing on a row-sharded LF plane stack [3, lh_loc, lw]:
-    same arithmetic (and operand order) as adaptive_lf_smoothing, with the
-    1-row vertical neighborhood coming from mesh neighbors and the interior
-    mask computed in GLOBAL coordinates (borders keep the unsmoothed value,
-    generic/mod.rs:10-105)."""
-    from ..parallel.sharded import halo_pad_rows
+def _smooth_local(lf_planes, lf_scale, axis, vloc_lf: int, last_shard: int,
+                  lh_valid: int, lw_valid: int, shard_dim: str):
+    """Adaptive LF smoothing on a band-sharded LF plane stack
+    [3, lh_loc, lw] (rows) or [3, lh, lw_loc] (cols): same arithmetic (and
+    operand order) as adaptive_lf_smoothing, with the 1-px neighborhood
+    across the shard boundary coming from mesh neighbors and the interior
+    mask computed in GLOBAL coordinates (borders keep the unsmoothed
+    value, generic/mod.rs:10-105)."""
+    from ..parallel.sharded import halo_pad_cols, halo_pad_rows
 
-    padded_rows = halo_pad_rows(lf_planes, 1, axis, vloc_lf)
-    p = jnp.pad(padded_rows, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    if shard_dim == "rows":
+        padded = halo_pad_rows(lf_planes, 1, axis, vloc_lf, last_shard)
+        p = jnp.pad(padded, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    else:
+        padded = halo_pad_cols(lf_planes, 1, axis, vloc_lf, last_shard)
+        p = jnp.pad(padded, ((0, 0), (1, 1), (0, 0)), mode="edge")
     c = p[:, 1:-1, 1:-1]
     west = p[:, 1:-1, :-2]
     east = p[:, 1:-1, 2:]
@@ -465,10 +470,13 @@ def _smooth_local(lf_planes, lf_scale, axis, vloc_lf: int, lh_valid: int,
     gap_scale = jnp.maximum(3.0 - 4.0 * gap, 0.0)
 
     idx = jax.lax.axis_index(axis)
-    row0 = idx * lh_loc
-    lw = lf_planes.shape[2]
-    yy = row0 + jnp.arange(lh_loc)[:, None]
-    xx = jnp.arange(lw)[None, :]
+    lh_loc, lw_loc = lf_planes.shape[1], lf_planes.shape[2]
+    if shard_dim == "rows":
+        yy = idx * lh_loc + jnp.arange(lh_loc)[:, None]
+        xx = jnp.arange(lw_loc)[None, :]
+    else:
+        yy = jnp.arange(lh_loc)[:, None]
+        xx = idx * lw_loc + jnp.arange(lw_loc)[None, :]
     interior = (
         (yy > 0) & (yy < lh_valid - 1) & (xx > 0) & (xx < lw_valid - 1)
     )
@@ -485,31 +493,37 @@ def build_fused_pipeline_sharded(
     global_scale, qm_scale, lf_scale,
     skip_smoothing: bool,
     vloc: int, vloc_lf: int, lf_valid: tuple,
+    last_shard: int,
     cfl_lf_k=(0.0, 1.0), cfl_colour_factor=84,
     cfl_base=(0.0, 1.0),
     gabor_weights=None, epf_params=None,
     sparse_coeff_n: int | None = None,
     crop=None, cfl_const: bool = False,
+    shard_dim: str = "rows",
 ):
     """The fused per-frame device pipeline under shard_map: the REAL
     decoder program (dense varblock transforms, per-block dequant, CfL
-    grids, LF smoothing, gaborish, EPF sigma grids) sharded by rows of
+    grids, LF smoothing, gaborish, EPF sigma grids) sharded by bands of
     groups across the mesh — the reference's per-group data parallelism
     (jxl-render/src/vardct/mod.rs:250-376) as SPMD, with the halo contract
-    of jxl-frame/src/lib.rs:626-649 carried by lax.ppermute row exchanges.
+    of jxl-frame/src/lib.rs:626-649 carried by lax.ppermute exchanges.
 
-    Shapes are LOCAL (per shard): plane rows are padded to
-    n_shards * H_loc with H_loc a multiple of group_dim, so no varblock
-    crosses a shard boundary (varblocks never leave their 256x256 group),
-    and shard bases stay residue-aligned for every transform span (spans
-    divide the group block count). The per-block entry-id and hf_mul
-    grids shard by rows like the sigma grid.
+    shard_dim selects row bands (tall frames) or column bands (wide
+    frames). Shapes are LOCAL (per shard): the sharded plane dimension is
+    padded to n_shards * loc with loc a multiple of group_dim, so no
+    varblock crosses a shard boundary (varblocks never leave their
+    256x256 group), and shard bases stay residue-aligned for every
+    transform span (spans divide the group block count). Frames whose
+    group-band count does not divide the mesh get fully-padded trailing
+    shards; `last_shard` is the shard index holding the valid image edge
+    at local offset `vloc` (`vloc_lf` on the LF grid). The per-block
+    entry-id and hf_mul grids shard like the sigma grid.
 
     Returns (jitted_fn, in_shardings): fn(coeff [3, Hp, W] int, lf_quant
     [3, LHp, LW], lf_scale_arr [3], x_grid/b_grid [h64p, w64] int,
     sigma_blocks [bhp, bw] f32, code_grid [bhp, bw] int16,
-    mul_grid [bhp, bw] f32) -> [3, Hp, W] f32 where the leading-global
-    row dimension is sharded over `axis`.
+    mul_grid [bhp, bw] f32) -> [3, Hp, W] f32 where the sharded-dim
+    global dimension is sharded over `axis`.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -518,11 +532,12 @@ def build_fused_pipeline_sharded(
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
 
-    from ..parallel.sharded import halo_pad_rows
+    from ..parallel.sharded import halo_pad_cols, halo_pad_rows
 
-    H_loc, W = local_plane_shape
-    LH_loc, LW = local_lf_shape
+    Hl, Wl = local_plane_shape
     lh_valid, lw_valid = lf_valid
+    by_rows = shard_dim == "rows"
+    halo_pad = halo_pad_rows if by_rows else halo_pad_cols
 
     def pipeline(coeff, lf_quant, lf_scale_arr, x_grid, b_grid,
                  sigma_blocks, code_grid, mul_grid):
@@ -532,12 +547,12 @@ def build_fused_pipeline_sharded(
             # pads ("drop" removes them) -> sorted+unique scatter fast
             # path, as in the single-device builder
             c_idx, c_val = coeff
-            dense = jnp.zeros((3 * H_loc * W,), dtype=jnp.int32)
+            dense = jnp.zeros((3 * Hl * Wl,), dtype=jnp.int32)
             coeff = dense.at[c_idx[0]].set(
                 c_val[0].astype(jnp.int32), mode="drop",
                 unique_indices=True, indices_are_sorted=True,
-            ).reshape(3, H_loc, W)
-        # --- LF: dequant + CfL + smoothing (local rows) ---
+            ).reshape(3, Hl, Wl)
+        # --- LF: dequant + CfL + smoothing (local band) ---
         lf_planes = lf_quant.astype(jnp.float32) * lf_scale_arr[:, None, None]
         kx0, kb0 = cfl_lf_k
         lf_planes = jnp.stack([
@@ -547,11 +562,11 @@ def build_fused_pipeline_sharded(
         ])
         if not skip_smoothing:
             lf_planes = _smooth_local(
-                lf_planes, lf_scale, axis, vloc_lf, lh_valid, lw_valid,
-                LH_loc,
+                lf_planes, lf_scale, axis, vloc_lf, last_shard,
+                lh_valid, lw_valid, shard_dim,
             )
 
-        # --- HF CfL factor maps from per-64x64 grids (shard-local rows) ---
+        # --- HF CfL factor maps from per-64x64 grids (shard-local band) ---
         if cfl_const:
             kx_map = float(cfl_base[0])
             kb_map = float(cfl_base[1])
@@ -562,12 +577,13 @@ def build_fused_pipeline_sharded(
             kb_map = (np.float32(cfl_base[1])
                       + b_grid.astype(jnp.float32)
                       / np.float32(cfl_colour_factor))
-            kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:H_loc, :W]
-            kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:H_loc, :W]
+            kx_map = jnp.repeat(jnp.repeat(kx_map, 64, 0), 64, 1)[:Hl, :Wl]
+            kb_map = jnp.repeat(jnp.repeat(kb_map, 64, 0), 64, 1)[:Hl, :Wl]
 
         # dense dequant bias, then the dense per-(type, residue) engine
-        # over shard-local rows (same plan as single-device: shard bases
-        # are whole group rows, so block residues are shard-invariant)
+        # over the shard-local band (same plan as single-device: shard
+        # bases are whole group bands, so block residues are
+        # shard-invariant)
         q = coeff.astype(jnp.float32)
         qbn = np.float32(quant_bias_numerator)
         safe_q = jnp.where(q == 0.0, 1.0, q)
@@ -583,9 +599,11 @@ def build_fused_pipeline_sharded(
         if gabor_weights is not None:
             from .filters import gabor
 
-            padded = halo_pad_rows(out, 1, axis, vloc)
+            padded = halo_pad(out, 1, axis, vloc, last_shard)
             out = jnp.stack([
-                gabor(padded[c], tuple(gabor_weights[c]), prepad_rows=1)
+                gabor(padded[c], tuple(gabor_weights[c]),
+                      prepad_rows=1 if by_rows else 0,
+                      prepad_cols=0 if by_rows else 1)
                 for c in range(3)
             ])
         if epf_params is not None:
@@ -593,17 +611,19 @@ def build_fused_pipeline_sharded(
 
             sigma = jnp.repeat(
                 jnp.repeat(sigma_blocks, 8, 0), 8, 1
-            )[:H_loc, :W]
+            )[:Hl, :Wl]
             cs = tuple(epf_params.channel_scale)
             bsm = float(epf_params.border_sad_mul)
 
             def pass_(x, step, mult):
-                # each pass exchanges 3 fresh halo rows: the next pass's
-                # vertical neighborhood is the PREVIOUS pass's output, as
-                # in the sequential whole-plane passes (filter/epf.rs)
-                padded = halo_pad_rows(x, 3, axis, vloc)
+                # each pass exchanges 3 fresh halo rows/cols: the next
+                # pass's cross-shard neighborhood is the PREVIOUS pass's
+                # output, as in the sequential whole-plane passes
+                # (filter/epf.rs)
+                padded = halo_pad(x, 3, axis, vloc, last_shard)
                 return epf_step(padded, sigma, step, cs, mult, bsm,
-                                prepad_rows=3)
+                                prepad_rows=3 if by_rows else 0,
+                                prepad_cols=0 if by_rows else 3)
 
             if epf_params.iters == 3:
                 out = pass_(out, 0, float(epf_params.pass0_sigma_scale))
@@ -613,8 +633,12 @@ def build_fused_pipeline_sharded(
                 out = pass_(out, 2, float(epf_params.pass2_sigma_scale))
         return out
 
-    spec_c = P(None, axis, None)
-    spec_grid = P(axis, None)
+    if by_rows:
+        spec_c = P(None, axis, None)
+        spec_grid = P(axis, None)
+    else:
+        spec_c = P(None, None, axis)
+        spec_grid = P(None, axis)
     coeff_spec = (
         (P(axis, None), P(axis, None))
         if sparse_coeff_n is not None

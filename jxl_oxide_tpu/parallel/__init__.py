@@ -17,8 +17,9 @@ equivalent re-expresses each of its parallelism axes (SURVEY.md 2.16):
   (ops/pallas/).
 - P6 (progressive passes): sequential on-device accumulation.
 - P7 (halo exchange): 1px gaborish / 3px EPF halos travel over ICI via
-  lax.ppermute (halo_exchange_rows); the 2-D hosts x chips mesh keeps
-  most exchanges on ICI, crossing DCN only at host-band borders.
+  lax.ppermute (halo_pad_rows / halo_pad_cols); the 2-D hosts x chips
+  mesh keeps most exchanges on ICI, crossing DCN only at host-band
+  borders.
 """
 
 import contextlib as _contextlib
@@ -27,9 +28,8 @@ import contextvars as _contextvars
 from .sharded import (
     decode_mesh,
     decode_mesh_multihost,
-    halo_exchange_rows,
+    halo_pad_cols,
     halo_pad_rows,
-    sharded_vardct_pipeline,
 )
 
 # Active decode mesh: when set, VarDCT frames route through the sharded
@@ -70,9 +70,8 @@ def mesh_fingerprint(mesh) -> tuple:
 __all__ = [
     "decode_mesh",
     "decode_mesh_multihost",
-    "halo_exchange_rows",
+    "halo_pad_cols",
     "halo_pad_rows",
-    "sharded_vardct_pipeline",
     "set_decode_mesh",
     "get_decode_mesh",
     "use_decode_mesh",

@@ -1,30 +1,29 @@
-"""Group-sharded VarDCT decode pipeline over a device mesh.
+"""Group-sharded VarDCT decode over a device mesh: meshes + halo padding.
 
-The image is sharded by rows of 8px blocks across a 1-D "groups" mesh axis
-(the reference's per-group thread parallelism, vardct/mod.rs:250-376,
-re-expressed as SPMD). Block-local stages (dequant, CfL, IDCT) need no
+The image shards by bands of whole 256px groups across a 1-D "groups" mesh
+axis (the reference's per-group thread parallelism, vardct/mod.rs:250-376,
+re-expressed as SPMD) — rows of groups for tall frames, columns of groups
+for wide ones. Block-local stages (dequant, CfL, IDCT) need no
 communication; the restoration filters are stencils, so shard boundaries
-exchange halo rows over ICI with lax.ppermute — the halo widths follow the
-reference's region padding contract (1px gaborish, 3px EPF,
+exchange halo rows/columns over ICI with lax.ppermute — the halo widths
+follow the reference's region padding contract (1px gaborish, 3px EPF,
 jxl-frame/src/lib.rs:626-649).
 
-Image-edge boundaries keep their filter semantics (clamp for gaborish,
-symmetric mirror for EPF) by mirroring the shard's own rows at the mesh
-edges.
+Frames whose group count does not divide the mesh are padded up to the
+next mesh multiple (trailing shards carry only padding); the shard that
+contains the valid image edge mirrors its own rows there so the sharded
+filters reproduce the single-device symmetric padding bit for bit.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-__all__ = ["decode_mesh", "decode_mesh_multihost", "halo_exchange_rows",
-           "sharded_vardct_pipeline"]
+__all__ = ["decode_mesh", "decode_mesh_multihost", "halo_pad_rows",
+           "halo_pad_cols"]
 
 
 def decode_mesh(n_devices: int | None = None, axis: str = "groups") -> Mesh:
@@ -36,8 +35,8 @@ def decode_mesh(n_devices: int | None = None, axis: str = "groups") -> Mesh:
 
 def decode_mesh_multihost(n_hosts: int, chips_per_host: int) -> Mesh:
     """2-D mesh for multi-host decode: the outer 'hosts' axis maps to DCN
-    (coarse row bands, LF-group granularity) and the inner 'chips' axis to
-    ICI (fine row bands). Halo rows cross DCN only at host-band borders;
+    (coarse bands, LF-group granularity) and the inner 'chips' axis to
+    ICI (fine bands). Halo rows cross DCN only at host-band borders;
     all other exchanges ride ICI (SURVEY 5 distributed-backend mapping).
     On a real v5p slice, pass jax.devices() ordered host-major."""
     devices = np.empty(n_hosts * chips_per_host, dtype=object)
@@ -49,41 +48,18 @@ def decode_mesh_multihost(n_hosts: int, chips_per_host: int) -> Mesh:
     )
 
 
-def halo_exchange_rows(local, halo: int, axis, mirror_edges: bool = True):
-    """Pad a row-sharded block [..., h_loc, w] with `halo` rows from mesh
-    neighbors via ppermute; mesh-edge shards mirror their own rows
-    (util.rs:376-386 mirror semantics)."""
-    n = jax.lax.axis_size(axis)
-    idx = jax.lax.axis_index(axis)
-
-    top_rows = local[..., :halo, :]
-    bot_rows = local[..., -halo:, :]
-    # receive the neighbor-above's bottom rows / neighbor-below's top rows
-    from_above = jax.lax.ppermute(
-        bot_rows, axis, perm=[(i, i + 1) for i in range(n - 1)]
-    )
-    from_below = jax.lax.ppermute(
-        top_rows, axis, perm=[(i + 1, i) for i in range(n - 1)]
-    )
-    if mirror_edges:
-        mirror_top = top_rows[..., ::-1, :]
-        mirror_bot = bot_rows[..., ::-1, :]
-        from_above = jnp.where(idx == 0, mirror_top, from_above)
-        from_below = jnp.where(idx == n - 1, mirror_bot, from_below)
-    return jnp.concatenate([from_above, local, from_below], axis=-2)
-
-
-def halo_pad_rows(local, halo: int, axis, vloc: int):
+def halo_pad_rows(local, halo: int, axis, vloc: int, last_shard: int):
     """Pad a row-sharded block [..., h_loc, w] with `halo` real rows from
     mesh neighbors (ppermute over ICI); the global top edge mirrors
     symmetrically, and the global bottom edge mirrors at the static valid
-    row count `vloc` of the LAST shard (the image may not fill its final
-    shard: plane rows are padded to the shard grid, valid rows end at
-    vloc). This reproduces jnp.pad(mode="symmetric") of the full unpadded
-    plane exactly, so the sharded filters match the single-device ones
-    bit for bit. For halo=1 the mirror row equals the edge row, which is
-    also jnp.pad(mode="edge") — the gaborish clamp contract
-    (jxl-frame/src/lib.rs:626-649 region padding semantics).
+    row count `vloc` of shard `last_shard` (the image may not fill the
+    shard grid: bands are padded to n_shards * h_loc, the valid rows end
+    at local row vloc of shard last_shard, and any later shard carries
+    only padding). This reproduces jnp.pad(mode="symmetric") of the full
+    unpadded plane exactly, so the sharded filters match the
+    single-device ones bit for bit. For halo=1 the mirror row equals the
+    edge row, which is also jnp.pad(mode="edge") — the gaborish clamp
+    contract (jxl-frame/src/lib.rs:626-649 region padding semantics).
     """
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
@@ -97,104 +73,36 @@ def halo_pad_rows(local, halo: int, axis, vloc: int):
     )
     from_above = jnp.where(idx == 0, top[..., ::-1, :], from_above)
     padded = jnp.concatenate([from_above, local, from_below], axis=-2)
-    # last shard: overwrite rows [vloc, vloc+halo) (in local coords) with
-    # the mirror of the last `halo` VALID rows; when vloc == h_loc this
-    # replaces the from_below block, otherwise it patches the row-padding
-    # region that filters near the valid edge read.
+    # the shard holding the valid edge: overwrite rows [vloc, vloc+halo)
+    # (in local coords) with the mirror of the last `halo` VALID rows;
+    # when vloc == h_loc this replaces the from_below block, otherwise it
+    # patches the padding region that filters near the valid edge read.
     mirror_bot = local[..., vloc - halo : vloc, :][..., ::-1, :]
     patched = padded.at[..., halo + vloc : halo + vloc + halo, :].set(
         mirror_bot
     )
-    return jnp.where(idx == n - 1, patched, padded)
+    return jnp.where(idx == last_shard, patched, padded)
 
 
-def _gabor_local(plane, weights):
-    """Gaborish on a halo-padded plane [h+2, w]; returns [h, w]."""
-    w0, w1 = weights
-    p = jnp.pad(plane, ((0, 0), (1, 1)), mode="edge")
-    c = p[1:-1, 1:-1]
-    n = p[:-2, 1:-1]
-    s = p[2:, 1:-1]
-    w = p[1:-1, :-2]
-    e = p[1:-1, 2:]
-    total = (
-        c
-        + (n + s + w + e) * w0
-        + (p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:]) * w1
+def halo_pad_cols(local, halo: int, axis, vloc: int, last_shard: int):
+    """Column-sharded analog of halo_pad_rows: pad [..., h, w_loc] with
+    `halo` real columns from mesh neighbors; the global left edge mirrors
+    symmetrically and the valid right edge (column vloc of shard
+    last_shard) mirrors the last valid columns."""
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    left = local[..., :halo]
+    right = local[..., -halo:]
+    from_left = jax.lax.ppermute(
+        right, axis, perm=[(i, i + 1) for i in range(n - 1)]
     )
-    return total * (1.0 / (1.0 + 4.0 * w0 + 4.0 * w1))
-
-
-def sharded_vardct_pipeline(mesh: Mesh, height: int, width: int,
-                            gabor_weights=(0.115169525, 0.061248592),
-                            epf_params=None):
-    """Build the jitted sharded decode step for a DCT8-tiled frame.
-
-    Returns (fn, shardings) where fn(coeff[3,H,W] i32, lf[3,H/8,W/8] f32,
-    dmap[3,H,W] f32, kx[H,W], kb[H,W]) -> pixels[3,H,W] f32. H must divide
-    evenly across the mesh in units of 8 rows.
-    """
-    from ..ops.dct import dct_basis_inverse
-
-    axis = (
-        mesh.axis_names[0] if len(mesh.axis_names) == 1 else mesh.axis_names
+    from_right = jax.lax.ppermute(
+        left, axis, perm=[(i + 1, i) for i in range(n - 1)]
     )
-    n = mesh.devices.size
-    assert height % (8 * n) == 0, (height, n)
-    b8 = dct_basis_inverse(8)
-
-    def local_step(coeff, lf, dmap, kx, kb):
-        # [3, h_loc, w] block-local stages
-        h_loc, w = coeff.shape[1], coeff.shape[2]
-        bh, bw = h_loc // 8, w // 8
-        q = coeff.astype(jnp.float32)
-        safe = jnp.where(q == 0.0, 1.0, q)
-        biased = jnp.where(jnp.abs(q) <= 1.0, q * 0.1, q - 0.145 / safe)
-        c = biased * dmap
-        c = c.at[0].add(kx * c[1])
-        c = c.at[2].add(kb * c[1])
-        blocks = c.reshape(3, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
-        blocks = blocks.at[:, :, :, 0, 0].set(lf)
-        ib = jnp.asarray(b8)
-        pix = jnp.einsum("yk,cnmkl,xl->cnmyx", ib, blocks, ib,
-                         preferred_element_type=jnp.float32)
-        pix = pix.transpose(0, 1, 3, 2, 4).reshape(3, h_loc, w)
-
-        # gaborish: 1px halo over ICI (P7 halo contract)
-        padded = halo_exchange_rows(pix, 1, axis)
-        out = jnp.stack([
-            _gabor_local(padded[ch], gabor_weights) for ch in range(3)
-        ])
-
-        if epf_params is not None:
-            # EPF needs a 3px stencil halo across up to 3 passes; use an
-            # 8-row halo so the border_sad_mul y%8 pattern stays aligned,
-            # then crop. Edge shards mirror = the reference's symmetric
-            # region padding (frame/lib.rs:626-649 contract).
-            from ..ops.filters import apply_epf
-
-            ext = halo_exchange_rows(out, 8, axis)
-            sigma_loc = jnp.full(
-                (h_loc, w), np.float32(epf_params.sigma_for_modular)
-            )
-            sig_ext = halo_exchange_rows(sigma_loc[None], 8, axis)[0]
-            filtered = apply_epf(list(ext), sig_ext, epf_params)
-            out = jnp.stack(list(filtered))[:, 8:-8, :]
-        return out
-
-    spec3 = P(None, axis, None)
-    spec_lf = P(None, axis, None)
-    spec2 = P(axis, None)
-    # NOTE on collectives: with a tuple axis, ppermute flattens
-    # ('hosts', 'chips') row-major, so only shard-border transfers that
-    # cross a host boundary use DCN; interior ones stay on ICI.
-    fn = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(spec3, spec_lf, spec3, spec2, spec2),
-        out_specs=spec3,
+    from_left = jnp.where(idx == 0, left[..., ::-1], from_left)
+    padded = jnp.concatenate([from_left, local, from_right], axis=-1)
+    mirror_right = local[..., vloc - halo : vloc][..., ::-1]
+    patched = padded.at[..., halo + vloc : halo + vloc + halo].set(
+        mirror_right
     )
-    shardings = tuple(
-        NamedSharding(mesh, s) for s in (spec3, spec_lf, spec3, spec2, spec2)
-    )
-    return jax.jit(fn), shardings
+    return jnp.where(idx == last_shard, patched, padded)

@@ -532,15 +532,17 @@ class VardctFrameState:
         from ..parallel import get_decode_mesh
 
         mesh = get_decode_mesh()
-        if mesh is not None and not self.subsampled:
-            if self._mesh_eligible(mesh):
-                return self._run_fused_sharded(hf_global, mesh)
-            import logging
+        if mesh is not None:
+            if self.subsampled:
+                import logging
 
-            logging.getLogger(__name__).info(
-                "decode mesh set but frame geometry not shardable "
-                "(group rows %% devices != 0); using single-device path"
-            )
+                logging.getLogger(__name__).warning(
+                    "decode mesh set but chroma-subsampled frames have "
+                    "per-channel plane geometries; using the single-device "
+                    "path"
+                )
+            else:
+                return self._run_fused_sharded(hf_global, mesh)
         if not self.subsampled:
             return self._run_fused(hf_global, rect=rect)
         if (
@@ -549,18 +551,6 @@ class VardctFrameState:
         ):
             return self._run_fused_subsampled(hf_global)
         return self._run_staged(hf_global)
-
-    def _mesh_eligible(self, mesh) -> bool:
-        """Row-of-groups sharding needs the group-row count to divide
-        evenly across the mesh (each shard gets whole 256px group bands,
-        so no varblock crosses a shard: varblocks never leave their group,
-        jxl-render/src/vardct/mod.rs:250-376)."""
-        header = self.header
-        gdb = header.group_dim // 8
-        bh_all = self.height_rounded // 8
-        group_rows = _ceil_div(bh_all, gdb)
-        n_sh = int(np.prod(mesh.devices.shape))
-        return group_rows % n_sh == 0 and group_rows >= n_sh
 
     _fused_cache: dict = {}
 
@@ -898,11 +888,15 @@ class VardctFrameState:
 
     @traced("Dequant and transform (sharded)")
     def _run_fused_sharded(self, hf_global: HfGlobal | None, mesh):
-        """The real fused pipeline under shard_map on a device mesh: rows
-        of 256px group bands shard across the mesh axis; planes are padded
-        to the shard grid, bucket plans split per shard and padded to a
-        common count (VERDICT r1 item 1: the actual decoder program, not a
-        synthetic kernel, runs multi-chip)."""
+        """The real fused pipeline under shard_map on a device mesh:
+        bands of whole 256px groups shard across the mesh axis — rows of
+        groups for tall frames, columns for wide ones. The sharded
+        dimension is padded up to the next mesh multiple (trailing shards
+        may be pure padding), so ANY frame geometry shards with no
+        single-device fallback (jxl-render/src/vardct/mod.rs:250-376
+        handles arbitrary geometry with a work-stealing pool; here the
+        halo patch point generalizes to the shard holding the valid
+        edge)."""
         import jax
         import jax.numpy as jnp
 
@@ -925,54 +919,75 @@ class VardctFrameState:
         H, W = self.plane_shapes[0]
         LH, LW = self.lf_shapes[0]
         group_rows = _ceil_div(H, gd)
-        H_loc = (group_rows // n_sh) * gd
-        H_pad = n_sh * H_loc
-        LH_loc = H_loc // 8
-        LH_pad = n_sh * LH_loc
-        vloc = H - (n_sh - 1) * H_loc    # valid pixel rows in last shard
-        vloc_lf = LH - (n_sh - 1) * LH_loc
+        group_cols = _ceil_div(W, gd)
+        # shard along the dimension with more group bands (a wide frame
+        # sharded by rows would put all work on one device)
+        by_rows = group_rows >= group_cols
+        S = H if by_rows else W  # size of the sharded dimension
+        LS = LH if by_rows else LW
+        loc = _ceil_div(group_rows if by_rows else group_cols, n_sh) * gd
+        pad_to = n_sh * loc
+        loc_lf = loc // 8
+        pad_to_lf = n_sh * loc_lf
+        # shard holding the valid image edge + its local valid extent
+        # (trailing shards carry only padding; H and loc are multiples of
+        # 8, so the pixel and LF grids agree on the shard index)
+        last_shard = min(n_sh - 1, (S - 1) // loc)
+        vloc = S - last_shard * loc
+        vloc_lf = LS - last_shard * loc_lf
 
-        def pad_rows(a, rows, axis_idx):
+        pax = 1 if by_rows else 2   # sharded axis in [3, H, W] stacks
+        gax = 0 if by_rows else 1   # sharded axis in 2-D grids
+
+        def pad_dim(a, size, axis_idx):
             widths = [(0, 0)] * a.ndim
-            widths[axis_idx] = (0, rows - a.shape[axis_idx])
-            return np.pad(a, widths) if rows != a.shape[axis_idx] else a
+            widths[axis_idx] = (0, size - a.shape[axis_idx])
+            return np.pad(a, widths) if size != a.shape[axis_idx] else a
 
-        coeff_stack = pad_rows(hi["coeff_stack"], H_pad, 1)
-        lf_input = pad_rows(np.asarray(hi["lf_input"]), LH_pad, 1)
+        coeff_stack = pad_dim(hi["coeff_stack"], pad_to, pax)
+        lf_input = pad_dim(np.asarray(hi["lf_input"]), pad_to_lf, pax)
+
+        def shard_slab(a, s_, axis_idx=None):
+            ax = pax if axis_idx is None else axis_idx
+            sl = [slice(None)] * a.ndim
+            sl[ax] = slice(s_ * loc, (s_ + 1) * loc)
+            return a[tuple(sl)]
 
         # sparse per-shard coefficient upload when it beats dense int16
         nz_total = int(np.count_nonzero(coeff_stack))
         sparse_n = None
         if nz_total * 6 * n_sh < coeff_stack.size * 2 // 2:
             per_shard_nz = [
-                int(np.count_nonzero(
-                    coeff_stack[:, s_ * H_loc : (s_ + 1) * H_loc]
-                ))
+                int(np.count_nonzero(shard_slab(coeff_stack, s_)))
                 for s_ in range(n_sh)
             ]
             sparse_n = 1 << max(
                 10, int(max(max(per_shard_nz), 1) - 1).bit_length()
             )
-        x_grid = pad_rows(hi["x_grid"], H_pad // 64, 0)
-        b_grid = pad_rows(hi["b_grid"], H_pad // 64, 0)
-        sigma_blocks = pad_rows(hi["sigma_blocks"], H_pad // 8, 0)
+        x_grid = pad_dim(hi["x_grid"], pad_to // 64, gax)
+        b_grid = pad_dim(hi["b_grid"], pad_to // 64, gax)
+        sigma_blocks = pad_dim(hi["sigma_blocks"], pad_to // 8, gax)
         cfl_const = bool(not x_grid.any() and not b_grid.any())
 
         # dense transform plan over the PADDED global block grid; the
-        # entry-id/mul grids shard by rows like the sigma grid (shard
-        # bases are whole group rows, so residues are shard-invariant)
-        entries, code_grid, mul_grid = self.dense_plan(
-            buckets, (H_pad // 8, W // 8)
+        # entry-id/mul grids shard like the sigma grid (shard bases are
+        # whole group bands, so residues are shard-invariant)
+        plan_shape = (
+            (pad_to // 8, W // 8) if by_rows else (H // 8, pad_to // 8)
         )
+        entries, code_grid, mul_grid = self.dense_plan(buckets, plan_shape)
         if len(entries) > DENSE_PLAN_MAX_ENTRIES:
             return self._run_staged(hf_global)  # see _run_fused
 
+        local_plane = (loc, W) if by_rows else (H, loc)
+        local_lf = (loc_lf, LW) if by_rows else (LH, loc_lf)
         qm_scale = hi["qm_scale"]
         kx, kb = hi["kx"], hi["kb"]
         epf_params = hi["epf_params"]
         key = (
             "sharded", sparse_n, cfl_const, mesh_fingerprint(mesh),
-            (H_loc, W), (LH_loc, LW), vloc, vloc_lf, (LH, LW),
+            by_rows, local_plane, local_lf, vloc, vloc_lf, last_shard,
+            (LH, LW),
             entries,
             tuple(float(q) for q in self.opsin.quant_bias),
             float(self.opsin.quant_bias_numerator),
@@ -991,13 +1006,13 @@ class VardctFrameState:
         cached = self._fused_cache.get(key)
         if cached is None:
             cached = build_fused_pipeline_sharded(
-                mesh, axis, (H_loc, W), (LH_loc, LW), entries,
+                mesh, axis, local_plane, local_lf, entries,
                 hi["matrices"],
                 tuple(float(q) for q in self.opsin.quant_bias),
                 float(self.opsin.quant_bias_numerator),
                 quantizer.global_scale, qm_scale, hi["lf_smooth_scale"],
                 hi["skip_smoothing"],
-                vloc, vloc_lf, (LH, LW),
+                vloc, vloc_lf, (LH, LW), last_shard,
                 cfl_lf_k=(float(kx), float(kb)),
                 cfl_colour_factor=corr.colour_factor,
                 cfl_base=(corr.base_correlation_x, corr.base_correlation_b),
@@ -1006,6 +1021,7 @@ class VardctFrameState:
                 sparse_coeff_n=sparse_n,
                 crop=(self.height, self.width),
                 cfl_const=cfl_const,
+                shard_dim="rows" if by_rows else "cols",
             )
             self._fused_cache[key] = cached
         fn, shardings = cached
@@ -1017,9 +1033,7 @@ class VardctFrameState:
             c_val32 = np.zeros((n_sh, sparse_n), dtype=np.int32)
             max_abs = 0
             for s_ in range(n_sh):
-                slab = np.ascontiguousarray(
-                    coeff_stack[:, s_ * H_loc : (s_ + 1) * H_loc]
-                )
+                slab = np.ascontiguousarray(shard_slab(coeff_stack, s_))
                 if _native.available():
                     cnt, ma = _native.sparse_extract(
                         slab.reshape(-1), c_idx[s_], c_val32[s_]

@@ -340,6 +340,24 @@ def test_spot_colour_end_to_end():
         want = mix * colv + (1.0 - mix) * before[c]
         np.testing.assert_allclose(after[c], want, atol=1e-6)
 
+    # idempotence: a second call must not composite twice
+    r.apply_spot_colors()
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(r.planes[c]), after[c])
+
+    # every pixel output composites spot colors automatically
+    # (features/spot_colors.rs:5-37 semantics on Render::stream, extended
+    # here to to_u8/image_all_channels per the facade contract)
+    want_u8 = np.clip(
+        np.round(np.stack(after, -1) * 255), 0, 255
+    ).astype(np.uint8)
+    r2 = JxlImage.from_bytes(data).render_frame(0)
+    np.testing.assert_array_equal(r2.to_u8()[..., :3], want_u8)
+    r3 = JxlImage.from_bytes(data).render_frame(0)
+    np.testing.assert_allclose(
+        r3.image_all_channels()[..., :3], np.stack(after, -1), atol=1e-6
+    )
+
 
 def test_fuzz_corpus_sweep(fuzz_corpus_paths):
     """Every past fuzz finding decodes without crashing: only JxlError may

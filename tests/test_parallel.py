@@ -1,19 +1,18 @@
-"""Sharded decode tests on the 8-device virtual CPU mesh: halo exchange
-correctness and sharded-vs-single-device pipeline equivalence (the analog
-of the reference's crop-consistency suite, validating the halo contract)."""
+"""Sharded decode tests on the 8-device virtual CPU mesh: halo padding
+correctness and sharded-vs-single-device equivalence of the REAL fused
+decoder pipeline (the analog of the reference's crop-consistency suite,
+validating the halo contract of jxl-frame/src/lib.rs:626-649)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
-from jxl_oxide_tpu.ops.filters import gabor
 from jxl_oxide_tpu.parallel import (
     decode_mesh,
-    halo_exchange_rows,
-    sharded_vardct_pipeline,
+    decode_mesh_multihost,
+    halo_pad_cols,
+    halo_pad_rows,
 )
 
 
@@ -22,61 +21,63 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
-def test_halo_exchange_matches_mirror_pad():
+def test_halo_pad_rows_matches_mirror_pad():
+    """halo_pad_rows == np.pad(mode='symmetric') of the full unpadded
+    plane, including a valid edge strictly inside a shard and trailing
+    all-padding shards (arbitrary-geometry sharding)."""
     mesh = decode_mesh()
     n = mesh.devices.size
-    h, w = 8 * n, 16
-    x = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    h_loc, w, halo = 8, 16, 2
+    for h_valid in (n * h_loc, 44, 8):  # exact fit / edge inside shard 5 / 1 shard
+        last_shard = min(n - 1, (h_valid - 1) // h_loc)
+        vloc = h_valid - last_shard * h_loc
+        x = np.zeros((n * h_loc, w), dtype=np.float32)
+        x_valid = np.arange(h_valid * w, dtype=np.float32).reshape(h_valid, w)
+        x[:h_valid] = x_valid
 
-    def body(local):
-        return halo_exchange_rows(local, 2, "groups")
+        def body(local):
+            return halo_pad_rows(local, halo, "groups", vloc, last_shard)
 
-    fn = shard_map(body, mesh=mesh, in_specs=P("groups", None),
-                   out_specs=P("groups", None))
-    out = np.asarray(jax.jit(fn)(x))
-    # each shard's padded block stacked: shard i rows = [halo-above, 8, halo-below]
-    out = out.reshape(n, 12, w)
-    padded = np.pad(x, ((2, 2), (0, 0)), mode="symmetric")
-    for i in range(n):
-        expected = padded[i * 8 : i * 8 + 12]
-        np.testing.assert_array_equal(out[i], expected)
+        fn = shard_map(body, mesh=mesh, in_specs=P("groups", None),
+                       out_specs=P("groups", None))
+        out = np.asarray(jax.jit(fn)(x)).reshape(n, h_loc + 2 * halo, w)
+        padded = np.pad(x_valid, ((halo, halo), (0, 0)), mode="symmetric")
+        for i in range(last_shard + 1):
+            # compare the region the filters read for VALID outputs:
+            # everything up to `halo` past the shard's valid rows
+            rows = (min(vloc, h_loc) if i == last_shard else h_loc) + 2 * halo
+            np.testing.assert_array_equal(
+                out[i, :rows], padded[i * h_loc : i * h_loc + rows],
+                err_msg=f"h_valid={h_valid} shard={i}",
+            )
 
 
-def test_sharded_pipeline_matches_single_device():
+def test_halo_pad_cols_matches_mirror_pad():
+    """Column-band analog: halo_pad_cols == symmetric pad of the valid
+    plane along x (wide-frame sharding)."""
     mesh = decode_mesh()
-    h, w = 64, 64
-    rng = np.random.default_rng(0)
-    coeff = rng.integers(-50, 50, size=(3, h, w), dtype=np.int32)
-    lf = rng.standard_normal((3, h // 8, w // 8)).astype(np.float32)
-    dmap = np.abs(rng.standard_normal((3, h, w)).astype(np.float32)) + 0.01
-    kx = rng.standard_normal((h, w)).astype(np.float32) * 0.01
-    kb = rng.standard_normal((h, w)).astype(np.float32) * 0.01
+    n = mesh.devices.size
+    h, w_loc, halo = 16, 8, 3
+    for w_valid in (n * w_loc, 44):
+        last_shard = min(n - 1, (w_valid - 1) // w_loc)
+        vloc = w_valid - last_shard * w_loc
+        x = np.zeros((h, n * w_loc), dtype=np.float32)
+        x_valid = np.arange(h * w_valid, dtype=np.float32).reshape(h, w_valid)
+        x[:, :w_valid] = x_valid
 
-    fn, shardings = sharded_vardct_pipeline(mesh, h, w)
-    args = [
-        jax.device_put(a, s)
-        for a, s in zip((coeff, lf, dmap, kx, kb), shardings)
-    ]
-    sharded_out = np.asarray(fn(*args))
+        def body(local):
+            return halo_pad_cols(local, halo, "groups", vloc, last_shard)
 
-    # single-device reference: same math, whole-plane
-    from jxl_oxide_tpu.ops.dct import idct2d
-
-    q = coeff.astype(np.float32)
-    safe = np.where(q == 0.0, 1.0, q)
-    biased = np.where(np.abs(q) <= 1.0, q * 0.1, q - 0.145 / safe)
-    c = biased * dmap
-    c[0] += kx * c[1]
-    c[2] += kb * c[1]
-    blocks = c.reshape(3, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
-    blocks[:, :, :, 0, 0] = lf
-    pix = idct2d(blocks)
-    pix = pix.transpose(0, 1, 3, 2, 4).reshape(3, h, w)
-    expected = np.stack([
-        np.asarray(gabor(pix[ch], (0.115169525, 0.061248592)))
-        for ch in range(3)
-    ])
-    np.testing.assert_allclose(sharded_out, expected, atol=2e-4)
+        fn = shard_map(body, mesh=mesh, in_specs=P(None, "groups"),
+                       out_specs=P(None, "groups"))
+        out = np.asarray(jax.jit(fn)(x)).reshape(h, n, w_loc + 2 * halo)
+        padded = np.pad(x_valid, ((0, 0), (halo, halo)), mode="symmetric")
+        for i in range(last_shard + 1):
+            cols = (min(vloc, w_loc) if i == last_shard else w_loc) + 2 * halo
+            np.testing.assert_array_equal(
+                out[:, i, :cols], padded[:, i * w_loc : i * w_loc + cols],
+                err_msg=f"w_valid={w_valid} shard={i}",
+            )
 
 
 def test_graft_entry_contract():
@@ -86,74 +87,6 @@ def test_graft_entry_contract():
     out = fn(*args)
     assert out.shape[0] == 3
     g.dryrun_multichip(8)
-
-
-def test_multihost_mesh_equivalence():
-    """2-D (hosts, chips) mesh decode == 1-D mesh decode == replicated:
-    validates the DCN/ICI split sharding (SURVEY 5 multi-host design)."""
-    import jax
-
-    from jxl_oxide_tpu.parallel.sharded import (
-        decode_mesh,
-        decode_mesh_multihost,
-        sharded_vardct_pipeline,
-    )
-
-    h, w = 128, 64
-    rng = np.random.default_rng(31)
-    coeff = rng.integers(-40, 40, (3, h, w)).astype(np.int32)
-    lf = rng.normal(size=(3, h // 8, w // 8)).astype(np.float32)
-    dmap = rng.uniform(0.5, 2.0, (3, h, w)).astype(np.float32)
-    kx = rng.normal(size=(h, w)).astype(np.float32) * 0.1
-    kb = rng.normal(size=(h, w)).astype(np.float32) * 0.1
-    args = (coeff, lf, dmap, kx, kb)
-
-    mesh1 = decode_mesh(8)
-    fn1, sh1 = sharded_vardct_pipeline(mesh1, h, w)
-    out1 = np.asarray(fn1(*(jax.device_put(a, s) for a, s in zip(args, sh1))))
-
-    mesh2 = decode_mesh_multihost(2, 4)
-    fn2, sh2 = sharded_vardct_pipeline(mesh2, h, w)
-    out2 = np.asarray(fn2(*(jax.device_put(a, s) for a, s in zip(args, sh2))))
-
-    np.testing.assert_allclose(out1, out2, atol=1e-5)
-
-
-def test_sharded_epf_matches_single_device():
-    """EPF across shards with an 8-row ICI halo equals the single-device
-    whole-plane EPF (3px stencil contract, frame/lib.rs:626-649)."""
-    import jax
-
-    from jxl_oxide_tpu.headers.frame import EpfParams
-    from jxl_oxide_tpu.ops.filters import apply_epf, apply_gabor
-    from jxl_oxide_tpu.parallel.sharded import (
-        decode_mesh,
-        sharded_vardct_pipeline,
-    )
-
-    h, w = 128, 64
-    epf = EpfParams(iters=3)
-    rng = np.random.default_rng(43)
-    coeff = rng.integers(-30, 30, (3, h, w)).astype(np.int32)
-    lf = rng.normal(size=(3, h // 8, w // 8)).astype(np.float32)
-    dmap = rng.uniform(0.5, 2.0, (3, h, w)).astype(np.float32)
-    kx = rng.normal(size=(h, w)).astype(np.float32) * 0.1
-    kb = rng.normal(size=(h, w)).astype(np.float32) * 0.1
-    args = (coeff, lf, dmap, kx, kb)
-
-    mesh = decode_mesh(8)
-    fn, sh = sharded_vardct_pipeline(mesh, h, w, epf_params=epf)
-    sharded = np.asarray(
-        fn(*(jax.device_put(a, s) for a, s in zip(args, sh)))
-    )
-
-    # single-device reference: same pre-filter pipeline without EPF,
-    # then whole-plane EPF
-    fn0, sh0 = sharded_vardct_pipeline(decode_mesh(1), h, w)
-    base = np.asarray(fn0(*args))
-    sigma = np.full((h, w), epf.sigma_for_modular, dtype=np.float32)
-    want = np.asarray(apply_epf(list(base), sigma, epf))
-    np.testing.assert_allclose(sharded, want, atol=2e-5)
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +112,7 @@ def _random_varblock_grid(bh, bw, rng, types):
                 if (
                     y + h8 <= bh and x + w8 <= bw
                     # varblocks never cross a 32-block (256px) pass-group
-                    # border — the invariant that makes group-row sharding
+                    # border — the invariant that makes group-band sharding
                     # communication-free for the transforms
                     and (y % 32) + h8 <= 32 and (x % 32) + w8 <= 32
                     and not covered[y : y + h8, x : x + w8].any()
@@ -203,7 +136,7 @@ def _decode_planes(data, mesh=None):
 
 def test_mesh_real_pipeline_dct8_epf_gabor():
     """A real DCT8 bitstream with gaborish + 2-pass EPF decodes bit-
-    identically on a 2-device mesh (rows of groups under shard_map with
+    identically on a 2-device mesh (bands of groups under shard_map with
     ppermute halo rows) and on one device."""
     import sys
 
@@ -272,8 +205,6 @@ def test_mesh_real_pipeline_multihost_2d():
     sys.path.insert(0, "/root/repo/tools")
     from encoder_vardct import encode_jxl_vardct
 
-    from jxl_oxide_tpu.parallel import decode_mesh_multihost
-
     rng = np.random.default_rng(93)
     h, w = 1024, 256
     rgb = rng.random((h, w, 3)).astype(np.float32)
@@ -284,20 +215,54 @@ def test_mesh_real_pipeline_multihost_2d():
     np.testing.assert_array_equal(sharded, single)
 
 
-def test_mesh_falls_back_when_not_divisible():
-    """Group rows not divisible by the mesh: decode falls back to the
-    single-device path and still returns correct pixels."""
+def test_mesh_arbitrary_geometry_no_fallback(caplog):
+    """Frames whose group count does NOT divide the mesh still shard
+    (VERDICT r2 item 2): group bands pad up to the mesh multiple, trailing
+    shards carry only padding, wide frames shard by columns. 1024^2
+    (4 group rows), a 2048^2-class tall frame (8 rows, exact), a 256x4096
+    wide frame (16 group cols), and a partial last band (320 rows) all
+    decode bit-identically on the 8-device mesh with no single-device
+    fallback."""
+    import logging
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
-    from encoder_vardct import encode_jxl_vardct
+    from encoder_vardct import encode_jxl_vardct, encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T
 
     rng = np.random.default_rng(94)
-    rgb = rng.random((320, 256, 3)).astype(np.float32)  # 2 group rows
-    data = encode_jxl_vardct(rgb)
-    single = _decode_planes(data)
-    sharded = _decode_planes(data, mesh=decode_mesh(8))  # 2 % 8 != 0
-    np.testing.assert_array_equal(sharded, single)
+    cases = [
+        (1024, 1024, dict(gabor=True, epf_iters=1)),   # 4 rows on 8 devs
+        (2048, 512, dict(gabor=True)),                  # 8 rows, exact fit
+        (256, 4096, dict(gabor=True, epf_iters=2)),     # wide: column bands
+        (320, 256, dict(epf_iters=3)),                  # partial last band
+    ]
+    for h, w, kw in cases:
+        if max(h, w) > 2048:
+            # multi-LF-group geometry needs the tiled encoder
+            bh, bw = h // 8, w // 8
+            sel, mul = _random_varblock_grid(
+                bh, bw, rng, [T.DCT8, T.DCT2, T.DCT16, T.DCT8X16]
+            )
+            coeff = rng.integers(-20, 21, (3, h, w)).astype(np.int64)
+            coeff[rng.random((3, h, w)) < 0.7] = 0
+            lf_q = rng.integers(-80, 81, (3, bh, bw)).astype(np.int64)
+            data = encode_jxl_vardct_tiled(
+                h, w, sel, mul, coeff, lf_q,
+                gabor=kw.get("gabor", False),
+                epf_iters=kw.get("epf_iters", 0),
+            )
+        else:
+            rgb = rng.random((h, w, 3)).astype(np.float32)
+            data = encode_jxl_vardct(rgb, **kw)
+        single = _decode_planes(data)
+        with caplog.at_level(logging.WARNING,
+                             logger="jxl_oxide_tpu.render.vardct"):
+            sharded = _decode_planes(data, mesh=decode_mesh(8))
+        assert not [r for r in caplog.records
+                    if "single-device" in r.message], (h, w)
+        np.testing.assert_array_equal(sharded, single, err_msg=str((h, w)))
 
 
 def test_mesh_real_pipeline_lf_frame_and_two_pass():

@@ -129,7 +129,15 @@ class Rct:
             out[0], out[1] = out[1], out[0]
         elif perm == 5:
             out[0], out[2] = out[2], out[0]
-        # write back through the views (in place)
+        # Write back through the views (in place). Pass-through kinds leave
+        # out[i] ALIASING an input array; a permutation can then make a
+        # later write read an input this loop already overwrote (found by
+        # the float64 oracle cross-check, tests/test_oracle.py) — copy any
+        # output that still shares memory with a slot written before it.
+        arrs = (a_, b_, c_)
+        for i in range(1, 3):
+            if any(np.shares_memory(out[i], arrs[j]) for j in range(i)):
+                out[i] = out[i].copy()
         a_[:, :] = out[0]
         b_[:, :] = out[1]
         c_[:, :] = out[2]

@@ -1,0 +1,247 @@
+"""Cross-check the production decoder against the independent float64
+oracle (tests/oracle_decoder.py) on randomized encoder streams per class —
+the offline substitute for the libjxl conformance corpus (VERDICT r2
+item 4; jxl-oxide-tests/tests/conformance/mod.rs:33-137). The oracle
+shares only the bitstream/entropy/header/section parsers with the
+production decoder; every numeric composition stage (modular sample
+decode, inverse transforms, VarDCT dequant/CfL/IDCT zoo/filters, XYB,
+blending) is an independent per-sample/float64 reimplementation, so a
+match here validates the fused device programs, dense transform plans,
+native host runtime and fast-path dispatch end to end."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from oracle_decoder import oracle_decode  # noqa: E402
+
+
+def _main_planes(data, n_color=3):
+    from jxl_oxide_tpu import JxlImage
+
+    img = JxlImage.from_bytes(data)
+    out = []
+    for k in range(img.num_keyframes):
+        r = img.render_frame(k)
+        out.append(np.stack(
+            [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:n_color]]
+            + [np.asarray(e, dtype=np.float64) for e in r.extra]
+        ))
+    return out
+
+
+def _assert_match(data, tol, n_color=3):
+    got = oracle_decode(data)
+    want = _main_planes(data, n_color)
+    assert len(got) == len(want)
+    for k, (g, w) in enumerate(zip(got, want)):
+        d = np.abs(g[: w.shape[0]] - w).max()
+        assert d <= tol, (k, d)
+
+
+# ---------------------------------------------------------------------------
+# Modular (lossless): production fast paths + native runtime vs the
+# oracle's always-slow general path; tolerance is float conversion only.
+
+MOD_TOL = 1e-6
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("kw", [
+    dict(),                      # gradient predictor
+    dict(predictor=6),           # self-correcting (weighted) predictor
+    dict(rct=True),              # YCoCg RCT
+    dict(squeeze=True),          # squeeze stack (multi-level)
+    dict(squeeze=True, rct=True),
+    dict(bit_depth=16),
+    dict(lz77_rle=True),
+    dict(lz77_matches=True),
+])
+def test_oracle_modular_classes(seed, kw):
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(100 + seed)
+    bits = kw.pop("bit_depth", 8)
+    h = w = 32 if kw.get("squeeze") else 24
+    hi = 1 << bits
+    if kw.pop("lz77_rle", False):
+        chans = [
+            np.repeat(rng.integers(0, 4, (h, w // 8)), 8, 1) for _ in range(3)
+        ]
+        kw["lz77_rle"] = True
+    elif kw.pop("lz77_matches", False):
+        chans = [
+            np.tile(rng.integers(0, hi, (4, w)), (h // 4, 1)) for _ in range(3)
+        ]
+        kw["lz77_matches"] = True
+    else:
+        chans = [rng.integers(0, hi, (h, w), dtype=np.int64) for _ in range(3)]
+    _assert_match(encode_jxl_modular(chans, bit_depth=bits, **kw), MOD_TOL)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_oracle_palette_with_deltas(seed):
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(200 + seed)
+    pal = rng.integers(0, 256, (1, 6), dtype=np.int64)
+    idx = rng.integers(-3, 6 + 4, (16, 16))
+    data = encode_jxl_modular(
+        [pal, idx], bit_depth=8, grayscale=True, image_size=(16, 16),
+        palette_spec=dict(nb_colours=6, nb_deltas=2, d_pred=int(rng.integers(0, 7))),
+    )
+    _assert_match(data, MOD_TOL)
+
+
+@pytest.mark.parametrize("rct_type", [0, 7, 9, 14, 20, 23, 28, 33, 35, 41])
+def test_oracle_rct_types_end_to_end(rct_type):
+    """Permuted / lifting RCT kinds through real bitstreams: the aliasing
+    bug in Rct.inverse write-back (pass-through views overwritten before
+    being read) was found by this oracle cross-check; bit-exact now."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(777)
+    ch = [rng.integers(0, 256, (16, 16), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(ch, bit_depth=8, rct=True, rct_type=rct_type)
+    _assert_match(data, MOD_TOL)
+
+    from jxl_oxide_tpu import JxlImage
+
+    out = JxlImage.from_bytes(data).render_frame(0).to_u8()
+    np.testing.assert_array_equal(
+        out, np.stack([c.astype(np.uint8) for c in ch], -1)
+    )
+
+
+def test_oracle_rct_all_types_against_production():
+    """All 42 RCT types: the oracle's scalar inverse vs the production
+    vectorized inverse (transform/rct.rs:15-201) on random i32 grids."""
+    from jxl_oxide_tpu.models.modular_transform import Rct, Slot
+
+    from oracle_decoder import _inv_rct
+
+    rng = np.random.default_rng(5)
+    for rct_type in range(42):
+        grids = [
+            rng.integers(-(1 << 20), 1 << 20, (9, 7)).astype(np.int64)
+            for _ in range(3)
+        ]
+        mine = [g.copy() for g in grids]
+        _inv_rct(mine, 0, rct_type)
+        slots = [Slot(g.astype(np.int32).copy()) for g in grids]
+        Rct(0, rct_type).inverse(slots, 8)
+        for c in range(3):
+            np.testing.assert_array_equal(
+                mine[c], slots[c].arr.astype(np.int64), err_msg=str(rct_type)
+            )
+
+
+def test_oracle_unsqueeze_against_production():
+    """Squeeze tendency recurrence: oracle per-sample ints vs production
+    vectorized (squeeze.rs inverse_h_i32_base), odd and even widths."""
+    from jxl_oxide_tpu.models.modular_transform import inverse_squeeze_h
+
+    from oracle_decoder import _unsqueeze_h
+
+    rng = np.random.default_rng(6)
+    for w in (1, 2, 7, 8, 17):
+        aw, rw = (w + 1) // 2, w // 2
+        avg = rng.integers(-(1 << 24), 1 << 24, (5, aw)).astype(np.int64)
+        res = rng.integers(-(1 << 24), 1 << 24, (5, rw)).astype(np.int64)
+        np.testing.assert_array_equal(
+            _unsqueeze_h(avg, res),
+            inverse_squeeze_h(
+                avg.astype(np.int32), res.astype(np.int32)
+            ).astype(np.int64),
+            err_msg=str(w),
+        )
+
+
+# ---------------------------------------------------------------------------
+# VarDCT: fused device pipeline + dense transform plans vs the oracle's
+# per-varblock float64 composition. Tolerance covers f32-vs-f64 drift
+# through dequant + IDCT + 3 filter passes.
+
+VARDCT_TOL = 2e-4
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(gabor=True),
+    dict(gabor=True, epf_iters=1),
+    dict(gabor=True, epf_iters=2),
+    dict(epf_iters=3),
+    dict(num_passes=2),
+    dict(xyb=True),
+    dict(xyb=True, gabor=True, epf_iters=2),
+])
+def test_oracle_vardct_dct8(kw):
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(300)
+    rgb = rng.random((96, 96, 3)).astype(np.float32)
+    _assert_match(encode_jxl_vardct(rgb, **kw), VARDCT_TOL)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_oracle_vardct_mixed_transforms(seed):
+    """Random varblock tilings over the full transform zoo (all specials,
+    AFV variants, rectangular types up to DCT32) with CfL grids and a
+    nontrivial LfChannelCorrelation."""
+    from encoder_vardct import encode_jxl_vardct_mixed
+
+    from test_parallel import _random_varblock_grid
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+
+    rng = np.random.default_rng(400 + seed)
+    h = w = 128
+    bh, bw = h // 8, w // 8
+    types = [
+        T.DCT8, T.HORNUSS, T.DCT2, T.DCT4, T.DCT16, T.DCT32,
+        T.DCT16X8, T.DCT8X16, T.DCT4X8, T.DCT8X4,
+        T.AFV0, T.AFV1, T.AFV2, T.AFV3, T.DCT32X16, T.DCT16X32,
+    ]
+    sel, mul = _random_varblock_grid(bh, bw, rng, types)
+    coeff = rng.integers(-20, 21, (3, h, w)).astype(np.int64)
+    coeff[rng.random((3, h, w)) < 0.6] = 0
+    lf_q = rng.integers(-80, 81, (3, bh, bw)).astype(np.int64)
+    h64, w64 = -(-h // 64), -(-w // 64)
+    cfl = (
+        rng.integers(-40, 41, (h64, w64)).astype(np.int64),
+        rng.integers(-40, 41, (h64, w64)).astype(np.int64),
+    )
+    data = encode_jxl_vardct_mixed(
+        h, w, sel, mul, coeff, lf_q, cfl_grids=cfl,
+        lf_chan_corr=(84, 0.1, 0.8, 130, 125),
+        extra_precision=int(rng.integers(0, 4)),
+    )
+    _assert_match(data, VARDCT_TOL)
+
+
+# ---------------------------------------------------------------------------
+# Blending chains
+
+
+@pytest.mark.parametrize("blend", [False, True])
+@pytest.mark.parametrize("alpha", [False, True])
+def test_oracle_blending_chain(blend, alpha):
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(500)
+    h = w = 24
+    def fr():
+        n = 3 + (1 if alpha else 0)
+        return [rng.integers(0, 256, (h, w), dtype=np.int64) for _ in range(n)]
+
+    base = fr()
+    data = encode_jxl_modular(
+        base, bit_depth=8, extra_alpha=alpha,
+        animation_frames=[fr(), fr(), fr()], animation_blend=blend,
+    )
+    _assert_match(data, MOD_TOL)

@@ -414,7 +414,8 @@ def write_ma_config_tree(w: BitWriter, tree_tokens: list[int], num_leaves: int):
 
 
 def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | None = None,
-                         squeeze_h: bool = False, palette_spec: dict | None = None):
+                         squeeze_h: bool = False, palette_spec: dict | None = None,
+                         rct_type: int = 6):
     w.write_bool(use_global_tree)
     w.write_bool(True)  # default wp
     if palette_spec is not None:
@@ -449,8 +450,18 @@ def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | N
         assert rct_begin < 8
         w.write(0, 2)
         w.write(rct_begin, 3)
-        # rct_type via U32(6, u(2), 2+u(4), 10+u(6)): selector 0 -> YCoCg (6)
-        w.write(0, 2)
+        # rct_type via U32(6, u(2), 2+u(4), 10+u(6))
+        if rct_type == 6:
+            w.write(0, 2)
+        elif rct_type < 4:
+            w.write(1, 2)
+            w.write(rct_type, 2)
+        elif rct_type < 18:
+            w.write(2, 2)
+            w.write(rct_type - 2, 4)
+        else:
+            w.write(3, 2)
+            w.write(rct_type - 10, 6)
     else:
         w.write_u32_sel(0, 0, 0)  # nb_transforms = 0
 
@@ -544,6 +555,7 @@ def encode_jxl_modular(
     grayscale: bool | None = None,
     predictor: int = PRED_GRADIENT,
     rct: bool = False,
+    rct_type: int = 6,
     group_size_shift: int = 1,
     animation_frames: list[list[np.ndarray]] | None = None,
     reference_patch: tuple | None = None,
@@ -599,17 +611,34 @@ def encode_jxl_modular(
 
     if rct:
         assert n_ch == 3
-        # forward YCoCg (rct_type 6, permutation 0): inverse is
-        # tmp=a-(c>>1); e=c+tmp; f=tmp-(b>>1); d=f+b  (d,e,f = R,G,B)
-        r = channels[0].astype(np.int64)
-        g = channels[1].astype(np.int64)
-        b = channels[2].astype(np.int64)
-        # Inverse (decoder, type 6): tmp=a-(c>>1); G=c+tmp; B=tmp-(b>>1); R=B+b
-        co = r - b               # coded channel b
-        tmp = b + (co >> 1)
-        cg = g - tmp             # coded channel c
-        y = tmp + (cg >> 1)      # coded channel a
-        enc_channels = [y, co, cg]
+        perm, ty = rct_type // 7, rct_type % 7
+        disp = [c.astype(np.int64) for c in channels]
+        # forward permutation: decoded (d, e, f) = P^-1(display), inverse
+        # of rct.rs inverse_permute
+        fwd_perm = {
+            0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1),
+            3: (0, 2, 1), 4: (1, 0, 2), 5: (2, 1, 0),
+        }[perm]
+        d, e, f = (disp[i] for i in fwd_perm)
+        if ty == 6:
+            # forward YCoCg: inverse is tmp=a-(c>>1); e=c+tmp;
+            # f=tmp-(b>>1); d=f+b
+            co = d - f               # coded channel b
+            tmp = f + (co >> 1)
+            cg = e - tmp             # coded channel c
+            y = tmp + (cg >> 1)      # coded channel a
+            enc_channels = [y, co, cg]
+        else:
+            # inverse: d=a; f=c+a if ty&1 else c; e = b [+a | +((a+f)>>1)]
+            a = d
+            c_ = f - a if (ty & 1) else f
+            if (ty >> 1) == 1:
+                b_ = e - a
+            elif (ty >> 1) == 2:
+                b_ = e - ((a + f) >> 1)
+            else:
+                b_ = e
+            enc_channels = [a, b_, c_]
     else:
         enc_channels = [c.astype(np.int64) for c in channels]
 
@@ -998,7 +1027,8 @@ def encode_jxl_modular(
                                          lz77_matches=lz77_matches)
         write_modular_header(lf, use_global_tree=True,
                              rct_begin=0 if rct else None,
-                             squeeze_h=squeeze, palette_spec=palette_spec)
+                             squeeze_h=squeeze, palette_spec=palette_spec,
+                             rct_type=rct_type)
         if custom_tree is not None:
             sample_enc.encode_tokens(lf, token_fn(global_channels))
         elif global_channels:

@@ -659,17 +659,18 @@ class Decoder:
                 h.log_bucket_size = lbs
                 h.bucket_mask = (1 << lbs) - 1
                 # packed AnsBucket wire layout (see native DecoderTables):
-                # word0 = cutoff | alias_symbol<<16,
-                # word1 = alias_offset | dist_self<<16, word2 = dist_alias.
-                # dist[i] of symbol i == dist_self of bucket i, so the
-                # per-symbol dist array is recovered from word1.
-                w = blob[off : off + 3 * alphabet].view(np.uint32)
-                w0 = w[0::3]
-                w1 = w[1::3]
-                h.dist = (w1 >> 16).astype(np.int32)
-                h.alias_symbol = (w0 >> 16).astype(np.int32)
-                h.alias_cutoff = (w0 & 0xFFFF).astype(np.int32)
-                h.alias_offset = (w1 & 0xFFFF).astype(np.int32)
+                # one u64 per bucket, cutoff[0:13) | alias_symbol[13:25) |
+                # alias_offset[25:37) | dist_self[37:50) |
+                # dist_alias[50:63). dist[i] of symbol i == dist_self of
+                # bucket i, so the per-symbol dist array is recovered.
+                w = blob[off : off + 2 * alphabet].view(np.uint32)
+                v = w[0::2].astype(np.uint64) | (
+                    w[1::2].astype(np.uint64) << 32
+                )
+                h.dist = ((v >> 37) & 0x1FFF).astype(np.int32)
+                h.alias_symbol = ((v >> 13) & 0xFFF).astype(np.int32)
+                h.alias_cutoff = (v & 0x1FFF).astype(np.int32)
+                h.alias_offset = ((v >> 25) & 0xFFF).astype(np.int32)
                 full = np.nonzero(h.dist == (1 << ANS_PRECISION_BITS))[0]
                 h.single_symbol = int(full[0]) if full.size else None
                 hists.append(h)

@@ -167,21 +167,23 @@ class DecoderTables:
             blobs = []
             off = 0
             for h in decoder.ans_hists:
-                # packed AnsBucket wire layout (3 i32 words per bucket):
-                # {cutoff | alias_symbol<<16, alias_offset | dist_self<<16,
-                #  dist_alias} — one cache line per symbol read in C++
+                # packed AnsBucket wire layout (2 i32 words = one u64 per
+                # bucket): cutoff[0:13) | alias_symbol[13:25) |
+                # alias_offset[25:37) | dist_self[37:50) |
+                # dist_alias[50:63) — ONE 8-byte load per symbol in C++
                 alphabet = 1 << (12 - h.log_bucket_size)
                 metas += [h.log_bucket_size, off]
-                dist = np.asarray(h.dist[:alphabet], dtype=np.uint32)
-                sym = np.asarray(h.alias_symbol, dtype=np.uint32)
-                packed = np.empty(3 * alphabet, dtype=np.uint32)
-                packed[0::3] = np.asarray(h.alias_cutoff,
-                                          dtype=np.uint32) | (sym << 16)
-                packed[1::3] = np.asarray(h.alias_offset,
-                                          dtype=np.uint32) | (dist << 16)
-                packed[2::3] = dist[sym]
-                blobs.append(packed.view(np.int32))
-                off += 3 * alphabet
+                dist = np.asarray(h.dist[:alphabet], dtype=np.uint64)
+                sym = np.asarray(h.alias_symbol, dtype=np.uint64)
+                v = (
+                    np.asarray(h.alias_cutoff, dtype=np.uint64)
+                    | (sym << 13)
+                    | (np.asarray(h.alias_offset, dtype=np.uint64) << 25)
+                    | (dist << 37)
+                    | (dist[sym] << 50)
+                )
+                blobs.append(v.view(np.int32))
+                off += 2 * alphabet
             self.ans_meta = np.array(metas, dtype=np.int32)
             self.ans_blob = (
                 np.concatenate(blobs) if blobs else np.zeros(1, dtype=np.int32)

@@ -78,10 +78,21 @@ struct BitReader {
 // into the blob. All fields are <= 4096 (ANS precision) so u16 is exact.
 // dist_self = dist[i], dist_alias = dist[alias_symbol[i]] — selected
 // branchlessly by cutoff.
+// Packed alias-table bucket: ONE 8-byte load per symbol. The earlier
+// 3-i32-word (12-byte) form cost a second load and a cache-line split
+// every other bucket on the load-port-bound symbol loop. Fields:
+// cutoff[0:13), alias_symbol[13:25), alias_offset[25:37),
+// dist_self[37:50), dist_alias[50:63) — dist values reach 4096 (13
+// bits); the packers leave bit 63 zero so dist_alias() needs no mask.
 struct AnsBucket {
-  u16 cutoff, alias_symbol, alias_offset, dist_self, dist_alias, pad;
+  u64 v;
+  inline u32 cutoff() const { return (u32)v & 0x1FFF; }
+  inline u32 alias_symbol() const { return (u32)(v >> 13) & 0xFFF; }
+  inline u32 alias_offset() const { return (u32)(v >> 25) & 0xFFF; }
+  inline u32 dist_self() const { return (u32)(v >> 37) & 0x1FFF; }
+  inline u32 dist_alias() const { return (u32)(v >> 50); }
 };
-static_assert(sizeof(AnsBucket) == 12, "wire layout is 3 i32 words");
+static_assert(sizeof(AnsBucket) == 8, "wire layout is 2 i32 words");
 
 struct AnsTable {
   i32 log_bucket_size;
@@ -93,10 +104,10 @@ static void pack_ans_buckets(i32 lbs, const i32* dist, const i32* alias_symbol,
                              AnsBucket* out) {
   i32 alphabet = 1 << (12 - lbs);
   for (i32 i = 0; i < alphabet; i++) {
-    u32 sym = (u32)alias_symbol[i];
-    out[i] = AnsBucket{(u16)alias_cutoff[i], (u16)sym,
-                       (u16)alias_offset[i], (u16)dist[i],
-                       (u16)dist[sym], 0};
+    u64 sym = (u64)(u32)alias_symbol[i];
+    out[i].v = (u64)(u32)alias_cutoff[i] | (sym << 13) |
+               ((u64)(u32)alias_offset[i] << 25) |
+               ((u64)(u32)dist[i] << 37) | ((u64)(u32)dist[sym] << 50);
   }
 }
 
@@ -111,6 +122,8 @@ struct IntCfg {
   inline u32 split() const { return 1u << split_exponent; }
 };
 
+struct AnsRec;  // fused alias+intcfg record (defined with SpecHolder)
+
 struct DecoderSpec {
   i32 lz77_enabled;
   u32 min_symbol, min_length;
@@ -121,6 +134,7 @@ struct DecoderSpec {
   const i32* cluster_map;  // [num_dist]
   const IntCfg* cfgs;      // [num_clusters]
   const AnsTable* ans;     // [num_clusters] or null
+  const AnsRec* recs = nullptr;  // fused records (SpecHolder builds only)
   const PrefixTable* pfx;  // [num_clusters] or null
 };
 
@@ -177,10 +191,10 @@ struct DecoderState {
     u32 i = idx >> t.log_bucket_size;
     u32 posb = idx & ((1u << t.log_bucket_size) - 1);
     const AnsBucket b = t.buckets[i];
-    bool al = posb >= b.cutoff;
-    u32 symbol = al ? b.alias_symbol : i;
-    u32 offset = al ? (u32)b.alias_offset + posb : posb;
-    u32 d = al ? b.dist_alias : b.dist_self;
+    bool al = posb >= b.cutoff();
+    u32 symbol = al ? b.alias_symbol() : i;
+    u32 offset = al ? b.alias_offset() + posb : posb;
+    u32 d = al ? b.dist_alias() : b.dist_self();
     u32 next = (state >> 12) * d + offset;
     // branchless 16-bit renormalization: the refill branch is
     // data-dependent and mispredicts badly on real coefficient streams
@@ -217,10 +231,10 @@ struct DecoderState {
     u32 i = idx >> t.log_bucket_size;
     u32 posb = idx & ((1u << t.log_bucket_size) - 1);
     const AnsBucket b = t.buckets[i];
-    bool al = posb >= b.cutoff;
-    u32 symbol = al ? b.alias_symbol : i;
-    u32 offset = al ? (u32)b.alias_offset + posb : posb;
-    u32 d = al ? b.dist_alias : b.dist_self;
+    bool al = posb >= b.cutoff();
+    u32 symbol = al ? b.alias_symbol() : i;
+    u32 offset = al ? b.alias_offset() + posb : posb;
+    u32 d = al ? b.dist_alias() : b.dist_self();
     u32 next = (state >> 12) * d + offset;
     u64 window = br->peek(48);
     u32 need = next < (1u << 16);
@@ -256,10 +270,10 @@ struct DecoderState {
     u32 i = idx >> t.log_bucket_size;
     u32 posb = idx & ((1u << t.log_bucket_size) - 1);
     const AnsBucket b = t.buckets[i];
-    bool al = posb >= b.cutoff;
-    u32 symbol = al ? b.alias_symbol : i;
-    u32 offset = al ? (u32)b.alias_offset + posb : posb;
-    u32 d = al ? b.dist_alias : b.dist_self;
+    bool al = posb >= b.cutoff();
+    u32 symbol = al ? b.alias_symbol() : i;
+    u32 offset = al ? b.alias_offset() + posb : posb;
+    u32 d = al ? b.dist_alias() : b.dist_self();
     u32 next = (state >> 12) * d + offset;
     u64 window = br->peek(48);
     u32 need = next < (1u << 16);
@@ -878,7 +892,8 @@ static bool spec_rle_mode(const DecoderSpec& spec) {
   if (spec.cfgs[lz_cluster].split_exponent != 0) return false;
   const AnsTable& t = spec.ans[lz_cluster];
   const AnsBucket& b0 = t.buckets[0];
-  return b0.cutoff == 0 && b0.alias_symbol == 1 && b0.dist_alias == 4096;
+  return b0.cutoff() == 0 && b0.alias_symbol() == 1 &&
+         b0.dist_alias() == 4096;
 }
 
 // The fast-lossless shape: every channel is a bare single-leaf Gradient
@@ -1152,10 +1167,10 @@ static void mod_dual_run(ModCursor& A, ModCursor& B) {
     u32 bi = idx >> p##_t.log_bucket_size;                                \
     u32 posb = idx & ((1u << p##_t.log_bucket_size) - 1);                 \
     const AnsBucket bu = p##_t.buckets[bi];                               \
-    bool al = posb >= bu.cutoff;                                          \
-    u32 symbol = al ? bu.alias_symbol : bi;                               \
-    u32 offset = al ? (u32)bu.alias_offset + posb : posb;                 \
-    u32 dd = al ? bu.dist_alias : bu.dist_self;                           \
+    bool al = posb >= bu.cutoff();                                        \
+    u32 symbol = al ? bu.alias_symbol() : bi;                             \
+    u32 offset = al ? bu.alias_offset() + posb : posb;                    \
+    u32 dd = al ? bu.dist_alias() : bu.dist_self();                       \
     u32 next = (p##_state >> 12) * dd + offset;                           \
     u64 window = hf_peek48(p##_data, p##_len, p##_pos);                   \
     u32 need = next < (1u << 16);                                         \
@@ -1242,10 +1257,24 @@ static void mod_dual_dispatch(ModCursor& A, ModCursor& B) {
 namespace {
 
 // Build a DecoderSpec + owned vectors from the serialized arrays.
+// Fused per-cluster ANS record for the interleaved symbol loops: the
+// alias-table meta and the hybrid-uint config land in one 32-byte
+// (half-cache-line) record, so a symbol's table lookups after the
+// cluster-map load touch one line instead of two arrays.
+struct AnsRec {
+  const AnsBucket* buckets;  // 8
+  u32 lbs;                   // log_bucket_size
+  u32 split;                 // 1 << split_exponent
+  u32 msb, lsb, se;          // IntCfg fields
+  u32 pad_;
+};
+static_assert(sizeof(AnsRec) == 32, "half cache line");
+
 struct SpecHolder {
   DecoderSpec spec;
   std::vector<IntCfg> cfg_v;
   std::vector<AnsTable> ans_v;
+  std::vector<AnsRec> rec_v;
   std::vector<PrefixTable> pfx_v;
 
   void build(const i32* spec_header, const i32* cluster_map, const i32* cfgs,
@@ -1275,13 +1304,18 @@ struct SpecHolder {
       spec.ans = nullptr;
     } else {
       ans_v.resize(spec.num_clusters);
+      rec_v.resize(spec.num_clusters);
       for (int i = 0; i < spec.num_clusters; i++) {
         i32 lbs = ans_meta[i * 2];
-        i32 off = ans_meta[i * 2 + 1];  // in i32 words (3 per bucket)
+        i32 off = ans_meta[i * 2 + 1];  // in i32 words (2 per bucket)
         ans_v[i] = AnsTable{
             lbs, reinterpret_cast<const AnsBucket*>(ans_blob + off)};
+        rec_v[i] = AnsRec{ans_v[i].buckets, (u32)lbs,
+                          1u << cfg_v[i].split_exponent, (u32)cfg_v[i].msb,
+                          (u32)cfg_v[i].lsb, (u32)cfg_v[i].split_exponent, 0};
       }
       spec.ans = ans_v.data();
+      spec.recs = rec_v.data();
       spec.pfx = nullptr;
     }
   }
@@ -2198,6 +2232,18 @@ const i32 COEFF_NUM_NONZERO_CONTEXT[63] = {
     206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
     206, 206, 206, 206, 206, 206, 206};
 
+// fused (COEFF_NUM_NONZERO_CONTEXT[nzc] + COEFF_FREQ_CONTEXT[fi]) * 2,
+// indexed (nzc << 6) | fi: one load replaces two loads + add + shift on
+// the per-symbol chain of the interleaved HF runs
+static u16 HF_CCTX2[63 * 64];
+static bool hf_cctx2_init = []() {
+  for (int nzc = 0; nzc < 63; nzc++)
+    for (int fi = 0; fi < 63; fi++)
+      HF_CCTX2[(nzc << 6) | fi] =
+          (u16)((COEFF_NUM_NONZERO_CONTEXT[nzc] + COEFF_FREQ_CONTEXT[fi]) * 2);
+  return true;
+}();
+
 // TransformType tables (dct_select.rs); [t][0]=bw, [t][1]=bh in blocks
 const i32 SELECT_SIZE[27][2] = {
     {1,1},{1,1},{1,1},{1,1},{2,2},{4,4},{1,2},{2,1},{1,4},{4,1},{2,4},{4,2},
@@ -2595,16 +2641,13 @@ static void hf_advance(HfCursor& c) {
   }
 }
 
-// Fused dual-run: steps two active coefficient runs alternately with ALL
-// loop-carried state in locals. Operating on the cursor structs directly
-// defeats register allocation (the out-plane i32 stores may alias the
-// cursors' i32 fields), which erases the interleaving win; with locals
-// the two ANS chains overlap in the OoO window. Exits when either run
-// ends (statuses written back); the caller pumps and re-enters.
-// kL0A/kL0B: num_blocks_log == 0 (1x1 varblocks, the dominant shape) —
+// Fused multi-run machinery: step 2-4 active coefficient runs alternately
+// with ALL loop-carried state in locals. Operating on the cursor structs
+// directly defeats register allocation (the out-plane i32 stores may
+// alias the cursors' i32 fields), which erases the interleaving win; with
+// locals the independent ANS chains overlap in the OoO window. The kL0
+// specialization (num_blocks_log == 0: 1x1 varblocks, the dominant shape)
 // folds the two context shifts, which sit on the per-symbol chain.
-template <bool kL0A, bool kL0B>
-static void hf_dual_run(HfCursor& A, HfCursor& B) {
 #define HF_LOCALS(p, C)                                                   \
   u32 p##_state = C.dec.state;                                            \
   const u8* __restrict__ p##_data = C.br.data;                            \
@@ -2619,8 +2662,7 @@ static void hf_dual_run(HfCursor& A, HfCursor& B) {
   i32* __restrict__ p##_out = C.run_out;                                  \
   const int p##_log = (p##_kL0) ? 0 : C.num_blocks_log;                   \
   const i32 p##_shift = C.coeff_shift;                                    \
-  const AnsTable* __restrict__ p##_ans = C.spec->ans;                     \
-  const IntCfg* __restrict__ p##_cfgs = C.spec->cfgs;                     \
+  const AnsRec* __restrict__ p##_recs = C.spec->recs;                     \
   bool p##_live = true;
 
 #define HF_SAVE(p, C)                                                     \
@@ -2634,25 +2676,24 @@ static void hf_dual_run(HfCursor& A, HfCursor& B) {
   // semantics to hf_step (read_varint_ans_fast inlined on locals).
 #define HF_STEP(p, C)                                                     \
   if (p##_live) {                                                         \
-    i64 nzc = ((i64)p##_nz - 1) >> p##_log;                               \
-    i64 fi = (i64)(p##_oi >> p##_log);                                    \
-    i64 cctx = (COEFF_NUM_NONZERO_CONTEXT[nzc] +                          \
-                COEFF_FREQ_CONTEXT[fi]) * 2 + p##_prev;                   \
+    u32 nzc = (p##_nz - 1) >> p##_log;                                    \
+    u32 fi = (u32)p##_oi >> p##_log;                                      \
+    i64 cctx = (i64)HF_CCTX2[(nzc << 6) | fi] + p##_prev;                 \
     if (__builtin_expect(cctx >= 458, 0)) {                               \
       C.status = 2;                                                       \
       C.result = 6;                                                       \
       p##_live = false;                                                   \
     } else {                                                              \
       int cluster = p##_cmap[cctx];                                       \
-      const AnsTable& t = p##_ans[cluster];                               \
+      const AnsRec& t = p##_recs[cluster];                                \
       u32 idx = p##_state & 0xFFF;                                        \
-      u32 bi = idx >> t.log_bucket_size;                                  \
-      u32 posb = idx & ((1u << t.log_bucket_size) - 1);                   \
+      u32 bi = idx >> t.lbs;                                              \
+      u32 posb = idx & ((1u << t.lbs) - 1);                               \
       const AnsBucket bu = t.buckets[bi];                                 \
-      bool al = posb >= bu.cutoff;                                        \
-      u32 symbol = al ? bu.alias_symbol : bi;                             \
-      u32 offset = al ? (u32)bu.alias_offset + posb : posb;               \
-      u32 dd = al ? bu.dist_alias : bu.dist_self;                         \
+      bool al = posb >= bu.cutoff();                                      \
+      u32 symbol = al ? bu.alias_symbol() : bi;                           \
+      u32 offset = al ? bu.alias_offset() + posb : posb;                  \
+      u32 dd = al ? bu.dist_alias() : bu.dist_self();                     \
       u32 next = (p##_state >> 12) * dd + offset;                         \
       u64 window = hf_peek48(p##_data, p##_len, p##_pos);                 \
       u32 need = next < (1u << 16);                                       \
@@ -2662,12 +2703,11 @@ static void hf_dual_run(HfCursor& A, HfCursor& B) {
       /* branchless hybrid uint: compute the wide path unconditionally  \
          and select — the literal/wide branch is data-dependent and     \
          mispredicts flush BOTH interleaved pipelines */                \
-      const IntCfg& cfg = p##_cfgs[cluster];                              \
-      int msb = cfg.msb, lsb = cfg.lsb;                                  \
-      u32 n = (u32)(cfg.split_exponent - (msb + lsb)) +                  \
-              ((symbol - cfg.split()) >> (msb + lsb));                   \
+      u32 msb = t.msb, lsb = t.lsb;                                      \
+      u32 n = (t.se - (msb + lsb)) +                                     \
+              ((symbol - t.split) >> (msb + lsb));                       \
       n &= 31;                                                           \
-      bool is_lit = symbol < cfg.split();                                \
+      bool is_lit = symbol < t.split;                                    \
       n = is_lit ? 0 : n;                                                \
       u32 rest = (u32)(rest_window & ((1ull << n) - 1));                 \
       p##_pos += pos_add + (int)n;                                       \
@@ -2691,6 +2731,10 @@ static void hf_dual_run(HfCursor& A, HfCursor& B) {
     }                                                                     \
   }
 
+// Exits when either run ends (statuses written back); the caller pumps
+// and re-enters.
+template <bool kL0A, bool kL0B>
+static void hf_dual_run(HfCursor& A, HfCursor& B) {
   constexpr bool a_kL0 = kL0A;
   constexpr bool b_kL0 = kL0B;
   HF_LOCALS(a, A)
@@ -2709,10 +2753,57 @@ static void hf_dual_run(HfCursor& A, HfCursor& B) {
   }
   HF_SAVE(a, A)
   HF_SAVE(b, B)
+}
+
+// Tri/quad runs: exit as soon as ANY run ends — the caller regroups the
+// survivors (possibly adding a freshly pumped stream), so no stream
+// drains single-width while independent work exists. One all-1x1
+// specialization (the dominant shape) keeps instantiations at two.
+template <bool kAllL0>
+static void hf_tri_run(HfCursor& A, HfCursor& B, HfCursor& C) {
+  constexpr bool a_kL0 = kAllL0;
+  constexpr bool b_kL0 = kAllL0;
+  constexpr bool c_kL0 = kAllL0;
+  HF_LOCALS(a, A)
+  HF_LOCALS(b, B)
+  HF_LOCALS(c, C)
+  for (;;) {
+    HF_STEP(a, A)
+    HF_STEP(b, B)
+    HF_STEP(c, C)
+    if (!(a_live & b_live & c_live)) break;
+  }
+  HF_SAVE(a, A)
+  HF_SAVE(b, B)
+  HF_SAVE(c, C)
+}
+
+template <bool kAllL0>
+static void hf_quad_run(HfCursor& A, HfCursor& B, HfCursor& C, HfCursor& D) {
+  constexpr bool a_kL0 = kAllL0;
+  constexpr bool b_kL0 = kAllL0;
+  constexpr bool c_kL0 = kAllL0;
+  constexpr bool d_kL0 = kAllL0;
+  HF_LOCALS(a, A)
+  HF_LOCALS(b, B)
+  HF_LOCALS(c, C)
+  HF_LOCALS(d, D)
+  for (;;) {
+    HF_STEP(a, A)
+    HF_STEP(b, B)
+    HF_STEP(c, C)
+    HF_STEP(d, D)
+    if (!(a_live & b_live & c_live & d_live)) break;
+  }
+  HF_SAVE(a, A)
+  HF_SAVE(b, B)
+  HF_SAVE(c, C)
+  HF_SAVE(d, D)
+}
+
 #undef HF_LOCALS
 #undef HF_SAVE
 #undef HF_STEP
-}
 
 static void hf_dual_dispatch(HfCursor& A, HfCursor& B) {
   bool a0 = A.num_blocks_log == 0, b0 = B.num_blocks_log == 0;
@@ -2720,6 +2811,23 @@ static void hf_dual_dispatch(HfCursor& A, HfCursor& B) {
   else if (a0) hf_dual_run<true, false>(A, B);
   else if (b0) hf_dual_run<false, true>(A, B);
   else hf_dual_run<false, false>(A, B);
+}
+
+static void hf_tri_dispatch(HfCursor& A, HfCursor& B, HfCursor& C) {
+  if (A.num_blocks_log == 0 && B.num_blocks_log == 0 &&
+      C.num_blocks_log == 0)
+    hf_tri_run<true>(A, B, C);
+  else
+    hf_tri_run<false>(A, B, C);
+}
+
+static void hf_quad_dispatch(HfCursor& A, HfCursor& B, HfCursor& C,
+                             HfCursor& D) {
+  if (A.num_blocks_log == 0 && B.num_blocks_log == 0 &&
+      C.num_blocks_log == 0 && D.num_blocks_log == 0)
+    hf_quad_run<true>(A, B, C, D);
+  else
+    hf_quad_run<false>(A, B, C, D);
 }
 
 // One coefficient iteration (the body of decode_hf_group_core's inner
@@ -3000,51 +3108,71 @@ int jxlhost_decode_hf_groups_batch(
     }
   };
 
-  auto run_job_pair = [&](i32 j1, i32 j2) {
-    JobState A, B;
-    A.k = job_start[j1];
-    A.end = A.k + job_count[j1];
-    B.k = job_start[j2];
-    B.end = B.k + job_count[j2];
-    pump(A);
-    pump(B);
-    while (!A.done && !B.done) {
-      hf_dual_dispatch(A.cur, B.cur);
-      if (A.cur.status != 0) pump(A);
-      if (B.cur.status != 0) pump(B);
+  // Interleave m <= 4 jobs. Measured on the dense VarDCT bench (4-wide
+  // x86 core): 2-way 68.5 MP/s, 3-way 67.0, 4-way 55.7 — two streams
+  // already saturate issue width (a step is ~30 uops vs a ~12-cycle ANS
+  // chain), and wider interleave only adds register spills, so the
+  // driver claims pairs; the tri/quad runners remain for the regrouping
+  // tail (a pair whose job ends mid-claim joins the next claim).
+  auto run_job_multi = [&](const i32* jobs, int m) {
+    JobState js[4];
+    for (int i = 0; i < m; i++) {
+      js[i].k = job_start[jobs[i]];
+      js[i].end = js[i].k + job_count[jobs[i]];
+      pump(js[i]);
     }
-    JobState& R = A.done ? B : A;
     for (;;) {
-      pump(R);
-      if (R.done) break;
-      while (hf_step(R.cur)) {
+      JobState* live[4];
+      int n_live = 0;
+      for (int i = 0; i < m; i++)
+        if (!js[i].done) live[n_live++] = &js[i];
+      if (n_live == 0) return;
+      if (n_live == 1) {
+        JobState& R = *live[0];
+        for (;;) {
+          pump(R);
+          if (R.done) return;
+          while (hf_step(R.cur)) {
+          }
+        }
       }
+      if (n_live == 2)
+        hf_dual_dispatch(live[0]->cur, live[1]->cur);
+      else if (n_live == 3)
+        hf_tri_dispatch(live[0]->cur, live[1]->cur, live[2]->cur);
+      else
+        hf_quad_dispatch(live[0]->cur, live[1]->cur, live[2]->cur,
+                         live[3]->cur);
+      for (int i = 0; i < n_live; i++)
+        if (live[i]->cur.status != 0) pump(*live[i]);
     }
   };
 
-  // Interleave pairs only when jobs comfortably outnumber workers:
-  // greedy two-job claiming with n_jobs <= n_threads would idle half the
-  // pool (two jobs on one core at ~1.5x lose to two cores at 2x).
+  // Interleave only when jobs comfortably outnumber workers: greedy
+  // multi-job claiming with n_jobs <= n_threads would idle part of the
+  // pool (four jobs on one core at ~2x lose to four cores at 4x).
   i32 nt = (n_threads <= 1 || n_jobs <= 1)
                ? 1
                : (n_threads < n_jobs ? n_threads : n_jobs);
-  const bool pair_mode = n_jobs >= 2 * nt;
+  const int ways = n_jobs >= 2 * nt ? 2 : 1;
 
   std::atomic<i32> next_job{0};
   auto worker = [&]() {
     for (;;) {
-      i32 j1 = next_job.fetch_add(1, std::memory_order_relaxed);
-      if (j1 >= n_jobs) break;
-      if (!pair_mode) {
-        run_job_single(j1);
-        continue;
+      i32 jobs[4];
+      int m = 0;
+      // claim up to `ways` jobs; tail claims take what remains
+      while (m < ways) {
+        i32 j = next_job.fetch_add(1, std::memory_order_relaxed);
+        if (j >= n_jobs) break;
+        jobs[m++] = j;
       }
-      i32 j2 = next_job.fetch_add(1, std::memory_order_relaxed);
-      if (j2 >= n_jobs) {
-        run_job_single(j1);
-        break;
-      }
-      run_job_pair(j1, j2);
+      if (m == 0) break;
+      if (m == 1)
+        run_job_single(jobs[0]);
+      else
+        run_job_multi(jobs, m);
+      if (m < ways) break;  // pool exhausted mid-claim
     }
   };
 
@@ -3692,17 +3820,19 @@ int jxlhost_parse_decoder(
       i32 alphabet = 1 << (ANS_PRECISION - a.log_bucket_size);
       buf.push_back(a.log_bucket_size);
       buf.push_back((i32)off);
-      off += 3ll * alphabet;  // packed AnsBucket: 3 i32 words each
+      off += 2ll * alphabet;  // packed AnsBucket: 2 i32 words each
     }
     buf.push_back((i32)off);
     for (auto& a : d.ans) {
       i32 alphabet = 1 << (ANS_PRECISION - a.log_bucket_size);
       for (i32 i = 0; i < alphabet; i++) {
-        u32 sym = (u32)a.alias_symbol[i];
-        buf.push_back((i32)((u32)a.alias_cutoff[i] | (sym << 16)));
-        buf.push_back((i32)((u32)a.alias_offset[i] |
-                            ((u32)a.dist[i] << 16)));
-        buf.push_back(a.dist[sym]);
+        u64 sym = (u64)(u32)a.alias_symbol[i];
+        u64 v = (u64)(u32)a.alias_cutoff[i] | (sym << 13) |
+                ((u64)(u32)a.alias_offset[i] << 25) |
+                ((u64)(u32)a.dist[i] << 37) |
+                ((u64)(u32)a.dist[sym] << 50);
+        buf.push_back((i32)(u32)(v & 0xFFFFFFFF));
+        buf.push_back((i32)(u32)(v >> 32));
       }
     }
   }

@@ -1063,9 +1063,24 @@ class VardctFrameState:
             coeff_input, lf_input, hi["lf_scale_arr"],
             x_grid, b_grid, sigma_blocks, code_grid, mul_grid,
         ]
-        placed = [
-            jax.device_put(a, s) for a, s in zip(inputs, shardings)
-        ]
+
+        def _place(a, s):
+            # A mesh spanning processes (real multi-host: jax.distributed)
+            # cannot device_put to non-addressable devices; every process
+            # runs the full host stage on the same bytes, so each hands
+            # its addressable devices their shards (SURVEY 5: DCN
+            # distributes TOC sections; here the host stage is replicated
+            # and the device arrays are globally sharded).
+            if isinstance(a, tuple):
+                return tuple(_place(x, sh) for x, sh in zip(a, s))
+            if s.is_fully_addressable:
+                return jax.device_put(a, s)
+            a = np.asarray(a)
+            return jax.make_array_from_callback(
+                a.shape, s, lambda idx: a[idx]
+            )
+
+        placed = [_place(a, s) for a, s in zip(inputs, shardings)]
         out = fn(*placed)
         self.filters_applied = True
         # shard-row padding + frame-size crop are fused into the program

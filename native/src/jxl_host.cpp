@@ -1276,6 +1276,10 @@ struct SpecHolder {
   std::vector<AnsTable> ans_v;
   std::vector<AnsRec> rec_v;
   std::vector<PrefixTable> pfx_v;
+  // The serialized blob arrives as i32 words from Python with only 4-byte
+  // alignment guaranteed; AnsBucket is a u64 load, so copy into an
+  // 8-aligned owned store (once per spec — nothing vs decode cost).
+  std::vector<AnsBucket> bucket_store;
 
   void build(const i32* spec_header, const i32* cluster_map, const i32* cfgs,
              const i32* ans_meta, const i32* ans_blob,
@@ -1305,11 +1309,19 @@ struct SpecHolder {
     } else {
       ans_v.resize(spec.num_clusters);
       rec_v.resize(spec.num_clusters);
+      size_t total_words = 0;
+      for (int i = 0; i < spec.num_clusters; i++) {
+        size_t end = (size_t)ans_meta[i * 2 + 1] +
+                     2u * ((size_t)1 << (12 - ans_meta[i * 2]));
+        if (end > total_words) total_words = end;
+      }
+      bucket_store.resize(total_words / 2);
+      if (total_words)
+        std::memcpy(bucket_store.data(), ans_blob, total_words * 4);
       for (int i = 0; i < spec.num_clusters; i++) {
         i32 lbs = ans_meta[i * 2];
         i32 off = ans_meta[i * 2 + 1];  // in i32 words (2 per bucket)
-        ans_v[i] = AnsTable{
-            lbs, reinterpret_cast<const AnsBucket*>(ans_blob + off)};
+        ans_v[i] = AnsTable{lbs, bucket_store.data() + off / 2};
         rec_v[i] = AnsRec{ans_v[i].buckets, (u32)lbs,
                           1u << cfg_v[i].split_exponent, (u32)cfg_v[i].msb,
                           (u32)cfg_v[i].lsb, (u32)cfg_v[i].split_exponent, 0};

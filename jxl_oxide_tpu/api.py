@@ -501,8 +501,66 @@ class JxlImage:
         self.requested_encoding = encoding
 
     def request_icc(self, icc: bytes) -> None:
-        """Render into the color space of the given ICC profile (via CMS)."""
+        """Render into the color space of the given ICC profile
+        (jxl-oxide lib.rs:693-697). Enum-expressible profiles take the
+        exact on-device enum transform; anything else runs the CMS leg.
+        Raises JxlError if the profile cannot be read at all."""
+        # Structural validity only (with_icc parse-failure semantics):
+        # profiles that aren't enum-expressible are still fine — they take
+        # the CMS leg at render time.
+        if len(icc) < 132 or icc[36:40] != b"acsp":
+            raise JxlError("invalid ICC profile")
         self.requested_icc = icc
+
+    def rendered_icc(self) -> bytes:
+        """ICC profile describing render output (lib.rs:547-555): the
+        requested profile if one was set, else synthesized from the
+        output colour encoding; ICC-described sources keep their
+        embedded profile when no CMS is available to convert them."""
+        if self.requested_icc is not None:
+            return self.requested_icc
+        from .color.synthesize import colour_encoding_to_icc
+
+        meta = self.image_header.metadata
+        source = meta.colour_encoding
+        if source.want_icc and not meta.xyb_encoded:
+            enum_src = None
+            if self.embedded_icc:
+                from .color.parse import parse_icc
+
+                try:
+                    enum_src = parse_icc(self.embedded_icc)
+                except JxlError:
+                    enum_src = None
+            if enum_src is not None:
+                return colour_encoding_to_icc(
+                    self.requested_encoding or ColourEncoding()
+                )
+            from .color.cms import NullCms, srgb_icc
+
+            if self._cms is None or isinstance(self._cms, NullCms):
+                return self.embedded_icc or b""
+            return srgb_icc()  # PilCms default target
+        target = self.requested_encoding
+        if target is None:
+            target = (
+                meta.colour_encoding if not meta.xyb_encoded else ColourEncoding()
+            )
+        return colour_encoding_to_icc(target)
+
+    def rendered_cicp(self) -> tuple[int, int, int, int] | None:
+        """CICP tag of the render output encoding, if enum-described
+        (lib.rs:557-562)."""
+        if self.requested_icc is not None:
+            return None
+        meta = self.image_header.metadata
+        enc = self.requested_encoding
+        if enc is None:
+            if meta.xyb_encoded or meta.colour_encoding.want_icc:
+                enc = ColourEncoding()
+            else:
+                enc = meta.colour_encoding
+        return enc.cicp()
 
     def set_cms(self, cms) -> None:
         self._cms = cms
@@ -655,25 +713,44 @@ class JxlImage:
         return sorted(needed), seeds
 
     _KEYFRAME_CACHE_CAP = 8
+    # BYTE-based bound on cached canvases (alloc_tracker.rs discipline: a
+    # count cap alone lets 8 full-size canvases dwarf the decode budget).
+    # With a decode memory limit configured, the cache is held to half of
+    # it; otherwise to this default.
+    _KEYFRAME_CACHE_MAX_BYTES = 512 << 20
 
     def _cache_key(self, keyframe_idx: int):
         # partial (ROI) decodes cache separately from full decodes
         return (keyframe_idx, self._image_region)
 
+    @staticmethod
+    def _kf_bytes(kf: KeyframeRender) -> int:
+        return RenderContext._planes_bytes(kf.color) + RenderContext._planes_bytes(
+            kf.extra
+        )
+
     def _cache_store(self, key, kf: KeyframeRender) -> None:
         """FIFO-bounded keyframe canvas cache: tile-serving patterns with
         many distinct crop regions must not accumulate full-size canvases
-        without bound."""
+        without bound. Bounded by count AND bytes; the newest entry always
+        stays (it is the render being returned)."""
         cache = self._keyframe_cache
         cache[key] = kf
-        while len(cache) > self._KEYFRAME_CACHE_CAP:
+        max_bytes = self._KEYFRAME_CACHE_MAX_BYTES
+        if self._tracker is not None:
+            max_bytes = min(max_bytes, self._tracker.limit // 2)
+        total = sum(self._kf_bytes(v) for v in cache.values())
+        while len(cache) > 1 and (
+            len(cache) > self._KEYFRAME_CACHE_CAP or total > max_bytes
+        ):
             from .utils.alloc import release_alloc
 
             # evict the OLDEST insertion (dict preserves insertion order)
             oldest = next(iter(cache))
             old_kf = cache.pop(oldest)
-            release_alloc(RenderContext._planes_bytes(old_kf.color)
-                          + RenderContext._planes_bytes(old_kf.extra))
+            nb = self._kf_bytes(old_kf)
+            total -= nb
+            release_alloc(nb)
 
     def _coded_region(self):
         """The requested display-space region mapped into coded image
@@ -1031,6 +1108,19 @@ class JxlImage:
                     pass  # NullCms: keep ICC-described samples as-is
         else:
             target = self.requested_encoding
+            icc_leg = None
+            if self.requested_icc is not None:
+                # ICC target on an enum/XYB source (lib.rs:693-697 +
+                # jxl-render lib.rs:208): enum-expressible profiles take
+                # the exact enum transform; otherwise render to sRGB and
+                # run the CMS leg from a synthesized sRGB profile.
+                from .color.parse import parse_icc
+
+                try:
+                    target = parse_icc(self.requested_icc)
+                except JxlError:
+                    target = ColourEncoding()  # sRGB connection space
+                    icc_leg = self.requested_icc
             if target is None:
                 target = (
                     meta.colour_encoding
@@ -1041,6 +1131,16 @@ class JxlImage:
             tr = self._cached_transform(source, target, meta)
             if not tr.is_noop:
                 color = list(tr.run(color))
+            if icc_leg is not None and self._cms is not None:
+                from .color.cms import srgb_icc
+
+                cms_tr = self._cms.prepare_transform(srgb_icc(), icc_leg)
+                color = [
+                    np.asarray(p, dtype=np.float32)
+                    for p in cms_tr.transform(
+                        [np.asarray(p, dtype=np.float32) for p in color]
+                    )
+                ]
 
         if crop is not None:
             # The requested region is in oriented/display space; map it

@@ -589,8 +589,9 @@ def reconstruct_jpeg(jbrd: JpegBitstreamData, frame, icc: bytes = b"",
 
     # Decode the frame's quantized coefficients (host entropy stage).
     state = getattr(frame, "_vardct_state", None)
-    if state is None:
-        decode_vardct_frame(frame)
+    if state is None or state.coeff_planes is None:
+        # keep_coeffs: a prior render may have trimmed the planes
+        decode_vardct_frame(frame, keep_coeffs=True)
         state = frame._vardct_state
     hf_global = frame._hf_global
     jpeg_quant = hf_global.dequant_matrices.jpeg_quant_values

@@ -108,10 +108,18 @@ class ModularImage:
         if views is not None:
             self.image_channels = views
         else:
-            from ..utils.alloc import track_alloc
+            from ..utils.alloc import current_tracker, track_alloc
 
             itemsize = np.dtype(dtype).itemsize
-            track_alloc(sum(itemsize * c.height * c.width for c in channels))
+            nbytes = sum(itemsize * c.height * c.width for c in channels)
+            track_alloc(nbytes)
+            tracker = current_tracker()
+            if tracker is not None:
+                # returned to the budget when the modular image is dropped
+                # (alloc_tracker.rs drop semantics)
+                import weakref
+
+                weakref.finalize(self, tracker.release, nbytes)
             self.image_channels = [
                 np.zeros((c.height, c.width), dtype=dtype) for c in channels
             ]

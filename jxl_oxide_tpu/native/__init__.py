@@ -99,6 +99,60 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def mem_stats() -> tuple[int, int]:
+    """(current, peak) native scratch bytes — LZ77 windows, alias-bucket
+    stores, HF offset tables (jxl-grid alloc_tracker.rs:8-51 parity for
+    the C++ stage). (0, 0) when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return (0, 0)
+    cur = ctypes.c_int64()
+    peak = ctypes.c_int64()
+    lib.jxlhost_mem_stats(ctypes.byref(cur), ctypes.byref(peak))
+    return (cur.value, peak.value)
+
+
+class native_budget:
+    """Scope one native call under the active AllocTracker: on entry the
+    native limit becomes the tracker's remaining headroom (so the C++
+    stage fails with ret 12 -> JxlOutOfMemoryError instead of allocating
+    past the budget), and on exit the native scratch PEAK reached during
+    the call is folded into the tracker's peak. The native counters are
+    process-global, so concurrent decodes share one budget — the
+    conservative direction for enforcement."""
+
+    def __enter__(self):
+        from ..utils.alloc import current_tracker
+
+        self._tracker = t = current_tracker()
+        self._lib = lib = get_lib()
+        if t is None or lib is None:
+            return self
+        lib.jxlhost_mem_reset_peak()
+        cur = ctypes.c_int64()
+        peak = ctypes.c_int64()
+        lib.jxlhost_mem_stats(ctypes.byref(cur), ctypes.byref(peak))
+        self._base_peak = peak.value
+        # headroom on top of whatever native scratch is already live
+        lib.jxlhost_mem_set_limit(
+            ctypes.c_int64(max(0, t.limit - t.used) + cur.value)
+        )
+        return self
+
+    def __exit__(self, *exc):
+        t, lib = self._tracker, self._lib
+        if t is None or lib is None:
+            return False
+        lib.jxlhost_mem_set_limit(ctypes.c_int64(0))
+        cur = ctypes.c_int64()
+        peak = ctypes.c_int64()
+        lib.jxlhost_mem_stats(ctypes.byref(cur), ctypes.byref(peak))
+        delta = peak.value - self._base_peak
+        if delta > 0 and t.used + delta > t.peak:
+            t.peak = t.used + delta
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Serialization
 
@@ -287,7 +341,8 @@ def decode_modular_native(
     def ip(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
-    ret = lib.jxlhost_decode_modular(
+    with native_budget():
+        ret = lib.jxlhost_decode_modular(
         ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_uint64(len(data)),
         ctypes.byref(bit_pos),
@@ -308,13 +363,7 @@ def decode_modular_native(
         ctypes.c_int32(1 if is16 else 0),
     )
     if ret != 0:
-        from ..utils.errors import JxlEofError
-
-        if ret == 4:
-            raise JxlEofError("stream truncated (native)")
-        if ret == 2:
-            raise JxlBitstreamError("ANS final state mismatch (native)")
-        raise JxlBitstreamError(f"native modular decode error {ret}")
+        raise_modular_ret(ret)
     bs.pos = bit_pos.value
 
 
@@ -499,6 +548,16 @@ def place_varblocks(block_info_raw, bh: int, bw: int, group_blocks: int,
     return sel_grid, mul_grid, mul_full
 
 
+def raise_native_oom(ret: int) -> None:
+    """Raise if the native return code signals a scratch-budget failure
+    (ret 12 = 10 + DecoderState error 2, set when an LZ77 window or HF
+    offset table would exceed the jxlhost_mem_set_limit budget)."""
+    if ret == 12:
+        from ..utils.alloc import JxlOutOfMemoryError
+
+        raise JxlOutOfMemoryError("native scratch memory budget exceeded")
+
+
 def raise_modular_ret(ret: int) -> None:
     """Map a native modular-decode return code to the library exception."""
     if ret == 0:
@@ -509,6 +568,7 @@ def raise_modular_ret(ret: int) -> None:
         raise JxlEofError("stream truncated (native)")
     if ret == 2:
         raise JxlBitstreamError("ANS final state mismatch (native)")
+    raise_native_oom(ret)
     raise JxlBitstreamError(f"native modular decode error {ret}")
 
 
@@ -624,7 +684,8 @@ def decode_modular_batch(records, num_threads: int) -> np.ndarray:
     def ip(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
-    ret = lib.jxlhost_decode_modular_batch(
+    with native_budget():
+        ret = lib.jxlhost_decode_modular_batch(
         ctypes.c_int32(len(spec_tables)),
         ctypes.cast(spec_ptrs, ctypes.POINTER(ctypes.c_void_p)),
         ctypes.cast(chan_bufs, ctypes.POINTER(ctypes.c_void_p)),
@@ -749,7 +810,8 @@ def decode_hf_group_native(
 
     bit_pos = ctypes.c_uint64(bs.pos)
     data = bs.data
-    ret = lib.jxlhost_decode_hf_group(
+    with native_budget():
+        ret = lib.jxlhost_decode_hf_group(
         ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_uint64(len(data)),
         ctypes.byref(bit_pos),
@@ -773,6 +835,7 @@ def decode_hf_group_native(
     if ret != 0:
         if ret == 4:
             raise JxlEofError("HF stream truncated (native)")
+        raise_native_oom(ret)
         raise JxlBitstreamError(f"native HF decode error {ret}")
     bs.pos = bit_pos.value
 
@@ -886,7 +949,8 @@ def decode_hf_groups_batch(
     job_start = np.asarray([s for s, _ in jobs], dtype=np.int32)
     job_count = np.asarray([c for _, c in jobs], dtype=np.int32)
 
-    ret = lib.jxlhost_decode_hf_groups_batch(
+    with native_budget():
+        ret = lib.jxlhost_decode_hf_groups_batch(
         ctypes.c_int32(n_passes),
         pass_specs, pass_ord,
         ip(nhp_arr), ip(shift_arr),
@@ -919,6 +983,7 @@ def decode_hf_groups_batch(
             raise JxlEofError("HF stream truncated (native)")
         if code == 7:
             raise JxlValidationError("selected HF preset out of bounds")
+        raise_native_oom(code)
         raise JxlBitstreamError(f"native HF decode error {code}")
     return sec_bit_pos
 

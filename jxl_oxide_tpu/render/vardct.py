@@ -188,6 +188,15 @@ class _Bucket:
         return self._idx
 
 
+def _release_cell(cell) -> None:
+    """weakref.finalize target: return a state's remaining tracked bytes
+    to its AllocTracker exactly once (trim may have returned part already)."""
+    tracker = cell.get("tracker")
+    if tracker is not None:
+        tracker.release(cell["n"])
+    cell["n"] = 0
+
+
 class VardctFrameState:
     """Whole-frame VarDCT decode state: LF planes, coefficient planes, and
     per-frame varblock plan feeding the device pipeline."""
@@ -224,9 +233,23 @@ class VardctFrameState:
             )
             self.lf_shapes.append((_ceil_shift(bh, vs), _ceil_shift(bw, hs)))
 
-        from ..utils.alloc import track_alloc
+        from ..utils.alloc import current_tracker, track_alloc
 
-        track_alloc(sum(4 * h_ * w_ for h_, w_ in self.plane_shapes) * 2)
+        # exact plane bytes, returned to the budget when the state (or the
+        # ProgressiveCache holding it) is dropped — alloc_tracker.rs drop
+        # semantics via weakref.finalize, so both the transient whole-frame
+        # path and the cached progressive path release without lifecycle
+        # plumbing
+        nbytes = sum(4 * h_ * w_ for h_, w_ in self.plane_shapes) + sum(
+            4 * h_ * w_ for h_, w_ in self.lf_shapes
+        )
+        track_alloc(nbytes)
+        tracker = current_tracker()
+        self._alloc_cell = {"n": nbytes, "tracker": tracker}
+        if tracker is not None:
+            import weakref
+
+            weakref.finalize(self, _release_cell, self._alloc_cell)
         self.coeff_planes = [
             np.zeros(shape, dtype=np.int32) for shape in self.plane_shapes
         ]
@@ -240,6 +263,27 @@ class VardctFrameState:
         self.lf_override = getattr(frame, "_lf_frame_planes", None)
         self.lf_groups: dict[int, LfGroup] = {}
         self.opsin = meta.opsin_inverse_matrix
+
+    def trim_coeff_planes(self) -> None:
+        """Drop the int32 coefficient / LF-quant planes once the device
+        pipeline has consumed them, returning their bytes to the budget
+        (alloc_tracker.rs drop-on-last-use). The small per-LF-group
+        metadata (EPF sigma grids, filters_applied) survives for
+        render.py; jbrd re-decodes with keep_coeffs=True when it needs
+        the raw coefficients. Progressive-cache states are never trimmed
+        (later passes accumulate into these planes)."""
+        if self.coeff_planes is None:
+            return
+        freed = sum(p.nbytes for p in self.coeff_planes)
+        freed += sum(p.nbytes for p in self.lf_quant_planes)
+        self.coeff_planes = None
+        self.lf_quant_planes = None
+        cell = self._alloc_cell
+        take = min(freed, cell["n"])
+        cell["n"] -= take
+        tracker = cell.get("tracker")
+        if tracker is not None:
+            tracker.release(take)
 
     # -- LF group assembly --------------------------------------------------
 
@@ -1283,7 +1327,8 @@ class ProgressiveCache:
 
 
 @traced("Render VarDCT")
-def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
+def decode_vardct_frame(frame, allow_partial: bool = False, cache=None,
+                        keep_coeffs: bool = False):
     """Full VarDCT frame decode. Returns ([x, y, b] float32 planes cropped
     to the frame sample size at channel shifts, extra-channel arrays).
 
@@ -1458,6 +1503,8 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None):
     if modular is not None:
         chans = modular.finish()
         extra = chans[gmodular.extra_channel_from :]
+    if not keep_coeffs:
+        state.trim_coeff_planes()
     return cropped, extra
 
 

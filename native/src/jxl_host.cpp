@@ -31,6 +31,62 @@ using i64 = int64_t;
 inline i32 wrap32(i64 v) { return (i32)(u32)(u64)v; }
 
 // ---------------------------------------------------------------------------
+// Native scratch accounting (jxl-grid alloc_tracker.rs:8-51 parity for the
+// C++ stage). The allocations big enough to matter are the LZ77 windows
+// (4 MiB per active stream), the per-spec alias-bucket stores, and the HF
+// order-offset tables; everything else is O(row) or O(spec). Python reads
+// the counters over the ctypes ABI (jxlhost_mem_*) and folds the per-call
+// peak into its AllocTracker; with a limit set the decode fails with an
+// OOM return code instead of allocating. Counters are process-global:
+// concurrent decodes share one budget, which is the conservative
+// direction for enforcement.
+
+std::atomic<i64> g_mem_cur{0};
+std::atomic<i64> g_mem_peak{0};
+std::atomic<i64> g_mem_limit{0};  // 0 = unlimited
+
+inline bool mem_add(i64 n) {
+  i64 cur = g_mem_cur.fetch_add(n, std::memory_order_relaxed) + n;
+  i64 peak = g_mem_peak.load(std::memory_order_relaxed);
+  while (cur > peak && !g_mem_peak.compare_exchange_weak(
+                           peak, cur, std::memory_order_relaxed)) {
+  }
+  i64 lim = g_mem_limit.load(std::memory_order_relaxed);
+  if (lim > 0 && cur > lim) {
+    g_mem_cur.fetch_sub(n, std::memory_order_relaxed);
+    return false;
+  }
+  return true;
+}
+inline void mem_sub(i64 n) { g_mem_cur.fetch_sub(n, std::memory_order_relaxed); }
+
+// Owns a byte reservation; returns it on destruction. Movable (vector
+// storage), not copyable (a copy would double-release).
+struct MemGuard {
+  i64 n = 0;
+  MemGuard() = default;
+  MemGuard(const MemGuard&) = delete;
+  MemGuard& operator=(const MemGuard&) = delete;
+  MemGuard(MemGuard&& o) noexcept : n(o.n) { o.n = 0; }
+  MemGuard& operator=(MemGuard&& o) noexcept {
+    if (this != &o) {
+      if (n) mem_sub(n);
+      n = o.n;
+      o.n = 0;
+    }
+    return *this;
+  }
+  bool acquire(i64 bytes) {
+    if (!mem_add(bytes)) return false;
+    n += bytes;
+    return true;
+  }
+  ~MemGuard() {
+    if (n) mem_sub(n);
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Bit reader: LSB-first little-endian (jxl-bitstream bitstream.rs).
 // Reads past the end zero-extend (ANS tail refill semantics); the final
 // ANS state check catches real corruption.
@@ -165,8 +221,10 @@ struct DecoderState {
   bool initial = true;
   // LZ77
   std::vector<u32> window;
+  MemGuard window_mem;
   u64 num_to_copy = 0, copy_pos = 0, num_decoded = 0;
-  int error = 0;  // sticky error flag
+  int error = 0;  // sticky error flag (1 = lz77 before first symbol,
+                  //  2 = scratch memory budget exceeded); ret = 10 + error
 
   void begin() {
     if (!spec->use_prefix) {
@@ -302,7 +360,13 @@ struct DecoderState {
       u32 token = read_symbol(cluster);
       return read_uint(spec->cfgs[cluster], token);
     }
-    if (window.empty()) window.resize(LZ_WINDOW_SIZE);
+    if (window.empty()) {
+      if (!window_mem.acquire((i64)LZ_WINDOW_SIZE * (i64)sizeof(u32))) {
+        error = 2;
+        return 0;
+      }
+      window.resize(LZ_WINDOW_SIZE);
+    }
     u32 r;
     if (num_to_copy > 0) {
       r = window[copy_pos & LZ_WINDOW_MASK];
@@ -1280,6 +1344,7 @@ struct SpecHolder {
   // alignment guaranteed; AnsBucket is a u64 load, so copy into an
   // 8-aligned owned store (once per spec — nothing vs decode cost).
   std::vector<AnsBucket> bucket_store;
+  MemGuard mem;
 
   void build(const i32* spec_header, const i32* cluster_map, const i32* cfgs,
              const i32* ans_meta, const i32* ans_blob,
@@ -1315,6 +1380,9 @@ struct SpecHolder {
                      2u * ((size_t)1 << (12 - ans_meta[i * 2]));
         if (end > total_words) total_words = end;
       }
+      // Accounted but never the enforcement point: spec tables are small
+      // next to the LZ windows / offset tables where the limit is checked.
+      (void)mem.acquire((i64)(total_words / 2) * (i64)sizeof(AnsBucket));
       bucket_store.resize(total_words / 2);
       if (total_words)
         std::memcpy(bucket_store.data(), ans_blob, total_words * 4);
@@ -1357,6 +1425,20 @@ inline int icc_context(u64 idx, u32 b1, u32 b2) {
 // C ABI
 
 extern "C" {
+
+// Native scratch accounting ABI (read/reset by jxl_oxide_tpu.native so the
+// Python AllocTracker's budget covers C++-side scratch too).
+void jxlhost_mem_stats(i64* cur, i64* peak) {
+  *cur = g_mem_cur.load(std::memory_order_relaxed);
+  *peak = g_mem_peak.load(std::memory_order_relaxed);
+}
+void jxlhost_mem_set_limit(i64 limit) {
+  g_mem_limit.store(limit, std::memory_order_relaxed);
+}
+void jxlhost_mem_reset_peak() {
+  g_mem_peak.store(g_mem_cur.load(std::memory_order_relaxed),
+                   std::memory_order_relaxed);
+}
 
 // Decode one modular sub-stream: all channels sharing one entropy stream.
 // Returns 0 on success; >0 error codes. Updates *bit_pos.
@@ -2476,8 +2558,10 @@ struct HfCursor {
   i32 oi2;                 // coefficient index within the run
   i32 coeff_shift;
   // offset-table cache, keyed by (order_id*3 + channel)*2 + transpose;
-  // rebuilt per section (orders are per pass, strides per channel)
+  // rebuilt per section (orders are per pass, strides per channel).
+  // offtab_mem tracks cumulative CAPACITY (clear() keeps capacity).
   std::vector<i64> offtab[13 * 3 * 2];
+  MemGuard offtab_mem;
   // status: 0 = in a coefficient run, 1 = needs hf_advance,
   // 2 = section done (result = section return code), >2 = error result
   int status;
@@ -2633,6 +2717,13 @@ static void hf_advance(HfCursor& c) {
       std::vector<i64>& tab = c.offtab[oid3 * 2 + transpose];
       if (tab.empty()) {
         const i32* order = gp.orders_blob + gp.order_offsets[oid3];
+        if ((size_t)order_len > tab.capacity() &&
+            !c.offtab_mem.acquire(
+                ((i64)order_len - (i64)tab.capacity()) * (i64)sizeof(i64))) {
+          c.status = 2;
+          c.result = 12;  // scratch memory budget exceeded (= 10 + error 2)
+          return;
+        }
         tab.resize(order_len);
         for (i32 oi = 0; oi < order_len; oi++) {
           i32 dx = order[oi * 2], dy = order[oi * 2 + 1];

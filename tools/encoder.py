@@ -549,6 +549,80 @@ def _encode_splines(w: BitWriter, splines, quant_adjust: int = 0) -> None:
     enc.encode_tokens(w, toks)
 
 
+def _write_u64(w: BitWriter, v: int) -> None:
+    """General U64 writer (Bitstream.read_u64 inverse)."""
+    if v == 0:
+        w.write(0, 2)
+    elif v <= 16:
+        w.write(1, 2)
+        w.write(v - 1, 4)
+    elif v <= 272:
+        w.write(2, 2)
+        w.write(v - 17, 8)
+    else:
+        w.write(3, 2)
+        w.write(v & 0xFFF, 12)
+        v >>= 12
+        shift = 12
+        while v:
+            w.write(1, 1)  # continuation (read before each chunk)
+            if shift == 60:
+                w.write(v & 0xF, 4)
+                return  # decoder breaks after the shift-60 chunk
+            w.write(v & 0xFF, 8)
+            v >>= 8
+            shift += 8
+        w.write(0, 1)  # terminator
+
+
+def _icc_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode_icc_payload(icc: bytes) -> bytes:
+    """ICC binary -> the predicted command/data stream decode_icc expects,
+    in the degenerate form: header-byte residuals, NO tag list (varint 0),
+    then one literal-insert command for everything past byte 128. Valid
+    for any profile; no compression gain, which tests don't need."""
+    from jxl_oxide_tpu.color.icc import _predict_header
+
+    n = len(icc)
+    resid = bytearray()
+    for i in range(min(128, n)):
+        p = _predict_header(i, n & 0xFFFFFFFF, resid)
+        resid.append((icc[i] - p) & 0xFF)
+    if n <= 128:
+        commands = b""
+        data = bytes(resid)
+    else:
+        rest = icc[128:]
+        commands = _icc_varint(0) + b"\x01" + _icc_varint(len(rest))
+        data = bytes(resid) + rest
+    return _icc_varint(n) + _icc_varint(len(commands)) + commands + data
+
+
+def write_icc_section(out: BitWriter, icc: bytes) -> None:
+    """enc_size U64 + 41-context entropy-coded payload bytes (read_icc
+    inverse; all 41 contexts map to one cluster via the simple map)."""
+    payload = encode_icc_payload(icc)
+    _write_u64(out, len(payload))
+    # split_exponent == log_alphabet_size == 8: token IS the byte value
+    enc = AnsStreamEncoder(
+        41, 256, 8, IntegerConfig(split_exponent=8, msb_in_token=0,
+                                  lsb_in_token=0)
+    )
+    enc.write_header(out)
+    enc.encode_tokens(out, list(payload))
+
+
 def encode_jxl_modular(
     channels: list[np.ndarray],
     bit_depth: int = 8,
@@ -588,6 +662,7 @@ def encode_jxl_modular(
     frame_name: str = "",
     animation_params: tuple | None = None,  # (tps_num, tps_den, loops, timecodes)
     lf_dequant: tuple | None = None,  # custom (m_x, m_y, m_b) LF weights
+    embed_icc: bytes | None = None,  # want_icc colour encoding + ICC stream
 ) -> bytes:
     """Encode channel arrays as a lossless Modular bare codestream.
 
@@ -790,7 +865,12 @@ def encode_jxl_modular(
                 out.write(cfa, 2)
     out.write_bool(xyb)  # xyb_encoded
     # colour_encoding
-    if grayscale:
+    if embed_icc is not None:
+        assert not xyb, "embedded-ICC samples are non-XYB"
+        out.write_bool(False)  # not all_default
+        out.write_bool(True)  # want_icc
+        _write_enum(out, 1 if grayscale else 0)  # Grey / RGB
+    elif grayscale:
         out.write_bool(False)  # not all_default
         out.write_bool(False)  # want_icc = false
         _write_enum(out, 1)  # Grey
@@ -846,6 +926,9 @@ def encode_jxl_modular(
             out.write(1, 3)  # cw_mask: up2 only
             for v in up2_weights:
                 _f16w(v)
+    if embed_icc is not None:
+        # ICC stream directly after ImageHeader (read_icc position)
+        write_icc_section(out, embed_icc)
     out.zero_pad_to_byte()  # frames start byte-aligned (Frame::parse)
 
     def _write_one_frame(enc_channels, duration, is_last, frame_type=0,

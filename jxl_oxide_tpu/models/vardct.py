@@ -195,6 +195,10 @@ class TransformType:
         10, 10, 11, 12, 12,
     ]
 
+    # vectorized views for varblock placement (built once, not per group)
+    SELECT_SIZE_ARR = np.asarray(SELECT_SIZE, dtype=np.int32)  # [27, 2]
+    IS_1X1 = np.asarray([w == 1 and h == 1 for w, h in SELECT_SIZE])
+
     @staticmethod
     def need_transpose(t: int) -> bool:
         """need_transpose (dct_select.rs:143-157)."""
@@ -723,14 +727,9 @@ class HfMetadata:
         modular.subimage_all().decode(bs, 1 + 2 * num_lf_groups + lf_group_idx)
         x_from_y, b_from_y, block_info_raw, sharpness = modular.finish()
 
-        sel_grid = np.full((bh, bw), -1, dtype=np.int8)
-        mul_grid = np.zeros((bh, bw), dtype=np.int32)
-        occupied = np.zeros((bh, bw), dtype=bool)
-        epf_sigma = np.zeros((bh, bw), dtype=np.float32)
         if epf is not None:
             quant_mul, sharp_lut = epf
             sigma_base = quant_mul * 65536.0 / quantizer_global_scale
-        varblocks: list[tuple[int, int, int, int]] = []
 
         # Fast path: every coded block is 1x1 (<= 8x8 transforms) and fills
         # the grid exactly -> pure row-major placement, fully vectorized.
@@ -739,11 +738,7 @@ class HfMetadata:
         if n_raw == bw * bh and np.all(
             (sels_raw >= 0) & (sels_raw < TransformType.NUM_TYPES)
         ):
-            sizes = np.asarray(
-                [TransformType.SELECT_SIZE[i] for i in
-                 range(TransformType.NUM_TYPES)], dtype=np.int32
-            )
-            if np.all(sizes[sels_raw].max(axis=1).reshape(bh, bw) == 1):
+            if TransformType.IS_1X1[sels_raw].all():
                 muls_raw = block_info_raw[1].astype(np.int64) + 1
                 if np.any(muls_raw <= 0):
                     raise JxlValidationError("non-positive HfMul")
@@ -758,20 +753,25 @@ class HfMetadata:
                     epf_sigma = (
                         np.float32(sigma_base) / mul_grid.astype(np.float32)
                     ) * lut[sharpness]
+                else:
+                    epf_sigma = np.zeros((bh, bw), dtype=np.float32)
                 return cls(x_from_y, b_from_y, sel_grid, mul_grid,
                            epf_sigma)
+
+        sel_grid = np.full((bh, bw), -1, dtype=np.int8)
+        mul_grid = np.zeros((bh, bw), dtype=np.int32)
+        occupied = np.zeros((bh, bw), dtype=bool)
+        epf_sigma = np.zeros((bh, bw), dtype=np.float32)
+        varblocks: list[tuple[int, int, int, int]] = []
 
         group_blocks = group_dim // 8
 
         from .. import native as _native
 
         if _native.available():
-            sizes = np.asarray(
-                [d for i in range(TransformType.NUM_TYPES)
-                 for d in TransformType.SELECT_SIZE[i]], dtype=np.int32
-            )
             sel_grid, mul_grid, mul_full = _native.place_varblocks(
-                block_info_raw, bh, bw, group_blocks, sizes
+                block_info_raw, bh, bw, group_blocks,
+                TransformType.SELECT_SIZE_ARR.reshape(-1)
             )
             if epf is not None:
                 covered = mul_full > 0

@@ -39,6 +39,8 @@ def _lib_path() -> str:
     gets sanitizer coverage instead)."""
     if os.environ.get("JXL_TPU_NATIVE_SANITIZE"):
         return os.path.join(_LIB_DIR, "libjxl_host_asan.so")
+    if os.environ.get("JXL_TPU_NATIVE_PROF"):
+        return os.path.join(_LIB_DIR, "libjxl_host_prof.so")
     return _LIB
 
 
@@ -66,6 +68,10 @@ def _build() -> bool:
         opt = ["-O3", "-march=native"]
         if platform.machine().lower() in ("x86_64", "amd64", "i686"):
             opt.append("-mno-avx512f")
+        if os.environ.get("JXL_TPU_NATIVE_PROF"):
+            # rdtsc stage attribution (the dev VM has no PMU); see
+            # ProfScope in jxl_host.cpp. Single-thread measurements only.
+            opt.append("-DJXL_PROF")
     try:
         subprocess.run(
             ["g++", *opt, "-shared", "-fPIC", "-std=c++17", "-pthread",

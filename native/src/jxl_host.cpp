@@ -31,6 +31,41 @@ using i64 = int64_t;
 inline i32 wrap32(i64 v) { return (i32)(u32)(u64)v; }
 
 // ---------------------------------------------------------------------------
+// Optional rdtsc stage profiling (JXL_TPU_NATIVE_PROF=1 builds, -DJXL_PROF).
+// The dev VM exposes no PMU (perf_event_open -> ENOENT), so this is the
+// only way to attribute cycles between the HF walk/interleave stages.
+// NOT thread-safe: profile with n_threads=1. Zero cost when undefined.
+#ifdef JXL_PROF
+enum ProfSlot {
+  PROF_HF_ADVANCE = 0,
+  PROF_HF_BEGIN = 1,
+  PROF_HF_MULTI = 2,     // dual/tri/quad interleaved runs
+  PROF_HF_SINGLE = 3,    // single-stream drain (hf_step loop)
+  PROF_HF_FALLBACK = 4,  // run_section reference core
+  PROF_N = 8,
+};
+u64 g_prof_cycles[PROF_N];
+u64 g_prof_calls[PROF_N];
+inline u64 prof_rdtsc() {
+  unsigned lo, hi;
+  asm volatile("rdtsc" : "=a"(lo), "=d"(hi));
+  return ((u64)hi << 32) | lo;
+}
+struct ProfScope {
+  int slot;
+  u64 t0;
+  explicit ProfScope(int s) : slot(s), t0(prof_rdtsc()) {}
+  ~ProfScope() {
+    g_prof_cycles[slot] += prof_rdtsc() - t0;
+    g_prof_calls[slot]++;
+  }
+};
+#define PROF_SCOPE(s) ProfScope _prof_scope(s)
+#else
+#define PROF_SCOPE(s)
+#endif
+
+// ---------------------------------------------------------------------------
 // Native scratch accounting (jxl-grid alloc_tracker.rs:8-51 parity for the
 // C++ stage). The allocations big enough to matter are the LZ77 windows
 // (4 MiB per active stream), the per-spec alias-bucket stores, and the HF
@@ -1440,6 +1475,18 @@ void jxlhost_mem_reset_peak() {
                    std::memory_order_relaxed);
 }
 
+#ifdef JXL_PROF
+void jxlhost_prof_stats(u64* cycles, u64* calls) {
+  for (int i = 0; i < PROF_N; i++) {
+    cycles[i] = g_prof_cycles[i];
+    calls[i] = g_prof_calls[i];
+  }
+}
+void jxlhost_prof_reset() {
+  for (int i = 0; i < PROF_N; i++) g_prof_cycles[i] = g_prof_calls[i] = 0;
+}
+#endif
+
 // Decode one modular sub-stream: all channels sharing one entropy stream.
 // Returns 0 on success; >0 error codes. Updates *bit_pos.
 //
@@ -2576,6 +2623,7 @@ static bool hf_cursor_begin(HfCursor& c, const DecoderSpec& spec,
                             int nhp, i64 num_block_clusters,
                             const HfFrameCtx& fc, const HfGroupIo& gp,
                             i64& ctx_offset_out) {
+  PROF_SCOPE(PROF_HF_BEGIN);
   c.spec = &spec;
   c.br = BitReader{data, len_bytes * 8, bit_pos};
   int hfp_bits = 0;
@@ -2617,6 +2665,7 @@ static bool hf_cursor_begin(HfCursor& c, const DecoderSpec& spec,
 // or a decode error occurs (status 2, result set). Line-for-line the
 // outer loops of decode_hf_group_core.
 static void hf_advance(HfCursor& c) {
+  PROF_SCOPE(PROF_HF_ADVANCE);
   const HfFrameCtx& fc = *c.fc;
   const HfGroupIo& gp = c.gp;
   const i32* lf_thr_counts = fc.lf_thr_counts;
@@ -2691,8 +2740,13 @@ static void hf_advance(HfCursor& c) {
       i64 nz_idx = predicted >= 8 ? 4 + predicted / 2 : predicted;
       i64 non_zeros_ctx = block_ctx + nz_idx * fc.num_block_clusters;
 
-      u32 non_zeros = c.dec.read_varint_clustered(
-          c.spec->cluster_map[c.ctx_offset + non_zeros_ctx], 0);
+      // ANS-only sections (the batch driver routes LZ77/prefix sections
+      // to the reference core) take the inlined fast read: the general
+      // read_varint_clustered is an out-of-line call per nz token
+      int nz_cluster = c.spec->cluster_map[c.ctx_offset + non_zeros_ctx];
+      u32 non_zeros = (!c.spec->lz77_enabled && !c.spec->use_prefix)
+                          ? c.dec.read_varint_ans_fast(nz_cluster)
+                          : c.dec.read_varint_clustered(nz_cluster, 0);
       if (c.dec.error) {
         c.status = 2;
         c.result = 10 + c.dec.error;
@@ -3093,6 +3147,7 @@ int jxlhost_decode_hf_groups_batch(
   fc.vshifts = vshifts;
 
   auto run_section = [&](i32 k) -> int {
+    PROF_SCOPE(PROF_HF_FALLBACK);
     i32 p = sec_pass[k];
     const SpecHolder& holder = holders[p];
     BitReader br{sec_data[k], sec_len_bytes[k] * 8, sec_bit_pos[k]};
@@ -3235,10 +3290,12 @@ int jxlhost_decode_hf_groups_batch(
         for (;;) {
           pump(R);
           if (R.done) return;
+          PROF_SCOPE(PROF_HF_SINGLE);
           while (hf_step(R.cur)) {
           }
         }
       }
+      PROF_SCOPE(PROF_HF_MULTI);
       if (n_live == 2)
         hf_dual_dispatch(live[0]->cur, live[1]->cur);
       else if (n_live == 3)

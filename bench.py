@@ -570,6 +570,10 @@ def main() -> None:
             "host_entropy_mpps": round(host_mpps, 1),
             "host_entropy_mpps_per_core": round(host_mpps_1t, 1),
             "host_cores": __import__("multiprocessing").cpu_count(),
+            "host_cores_per_chip_at_1gpps": (
+                round(__import__("multiprocessing").cpu_count()
+                      * 1000.0 / host_mpps, 1) if host_mpps > 0 else 0.0
+            ),
             "jbr_reconstruct_mpps": round(jbr_mpps, 1),
             "host_stage_cases_mpps": host_cases,
         }))
@@ -637,6 +641,13 @@ def main() -> None:
         "host_entropy_mpps": round(host_mpps, 1),
         "host_entropy_mpps_per_core": round(host_mpps_1t, 1),
         "host_cores": __import__("multiprocessing").cpu_count(),
+        # host-CPU budget to feed ONE chip at the 1 Gpx/s target, scaled
+        # from the measured all-core throughput of this box (dense VarDCT,
+        # the worst-case content class). A v5p host has ~52 vCPU per chip.
+        "host_cores_per_chip_at_1gpps": (
+            round(__import__("multiprocessing").cpu_count()
+                  * 1000.0 / host_mpps, 1) if host_mpps > 0 else 0.0
+        ),
         "device_mpps": round(device_mpps, 1),
         "device_real_pipeline_mpps": round(real_pipe_mpps, 1),
         "transfer_mbps": transfer,

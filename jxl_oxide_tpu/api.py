@@ -677,7 +677,10 @@ class JxlImage:
         # writer's position in the replay timeline, so a reader between
         # two writers of the same slot sees the right canvas (a slot can
         # be overwritten by later cached keyframes)
-        seeds: dict[tuple[int, int], int] = {}  # (writer_idx, slot) -> kf idx
+        # (writer_idx, slot) -> cached KeyframeRender. The OBJECT is pinned
+        # here, not re-looked-up at apply time: the FIFO keyframe cache may
+        # evict the entry while the cone renders new keyframes.
+        seeds: dict[tuple[int, int], "KeyframeRender"] = {}
         kf_indices = self._keyframe_global_indices()
         kf_of_frame = {g: k for k, g in enumerate(kf_indices)}
         stack = [target]
@@ -700,12 +703,12 @@ class JxlImage:
                     hj = frames[j].header
                     if hj.can_reference and hj.save_as_reference == s:
                         k = kf_of_frame.get(j)
-                        if (
-                            k is not None
-                            and self._cache_key(k) in self._keyframe_cache
-                            and j not in needed
-                        ):
-                            seeds[(j, s)] = k  # canvas == saved slot content
+                        cached_kf = (
+                            self._cache_lookup(k) if k is not None else None
+                        )
+                        if cached_kf is not None and j not in needed:
+                            # canvas == saved slot content
+                            seeds[(j, s)] = cached_kf
                         elif j not in needed:
                             needed.add(j)
                             stack.append(j)
@@ -722,6 +725,17 @@ class JxlImage:
     def _cache_key(self, keyframe_idx: int):
         # partial (ROI) decodes cache separately from full decodes
         return (keyframe_idx, self._image_region)
+
+    def _cache_lookup(self, keyframe_idx: int):
+        """Exact (idx, region) hit, else a cached FULL-region canvas —
+        a full canvas satisfies any crop, so keyframes rendered by the
+        progressive path (always full-region) are reused by ROI renders
+        instead of re-decoding (reference: one render cache serves both,
+        jxl-render/src/state.rs RenderCache)."""
+        kf = self._keyframe_cache.get(self._cache_key(keyframe_idx))
+        if kf is None and self._image_region is not None:
+            kf = self._keyframe_cache.get((keyframe_idx, None))
+        return kf
 
     @staticmethod
     def _kf_bytes(kf: KeyframeRender) -> int:
@@ -765,7 +779,7 @@ class JxlImage:
         )
 
     def _render_keyframe(self, keyframe_idx: int) -> KeyframeRender:
-        cached = self._keyframe_cache.get(self._cache_key(keyframe_idx))
+        cached = self._cache_lookup(keyframe_idx)
         if cached is not None:
             return cached
         kf_indices = self._keyframe_global_indices()
@@ -815,8 +829,7 @@ class JxlImage:
                     seed_ptr < len(seed_events)
                     and seed_events[seed_ptr][0][0] < upto
                 ):
-                    (_, s), k = seed_events[seed_ptr]
-                    kf = self._keyframe_cache[self._cache_key(k)]
+                    (_, s), kf = seed_events[seed_ptr]
                     ctx.set_reference(s, (
                         [np.asarray(p, dtype=np.float32).copy()
                          for p in kf.color],
@@ -885,7 +898,7 @@ class JxlImage:
                         and last_lf_read.get(lvl, -1) <= i
                     ):
                         ctx.release_lf_frame(lvl)
-        result = self._keyframe_cache.get(self._cache_key(keyframe_idx))
+        result = self._cache_lookup(keyframe_idx)
         if result is None:  # target was not a keyframe (should not happen)
             raise JxlError("target frame did not produce a keyframe")
         return result
@@ -939,12 +952,20 @@ class JxlImage:
             self._progressive_ctx = RenderContext(self.image_header)
             self._progressive_fed = 0
         ctx = self._progressive_ctx
-        # composite newly completed frames (renders cache per frame here)
+        # composite newly completed frames; completed keyframes land in
+        # the shared keyframe cache under the FULL-region key so a later
+        # render_frame() reuses them instead of re-decoding (one render
+        # cache serves both paths, jxl-render/src/state.rs)
         while self._progressive_fed < len(self._frames):
             frame = self._frames[self._progressive_fed]
             if not frame.is_complete:
                 break
-            ctx.add_frame(frame)
+            kf = ctx.add_frame(frame)
+            if kf is not None:
+                self._cache_store(
+                    (self._kf_index_of_frame(self._progressive_fed), None),
+                    kf,
+                )
             self._progressive_fed += 1
 
         if self._progressive_fed >= len(self._frames):

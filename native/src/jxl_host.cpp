@@ -448,7 +448,10 @@ struct DecoderState {
 };
 
 inline i32 unpack_signed(u32 u) {
-  return (u & 1) ? -(i32)((u64)(u + 1) >> 1) : (i32)(u >> 1);
+  // branchless zigzag: equal to (u&1) ? -((u+1)>>1) : (u>>1) for ALL u32
+  // (incl. 0xFFFFFFFF -> INT_MIN). The ternary compiles to a branch on
+  // the sign bit, a true coin flip on noise-like residual streams.
+  return (i32)(u >> 1) ^ -(i32)(u & 1);
 }
 
 // ---------------------------------------------------------------------------
@@ -1129,6 +1132,25 @@ static inline u64 hf_peek48(const u8* __restrict__ data, u64 len_bits,
   return (window >> shift) & ((1ull << 48) - 1);
 }
 
+// Precomputed hybrid-uint expansion for ONE cluster, indexed by symbol:
+// token = base + (next n raw bits << lsb); literal symbols get
+// {base=symbol, n=0, lsb=0}. The gradient fast path has a FIXED cluster
+// per channel, so an 8-byte-per-symbol table built once per channel
+// replaces the ~15-instruction wide-path arithmetic per sample. Layout:
+// base in [0:32), n in [32:40), lsb in [40:48).
+static inline u64 mod_ext_entry(u32 symbol, const IntCfg& cfg) {
+  if (symbol < cfg.split()) return (u64)symbol;
+  int msb = cfg.msb, lsb = cfg.lsb;
+  u32 n = (u32)(cfg.split_exponent - (msb + lsb)) +
+          ((symbol - cfg.split()) >> (msb + lsb));
+  n &= 31;
+  u32 low = symbol & ((1u << lsb) - 1);
+  u32 tt = (symbol >> lsb) & ((1u << msb) - 1);
+  tt |= 1u << msb;
+  u32 base = (u32)((((u64)tt << n) << lsb) | low);
+  return (u64)base | ((u64)n << 32) | ((u64)lsb << 40);
+}
+
 struct ModCursor {
   DecoderState dec;
   BitReader br;
@@ -1146,6 +1168,9 @@ struct ModCursor {
   int cluster;
   i32 off, mul;
   int is16;
+  // per-channel hybrid-uint expansion table (see mod_ext_entry)
+  std::vector<u64> ext;
+  int ext_cluster = -1;
   // status: 0 = in-run, 1 = needs mod_advance, 2 = done (see result)
   int status;
   int result;
@@ -1203,6 +1228,15 @@ static void mod_advance(ModCursor& cu) {
       cu.off = root->c;
       cu.mul = root->d;
       cu.is16 = cd.is16;
+      if (cu.ext_cluster != cu.cluster) {
+        const AnsTable& t = cu.dec.spec->ans[cu.cluster];
+        i32 alphabet = 1 << (12 - t.log_bucket_size);
+        const IntCfg& cfg = cu.dec.spec->cfgs[cu.cluster];
+        cu.ext.resize((size_t)alphabet);
+        for (i32 i = 0; i < alphabet; i++)
+          cu.ext[i] = mod_ext_entry((u32)i, cfg);
+        cu.ext_cluster = cu.cluster;
+      }
       if (cd.is16) mod_row0<int16_t>(cu.dec, cd, cu.cluster, cu.off, cu.mul);
       else mod_row0<i32>(cu.dec, cd, cu.cluster, cu.off, cu.mul);
       cu.y = 1;
@@ -1248,7 +1282,7 @@ static void mod_dual_run(ModCursor& A, ModCursor& B) {
   i32 p##_w = C.w, p##_nw = C.nw;                                         \
   const i32 p##_off = C.off, p##_mul = C.mul;                             \
   const AnsTable& p##_t = C.dec.spec->ans[C.cluster];                     \
-  const IntCfg p##_cfg = C.dec.spec->cfgs[C.cluster];                     \
+  const u64* __restrict__ p##_ext = C.ext.data();                         \
   bool p##_live = true;
 
 #define MOD_SAVE(p, C)                                                    \
@@ -1276,20 +1310,19 @@ static void mod_dual_run(ModCursor& A, ModCursor& B) {
     p##_state = need ? ((next << 16) | (u32)(window & 0xFFFF)) : next;    \
     u64 rest_window = need ? (window >> 16) : window;                     \
     int pos_add = need ? 16 : 0;                                          \
-    int msb = p##_cfg.msb, lsb = p##_cfg.lsb;                             \
-    u32 nn = (u32)(p##_cfg.split_exponent - (msb + lsb)) +                \
-             ((symbol - p##_cfg.split()) >> (msb + lsb));                 \
-    nn &= 31;                                                             \
-    bool is_lit = symbol < p##_cfg.split();                               \
-    nn = is_lit ? 0 : nn;                                                 \
+    /* precomputed hybrid-uint per symbol (mod_ext_entry): noisy        \
+       residual streams are mostly WIDE tokens, so the wide-path        \
+       arithmetic runs every sample — one 8-byte load (off the ANS      \
+       state chain; the value chain it feeds has slack) replaces it */  \
+    u64 e = p##_ext[symbol];                                              \
+    u32 nn = (u32)(e >> 32) & 0xFF;                                       \
     u32 rest = (u32)(rest_window & ((1ull << nn) - 1));                   \
     p##_pos += pos_add + (int)nn;                                         \
-    u32 low = symbol & ((1u << lsb) - 1);                                 \
-    u32 tt = (symbol >> lsb) & ((1u << msb) - 1);                         \
-    tt |= 1u << msb;                                                      \
-    u32 wide = (u32)(((((u64)tt << nn) | rest) << lsb) | low);            \
-    u32 token = is_lit ? symbol : wide;                                   \
-    i64 diff = (i64)unpack_signed(token) * p##_mul + p##_off;             \
+    u32 token = (u32)e + (rest << (u32)(e >> 40));                        \
+    /* branchless zigzag: the sign bit of noise residuals is a true     \
+       coin flip — the ternary unpack_signed mispredicts ~50% here */   \
+    i32 sv = (i32)(token >> 1) ^ -(i32)(token & 1);                       \
+    i64 diff = (i64)sv * p##_mul + p##_off;                               \
     S val = (S)wrap32(diff + pr);                                         \
     p##_crow[p##_x] = val;                                                \
     p##_w = (i32)val;                                                     \

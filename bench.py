@@ -374,10 +374,12 @@ def _bench_host_entropy() -> float:
     data = make_stream(1024, dense=True)
     threads = min(8, multiprocessing.cpu_count())
     best = best1 = None
-    for _ in range(3):
+    # best-of-N against ambient load on the shared dev box (±15%);
+    # single-thread gets more reps since it IS the per-core headline
+    for _ in range(4):
         dt, mp, _ = host_stage(data, threads)
         best = dt if best is None else min(best, dt)
-    for _ in range(2):
+    for _ in range(6):
         dt, mp, _ = host_stage(data, 1)
         best1 = dt if best1 is None else min(best1, dt)
     return mp / best, mp / best1

@@ -298,3 +298,18 @@ def test_multihost_cross_process():
     result = g.dryrun_multihost_processes()
     assert result["ok"], result
     assert all(w["rc"] == 0 for w in result["workers"]), result
+
+
+def test_scaling_model_arithmetic():
+    """The bench's counted-halo scaling model: exact byte count for the
+    1024^2 gabor+EPF2 shape (LF-smooth 1 row @ W/8 + gabor 1 row + EPF
+    3 rows/pass, 3 channels, f32, both directions) and monotonicity."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from bench import _scaling_model
+
+    m = _scaling_model(2000.0, size=1024, epf_iters=2)
+    assert m["halo_bytes_per_boundary"] == (128 + 1024 + 6 * 1024) * 3 * 4 * 2
+    assert 0.0 < m["modeled_efficiency_32chip"]
+    assert m["modeled_efficiency_32chip"] <= m["modeled_efficiency_8chip"] <= 1.0

@@ -1,0 +1,227 @@
+"""Generative differential fuzzer: production decoder vs the independent
+float64 oracle.
+
+Where tools/fuzz.py mutates bytes and only checks robustness (decode or
+raise JxlError), this fuzzer generates VALID bitstreams with randomized
+structure across the oracle's scope — modular predictor/RCT/squeeze/
+palette/LZ77 stacks, VarDCT tilings over the full transform zoo with CfL
+grids and restoration filters, blending chains — and asserts the
+production pipeline (fused XLA programs, dense transform plans, native
+C++ host runtime, fast-path dispatch) matches tests/oracle_decoder.py,
+whose numeric stages share no code with production (conformance-corpus
+substitute; jxl-oxide-tests/tests/conformance/mod.rs:33-137).
+
+Usage:
+  python tools/fuzz_diff.py [--seconds 60] [--seed 0] [--save-dir DIR]
+
+Mismatches save the stream + generating config to --save-dir (default
+tests/fuzz_found/) for replay.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
+sys.path.insert(0, str(ROOT / "tests"))
+
+MOD_TOL = 1e-6
+VARDCT_TOL = 2e-4
+
+# few distinct shapes so the fused-program jit cache is reused across
+# iterations (compiles dominate otherwise)
+MOD_DIMS = (16, 24, 32)
+VARDCT_DIMS = (64, 96)
+
+
+def gen_modular(rng) -> tuple[bytes, float, dict]:
+    from encoder import encode_jxl_modular
+
+    h = int(rng.choice(MOD_DIMS))
+    w = int(rng.choice(MOD_DIMS))
+    bits = int(rng.choice([8, 8, 16]))
+    hi = 1 << bits
+    cfg: dict = {"kind": "modular", "h": h, "w": w, "bit_depth": bits}
+    kw: dict = {"bit_depth": bits}
+    style = int(rng.integers(0, 6))
+    cfg["style"] = style
+    if style == 0:  # gradient, optionally 16-bit
+        chans = [rng.integers(0, hi, (h, w), dtype=np.int64) for _ in range(3)]
+    elif style == 1:  # weighted predictor
+        kw["predictor"] = 6
+        chans = [rng.integers(0, hi, (h, w), dtype=np.int64) for _ in range(3)]
+    elif style == 2:  # RCT, random type
+        kw["rct"] = True
+        kw["rct_type"] = int(rng.integers(0, 42))
+        cfg["rct_type"] = kw["rct_type"]
+        chans = [rng.integers(0, hi, (h, w), dtype=np.int64) for _ in range(3)]
+    elif style == 3:  # squeeze stack, optionally + RCT
+        kw["squeeze"] = True
+        if rng.random() < 0.5:
+            kw["rct"] = True
+        chans = [rng.integers(0, hi, (h, w), dtype=np.int64) for _ in range(3)]
+    elif style == 4:  # LZ77 (RLE runs or general 2-D matches)
+        if rng.random() < 0.5:
+            kw["lz77_rle"] = True
+            chans = [
+                np.repeat(rng.integers(0, 4, (h, max(1, w // 8))), 8, 1)[:, :w]
+                for _ in range(3)
+            ]
+        else:
+            kw["lz77_matches"] = True
+            chans = [
+                np.tile(rng.integers(0, hi, (4, w)), (-(-h // 4), 1))[:h]
+                for _ in range(3)
+            ]
+    else:  # blending chain, optional alpha
+        alpha = bool(rng.random() < 0.5)
+        kw["extra_alpha"] = alpha
+        kw["animation_blend"] = bool(rng.random() < 0.5)
+        n = 3 + (1 if alpha else 0)
+
+        def fr():
+            return [rng.integers(0, hi, (h, w), dtype=np.int64)
+                    for _ in range(n)]
+
+        chans = fr()
+        kw["animation_frames"] = [fr() for _ in range(int(rng.integers(1, 4)))]
+        cfg["frames"] = len(kw["animation_frames"])
+    cfg["kw"] = {k: v for k, v in kw.items() if k != "animation_frames"}
+    return encode_jxl_modular(chans, **kw), MOD_TOL, cfg
+
+
+def gen_palette(rng) -> tuple[bytes, float, dict]:
+    from encoder import encode_jxl_modular
+
+    ncol = int(rng.integers(2, 12))
+    ndelta = int(rng.integers(0, 4))
+    dpred = int(rng.integers(0, 7))
+    h = w = int(rng.choice(MOD_DIMS))
+    pal = rng.integers(0, 256, (1, ncol), dtype=np.int64)
+    idx = rng.integers(-ndelta - 1, ncol + 4, (h, w))
+    cfg = {"kind": "palette", "ncol": ncol, "ndelta": ndelta,
+           "d_pred": dpred, "h": h}
+    data = encode_jxl_modular(
+        [pal, idx], bit_depth=8, grayscale=True, image_size=(h, w),
+        palette_spec=dict(nb_colours=ncol, nb_deltas=ndelta, d_pred=dpred),
+    )
+    return data, MOD_TOL, cfg
+
+
+def gen_vardct(rng) -> tuple[bytes, float, dict]:
+    from encoder_vardct import encode_jxl_vardct, encode_jxl_vardct_mixed
+    from test_parallel import _random_varblock_grid
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+
+    h = w = int(rng.choice(VARDCT_DIMS))
+    if rng.random() < 0.4:  # natural-content path through the encoder
+        kw = dict(
+            gabor=bool(rng.random() < 0.5),
+            epf_iters=int(rng.integers(0, 4)),
+            num_passes=int(rng.choice([1, 1, 2])),
+            xyb=bool(rng.random() < 0.5),
+        )
+        rgb = rng.random((h, w, 3)).astype(np.float32)
+        return encode_jxl_vardct(rgb, **kw), VARDCT_TOL, {
+            "kind": "vardct", "h": h, **kw}
+    bh, bw = h // 8, w // 8
+    types = [
+        T.DCT8, T.HORNUSS, T.DCT2, T.DCT4, T.DCT16, T.DCT32,
+        T.DCT16X8, T.DCT8X16, T.DCT4X8, T.DCT8X4,
+        T.AFV0, T.AFV1, T.AFV2, T.AFV3, T.DCT32X16, T.DCT16X32,
+    ]
+    sel, mul = _random_varblock_grid(bh, bw, rng, types)
+    coeff = rng.integers(-20, 21, (3, h, w)).astype(np.int64)
+    coeff[rng.random((3, h, w)) < float(rng.uniform(0.3, 0.9))] = 0
+    lf_q = rng.integers(-80, 81, (3, bh, bw)).astype(np.int64)
+    h64, w64 = -(-h // 64), -(-w // 64)
+    cfl = (
+        rng.integers(-40, 41, (h64, w64)).astype(np.int64),
+        rng.integers(-40, 41, (h64, w64)).astype(np.int64),
+    )
+    ep = int(rng.integers(0, 4))
+    data = encode_jxl_vardct_mixed(
+        h, w, sel, mul, coeff, lf_q, cfl_grids=cfl,
+        lf_chan_corr=(84, 0.1, 0.8, 130, 125),
+        extra_precision=ep,
+    )
+    return data, VARDCT_TOL, {"kind": "vardct_mixed", "h": h,
+                              "extra_precision": ep}
+
+
+GENERATORS = (gen_modular, gen_modular, gen_palette, gen_vardct)
+
+
+def check_one(data: bytes, tol: float) -> float:
+    """Max abs diff production-vs-oracle over all keyframes' color+extra
+    planes (same comparison as tests/test_oracle.py)."""
+    from oracle_decoder import oracle_decode
+
+    from jxl_oxide_tpu import JxlImage
+
+    got = oracle_decode(data)
+    img = JxlImage.from_bytes(data)
+    assert img.num_keyframes == len(got)
+    worst = 0.0
+    for k, g in enumerate(got):
+        r = img.render_frame(k)
+        w = np.stack(
+            [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:3]]
+            + [np.asarray(e, dtype=np.float64) for e in r.extra]
+        )
+        worst = max(worst, float(np.abs(g[: w.shape[0]] - w).max()))
+    if worst > tol:
+        raise AssertionError(f"production-vs-oracle diff {worst} > {tol}")
+    return worst
+
+
+def run(seconds: float, seed: int, save_dir: Path,
+        max_iters: int | None = None) -> tuple[int, int]:
+    rng = np.random.default_rng(seed)
+    deadline = time.monotonic() + seconds
+    n = findings = 0
+    while time.monotonic() < deadline:
+        if max_iters is not None and n >= max_iters:
+            break
+        gen = GENERATORS[int(rng.integers(0, len(GENERATORS)))]
+        data, tol, cfg = gen(rng)
+        try:
+            check_one(data, tol)
+        except Exception as e:
+            findings += 1
+            save_dir.mkdir(parents=True, exist_ok=True)
+            stem = save_dir / f"diff_{seed}_{n}"
+            stem.with_suffix(".jxl").write_bytes(data)
+            stem.with_suffix(".txt").write_text(f"{cfg}\n{e}\n")
+            print(f"MISMATCH [{cfg}]: {e} -> {stem}.jxl", file=sys.stderr)
+        n += 1
+    return n, findings
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-dir", type=Path,
+                    default=ROOT / "tests" / "fuzz_found")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    n, findings = run(args.seconds, args.seed, args.save_dir)
+    print(f"{n} streams cross-checked, {findings} mismatches")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

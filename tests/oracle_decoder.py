@@ -298,7 +298,10 @@ def _inv_palette(grids: list, tr: Palette, bit_depth: int) -> None:
                     out[y, x] = v
         outs.append(out)
 
-    if tr.nb_deltas > 0:
+    # the prediction pass runs for ANY index < nb_deltas — negative
+    # (delta-palette) indices qualify even when nb_deltas == 0
+    # (transform/palette.rs:60: `index < nb_deltas` collects need_delta)
+    if bool((idx < tr.nb_deltas).any()):
         for out in outs:
             state = PredictorState()
             state.reset(w, [], tr.wp_header)
@@ -785,9 +788,18 @@ def _decode_modular_frame(bs, image_header, fh, ma):
         )
         channels.append(_OCh(w, h))
     grids = _oracle_modular(bs, channels, fh.group_dim, bits, ma)
-    scale = float((1 << bits) - 1)
-    planes = [g.astype(np.float64) / scale for g in grids]
-    if fh.encoded_color_channels == 1:
+    # each extra channel normalizes by its OWN declared bit depth (a
+    # d_alpha default EC is 8-bit regardless of the color depth) —
+    # image.rs convert_modular bit-depth normalization per channel
+    n_color = fh.encoded_color_channels
+    scales = [float((1 << bits) - 1)] * n_color + [
+        float((1 << ec.bit_depth.bits_per_sample) - 1)
+        for ec in image_header.metadata.ec_info
+    ]
+    planes = [
+        g.astype(np.float64) / s for g, s in zip(grids, scales)
+    ]
+    if n_color == 1:
         planes = [planes[0]] * 3 + planes[1:]
     return np.stack(planes)
 

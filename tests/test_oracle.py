@@ -245,3 +245,54 @@ def test_oracle_blending_chain(blend, alpha):
         animation_frames=[fr(), fr(), fr()], animation_blend=blend,
     )
     _assert_match(data, MOD_TOL)
+
+
+def test_oracle_palette_negative_indices_no_deltas():
+    """nb_deltas == 0 with negative (delta-palette) indices: the
+    prediction pass still applies to every index < nb_deltas — found by
+    tools/fuzz_diff.py (the oracle skipped the pass when nb_deltas == 0;
+    transform/palette.rs:60 collects need_delta by `index < nb_deltas`
+    unconditionally)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(46)
+    ncol = 5
+    pal = rng.integers(0, 256, (1, ncol), dtype=np.int64)
+    idx = rng.integers(-3, ncol + 4, (24, 24))
+    assert (idx < 0).any()
+    data = encode_jxl_modular(
+        [pal, idx], bit_depth=8, grayscale=True, image_size=(24, 24),
+        palette_spec=dict(nb_colours=ncol, nb_deltas=0, d_pred=1),
+    )
+    _assert_match(data, MOD_TOL)
+
+
+def test_oracle_default_alpha_ec_is_8bit():
+    """16-bit color with a d_alpha default extra channel: the EC
+    normalizes by ITS OWN declared depth (default 8-bit), not the color
+    depth — found by tools/fuzz_diff.py (the oracle divided extras by
+    the color scale; image.rs per-channel bit-depth normalization)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(75)
+    h = w = 16
+    chans = [rng.integers(0, 1 << 16, (h, w), dtype=np.int64)
+             for _ in range(3)]
+    chans.append(rng.integers(0, 256, (h, w), dtype=np.int64))
+    data = encode_jxl_modular(chans, bit_depth=16, extra_alpha=True)
+    _assert_match(data, MOD_TOL)
+
+
+def test_differential_fuzz_smoke():
+    """A short deterministic window of the generative differential
+    fuzzer (tools/fuzz_diff.py): randomized valid streams across the
+    oracle scope, production vs float64 oracle, zero mismatches."""
+    import tempfile
+
+    from fuzz_diff import run as fuzz_run
+
+    with tempfile.TemporaryDirectory() as td:
+        n, findings = fuzz_run(30.0, seed=1234, save_dir=Path(td),
+                               max_iters=10)
+    assert findings == 0, f"{findings} mismatches in {n} streams"
+    assert n >= 3

@@ -87,8 +87,14 @@ def gen_modular(rng) -> tuple[bytes, float, dict]:
         n = 3 + (1 if alpha else 0)
 
         def fr():
-            return [rng.integers(0, hi, (h, w), dtype=np.int64)
-                    for _ in range(n)]
+            # the d_alpha default EC is 8-bit regardless of color depth:
+            # keep alpha samples in ITS declared range (out-of-range
+            # alpha compounds through MixAlpha into huge values)
+            chans = [rng.integers(0, hi, (h, w), dtype=np.int64)
+                     for _ in range(3)]
+            if alpha:
+                chans.append(rng.integers(0, 256, (h, w), dtype=np.int64))
+            return chans
 
         chans = fr()
         kw["animation_frames"] = [fr() for _ in range(int(rng.integers(1, 4)))]
@@ -177,7 +183,12 @@ def check_one(data: bytes, tol: float) -> float:
             [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:3]]
             + [np.asarray(e, dtype=np.float64) for e in r.extra]
         )
-        worst = max(worst, float(np.abs(g[: w.shape[0]] - w).max()))
+        g = g[: w.shape[0]]
+        # atol `tol` + rtol 1e-6: production blends in f32 (as the
+        # reference does), so chained alpha blends on large legit values
+        # carry relative f32 drift the f64 oracle doesn't
+        excess = np.abs(g - w) - 1e-6 * np.abs(g)
+        worst = max(worst, float(excess.max()))
     if worst > tol:
         raise AssertionError(f"production-vs-oracle diff {worst} > {tol}")
     return worst

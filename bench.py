@@ -464,28 +464,40 @@ def _bench_sharded_pipeline(size: int = 1024) -> float:
 
 def _scaling_model(per_chip_mpps: float, size: int = 1024,
                    epf_iters: int = 2) -> dict:
-    """Multi-chip scaling model from counted halo traffic (the only part
-    of the sharded program that touches ICI) vs the measured per-chip
-    compute rate. Halo bytes per shard boundary per decode, by-rows
-    sharding, f32, both directions:
+    """Multi-chip scaling MODEL ESTIMATE (not a measurement, not a
+    bound) from counted halo traffic vs the measured per-chip compute
+    rate. Halo bytes per shard boundary per decode, by-rows sharding,
+    f32, both directions:
       LF smoothing: 1 row at LF res (W/8), 3 channels
       gaborish:     1 row at full res, 3 channels
       EPF:          3 rows per pass at full res, 3 channels
     (ops/vardct_pipeline.py:450,602,623). v5p ICI one-way link bandwidth
-    ~9e10 B/s (public v5p specs); the model charges the halo as fully
-    exposed (no compute overlap), so it is a LOWER bound on efficiency.
-    Frame-parallel serving (independent frames per chip, how a fleet
-    actually batches) has no cross-chip traffic at all and sits at ~1.0
-    by construction; this models the harder single-frame-sharded case."""
+    ~9e10 B/s (public v5p specs). The halo is charged fully exposed (no
+    compute overlap) AND each of the 2+epf_iters sequential exchanges
+    pays a per-collective ICI latency term — but the model also assumes
+    the per-chip compute rate is unchanged at 1/n-size shards, which it
+    will not be at 32 chips on a 1024px frame (32 rows per shard):
+    treat the numbers as estimates, and reconcile against the measured
+    structural overhead at n=2/4/8 on the virtual mesh (the
+    structural_validation block). Frame-parallel serving (independent
+    frames per chip) has no cross-chip traffic and sits at ~1.0 by
+    construction; this models the harder single-frame-sharded case."""
     ici_bps = 9e10
+    ici_latency_s = 2e-6  # per sequential halo exchange (launch + hop)
     w = size
     # LF smooth (1 row @ W/8) + gabor (1 row) + EPF (3 rows per pass)
     bytes_boundary = (1 * (w // 8) + 1 * w + 3 * epf_iters * w) * 3 * 4 * 2
-    out = {"halo_bytes_per_boundary": bytes_boundary}
+    n_exchanges = 2 + epf_iters  # sequential ppermute rounds per decode
+    out = {"halo_bytes_per_boundary": bytes_boundary,
+           "halo_exchanges_per_decode": n_exchanges,
+           "model_note": "estimate: fully-exposed halo + per-exchange "
+                         "latency, per-chip rate assumed shard-size-"
+                         "independent"}
     for n in (8, 32):
         px_per_shard = size * size / n
         t_compute = px_per_shard / (per_chip_mpps * 1e6)
-        t_halo = bytes_boundary / ici_bps
+        t_halo = (bytes_boundary / ici_bps
+                  + n_exchanges * ici_latency_s)
         out[f"modeled_efficiency_{n}chip"] = round(
             t_compute / (t_compute + t_halo), 4)
     return out

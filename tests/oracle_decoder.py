@@ -792,6 +792,10 @@ def _decode_modular_frame(bs, image_header, fh, ma):
     # d_alpha default EC is 8-bit regardless of the color depth) —
     # image.rs convert_modular bit-depth normalization per channel
     n_color = fh.encoded_color_channels
+    for ec in image_header.metadata.ec_info:
+        assert not ec.bit_depth.is_float, (
+            "oracle scope: integer-sample ECs only"
+        )
     scales = [float((1 << bits) - 1)] * n_color + [
         float((1 << ec.bit_depth.bits_per_sample) - 1)
         for ec in image_header.metadata.ec_info

@@ -179,11 +179,18 @@ def check_one(data: bytes, tol: float) -> float:
     worst = 0.0
     for k, g in enumerate(got):
         r = img.render_frame(k)
+        color = [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:3]]
+        if len(color) == 1:
+            # grayscale: the oracle triplicates the single color plane
+            # (VarDCT plane convention); match it so extras line up
+            color = color * 3
         w = np.stack(
-            [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:3]]
-            + [np.asarray(e, dtype=np.float64) for e in r.extra]
+            color + [np.asarray(e, dtype=np.float64) for e in r.extra]
         )
-        g = g[: w.shape[0]]
+        assert g.shape[0] == w.shape[0], (
+            f"plane count mismatch: oracle {g.shape[0]} vs "
+            f"production {w.shape[0]}"
+        )
         # atol `tol` + rtol 1e-6: production blends in f32 (as the
         # reference does), so chained alpha blends on large legit values
         # carry relative f32 drift the f64 oracle doesn't

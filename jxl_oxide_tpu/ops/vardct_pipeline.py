@@ -670,6 +670,264 @@ def build_fused_pipeline_sharded(
     return jax.jit(fn), shardings
 
 
+def _triangle_up2(p, axis: int):
+    """JPEG chroma 2x triangle upsample along one axis, clamp-to-edge
+    (filter/ycbcr.rs apply_jpeg_upsampling_single): out[2j] leans on the
+    previous sample, out[2j+1] on the next. Device twin of
+    render/render.py _upsample2x_triangle, inlined into the fused
+    subsampled program.
+
+    The blend is written adds-first with one exact *0.25 at the end
+    ((prev + 3p)/4 with 3p = (p+p)+p): a mul-then-add form lets LLVM
+    contract to FMA differently in the single-device and sharded
+    programs, which broke sharded-vs-single bit-identity by 1-2 ulp.
+    Adds followed by a power-of-two multiply cannot contract."""
+    p0 = jnp.moveaxis(p, axis, 0)
+    prev = jnp.concatenate([p0[:1], p0[:-1]], axis=0)
+    nxt = jnp.concatenate([p0[1:], p0[-1:]], axis=0)
+    p3 = (p0 + p0) + p0
+    a = (prev + p3) * 0.25
+    b = (p3 + nxt) * 0.25
+    out = jnp.stack([a, b], axis=1).reshape((2 * p0.shape[0],) + p0.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def build_fused_pipeline_subsampled(
+    plane_shapes, lf_shapes, full_shape, entries3, matrices3,
+    quant_bias, quant_bias_numerator,
+    global_scale, qm_scale, lf_scale,
+    gabor_weights=None, epf_params=None,
+    sparse_coeff_n=None,
+    crop=None, embed=None,
+):
+    """One jitted program for a chroma-subsampled (do_ycbcr, 4:2:0/4:2:2/
+    4:4:0) VarDCT frame: per-channel LF dequant -> HF dequant -> dense
+    inverse transforms at each channel's stored geometry, then the JPEG
+    triangle chroma upsample (image.rs:448-486) and the restoration
+    filters (gabor/EPF) fused into the SAME dispatch at full resolution.
+    No CfL (the reference skips LF and HF CfL for subsampled frames,
+    vardct/mod.rs:184,355) and no adaptive LF smoothing (the reference
+    requires equal-size LF planes; subsampled streams set
+    skip_adaptive_lf_smoothing).
+
+    plane_shapes/lf_shapes: per-channel [x, y, b] stored geometries;
+    full_shape: (Hr, Wr) rounded full resolution; entries3/matrices3/
+    qm_scale/lf_scale/quant_bias: per-channel plans and constants.
+    sparse_coeff_n: per-channel tuple of sparse upload sizes (None
+    entries = dense upload for that channel).
+
+    fn(c0, l0, code0, mul0, c1, l1, code1, mul1, c2, l2, code2, mul2,
+    sigma_blocks) -> [3, crop_h, crop_w] f32 full-resolution planes
+    (still YCbCr; the BT.601 conversion happens in the color tail)."""
+    Hr, Wr = full_shape
+
+    def pipeline(*args):
+        per_chan = [args[4 * c : 4 * c + 4] for c in range(3)]
+        sigma_blocks = args[12]
+        planes = []
+        for c, (coeff, lf_quant, code_grid, mul_grid) in enumerate(per_chan):
+            Hc, Wc = plane_shapes[c]
+            if sparse_coeff_n is not None and sparse_coeff_n[c] is not None:
+                c_idx, c_val = coeff
+                dense = jnp.zeros((Hc * Wc,), dtype=jnp.int32)
+                coeff = dense.at[c_idx].set(
+                    c_val.astype(jnp.int32), mode="drop",
+                    unique_indices=True, indices_are_sorted=True,
+                ).reshape(Hc, Wc)
+            lf_plane = lf_quant.astype(jnp.float32) * np.float32(lf_scale[c])
+            q = coeff.astype(jnp.float32)
+            qbn = np.float32(quant_bias_numerator)
+            qb = np.float32(quant_bias[c])
+            safe_q = jnp.where(q == 0.0, 1.0, q)
+            biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
+            outc = dense_transform_channels(
+                biased[None], lf_plane[None], None, None,
+                code_grid, mul_grid.astype(jnp.float32),
+                entries3[c], {s: np.asarray(m)[None]
+                              for s, m in matrices3[c].items()},
+                global_scale, (qm_scale[c],),
+            )[0]
+            # chroma upsample to full res: horizontal then vertical
+            # (render.rs order), shapes static under trace
+            while outc.shape[1] < Wr:
+                outc = _triangle_up2(outc, 1)
+            while outc.shape[0] < Hr:
+                outc = _triangle_up2(outc, 0)
+            planes.append(outc[:Hr, :Wr])
+        out = jnp.stack(planes)
+
+        if gabor_weights is not None:
+            from .filters import gabor
+
+            out = jnp.stack([
+                gabor(out[c], tuple(gabor_weights[c])) for c in range(3)
+            ])
+        if epf_params is not None:
+            from .filters import epf_step
+
+            sigma = jnp.repeat(jnp.repeat(sigma_blocks, 8, 0), 8, 1)[:Hr, :Wr]
+            cs = tuple(epf_params.channel_scale)
+            bsm = float(epf_params.border_sad_mul)
+            if epf_params.iters == 3:
+                out = epf_step(out, sigma, 0, cs,
+                               float(epf_params.pass0_sigma_scale), bsm)
+            if epf_params.iters >= 1:
+                out = epf_step(out, sigma, 1, cs, 1.0, bsm)
+            if epf_params.iters >= 2:
+                out = epf_step(out, sigma, 2, cs,
+                               float(epf_params.pass2_sigma_scale), bsm)
+        if embed is not None:
+            fh, fw, oy, ox = embed
+            full = jnp.zeros((3, fh, fw), dtype=jnp.float32)
+            out = jax.lax.dynamic_update_slice(full, out, (0, oy, ox))
+        if crop is not None:
+            out = out[:, : crop[0], : crop[1]]
+        return out
+
+    return jax.jit(pipeline)
+
+
+def build_fused_pipeline_subsampled_sharded(
+    mesh, axis, local_plane_shapes, local_lf_shapes, local_full_shape,
+    entries3, matrices3,
+    quant_bias, quant_bias_numerator,
+    global_scale, qm_scale, lf_scale,
+    vloc: int, last_shard: int,
+    gabor_weights=None, epf_params=None,
+    crop=None, shard_dim: str = "rows",
+):
+    """build_fused_pipeline_subsampled under shard_map: bands of whole
+    256px groups shard across the mesh axis (rows for tall frames,
+    columns for wide ones); each channel's stored plane shards at its
+    own shifted band size (loc >> shift — group bands stay whole in
+    every channel's coordinates because varblocks never leave their
+    group). The triangle chroma upsample exchanges ONE stored-resolution
+    halo row/column per subsampled axis over ICI (clamp-to-edge == the
+    1-wide mirror halo_pad provides); the full-resolution filter tail
+    (gabor 1px, EPF 3px per pass) is the same halo contract as the
+    non-subsampled sharded pipeline.
+
+    local_* shapes are per-shard; vloc/last_shard give the valid image
+    edge at FULL resolution (each channel's valid edge is vloc >> shift).
+    Returns (jitted_fn, in_shardings) like build_fused_pipeline_sharded;
+    inputs are dense per-channel coeff/lf stacks plus per-channel
+    code/mul grids and the full-res sigma block grid."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..parallel.sharded import halo_pad_cols, halo_pad_rows
+
+    Hl, Wl = local_full_shape
+    by_rows = shard_dim == "rows"
+    halo_pad = halo_pad_rows if by_rows else halo_pad_cols
+
+    def _up2_sharded(p, axis_i, vloc_c):
+        """Triangle 2x upsample along the SHARDED axis: 1 stored-res halo
+        sample from mesh neighbors, clamped at the global/valid edges by
+        halo_pad's 1-wide mirror, then slice off the upsampled halo."""
+        stacked = p[None]  # halo_pad handles [..., h, w]
+        padded = halo_pad(stacked, 1, axis, vloc_c, last_shard)[0]
+        up = _triangle_up2(padded, axis_i)
+        if axis_i == 0:
+            return up[2:-2, :]
+        return up[:, 2:-2]
+
+    def pipeline(*args):
+        per_chan = [args[4 * c : 4 * c + 4] for c in range(3)]
+        sigma_blocks = args[12]
+        planes = []
+        for c, (coeff, lf_quant, code_grid, mul_grid) in enumerate(per_chan):
+            lf_plane = lf_quant.astype(jnp.float32) * np.float32(lf_scale[c])
+            q = coeff.astype(jnp.float32)
+            qbn = np.float32(quant_bias_numerator)
+            qb = np.float32(quant_bias[c])
+            safe_q = jnp.where(q == 0.0, 1.0, q)
+            biased = jnp.where(jnp.abs(q) <= 1.0, q * qb, q - qbn / safe_q)
+            outc = dense_transform_channels(
+                biased[None], lf_plane[None], None, None,
+                code_grid, mul_grid.astype(jnp.float32),
+                entries3[c], {s: np.asarray(m)[None]
+                              for s, m in matrices3[c].items()},
+                global_scale, (qm_scale[c],),
+            )[0]
+            # upsample to the full-res local band; the sharded axis
+            # exchanges a 1-sample stored-res halo, the other axis is
+            # local (clamp at the band's own edge == global edge there)
+            if by_rows:
+                while outc.shape[1] < Wl:
+                    outc = _triangle_up2(outc, 1)
+                while outc.shape[0] < Hl:
+                    vloc_c = vloc // (Hl // outc.shape[0])
+                    outc = _up2_sharded(outc, 0, vloc_c)
+            else:
+                while outc.shape[0] < Hl:
+                    outc = _triangle_up2(outc, 0)
+                while outc.shape[1] < Wl:
+                    vloc_c = vloc // (Wl // outc.shape[1])
+                    outc = _up2_sharded(outc, 1, vloc_c)
+            planes.append(outc[:Hl, :Wl])
+        out = jnp.stack(planes)
+
+        if gabor_weights is not None:
+            from .filters import gabor
+
+            padded = halo_pad(out, 1, axis, vloc, last_shard)
+            out = jnp.stack([
+                gabor(padded[c], tuple(gabor_weights[c]),
+                      prepad_rows=1 if by_rows else 0,
+                      prepad_cols=0 if by_rows else 1)
+                for c in range(3)
+            ])
+        if epf_params is not None:
+            from .filters import epf_step
+
+            sigma = jnp.repeat(
+                jnp.repeat(sigma_blocks, 8, 0), 8, 1
+            )[:Hl, :Wl]
+            cs = tuple(epf_params.channel_scale)
+            bsm = float(epf_params.border_sad_mul)
+
+            def pass_(x, step, mult):
+                padded = halo_pad(x, 3, axis, vloc, last_shard)
+                return epf_step(padded, sigma, step, cs, mult, bsm,
+                                prepad_rows=3 if by_rows else 0,
+                                prepad_cols=0 if by_rows else 3)
+
+            if epf_params.iters == 3:
+                out = pass_(out, 0, float(epf_params.pass0_sigma_scale))
+            if epf_params.iters >= 1:
+                out = pass_(out, 1, 1.0)
+            if epf_params.iters >= 2:
+                out = pass_(out, 2, float(epf_params.pass2_sigma_scale))
+        return out
+
+    if by_rows:
+        spec_p = P(axis, None)
+        spec_out = P(None, axis, None)
+    else:
+        spec_p = P(None, axis)
+        spec_out = P(None, None, axis)
+    in_specs = [spec_p] * 13
+    fn = shard_map(
+        pipeline,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=spec_out,
+    )
+    shardings = tuple(NamedSharding(mesh, s) for s in in_specs)
+    if crop is not None:
+        inner = fn
+
+        def fn(*args):
+            return inner(*args)[:, : crop[0], : crop[1]]
+
+    return jax.jit(fn), shardings
+
+
 def build_fused_pipeline_1ch(plane_shape, lf_shape, entries, matrices,
                              quant_bias: float, quant_bias_numerator: float,
                              global_scale, qm_scale: float, lf_scale: float):

@@ -165,7 +165,9 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
             for i, c in enumerate(extra_int)
         ]
 
-    # YCbCr chroma upsampling (image.rs upsample_jpeg)
+    # YCbCr chroma upsampling (image.rs upsample_jpeg); the fused
+    # subsampled device path upsamples in-program (planes arrive at full
+    # resolution already — skip by shape)
     if header.do_ycbcr:
         ups = header.jpeg_upsampling
         hscale = any(v in (1, 2) for v in ups)
@@ -177,9 +179,9 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
             hs = hscale and ups[i] not in (1, 2)
             vs = vscale and ups[i] not in (1, 3)
             p = color[i]
-            if hs:
+            if hs and p.shape[1] < w:
                 p = _upsample2x_triangle(p, 1, w)
-            if vs:
+            if vs and p.shape[0] < h:
                 p = _upsample2x_triangle(p, 0, h)
             color[i] = p if p.shape == (h, w) else p[:h, :w]
 

@@ -49,7 +49,9 @@ def frame_supports_roi(frame) -> bool:
         return False
     if any(u != 1 for u in header.ec_upsampling):
         return False
-    if header.do_ycbcr:
+    if header.do_ycbcr and not header.flags.skip_adaptive_lf_smoothing:
+        # the fused subsampled path (which implements the rect) requires
+        # skip_adaptive_lf_smoothing; other ycbcr frames decode fully
         return False
     lf_global = getattr(frame, "lf_global", None)
     if lf_global is not None and lf_global.gmodular.modular is not None:
@@ -77,7 +79,9 @@ def device_rect(frame, state, region):
     left, top, w, h = region
     left -= header.x0
     top -= header.y0
-    ph, pw = state.plane_shapes[0]
+    # full-resolution plane extent (plane_shapes[0] is channel x, which
+    # is SMALLER than the frame for chroma-subsampled streams)
+    ph, pw = state.height_rounded, state.width_rounded
     gd = header.group_dim
     x0 = max(0, left - DEVICE_RECT_PAD) // gd * gd
     y0 = max(0, top - DEVICE_RECT_PAD) // gd * gd

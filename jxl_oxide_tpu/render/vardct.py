@@ -258,6 +258,9 @@ class VardctFrameState:
         ]
         self.extra_precision = 0
         self.filters_applied = False
+        # fused subsampled path: planes already at full resolution
+        # (chroma upsample fused into the device program)
+        self.chroma_upsampled = False
         # LF planes handed down from a rendered LF frame (use_lf_frame);
         # replaces LfCoeff dequant + LF CfL + smoothing (vardct/mod.rs:176-205)
         self.lf_override = getattr(frame, "_lf_frame_planes", None)
@@ -573,27 +576,33 @@ class VardctFrameState:
         computation, one device->host transfer); subsampled frames fall
         back to staged per-plane calls. `rect` restricts the device
         program to a plane sub-rect (ROI pushdown)."""
+        import os
+
         from ..parallel import get_decode_mesh
 
+        if os.environ.get("JXL_TPU_FORCE_STAGED"):
+            return self._run_staged(hf_global)
         mesh = get_decode_mesh()
-        if mesh is not None:
-            if self.subsampled:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "decode mesh set but chroma-subsampled frames have "
-                    "per-channel plane geometries; using the single-device "
-                    "path"
-                )
-            else:
-                return self._run_fused_sharded(hf_global, mesh)
-        if not self.subsampled:
-            return self._run_fused(hf_global, rect=rect)
-        if (
+        fused_sub_ok = (
             self.header.flags.skip_adaptive_lf_smoothing
             and self.lf_override is None
-        ):
-            return self._run_fused_subsampled(hf_global)
+        )
+        if mesh is not None:
+            if not self.subsampled:
+                return self._run_fused_sharded(hf_global, mesh)
+            if fused_sub_ok:
+                return self._run_fused_subsampled_sharded(hf_global, mesh)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "decode mesh set but this chroma-subsampled frame needs "
+                "adaptive LF smoothing / an LF frame (per-channel plane "
+                "geometries); using the single-device path"
+            )
+        if not self.subsampled:
+            return self._run_fused(hf_global, rect=rect)
+        if fused_sub_ok:
+            return self._run_fused_subsampled(hf_global, rect=rect)
         return self._run_staged(hf_global)
 
     _fused_cache: dict = {}
@@ -801,12 +810,10 @@ class VardctFrameState:
             # hundreds of block-offset residue classes (valid but
             # pathological, incl. adversarial inputs) would explode
             # compile time. The staged gather path's program size is
-            # bounded by the 27 transform types instead.
-            planes = self._run_staged(hf_global)
-            if rect is not None:
-                rx0, ry0, rx1, ry1 = rect
-                planes = [p[ry0:ry1, rx0:rx1] for p in planes]
-            return planes
+            # bounded by the 27 transform types instead. It returns
+            # full-size planes (callers crop to frame sample size), so
+            # the ROI rect is NOT applied here.
+            return self._run_staged(hf_global)
 
         # sparse coefficient upload when it beats dense int16 (quantized
         # HF coefficients are mostly zero); padded to pow2 to bound the
@@ -1130,88 +1137,385 @@ class VardctFrameState:
         # shard-row padding + frame-size crop are fused into the program
         return [out[0], out[1], out[2]]
 
-    @traced("Dequant and transform (subsampled)")
-    def _run_fused_subsampled(self, hf_global: HfGlobal | None):
-        """Chroma-subsampled frames (do_ycbcr 4:2:0/4:2:2): per-channel
-        plane geometries differ, so each channel runs its own fused
-        dequant+transform program (ops/vardct_pipeline
-        build_fused_pipeline_1ch). Filters apply after chroma upsampling
-        in the render path."""
-        import jax.numpy as jnp
+    def _sigma_blocks_grid(self) -> np.ndarray:
+        """Full-resolution per-8x8-block EPF sigma grid assembled from the
+        per-LF-group HfMetadata grids (same as _fused_host_inputs)."""
+        header = self.header
+        rf = header.restoration_filter
+        bh_all = -(-self.height_rounded // 8)
+        bw_all = -(-self.width_rounded // 8)
+        sigma_blocks = np.full(
+            (bh_all, bw_all),
+            rf.epf.sigma_for_modular if rf.epf.enabled else 0.0,
+            dtype=np.float32,
+        )
+        lfg_per_row = header.lf_groups_per_row
+        for lf_group_idx, group in self.lf_groups.items():
+            if group.hf_meta is None:
+                continue
+            gx = lf_group_idx % lfg_per_row
+            gy = lf_group_idx // lfg_per_row
+            sg = group.hf_meta.epf_sigma
+            sy0 = gy * header.group_dim
+            sx0 = gx * header.group_dim
+            sh_ = sigma_blocks[sy0 : sy0 + sg.shape[0], sx0 : sx0 + sg.shape[1]]
+            sh_[:, :] = sg[: sh_.shape[0], : sh_.shape[1]]
+        return sigma_blocks
 
-        from ..ops.vardct_pipeline import build_fused_pipeline_1ch
+    def _subsampled_channel_plans(self, hf_global: HfGlobal | None,
+                                  rect=None, plan_shapes=None):
+        """Per-channel (entries, code_grid, mul_grid, matrices) dense
+        plans for the fused subsampled pipelines. `rect` (full-res plane
+        coords, group-aligned origin) rebases bucket positions per
+        channel; `plan_shapes` overrides the block-grid shapes (the
+        sharded path plans over the padded grid)."""
+        header = self.header
+        qm_scale = (
+            0.8 ** (header.x_qm_scale - 2),
+            1.0,
+            0.8 ** (header.b_qm_scale - 2),
+        )
+        plans = []
+        for c in range(3):
+            hs, vs = self.shifts[c]
+            buckets = self.buckets(c)
+            lf_shape = self.lf_shapes[c]
+            if rect is not None:
+                x0, y0, x1, y1 = rect
+                bx0, by0 = (x0 >> hs) // 8, (y0 >> vs) // 8
+                bx1 = -(-(x1 >> hs) // 8)
+                by1 = -(-(y1 >> vs) // 8)
+                rect_shape = ((y1 - y0) >> vs, (x1 - x0) >> hs)
+                rect_lf = (by1 - by0, bx1 - bx0)
+                rbuckets = []
+                for b in buckets:
+                    p3 = b.pos3
+                    m = (
+                        (p3[:, 0] >= bx0) & (p3[:, 0] < bx1)
+                        & (p3[:, 1] >= by0) & (p3[:, 1] < by1)
+                    )
+                    if m.any():
+                        sub = p3[m].copy()
+                        sub[:, 0] -= bx0
+                        sub[:, 1] -= by0
+                        rbuckets.append(_Bucket(b.sel, sub, rect_shape, rect_lf))
+                buckets = rbuckets
+                lf_shape = rect_lf
+            if plan_shapes is not None:
+                lf_shape = plan_shapes[c]
+            entries, code_grid, mul_grid = self.dense_plan(buckets, lf_shape)
+            if len(entries) > DENSE_PLAN_MAX_ENTRIES:
+                return None  # see _run_fused: fall back to staged
+            matrices = {}
+            for b in buckets:
+                sel = b.sel
+                if hf_global is not None:
+                    matrices[sel] = hf_global.dequant_matrices.get(
+                        c, sel, TransformType.need_transpose(sel)
+                    )
+                else:
+                    tw, th = TransformType.SELECT_SIZE[sel]
+                    matrices[sel] = np.zeros((th * 8, tw * 8), dtype=np.float32)
+            plans.append((entries, code_grid, mul_grid, matrices))
+        return plans, qm_scale
+
+    @traced("Dequant and transform (subsampled)")
+    def _run_fused_subsampled(self, hf_global: HfGlobal | None, rect=None):
+        """Chroma-subsampled frames (do_ycbcr 4:2:0/4:2:2/4:4:0): ONE
+        fused program runs all three per-channel dequant + inverse
+        transform pipelines at their stored geometries, then the JPEG
+        triangle chroma upsample AND the restoration filters in the same
+        dispatch (jxl-render/src/vardct/mod.rs:48-385 subsampled path +
+        image.rs:448-486 upsample + render.rs filter order). Output is
+        full-resolution [3, h, w] (still YCbCr); sets chroma_upsampled
+        and filters_applied. `rect` restricts the program to a plane
+        sub-rect (ROI pushdown, group-aligned)."""
+        import jax
+
+        from ..ops.vardct_pipeline import build_fused_pipeline_subsampled
 
         header = self.header
         quantizer = self.frame.lf_global.vardct.quantizer
         lf_dequant = self.frame.lf_global.lf_dequant
         scale_inv = quantizer.global_scale * quantizer.quant_lf
         precision_scale = 1 << (9 - self.extra_precision)
-        qm_scale = (
-            0.8 ** (header.x_qm_scale - 2),
-            1.0,
-            0.8 ** (header.b_qm_scale - 2),
+        lf_scale = tuple(
+            float(lf_dequant[c] * precision_scale / scale_inv)
+            for c in range(3)
         )
+        planned = self._subsampled_channel_plans(hf_global, rect=rect)
+        if planned is None:
+            planes = self._run_staged(hf_global)
+            return planes
+        plans, qm_scale = planned
+
+        rf = header.restoration_filter
+        gabor_weights = (
+            tuple(map(tuple, rf.gab.weights)) if rf.gab.enabled else None
+        )
+        epf_params = rf.epf if rf.epf.enabled else None
+        sigma_blocks = self._sigma_blocks_grid()
+
+        if rect is not None:
+            x0, y0, x1, y1 = rect
+            full_shape = (y1 - y0, x1 - x0)
+            embed = (self.height_rounded, self.width_rounded, y0, x0)
+            plane_shapes = tuple(
+                ((y1 - y0) >> vs, (x1 - x0) >> hs)
+                for hs, vs in self.shifts
+            )
+            sigma_blocks = np.ascontiguousarray(
+                sigma_blocks[y0 // 8 : -(-y1 // 8), x0 // 8 : -(-x1 // 8)]
+            )
+        else:
+            full_shape = (self.height_rounded, self.width_rounded)
+            embed = None
+            plane_shapes = tuple(self.plane_shapes)
+
+        entries3 = tuple(p[0] for p in plans)
+        matrices3 = tuple(p[3] for p in plans)
+
+        # per-channel sparse upload when it beats dense int16
+        from .. import native as _native
+
+        inputs = []
+        sparse_ns = []
+        for c in range(3):
+            hs, vs = self.shifts[c]
+            coeff = self.coeff_planes[c]
+            lf_q = self.lf_quant_planes[c]
+            if rect is not None:
+                x0, y0, x1, y1 = rect
+                coeff = np.ascontiguousarray(
+                    coeff[y0 >> vs : y1 >> vs, x0 >> hs : x1 >> hs]
+                )
+                lf_q = np.ascontiguousarray(
+                    lf_q[(y0 >> vs) // 8 : -(-(y1 >> vs) // 8),
+                         (x0 >> hs) // 8 : -(-(x1 >> hs) // 8)]
+                )
+            sparse_n = None
+            coeff_input = None
+            if _native.available():
+                flat = np.ascontiguousarray(coeff.reshape(-1))
+                cap = max(coeff.size // 6, 1024)
+                idx_buf = np.zeros(cap, dtype=np.int32)
+                val_buf = np.zeros(cap, dtype=np.int32)
+                nz_count, max_abs = _native.sparse_extract(flat, idx_buf, val_buf)
+                if nz_count * 6 < coeff.size * 2 // 2:
+                    sparse_n = 1 << max(10, int(nz_count - 1).bit_length())
+                    if idx_buf.size < sparse_n:
+                        idx_buf = np.resize(idx_buf, sparse_n)
+                        val_buf = np.resize(val_buf, sparse_n)
+                    c_idx = idx_buf[:sparse_n].copy()
+                    nz_n = min(int(nz_count), sparse_n)
+                    c_idx[nz_n:] = coeff.size + np.arange(
+                        sparse_n - nz_n, dtype=np.int32
+                    )
+                    vals = val_buf[:sparse_n].copy()
+                    vals[nz_n:] = 0
+                    c_val = vals.astype(np.int16) if max_abs < 32768 else vals
+                    coeff_input = (c_idx, c_val)
+                elif max_abs < 32768:
+                    coeff_input = coeff.astype(np.int16)
+                else:
+                    coeff_input = coeff
+            else:
+                if np.abs(coeff).max(initial=0) < 32768:
+                    coeff_input = coeff.astype(np.int16)
+                else:
+                    coeff_input = coeff
+            sparse_ns.append(sparse_n)
+            inputs.extend([coeff_input, lf_q, plans[c][1], plans[c][2]])
+        inputs.append(sigma_blocks)
+
+        key = (
+            "sub_fused", tuple(sparse_ns), plane_shapes, full_shape, embed,
+            entries3,
+            tuple(float(q) for q in self.opsin.quant_bias),
+            float(self.opsin.quant_bias_numerator),
+            quantizer.global_scale, qm_scale, lf_scale,
+            gabor_weights,
+            (epf_params.iters, epf_params.sharp_lut, epf_params.channel_scale,
+             epf_params.pass0_sigma_scale, epf_params.pass2_sigma_scale,
+             epf_params.border_sad_mul) if epf_params else None,
+            tuple(
+                tuple(sorted((sel, m.tobytes()) for sel, m in mats.items()))
+                for mats in matrices3
+            ),
+            (self.height, self.width),
+        )
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            lf_shapes_eff = tuple(
+                (ps[0] // 8, ps[1] // 8) for ps in plane_shapes
+            )
+            fn = build_fused_pipeline_subsampled(
+                plane_shapes, lf_shapes_eff, full_shape, entries3, matrices3,
+                tuple(float(q) for q in self.opsin.quant_bias),
+                float(self.opsin.quant_bias_numerator),
+                quantizer.global_scale, qm_scale, lf_scale,
+                gabor_weights=gabor_weights,
+                epf_params=epf_params,
+                sparse_coeff_n=tuple(sparse_ns),
+                crop=(self.height, self.width),
+                embed=embed,
+            )
+            self._fused_cache[key] = fn
+
+        placed = jax.device_put(inputs)
+        out = fn(*placed)
+        self.filters_applied = True
+        self.chroma_upsampled = True
+        return [out[0], out[1], out[2]]
+
+    @traced("Dequant and transform (subsampled, sharded)")
+    def _run_fused_subsampled_sharded(self, hf_global: HfGlobal | None, mesh):
+        """The fused subsampled pipeline under shard_map: bands of whole
+        256px groups shard across the mesh axis; each channel's stored
+        plane shards at its shifted band size, the chroma upsample
+        exchanges a 1-sample stored-res halo over ICI, and the filter
+        tail uses the same halo contract as the non-subsampled sharded
+        pipeline (jxl-frame/src/lib.rs:626-649)."""
         import jax
 
-        fns = []
-        inputs = []
-        keys = []
+        from ..ops.vardct_pipeline import (
+            build_fused_pipeline_subsampled_sharded,
+        )
+        from ..parallel import mesh_fingerprint
+
+        header = self.header
+        quantizer = self.frame.lf_global.vardct.quantizer
+        lf_dequant = self.frame.lf_global.lf_dequant
+        scale_inv = quantizer.global_scale * quantizer.quant_lf
+        precision_scale = 1 << (9 - self.extra_precision)
+        lf_scale = tuple(
+            float(lf_dequant[c] * precision_scale / scale_inv)
+            for c in range(3)
+        )
+
+        n_sh = int(np.prod(mesh.devices.shape))
+        axis = (
+            mesh.axis_names[0]
+            if len(mesh.axis_names) == 1
+            else tuple(mesh.axis_names)
+        )
+        gd = header.group_dim
+        H, W = self.height_rounded, self.width_rounded
+        group_rows = _ceil_div(H, gd)
+        group_cols = _ceil_div(W, gd)
+        by_rows = group_rows >= group_cols
+        S = H if by_rows else W
+        loc = _ceil_div(group_rows if by_rows else group_cols, n_sh) * gd
+        pad_to = n_sh * loc
+        last_shard = min(n_sh - 1, (S - 1) // loc)
+        vloc = S - last_shard * loc
+        pax = 0 if by_rows else 1  # sharded axis in per-channel 2-D grids
+
+        def pad_dim(a, size, axis_idx):
+            widths = [(0, 0)] * a.ndim
+            widths[axis_idx] = (0, size - a.shape[axis_idx])
+            return np.pad(a, widths) if size != a.shape[axis_idx] else a
+
+        # per-channel padded plan over the padded block grid
+        plan_shapes = []
         for c in range(3):
-            buckets = self.buckets(c)
-            entries, code_grid, mul_grid = self.dense_plan(
-                buckets, self.lf_shapes[c]
-            )
-            if len(entries) > DENSE_PLAN_MAX_ENTRIES:
-                return self._run_staged(hf_global)  # see _run_fused
-            matrices = {}
-            for sel in (b.sel for b in buckets):
-                if hf_global is not None:
-                    matrices[sel] = hf_global.dequant_matrices.get(
-                        c, sel, TransformType.need_transpose(sel)
-                    )
-                else:
-                    bw, bh = TransformType.SELECT_SIZE[sel]
-                    matrices[sel] = np.zeros((bh * 8, bw * 8), dtype=np.float32)
-            lf_scale = float(lf_dequant[c] * precision_scale / scale_inv)
-            key = (
-                "sub1ch", c, self.plane_shapes[c], self.lf_shapes[c],
-                entries,
-                float(self.opsin.quant_bias[c]),
-                float(self.opsin.quant_bias_numerator),
-                quantizer.global_scale, qm_scale[c], lf_scale,
-                tuple(sorted((sel, m.tobytes()) for sel, m in matrices.items())),
-            )
-            keys.append(key)
-            fn = self._fused_cache.get(key)
-            if fn is None:
-                fn = build_fused_pipeline_1ch(
-                    self.plane_shapes[c], self.lf_shapes[c], entries,
-                    matrices,
-                    float(self.opsin.quant_bias[c]),
-                    float(self.opsin.quant_bias_numerator),
-                    quantizer.global_scale, qm_scale[c], lf_scale,
-                )
-                self._fused_cache[key] = fn
-            fns.append(fn)
-            coeff = self.coeff_planes[c]
+            hs, vs = self.shifts[c]
+            sshift = vs if by_rows else hs
+            pad_c = pad_to >> sshift
+            Hc, Wc = self.plane_shapes[c]
+            if by_rows:
+                plan_shapes.append((pad_c // 8, Wc // 8))
+            else:
+                plan_shapes.append((Hc // 8, pad_c // 8))
+        planned = self._subsampled_channel_plans(
+            hf_global, plan_shapes=plan_shapes
+        )
+        if planned is None:
+            return self._run_staged(hf_global)
+        plans, qm_scale = planned
+
+        rf = header.restoration_filter
+        gabor_weights = (
+            tuple(map(tuple, rf.gab.weights)) if rf.gab.enabled else None
+        )
+        epf_params = rf.epf if rf.epf.enabled else None
+        sigma_blocks = pad_dim(self._sigma_blocks_grid(), pad_to // 8, pax)
+
+        inputs = []
+        local_plane_shapes = []
+        local_lf_shapes = []
+        entries3 = tuple(p[0] for p in plans)
+        matrices3 = tuple(p[3] for p in plans)
+        for c in range(3):
+            hs, vs = self.shifts[c]
+            sshift = vs if by_rows else hs
+            pad_c = pad_to >> sshift
+            loc_c = loc >> sshift
+            coeff = pad_dim(self.coeff_planes[c], pad_c, pax)
             if np.abs(coeff).max(initial=0) < 32768:
                 coeff = coeff.astype(np.int16)
-            inputs.append((
-                coeff, self.lf_quant_planes[c], code_grid, mul_grid,
-            ))
+            lf_q = pad_dim(self.lf_quant_planes[c], pad_c // 8, pax)
+            code_grid = plans[c][1]
+            mul_grid = plans[c][2]
+            inputs.extend([coeff, lf_q, code_grid, mul_grid])
+            Hc, Wc = self.plane_shapes[c]
+            if by_rows:
+                local_plane_shapes.append((loc_c, Wc))
+                local_lf_shapes.append((loc_c // 8, Wc // 8))
+            else:
+                local_plane_shapes.append((Hc, loc_c))
+                local_lf_shapes.append((Hc // 8, loc_c // 8))
+        inputs.append(sigma_blocks)
+        local_full = (loc, W) if by_rows else (H, loc)
 
-        # ONE dispatch and one batched transfer for all 3 channels: the
-        # per-channel jitted fns inline into a combined program (each
-        # link round trip costs more than the compute on a remote chip)
-        comb_key = ("sub3", tuple(keys))
-        comb = self._fused_cache.get(comb_key)
-        if comb is None:
-            comb = jax.jit(lambda a, b, c_: (
-                fns[0](*a), fns[1](*b), fns[2](*c_)
-            ))
-            self._fused_cache[comb_key] = comb
-        placed = jax.device_put(inputs)
-        return list(comb(*placed))
+        key = (
+            "sub_sharded", mesh_fingerprint(mesh), by_rows,
+            tuple(local_plane_shapes), local_full, vloc, last_shard,
+            entries3,
+            tuple(float(q) for q in self.opsin.quant_bias),
+            float(self.opsin.quant_bias_numerator),
+            quantizer.global_scale, qm_scale, lf_scale,
+            gabor_weights,
+            (epf_params.iters, epf_params.sharp_lut, epf_params.channel_scale,
+             epf_params.pass0_sigma_scale, epf_params.pass2_sigma_scale,
+             epf_params.border_sad_mul) if epf_params else None,
+            tuple(
+                tuple(sorted((sel, m.tobytes()) for sel, m in mats.items()))
+                for mats in matrices3
+            ),
+            (self.height, self.width),
+        )
+        cached = self._fused_cache.get(key)
+        if cached is None:
+            cached = build_fused_pipeline_subsampled_sharded(
+                mesh, axis, tuple(local_plane_shapes),
+                tuple(local_lf_shapes), local_full,
+                entries3, matrices3,
+                tuple(float(q) for q in self.opsin.quant_bias),
+                float(self.opsin.quant_bias_numerator),
+                quantizer.global_scale, qm_scale, lf_scale,
+                vloc, last_shard,
+                gabor_weights=gabor_weights,
+                epf_params=epf_params,
+                crop=(self.height, self.width),
+                shard_dim="rows" if by_rows else "cols",
+            )
+            self._fused_cache[key] = cached
+        fn, shardings = cached
+
+        def _place(a, s):
+            if s.is_fully_addressable:
+                return jax.device_put(a, s)
+            a = np.asarray(a)
+            return jax.make_array_from_callback(
+                a.shape, s, lambda idx: a[idx]
+            )
+
+        placed = [_place(a, s) for a, s in zip(inputs, shardings)]
+        out = fn(*placed)
+        self.filters_applied = True
+        self.chroma_upsampled = True
+        return [out[0], out[1], out[2]]
 
     def _run_staged(self, hf_global: HfGlobal | None):
         import jax.numpy as jnp
@@ -1489,10 +1793,14 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None,
 
         dev_rect = device_rect(frame, state, roi)
     xyb = state.run_device_pipeline(hf_global, rect=dev_rect)
-    # Crop rounded planes to sample size (per channel shift).
+    # Crop rounded planes to sample size (per channel shift; the fused
+    # subsampled path returns full-resolution planes, already cropped).
     cropped = []
     for c in range(3):
-        hs, vs = state.shifts[c]
+        if state.chroma_upsampled:
+            hs, vs = 0, 0
+        else:
+            hs, vs = state.shifts[c]
         w = _ceil_shift(state.width, hs)
         h = _ceil_shift(state.height, vs)
         cropped.append(
@@ -1682,10 +1990,15 @@ def _decode_vardct_progressive(frame, cache: ProgressiveCache):
     xyb = state.run_device_pipeline(hf_global)
     cropped = []
     for c in range(3):
-        hs, vs = state.shifts[c]
+        if state.chroma_upsampled:
+            hs, vs = 0, 0
+        else:
+            hs, vs = state.shifts[c]
         w = _ceil_shift(state.width, hs)
         h = _ceil_shift(state.height, vs)
-        cropped.append(xyb[c][:h, :w])
+        cropped.append(
+            xyb[c] if xyb[c].shape == (h, w) else xyb[c][:h, :w]
+        )
 
     extra = []
     if modular is not None:

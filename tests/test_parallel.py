@@ -313,3 +313,55 @@ def test_scaling_model_arithmetic():
     assert m["halo_bytes_per_boundary"] == (128 + 1024 + 6 * 1024) * 3 * 4 * 2
     assert 0.0 < m["modeled_efficiency_32chip"]
     assert m["modeled_efficiency_32chip"] <= m["modeled_efficiency_8chip"] <= 1.0
+
+
+def test_mesh_subsampled_420(caplog):
+    """Chroma-subsampled (4:2:0) multi-group streams decode bit-
+    identically on the 8-device mesh with NO single-device fallback
+    (VERDICT r3 item 1): each channel's stored plane shards at its
+    shifted band size, the triangle chroma upsample exchanges a
+    1-sample stored-res halo, and gabor+EPF use the full-res halo
+    contract."""
+    import logging
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T, jpeg_shifts
+
+    rng = np.random.default_rng(97)
+    cases = [
+        ((0, 1, 0), 768, 512),    # 4:2:0, 3 group rows on 8 devices
+        ((0, 2, 0), 512, 768),    # 4:2:2-family, wide: column bands
+    ]
+    for ups, h, w in cases:
+        bh, bw = h // 8, w // 8
+        shifts = jpeg_shifts(ups)
+        sel = np.full((bh, bw), int(T.DCT8), dtype=np.int64)
+        mul = rng.integers(1, 4, (bh, bw)).astype(np.int64)
+        coeff = []
+        lf_q = []
+        for c in range(3):
+            hs, vs = shifts[c]
+            sh = (h >> vs, w >> hs)
+            cp = np.zeros(sh, dtype=np.int64)
+            m = rng.random(sh) < 0.2
+            cp[m] = rng.integers(-15, 16, int(m.sum()))
+            coeff.append(cp)
+            lf_q.append(
+                rng.integers(-60, 61, (bh >> vs, bw >> hs)).astype(np.int64)
+            )
+        data = encode_jxl_vardct_tiled(
+            h, w, sel, mul, coeff, lf_q,
+            gabor=True, epf_iters=2, jpeg_upsampling=ups,
+        )
+        single = _decode_planes(data)
+        assert single.shape == (3, h, w)
+        assert np.isfinite(single).all()
+        with caplog.at_level(logging.WARNING,
+                             logger="jxl_oxide_tpu.render.vardct"):
+            sharded = _decode_planes(data, mesh=decode_mesh(8))
+        assert not [r for r in caplog.records
+                    if "single-device" in r.message], ups
+        np.testing.assert_array_equal(sharded, single, err_msg=str(ups))

@@ -1065,3 +1065,90 @@ def test_custom_epf_params_applied():
     assert d > 1e-4, "custom EPF params had no effect"
     p = psnr(np.clip(np.stack([x1, y1, b1], -1), 0, 1), img)
     assert p > 30.0, f"custom EPF wrecked the image: {p:.2f} dB"
+
+
+def test_ycbcr_420_fused_filter_tail_vs_staged(monkeypatch):
+    """The fused subsampled program (per-channel transforms + triangle
+    chroma upsample + gabor + EPF in ONE dispatch,
+    ops/vardct_pipeline.build_fused_pipeline_subsampled) must match the
+    staged reference path (per-plane dispatches + render-side upsample +
+    filters) on a 4:2:0 stream with both filters enabled."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_420
+
+    from jxl_oxide_tpu import JxlImage
+
+    h = w = 64
+    bh, bw = h // 8, w // 8
+    rng = np.random.default_rng(61)
+    shapes = [(h // 2, w // 2), (h, w), (h // 2, w // 2)]
+    coeff = []
+    for sh in shapes:
+        c = np.zeros(sh, dtype=np.int64)
+        m = rng.random(sh) < 0.15
+        c[m] = rng.integers(-12, 13, int(m.sum()))
+        coeff.append(c)
+    lf_q = [
+        rng.integers(-30, 30, (bh // 2, bw // 2)),
+        rng.integers(-30, 30, (bh, bw)),
+        rng.integers(-30, 30, (bh // 2, bw // 2)),
+    ]
+    data = encode_jxl_vardct_420(h, w, coeff, lf_q, 4096,
+                                 gabor=True, epf_iters=2)
+
+    got = np.stack([
+        np.asarray(p) for p in JxlImage.from_bytes(data).render_frame(0).planes
+    ])
+    monkeypatch.setenv("JXL_TPU_FORCE_STAGED", "1")
+    want = np.stack([
+        np.asarray(p) for p in JxlImage.from_bytes(data).render_frame(0).planes
+    ])
+    assert got.shape == want.shape == (3, h, w)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_ycbcr_asym_fused_filter_tail_vs_staged(monkeypatch):
+    """Same fused-vs-staged comparison for the asymmetric 4:2:2 / 4:4:0
+    layouts (one-axis chroma upsample inside the fused program)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from encoder_vardct import encode_jxl_vardct_420
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.models.vardct import jpeg_shifts
+
+    h = w = 64
+    bh, bw = h // 8, w // 8
+    rng = np.random.default_rng(62)
+    for ups in [(0, 2, 0), (0, 3, 0)]:
+        shifts = jpeg_shifts(ups)
+        coeff = []
+        lf_q = []
+        for c in range(3):
+            hs, vs = shifts[c]
+            sh = (h >> vs, w >> hs)
+            cp = np.zeros(sh, dtype=np.int64)
+            m = rng.random(sh) < 0.15
+            cp[m] = rng.integers(-12, 13, int(m.sum()))
+            coeff.append(cp)
+            lf_q.append(rng.integers(-30, 30, (bh >> vs, bw >> hs)))
+        data = encode_jxl_vardct_420(h, w, coeff, lf_q, 4096,
+                                     jpeg_upsampling=ups,
+                                     gabor=True, epf_iters=3)
+        got = np.stack([
+            np.asarray(p)
+            for p in JxlImage.from_bytes(data).render_frame(0).planes
+        ])
+        monkeypatch.setenv("JXL_TPU_FORCE_STAGED", "1")
+        want = np.stack([
+            np.asarray(p)
+            for p in JxlImage.from_bytes(data).render_frame(0).planes
+        ])
+        monkeypatch.delenv("JXL_TPU_FORCE_STAGED")
+        assert got.shape == want.shape == (3, h, w)
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(ups))

@@ -806,6 +806,8 @@ def encode_jxl_vardct_420(
     lf_q: list,      # per-channel quantized LF at channel res
     global_scale: int = 4096,
     jpeg_upsampling=(0, 1, 0),
+    gabor: bool = False,
+    epf_iters: int = 0,
 ) -> bytes:
     """Synthesize a do_ycbcr subsampled VarDCT codestream with all-DCT8
     varblocks. Default jpeg_upsampling (0, 1, 0) is 4:2:0 (y full-res,
@@ -835,8 +837,14 @@ def encode_jxl_vardct_420(
     out.write_bool(True)  # is_last
     out.write_u32_sel(0, 0, 0)  # name len 0
     out.write_bool(False)  # restoration filter not default
-    out.write_bool(False)  # gabor off
-    out.write(0, 2)  # epf iters 0
+    out.write_bool(gabor)  # gabor on/off (default weights)
+    if gabor:
+        out.write_bool(False)  # default weights
+    out.write(epf_iters, 2)
+    if epf_iters:
+        out.write_bool(False)  # sharp_lut default
+        out.write_bool(False)  # channel_scale default
+        out.write_bool(False)  # sigma default
     out.write_u64_zero()
     out.write_u64_zero()
 
@@ -930,8 +938,11 @@ def encode_jxl_vardct_tiled(
     w: int,
     sel_grid: np.ndarray,    # [bh, bw] int, -1 = covered by another varblock
     mul_grid: np.ndarray,    # [bh, bw] int hf_mul at varblock origins
-    coeff: np.ndarray,       # [3, bh*8, bw*8] int, stored (decoder) layout
-    lf_q: np.ndarray,        # [3, bh, bw] int quantized LF
+    coeff,                   # [3, bh*8, bw*8] int, stored (decoder) layout;
+                             # subsampled: LIST of per-channel [x, y, b]
+                             # planes at shifted sizes
+    lf_q,                    # [3, bh, bw] int quantized LF; subsampled:
+                             # LIST of per-channel planes at shifted sizes
     global_scale: int = 4096,
     quant_lf: int = 16,
     gabor: bool = False,
@@ -939,15 +950,31 @@ def encode_jxl_vardct_tiled(
     sharpness: np.ndarray | None = None,  # [bh, bw] 0..7 (EPF sigma input)
     cfl_grids: tuple | None = None,       # (x_from_y, b_from_y) int grids
     skip_lf_smoothing: bool = True,
+    jpeg_upsampling=(0, 0, 0),
 ) -> bytes:
     """Synthesize a MULTI-GROUP (and multi-LF-group) VarDCT codestream
     with an explicit varblock layout over the whole image: the general
     tiled bitstream shape of the format (TOC sections per 2048px LF group
     and per pass x 256px group, jxl-frame/src/data/toc.rs), used to
     exercise group-parallel and mesh-sharded decode on images >= 4096x4096
-    with mixed transform types, EPF sigma grids, and gaborish."""
+    with mixed transform types, EPF sigma grids, and gaborish.
+
+    jpeg_upsampling != (0,0,0) emits a do_ycbcr chroma-subsampled stream
+    (4:2:0 and friends). The caller must pick sel_grid so each channel's
+    shifted projection tiles (all-DCT8 always does): subsampled channels
+    take varblocks only at lattice-aligned full-res anchors whose shifted
+    position also holds an anchor (jxl-vardct hf_coeff.rs alignment rule,
+    mirrored from models/vardct.py write_hf_coeff)."""
     bh, bw = -(-h // 8), -(-w // 8)
     assert sel_grid.shape == (bh, bw)
+    do_ycbcr = any(j != 0 for j in jpeg_upsampling)
+    shifts = jpeg_shifts(jpeg_upsampling)
+    if do_ycbcr:
+        assert isinstance(coeff, (list, tuple)) and len(coeff) == 3
+        assert isinstance(lf_q, (list, tuple)) and len(lf_q) == 3
+    else:
+        coeff = [np.asarray(coeff)[c] for c in range(3)]
+        lf_q = [np.asarray(lf_q)[c] for c in range(3)]
     gd, lgd = 256, 2048          # group dim (px), LF group dim (px)
     gdb, lgdb = gd // 8, lgd // 8  # in blocks
     gpr, gpc = -(-w // gd), -(-h // gd)
@@ -965,7 +992,10 @@ def encode_jxl_vardct_tiled(
     out.write(0, 2)  # regular frame
     out.write(0, 1)  # VarDCT
     _write_u64(out, 0x80 if skip_lf_smoothing else 0)
-    out.write_bool(False)  # do_ycbcr
+    out.write_bool(do_ycbcr)
+    if do_ycbcr:
+        for ups in jpeg_upsampling:
+            out.write(ups, 2)
     out.write_u32_sel(0, 0, 0)  # upsampling
     out.write_u32_sel(0, 0, 0)  # num_passes = 1
     out.write_bool(False)  # have_crop
@@ -1028,9 +1058,19 @@ def encode_jxl_vardct_tiled(
             lbw = min(lgdb, bw - bx0)
             lsel = sel_grid[by0 : by0 + lbh, bx0 : bx0 + lbw]
             lmul = mul_grid[by0 : by0 + lbh, bx0 : bx0 + lbw]
-            llf = lf_q[:, by0 : by0 + lbh, bx0 : bx0 + lbw]
+            # per-channel local LF planes at shifted sizes (LfCoeff.parse
+            # channel geometry: _shifted_size of the local block extent)
+            llf = []
+            for c in (1, 0, 2):  # stream order y, x, b
+                chs, cvs = shifts[c]
+                y0c, x0c = by0 >> cvs, bx0 >> chs
+                lh_c = -(-lbh // (1 << cvs))
+                lw_c = -(-lbw // (1 << chs))
+                llf.append(
+                    np.asarray(lf_q[c])[y0c : y0c + lh_c, x0c : x0c + lw_c]
+                )
             sec.write(0, 2)  # extra_precision = 0
-            _encode_local_modular(sec, [llf[1], llf[0], llf[2]])
+            _encode_local_modular(sec, llf)
             varblocks = []
             for y in range(lbh):
                 for x in range(lbw):
@@ -1081,10 +1121,19 @@ def encode_jxl_vardct_tiled(
                 order = natural_order(TransformType.ORDER_ID[sel])
                 transpose = TransformType.need_transpose(sel)
                 for c in (1, 0, 2):
+                    chs, cvs = shifts[c]
+                    sx, sy = bx >> chs, by >> cvs
+                    if chs or cvs:
+                        # write_hf_coeff alignment rule: lattice-aligned
+                        # anchor whose shifted position holds an anchor
+                        if (sx << chs) != bx or (sy << cvs) != by:
+                            continue
+                        if sel_grid[sy, sx] < 0:
+                            continue
                     vals = []
                     for (dx, dy) in order[num_blocks:]:
                         px, py = (dy, dx) if transpose else (dx, dy)
-                        vals.append(int(coeff[c, by * 8 + py, bx * 8 + px]))
+                        vals.append(int(coeff[c][sy * 8 + py, sx * 8 + px]))
                     non_zeros = sum(1 for v in vals if v != 0)
                     tokens.append(non_zeros)
                     remaining = non_zeros

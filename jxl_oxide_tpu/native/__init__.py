@@ -1089,3 +1089,279 @@ def parse_decoder_native(bs, num_dist: int, allow_lz77: bool):
         "blob": blob,
         "tables": t,
     }
+
+
+def serialize_ma_raw_nodes(ma_config) -> np.ndarray:
+    """MaConfig raw tree -> int32 [n, 8] (property, value, left, right,
+    cluster, predictor, offset, multiplier) for the C++ flattener
+    (jxlhost_decode_lf_groups_batch). Cached on the config."""
+    cached = getattr(ma_config, "_native_raw_nodes", None)
+    if cached is not None:
+        return cached
+    nodes = ma_config.nodes
+    out = np.zeros((max(len(nodes), 1), 8), dtype=np.int32)
+    for i, nd in enumerate(nodes):
+        out[i] = (nd.property, nd.value, nd.left, nd.right,
+                  nd.cluster, nd.predictor, nd.offset, nd.multiplier)
+    ma_config._native_raw_nodes = out
+    return out
+
+
+def decode_lf_groups_batch(
+    *, ma_config, num_lf_groups: int, hshifts, vshifts,
+    epf, quantizer_global_scale: int, select_sizes, group_blocks: int,
+    sections, n_threads: int,
+):
+    """Decode many LF-group sections (LfCoeff + HfMetadata) in ONE native
+    call: modular header + local MA tree parse + channel decode + varblock
+    placement + EPF sigma all happen in C++ on the worker pool (the stage
+    that capped host thread scaling under the GIL; VERDICT r3 item 2).
+
+    sections: list of dicts with keys
+      data (bytes), lf_idx, bw, bh, w64, h64, has_lf_coeff,
+      lf_views (3 int32 strided views, STREAM order y/x/b),
+      xfy, bfy (int32 [h64, w64]), sel (int8 [bh, bw]),
+      mul (int32 [bh, bw]), sigma (float32 [bh, bw]).
+    epf: None or (quant_mul, sharp_lut).
+    Returns (sec_ret, extra_precision) int32 arrays — ret 0 = decoded,
+    anything else = re-decode that section in Python."""
+    lib = get_lib()
+    n = len(sections)
+
+    if ma_config is not None:
+        gnodes = serialize_ma_raw_nodes(ma_config)
+        n_gnodes = len(ma_config.nodes)
+        gt = DecoderTables.cached(ma_config.decoder_template)
+    else:
+        gnodes = np.zeros((1, 8), dtype=np.int32)
+        n_gnodes = 0
+        gt = None
+
+    sec_data = (ctypes.c_char_p * n)()
+    sec_len = np.zeros(n, dtype=np.uint64)
+    sec_meta = np.zeros(n * 6, dtype=np.int32)
+    lf_dims = np.zeros(n * 6, dtype=np.int32)
+    lf_bufs = (ctypes.c_void_p * (n * 3))()
+    lf_strides = np.zeros(n * 3, dtype=np.int64)
+    xfy_bufs = (ctypes.c_void_p * n)()
+    bfy_bufs = (ctypes.c_void_p * n)()
+    sel_bufs = (ctypes.c_void_p * n)()
+    mul_bufs = (ctypes.c_void_p * n)()
+    sigma_bufs = (ctypes.c_void_p * n)()
+    out_ep = np.zeros(n, dtype=np.int32)
+    out_bit_pos = np.zeros(n, dtype=np.uint64)
+    sec_ret = np.zeros(n, dtype=np.int32)
+    keepalive = []
+
+    for k, s in enumerate(sections):
+        data = s["data"]
+        keepalive.append(data)
+        sec_data[k] = data
+        sec_len[k] = len(data)
+        sec_meta[k * 6: k * 6 + 6] = (
+            s["lf_idx"], s["bw"], s["bh"], s["w64"], s["h64"],
+            1 if s["has_lf_coeff"] else 0,
+        )
+        for j, v in enumerate(s["lf_views"]):
+            assert v.dtype == np.int32 and v.strides[1] == 4
+            lf_dims[k * 6 + j * 2] = v.shape[1]
+            lf_dims[k * 6 + j * 2 + 1] = v.shape[0]
+            lf_bufs[k * 3 + j] = v.ctypes.data
+            lf_strides[k * 3 + j] = v.strides[0] // 4
+        xfy_bufs[k] = s["xfy"].ctypes.data
+        bfy_bufs[k] = s["bfy"].ctypes.data
+        sel_bufs[k] = s["sel"].ctypes.data
+        mul_bufs[k] = s["mul"].ctypes.data
+        sigma_bufs[k] = s["sigma"].ctypes.data
+
+    hsh = np.asarray(hshifts, dtype=np.int32)
+    vsh = np.asarray(vshifts, dtype=np.int32)
+    if epf is not None:
+        quant_mul, sharp_lut = epf
+        sigma_base = float(quant_mul) * 65536.0 / quantizer_global_scale
+        lut = np.asarray(sharp_lut, dtype=np.float64)
+        epf_enabled = 1
+    else:
+        sigma_base = 0.0
+        lut = np.zeros(8, dtype=np.float64)
+        epf_enabled = 0
+    sizes = np.ascontiguousarray(
+        np.asarray(select_sizes, dtype=np.int32).reshape(-1)
+    )
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def zt():
+        z = np.zeros(1, dtype=np.int32)
+        keepalive.append(z)
+        return ip(z)
+
+    if gt is not None:
+        g_args = (ip(gt.header), ip(gt.cluster_map), ip(gt.cfgs),
+                  ip(gt.ans_meta), ip(gt.ans_blob), ip(gt.pfx_meta),
+                  ip(gt.pfx_blob))
+    else:
+        g_args = (zt(), zt(), zt(), zt(), zt(), zt(), zt())
+
+    with native_budget():
+        lib.jxlhost_decode_lf_groups_batch(
+            ip(gnodes), ctypes.c_int64(n_gnodes),
+            *g_args,
+            ctypes.c_int32(num_lf_groups),
+            hsh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vsh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(epf_enabled), ctypes.c_double(sigma_base),
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ip(sizes), ctypes.c_int32(len(sizes) // 2),
+            ctypes.c_int32(group_blocks),
+            ctypes.c_int32(n),
+            ctypes.cast(sec_data, ctypes.POINTER(ctypes.c_char_p)),
+            sec_len.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ip(sec_meta),
+            ip(lf_dims),
+            ctypes.cast(lf_bufs, ctypes.POINTER(ctypes.c_void_p)),
+            lf_strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.cast(xfy_bufs, ctypes.POINTER(ctypes.c_void_p)),
+            ctypes.cast(bfy_bufs, ctypes.POINTER(ctypes.c_void_p)),
+            ctypes.cast(sel_bufs, ctypes.POINTER(ctypes.c_void_p)),
+            ctypes.cast(mul_bufs, ctypes.POINTER(ctypes.c_void_p)),
+            ctypes.cast(sigma_bufs, ctypes.POINTER(ctypes.c_void_p)),
+            ip(out_ep),
+            out_bit_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ip(sec_ret),
+            ctypes.c_int32(n_threads),
+        )
+    del keepalive
+    return sec_ret, out_ep
+
+
+def zeroed_planes(shapes, dtype=np.int32):
+    """Allocate + zero a list of planes, pre-faulting the pages with the
+    worker pool when the native library is available (a fresh multi-
+    hundred-MB np.zeros otherwise pays its page faults lazily inside the
+    decode's write path). Falls back to np.zeros."""
+    lib = get_lib()
+    arrays = [np.empty(s, dtype=dtype) for s in shapes]
+    if lib is None or not hasattr(lib, "jxlhost_memzero_batch"):
+        for a in arrays:
+            a[...] = 0
+        return arrays
+    from ..utils.threads import num_workers
+
+    n = len(arrays)
+    ptrs = (ctypes.c_void_p * n)()
+    sizes = np.zeros(n, dtype=np.uint64)
+    for i, a in enumerate(arrays):
+        ptrs[i] = a.ctypes.data
+        sizes[i] = a.nbytes
+    total_mb = int(sizes.sum() >> 20)
+    lib.jxlhost_memzero_batch(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int32(n),
+        ctypes.c_int32(num_workers(max(1, total_mb // 4))),
+    )
+    return arrays
+
+
+def decode_hf_groups_batch_raw(
+    *, pass_tables, pass_orders, num_hf_presets: int, pass_coeff_shifts,
+    hf_block_ctx, hshifts, vshifts,
+    n_sections: int,
+    sec_data_ptrs, sec_len, sec_pass,
+    sec_sel_ptrs, sec_mul_ptrs, sec_gw, sec_gh, sec_stride,
+    sec_lf_ptrs, sec_lf_strides, sec_out_ptrs, sec_out_strides,
+    job_start, job_count, n_threads: int, keepalive=(),
+):
+    """decode_hf_groups_batch with PRE-COMPUTED numpy pointer/geometry
+    arrays (uint64 pointers, int64 strides, int32 meta): the caller
+    vectorizes the per-group view arithmetic instead of building 9-tuple
+    sections in a Python loop — on a 256-group frame the old prep +
+    marshalling loops were ~10 ms of serial Python in front of the
+    GIL-free batch. Returns per-section end bit positions."""
+    from ..utils.errors import JxlBitstreamError, JxlEofError, JxlValidationError
+
+    lib = get_lib()
+    lib.jxlhost_decode_hf_groups_batch.restype = ctypes.c_int
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def pp(a):  # uint64 pointer array -> void**
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p))
+
+    def lp(a):  # int64 array
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def up(a):  # uint64 array
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    n_passes = len(pass_tables)
+    VP = ctypes.c_void_p
+    pass_specs = (VP * (n_passes * 7))()
+    pass_ord = (VP * (n_passes * 3))()
+    for p, t in enumerate(pass_tables):
+        for i, arr in enumerate((t.header, t.cluster_map, t.cfgs,
+                                 t.ans_meta, t.ans_blob,
+                                 t.pfx_meta, t.pfx_blob)):
+            pass_specs[p * 7 + i] = arr.ctypes.data
+        offsets, lengths, blob = pass_orders[p]
+        pass_ord[p * 3] = offsets.ctypes.data
+        pass_ord[p * 3 + 1] = blob.ctypes.data
+        pass_ord[p * 3 + 2] = lengths.ctypes.data
+    nhp_arr = np.full(n_passes, num_hf_presets, dtype=np.int32)
+    shift_arr = np.asarray(pass_coeff_shifts, dtype=np.int32)
+
+    packed_ctx = getattr(hf_block_ctx, "_native_packed", None)
+    if packed_ctx is None:
+        qf_thr = np.asarray(hf_block_ctx.qf_thresholds, dtype=np.int32)
+        lf_thr_counts = np.array(
+            [len(t) for t in hf_block_ctx.lf_thresholds], dtype=np.int32
+        )
+        lf_thr_all = np.asarray(
+            [v for t in hf_block_ctx.lf_thresholds for v in t] or [0],
+            dtype=np.int32,
+        )
+        bcm = np.asarray(hf_block_ctx.block_ctx_map, dtype=np.int32)
+        packed_ctx = (qf_thr, lf_thr_counts, lf_thr_all, bcm)
+        hf_block_ctx._native_packed = packed_ctx
+    qf_thr, lf_thr_counts, lf_thr_all, bcm = packed_ctx
+    hs_arr = np.asarray(hshifts, dtype=np.int32)
+    vs_arr = np.asarray(vshifts, dtype=np.int32)
+    sec_bit_pos = np.zeros(n_sections, dtype=np.uint64)
+    sec_ret = np.zeros(n_sections, dtype=np.int32)
+
+    with native_budget():
+        ret = lib.jxlhost_decode_hf_groups_batch(
+            ctypes.c_int32(n_passes),
+            pass_specs, pass_ord,
+            ip(nhp_arr), ip(shift_arr),
+            ip(qf_thr), ctypes.c_int32(len(qf_thr)),
+            ip(lf_thr_all), ip(lf_thr_counts),
+            ip(bcm), ctypes.c_int32(hf_block_ctx.num_block_clusters),
+            ip(hs_arr), ip(vs_arr),
+            ctypes.c_int32(n_sections),
+            pp(sec_data_ptrs), up(sec_len), up(sec_bit_pos),
+            ip(sec_pass),
+            pp(sec_sel_ptrs), pp(sec_mul_ptrs),
+            ip(sec_gw), ip(sec_gh), lp(sec_stride),
+            pp(sec_lf_ptrs), lp(sec_lf_strides),
+            pp(sec_out_ptrs), lp(sec_out_strides),
+            ctypes.c_int32(len(job_start)), ip(job_start), ip(job_count),
+            ctypes.c_int32(n_threads),
+            ip(sec_ret),
+        )
+    del keepalive
+    if ret != 0:  # pragma: no cover - ABI-level failure only
+        raise JxlBitstreamError(f"native HF batch error {ret}")
+    bad = np.nonzero(sec_ret > 0)[0]
+    if bad.size:
+        code = int(sec_ret[bad[0]])
+        if code == 4:
+            raise JxlEofError("HF stream truncated (native)")
+        if code == 7:
+            raise JxlValidationError("selected HF preset out of bounds")
+        raise_native_oom(code)
+        raise JxlBitstreamError(f"native HF decode error {code}")
+    return sec_bit_pos

@@ -19,7 +19,7 @@ from typing import Iterable, Sequence
 
 from .api import JxlImage
 
-__all__ = ["decode_batch", "decode_iter"]
+__all__ = ["decode_batch", "decode_batch_stacked", "decode_iter"]
 
 _OUTPUT_KINDS = ("u8", "f32", "device", "render")
 
@@ -87,3 +87,193 @@ def decode_iter(streams: Iterable[bytes], *, frame: int = 0,
                 yield pending.popleft().result()
         while pending:
             yield pending.popleft().result()
+
+
+def _host_stage_fast(img: JxlImage, frame: int):
+    """Run ONLY the host entropy stage of a stream in the stacked-serving
+    envelope; returns (state, hf_global, frame_obj) or None when the
+    stream needs the general path. Envelope: one VarDCT keyframe, no
+    chroma subsampling, no extra channels / features / upsampling /
+    LF frames, orientation 1, xyb or plain-enum color, no CMS legs —
+    i.e. the image pipeline after the fused program is exactly
+    (color transform -> interleave -> quantize), which is shape-agnostic
+    and applies to a whole stacked batch at once."""
+    from .headers.frame import Encoding
+    from .io.bitstream import Bitstream
+    from .render.vardct import (
+        HfGlobal,
+        VardctFrameState,
+        _decode_lf_groups_batch,
+        _decode_pass_groups_batch,
+        parse_lf_group,
+    )
+
+    meta = img.image_header.metadata
+    if (
+        frame != 0
+        or img.num_keyframes != 1
+        or meta.orientation != 1
+        or meta.ec_info
+        or img.requested_icc is not None
+        or getattr(img, "_cms", None) is not None
+        or meta.colour_encoding.want_icc
+    ):
+        return None
+    fr = img._frames[0]
+    header = fr.header
+    if (
+        header.encoding != Encoding.VARDCT
+        or any(j != 0 for j in header.jpeg_upsampling)
+        or header.upsampling != 1
+        or header.lf_level != 0
+        or header.flags.use_lf_frame
+        or header.flags.patches
+        or header.flags.splines
+        or header.flags.noise
+        or not header.is_last
+        or header.x0 or header.y0
+    ):
+        return None
+    lf_global = fr.parse_lf_global()
+    if lf_global.gmodular.modular is not None:
+        return None  # modular channels: general path
+
+    state = VardctFrameState(fr)
+    if fr.toc.is_single_entry:
+        bs = fr._single_bs
+        state.place_lf_group(0, parse_lf_group(
+            bs, fr.image_header, header, lf_global, 0, None
+        ))
+        hf_global = HfGlobal(bs, fr.image_header, header, lf_global)
+        for p in range(header.passes.num_passes):
+            state.decode_pass_group_hf(bs, hf_global, p, 0)
+    else:
+        lf_jobs = list(range(header.num_lf_groups))
+        done = _decode_lf_groups_batch(fr, state, lf_global, lf_jobs, {})
+        for lf_idx in (i for i in lf_jobs if i not in done):
+            bs = Bitstream(fr.section_bytes(fr.toc.entry_for("lf_group", lf_idx)))
+            state.place_lf_group(lf_idx, parse_lf_group(
+                bs, fr.image_header, header, lf_global, lf_idx, None
+            ))
+        bs = Bitstream(fr.section_bytes(fr.toc.entry_for("hf_global")))
+        hf_global = HfGlobal(bs, fr.image_header, header, lf_global)
+        by_group: dict[int, list] = {}
+        for p in range(header.passes.num_passes):
+            for g in range(header.num_groups):
+                by_group.setdefault(g, []).append((p, g))
+        leftover = _decode_pass_groups_batch(
+            fr, state, hf_global, by_group, [{}], lf_global.gmodular
+        )
+        for jobs in leftover:
+            for p, g in jobs:
+                bs = Bitstream(
+                    fr.section_bytes(fr.toc.entry_for("group_pass", g, p))
+                )
+                state.decode_pass_group_hf(bs, hf_global, p, g)
+    return state, hf_global, fr
+
+
+def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
+                         output: str = "u8", num_workers: int = 8,
+                         max_stack: int = 16, **builder_kwargs) -> list:
+    """decode_batch with same-geometry images STACKED into shared device
+    dispatches: host entropy stages fan out on threads, then images whose
+    fused-program key matches run as ONE vmapped program + ONE color tail
+    + ONE quantized readback — the fixed per-dispatch link cost divides
+    by the stack size (the serving-shape win; VERDICT r3 item 5).
+
+    Streams outside the fast envelope (non-VarDCT, subsampled, features,
+    extra channels, ...) silently take the per-image decode_batch path.
+    output: "u8" or "f32" (stacked path); other kinds fall back entirely."""
+    import jax
+    import numpy as np
+
+    if output not in ("u8", "f32"):
+        return decode_batch(streams, frame=frame, output=output,
+                            num_workers=num_workers, **builder_kwargs)
+    streams = list(streams)
+    results: list = [None] * len(streams)
+
+    def _host(i):
+        img = JxlImage.from_bytes(streams[i], **builder_kwargs)
+        fast = None
+        try:
+            fast = _host_stage_fast(img, frame)
+        except Exception:
+            fast = None
+        return i, img, fast
+
+    with _cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
+        host_out = list(ex.map(_host, range(len(streams))))
+
+    # group fast images by fused-program key
+    groups: dict = {}
+    slow: list = []
+    for i, img, fast in host_out:
+        if fast is None:
+            slow.append(i)
+            continue
+        state, hf_global, fr = fast
+        parts = state.fused_program_parts(hf_global)
+        if parts is None:
+            slow.append(i)
+            continue
+        key, make_fn, inputs = parts
+        # parts inputs are copies of the coefficient planes: recycle the
+        # planes into the pool for the next image's host stage
+        state._planes_poolable = True
+        state.trim_coeff_planes()
+        groups.setdefault(key, []).append((i, img, state, make_fn, inputs))
+
+    _stacked_cache = decode_batch_stacked.__dict__.setdefault("_cache", {})
+    for key, members in groups.items():
+        for s0 in range(0, len(members), max_stack):
+            chunk = members[s0 : s0 + max_stack]
+            if len(chunk) == 1:
+                # no stacking win; single-image fused path
+                i, img, state, make_fn, inputs = chunk[0]
+                slow.append(i)
+                continue
+            n = len(chunk)
+            batched = _stacked_cache.get((key, n))
+            if batched is None:
+                fn = make_fn()
+                batched = jax.jit(jax.vmap(fn))
+                _stacked_cache[(key, n)] = batched
+            stacked = jax.tree.map(
+                lambda *xs: np.stack(xs), *[c[4] for c in chunk]
+            )
+            placed = jax.device_put(stacked)
+            out = batched(*placed)  # [N, 3, h, w]
+            # color tail on the whole stack (ops are pointwise/shape-
+            # agnostic), then one interleave+quantize readback
+            img0 = chunk[0][1]
+            meta = img0.image_header.metadata
+            from .headers.image import ColourEncoding, ColourSpace
+
+            source = (
+                ColourEncoding(colour_space=ColourSpace.XYB)
+                if meta.xyb_encoded
+                else meta.colour_encoding
+            )
+            target = img0.requested_encoding or ColourEncoding()
+            tr = img0._cached_transform(source, target, meta)
+            planes = [out[:, c] for c in range(3)]
+            if not tr.is_noop:
+                planes = list(tr.run(planes))
+            from .api import _finalize_fn
+
+            if output == "u8":
+                res = np.asarray(_finalize_fn(1, 255.0, "uint8")(planes))
+            else:
+                res = np.asarray(_finalize_fn(1, None, None)(planes))
+            for j, (i, *_rest) in enumerate(chunk):
+                results[i] = res[j]
+
+    if slow:
+        slow_res = decode_batch([streams[i] for i in slow], frame=frame,
+                                output=output, num_workers=num_workers,
+                                **builder_kwargs)
+        for i, r in zip(slow, slow_res):
+            results[i] = r
+    return results

@@ -11,13 +11,17 @@
 // the reference's Rust wrapping semantics.
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
+#include <functional>
+#include <mutex>
 #include <utility>
 #include <cstring>
 #include <thread>
 #include <vector>
 #include <cmath>
 #include <cstdlib>
+#include <unistd.h>
 
 namespace {
 
@@ -29,6 +33,91 @@ using i32 = int32_t;
 using i64 = int64_t;
 
 inline i32 wrap32(i64 v) { return (i32)(u32)(u64)v; }
+
+// ---------------------------------------------------------------------------
+// Persistent worker pool: batch entry points are called several times per
+// frame, and spawning+joining 3 std::threads costs ~0.25 ms on the 4-core
+// dev box — a visible slice of a ~3 ms batch. Workers park on a condvar
+// between rounds. Each round runs `fn` on the caller thread plus up to
+// (nt-1) pool threads; fns are claim-based (atomic job counter) so extra
+// parked threads never run stale work. Threads are detached and leaked on
+// purpose: the pool lives for the process, and joining from a static
+// destructor can deadlock during interpreter shutdown.
+class WorkerPool {
+ public:
+  // Run fn concurrently on this thread + (nt-1) pool workers; returns
+  // after every participant finished this round's fn. Concurrent run()
+  // calls from different Python threads (two images decoding at once)
+  // serialize on run_mu_ — the rounds would otherwise share round
+  // bookkeeping and deadlock; serialized callers merely queue for the
+  // same physical cores they would have contended for anyway.
+  void run(int nt, const std::function<void()>& fn) {
+    if (nt <= 1) { fn(); return; }
+    std::lock_guard<std::mutex> run_lk(run_mu_);
+    int helpers = nt - 1;
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      // fork safety: pool threads do not survive fork(); a child process
+      // (bench.py device probes fork) would otherwise wait forever for
+      // helpers that no longer exist. Detect the pid change and respawn.
+      int pid = getpid();
+      if (pid != owner_pid_) {
+        owner_pid_ = pid;
+        spawned_ = 0;
+        round_ = 0;
+      }
+      while ((int)spawned_ < helpers) {
+        spawned_++;
+        std::thread(&WorkerPool::worker_loop, this).detach();
+      }
+      fn_ = &fn;
+      want_ = helpers;
+      started_ = 0;
+      done_ = 0;
+      round_++;
+      cv_.notify_all();
+    }
+    fn();
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_done_.wait(lk, [&] { return done_ == want_; });
+    fn_ = nullptr;
+  }
+
+ private:
+  void worker_loop() {
+    u64 seen = 0;
+    for (;;) {
+      const std::function<void()>* f = nullptr;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [&] { return round_ != seen && started_ < want_; });
+        seen = round_;
+        if (started_ >= want_) continue;
+        started_++;
+        f = fn_;
+      }
+      (*f)();
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        done_++;
+        if (done_ == want_) cv_done_.notify_all();
+      }
+    }
+  }
+
+  std::mutex run_mu_;  // serializes whole rounds across calling threads
+  std::mutex mu_;
+  std::condition_variable cv_, cv_done_;
+  const std::function<void()>* fn_ = nullptr;
+  u64 round_ = 0;
+  int want_ = 0, started_ = 0, done_ = 0, spawned_ = 0;
+  int owner_pid_ = -1;
+};
+
+WorkerPool& worker_pool() {
+  static WorkerPool* pool = new WorkerPool();  // leaked: lives for process
+  return *pool;
+}
 
 // ---------------------------------------------------------------------------
 // Optional rdtsc stage profiling (JXL_TPU_NATIVE_PROF=1 builds, -DJXL_PROF).
@@ -2343,14 +2432,7 @@ int jxlhost_decode_modular_batch(
     else worker_single();
   };
 
-  if (nt <= 1) {
-    worker_any();
-  } else {
-    std::vector<std::thread> threads;
-    threads.reserve(nt);
-    for (i32 t = 0; t < nt; t++) threads.emplace_back(worker_any);
-    for (auto& th : threads) th.join();
-  }
+  worker_pool().run(nt, worker_any);
   return 0;
 }
 
@@ -3354,29 +3436,24 @@ int jxlhost_decode_hf_groups_batch(
     for (;;) {
       i32 jobs[4];
       int m = 0;
-      // claim up to `ways` jobs; tail claims take what remains
+      // claim up to `ways` jobs — but switch to single claims near the
+      // tail so the last work units are fine-grained (a 2-wide unit at
+      // the end skews finish times by a whole section per worker)
       while (m < ways) {
         i32 j = next_job.fetch_add(1, std::memory_order_relaxed);
         if (j >= n_jobs) break;
         jobs[m++] = j;
+        if (n_jobs - (j + 1) < nt) break;  // tail: stop pairing
       }
       if (m == 0) break;
       if (m == 1)
         run_job_single(jobs[0]);
       else
         run_job_multi(jobs, m);
-      if (m < ways) break;  // pool exhausted mid-claim
     }
   };
 
-  if (nt <= 1) {
-    worker();
-  } else {
-    std::vector<std::thread> threads;
-    threads.reserve(nt);
-    for (i32 t = 0; t < nt; t++) threads.emplace_back(worker);
-    for (auto& th : threads) th.join();
-  }
+  worker_pool().run(nt, worker);
   return 0;
 }
 
@@ -4039,5 +4116,535 @@ int jxlhost_parse_decoder(
 }
 
 void jxlhost_free_i32(i32* p) { std::free(p); }
+
+}  // extern "C"
+
+// ===========================================================================
+// LF-group section batch decode (jxl-frame data/lf_group.rs:35-130 +
+// jxl-vardct lf.rs LfCoeff + hf_metadata.rs), fully native: modular header
+// parse, local MA tree parse + flattening, channel decode, varblock
+// placement and EPF sigma — one call for every LF group of a frame on the
+// GIL-free worker pool. This is the stage that capped host thread scaling
+// when it ran under the GIL (Python marshalling + MA parse per section).
+// Sections outside the fast envelope (modular transforms present, no
+// global tree available when required) return code 100 and fall back to
+// the Python section parser, which is also the source of truth for exact
+// error reporting (any nonzero return triggers the fallback).
+
+namespace {
+
+struct RawNode {
+  i32 prop;  // -1 = leaf
+  i32 value, left, right;
+  i32 cluster, predictor, offset, multiplier;
+};
+
+// DecoderSpec built straight from a ParsedDecoder (no serialization
+// round-trip through Python).
+struct ParsedSpecHolder {
+  DecoderSpec spec;
+  std::vector<IntCfg> cfg_v;
+  std::vector<AnsTable> ans_v;
+  std::vector<AnsRec> rec_v;
+  std::vector<PrefixTable> pfx_v;
+  std::vector<AnsBucket> bucket_store;
+  std::vector<i32> cluster_store;
+
+  void build(const ParsedDecoder& d) {
+    spec.lz77_enabled = d.lz77_enabled;
+    spec.min_symbol = d.min_symbol;
+    spec.min_length = d.min_length;
+    spec.len_cfg = IntCfg{d.len_cfg.split_exponent, d.len_cfg.msb,
+                          d.len_cfg.lsb};
+    spec.num_dist = (i32)d.cluster_map.size();
+    spec.num_clusters = d.num_clusters;
+    spec.use_prefix = d.use_prefix;
+    cluster_store = d.cluster_map;
+    spec.cluster_map = cluster_store.data();
+    cfg_v.resize(d.num_clusters);
+    for (i32 i = 0; i < d.num_clusters; i++)
+      cfg_v[i] = IntCfg{d.cfgs[i].split_exponent, d.cfgs[i].msb,
+                        d.cfgs[i].lsb};
+    spec.cfgs = cfg_v.data();
+    if (d.use_prefix) {
+      pfx_v.resize(d.num_clusters);
+      for (i32 i = 0; i < d.num_clusters; i++) {
+        const ParsedPrefix& p = d.pfx[i];
+        pfx_v[i] = PrefixTable{p.max_len, p.table_sym.data(),
+                               p.table_len.data()};
+      }
+      spec.pfx = pfx_v.data();
+      spec.ans = nullptr;
+      spec.recs = nullptr;
+    } else {
+      size_t total = 0;
+      for (i32 i = 0; i < d.num_clusters; i++)
+        total += (size_t)1 << (12 - d.ans[i].log_bucket_size);
+      bucket_store.resize(total);
+      ans_v.resize(d.num_clusters);
+      rec_v.resize(d.num_clusters);
+      size_t off = 0;
+      for (i32 i = 0; i < d.num_clusters; i++) {
+        const ParsedAns& a = d.ans[i];
+        i32 alphabet = 1 << (12 - a.log_bucket_size);
+        pack_ans_buckets(a.log_bucket_size, a.dist.data(),
+                         a.alias_symbol.data(), a.alias_cutoff.data(),
+                         a.alias_offset.data(), bucket_store.data() + off);
+        ans_v[i] = AnsTable{a.log_bucket_size, bucket_store.data() + off};
+        rec_v[i] = AnsRec{ans_v[i].buckets, (u32)a.log_bucket_size,
+                          1u << cfg_v[i].split_exponent, (u32)cfg_v[i].msb,
+                          (u32)cfg_v[i].lsb, (u32)cfg_v[i].split_exponent, 0};
+        off += (size_t)alphabet;
+      }
+      spec.ans = ans_v.data();
+      spec.recs = rec_v.data();
+      spec.pfx = nullptr;
+    }
+  }
+};
+
+// Literal single token of a cluster, or -1 (Decoder::single_token).
+static i32 parsed_single_token(const ParsedDecoder& d, i32 cluster) {
+  if (d.lz77_enabled) return -1;
+  i32 sym = -1;
+  if (d.use_prefix) {
+    const ParsedPrefix& p = d.pfx[cluster];
+    if (p.max_len == 0) sym = p.table_sym[0];
+  } else {
+    const ParsedAns& a = d.ans[cluster];
+    i32 found = -1;
+    for (size_t s = 0; s < a.dist.size(); s++) {
+      if (a.dist[s] != 0) {
+        if (found >= 0) { found = -2; break; }
+        found = (i32)s;
+      }
+    }
+    if (found >= 0 && a.dist[found] == 4096) sym = found;
+  }
+  if (sym < 0) return -1;
+  return (u32)sym < (1u << d.cfgs[cluster].split_exponent) ? sym : -1;
+}
+
+// MA tree parse (jxl-modular ma.rs via coding/entropy; mirrors
+// models/modular_ma.py MaConfig.__init__): 6-context token stream, node
+// and depth limits, then the sample distribution set. Leaf clusters are
+// resolved through the sample decoder's cluster map.
+static int parse_ma_tree_native(BitReader& br, i64 node_limit,
+                                std::vector<RawNode>& nodes,
+                                ParsedSpecHolder& dist_holder,
+                                MemGuard& mem) {
+  ParsedDecoder pd;
+  int err = parse_decoder_rec(br, 6, true, pd);
+  if (err) return err;
+  ParsedSpecHolder th;
+  th.build(pd);
+  // infinite-tree guard (ma.rs is_infinite_tree_dist)
+  {
+    i32 c1 = pd.cluster_map[1];
+    i32 tok = parsed_single_token(pd, c1);
+    if (tok > 0) return 152;
+  }
+  DecoderState dec;
+  dec.spec = &th.spec;
+  dec.br = &br;
+  dec.begin();
+
+  struct TmpNode { i32 kind, a, b, pred, off, mult; };  // kind 0=d, 1=leaf
+  std::vector<TmpNode> raw;
+  i32 ctx = 0;
+  i64 nodes_left = 1;
+  while (nodes_left > 0) {
+    if ((i64)raw.size() >= (1ll << 26) || (i64)raw.size() > node_limit)
+      return 153;
+    if ((raw.size() & 1023) == 0) {
+      if (!mem.acquire(1024 * (i64)sizeof(TmpNode))) return 12;
+    }
+    nodes_left--;
+    u32 prop_plus1 = dec.read_varint_clustered(th.spec.cluster_map[1], 0);
+    if (prop_plus1 > 0) {
+      u32 v = dec.read_varint_clustered(th.spec.cluster_map[0], 0);
+      raw.push_back(TmpNode{0, (i32)(prop_plus1 - 1), unpack_signed(v),
+                            0, 0, 0});
+      nodes_left += 2;
+    } else {
+      u32 predictor = dec.read_varint_clustered(th.spec.cluster_map[2], 0);
+      if (predictor > 13) return 154;
+      u32 off_u = dec.read_varint_clustered(th.spec.cluster_map[3], 0);
+      u32 mul_log = dec.read_varint_clustered(th.spec.cluster_map[4], 0);
+      if (mul_log > 30) return 155;
+      u32 mul_bits = dec.read_varint_clustered(th.spec.cluster_map[5], 0);
+      if (mul_bits > (1u << (31 - mul_log)) - 2) return 156;
+      raw.push_back(TmpNode{1, ctx, 0, (i32)predictor, unpack_signed(off_u),
+                            (i32)((mul_bits + 1) << mul_log)});
+      ctx++;
+    }
+    if (dec.error) return 10 + dec.error;
+  }
+  if (br.pos > br.len_bits) return 4;
+  int fin = dec.finalize();
+  if (fin) return fin;
+
+  // sample distribution set
+  ParsedDecoder pd2;
+  err = parse_decoder_rec(br, (u32)(ctx > 0 ? ctx : 1), true, pd2);
+  if (err) return err;
+  dist_holder.build(pd2);
+
+  // link children (BFS slot order; models/modular_ma.py:183-208)
+  i64 n = (i64)raw.size();
+  if (!mem.acquire(n * (i64)(sizeof(RawNode) + 4))) return 12;
+  nodes.resize(n);
+  std::vector<i32> depths(n, 1);
+  i64 child_ptr = 1;
+  for (i64 i = 0; i < n; i++) {
+    const TmpNode& t = raw[i];
+    if (t.kind == 0) {
+      i64 left = child_ptr, right = child_ptr + 1;
+      child_ptr += 2;
+      if (right >= n) return 157;  // malformed (cannot happen: counts match)
+      nodes[i] = RawNode{t.a, t.b, (i32)left, (i32)right, 0, 0, 0, 0};
+      depths[left] = depths[i] + 1;
+      depths[right] = depths[i] + 1;
+      if (depths[i] + 1 > 2048) return 158;
+    } else {
+      i32 cluster = dist_holder.spec.cluster_map[t.a];
+      nodes[i] = RawNode{-1, 0, 0, 0, cluster, t.pred, t.off, t.mult};
+    }
+  }
+  return 0;
+}
+
+// Static pruning + BFS flatten of one (channel, stream, prev) tree into
+// the TreeNode layout the channel decoder consumes
+// (models/modular_ma.py make_flat_tree / _resolve_static).
+static void flatten_tree(const RawNode* nodes, i64 n, i32 channel,
+                         i32 stream, i32 prev,
+                         std::vector<TreeNode>& out, i32& need_wp,
+                         i32& max_prev) {
+  auto resolve = [&](i32 idx) {
+    for (;;) {
+      const RawNode& nd = nodes[idx];
+      if (nd.prop == -1) return idx;
+      if (nd.prop == 0) idx = channel > nd.value ? nd.left : nd.right;
+      else if (nd.prop == 1) idx = stream > nd.value ? nd.left : nd.right;
+      else if (nd.prop >= 16 && (nd.prop - 16) / 4 >= prev)
+        idx = nd.value < 0 ? nd.left : nd.right;
+      else return idx;
+    }
+  };
+  out.clear();
+  need_wp = 0;
+  max_prev = 0;
+  std::vector<i32> mapping((size_t)n, -1);
+  std::vector<i32> order;
+  auto visit = [&](i32 idx) {
+    idx = resolve(idx);
+    if (mapping[idx] >= 0) return mapping[idx];
+    i32 slot = (i32)order.size();
+    mapping[idx] = slot;
+    order.push_back(idx);
+    out.push_back(TreeNode{});
+    return slot;
+  };
+  visit(0);
+  for (size_t i = 0; i < order.size(); i++) {
+    const RawNode& nd = nodes[order[i]];
+    if (nd.prop == -1) {
+      out[i] = TreeNode{1, nd.cluster, nd.predictor, nd.offset,
+                        nd.multiplier};
+      if (nd.predictor == 6) need_wp = 1;
+    } else {
+      i32 li = visit(nd.left);
+      i32 ri = visit(nd.right);
+      out[i] = TreeNode{0, nd.prop, nd.value, li, ri};
+      if (nd.prop == 15) need_wp = 1;
+      if (nd.prop >= 16) {
+        i32 d = (nd.prop - 16) / 4 + 1;
+        if (d > max_prev) max_prev = d;
+      }
+    }
+  }
+}
+
+struct SubChan {
+  void* buf;
+  i64 stride;
+  i32 width, height, hshift, vshift;
+};
+
+// One modular sub-stream fully in C++: header, (local) MA tree, flatten,
+// channel decode. Mirrors models/modular.py ModularImage.__init__ +
+// ModularSubimage._decode_inner for the transform-free envelope.
+static int decode_subimage_native(BitReader& br, SubChan* sc, int n,
+                                  i32 stream_index,
+                                  const RawNode* gnodes, i64 n_gnodes,
+                                  const DecoderSpec* gspec,
+                                  MemGuard& mem) {
+  bool use_global = br.read(1) != 0;
+  WpParams wpp;
+  if (br.read(1)) {
+    wpp.p1 = 16; wpp.p2 = 10;
+    wpp.p3a = wpp.p3b = wpp.p3c = 7;
+    wpp.p3d = wpp.p3e = 0;
+    wpp.w[0] = 13; wpp.w[1] = 12; wpp.w[2] = 12; wpp.w[3] = 12;
+  } else {
+    wpp.p1 = (i32)br.read(5); wpp.p2 = (i32)br.read(5);
+    wpp.p3a = (i32)br.read(5); wpp.p3b = (i32)br.read(5);
+    wpp.p3c = (i32)br.read(5); wpp.p3d = (i32)br.read(5);
+    wpp.p3e = (i32)br.read(5);
+    for (int i = 0; i < 4; i++) wpp.w[i] = (i32)br.read(4);
+  }
+  static const u32 base_nt[4] = {0, 1, 2, 18};
+  static const int bits_nt[4] = {0, 0, 4, 8};
+  u32 nb_transforms = read_u32_sel(br, base_nt, bits_nt);
+  if (nb_transforms != 0) return 100;  // Python fallback envelope
+
+  std::vector<RawNode> local_nodes;
+  ParsedSpecHolder local_holder;
+  const RawNode* nodes;
+  i64 nn;
+  const DecoderSpec* spec;
+  if (use_global) {
+    if (!gnodes) return 101;
+    nodes = gnodes;
+    nn = n_gnodes;
+    spec = gspec;
+  } else {
+    i64 samples = 0;
+    for (int c = 0; c < n; c++) samples += (i64)sc[c].width * sc[c].height;
+    i64 node_limit = 1024 + samples;
+    if (node_limit > (1 << 20)) node_limit = 1 << 20;
+    int err = parse_ma_tree_native(br, node_limit, local_nodes,
+                                  local_holder, mem);
+    if (err) return err;
+    nodes = local_nodes.data();
+    nn = (i64)local_nodes.size();
+    spec = &local_holder.spec;
+  }
+
+  std::vector<std::vector<TreeNode>> trees(n);
+  std::vector<ChannelDesc> chans(n);
+  std::vector<const void*> prev_bufs;
+  std::vector<i64> prev_strides;
+  std::vector<std::pair<i32, i32>> prev_off_cnt(n);
+  i32 dist_multiplier = 0;
+  // first pass: flatten + prev bookkeeping (same-shape preceding
+  // channels, most recent first, truncated to the tree's prev depth)
+  for (int c = 0; c < n; c++) {
+    if (sc[c].width > dist_multiplier) dist_multiplier = sc[c].width;
+    i32 prev_count = 0;
+    for (int p = 0; p < c; p++)
+      if (sc[p].width == sc[c].width && sc[p].height == sc[c].height &&
+          sc[p].hshift == sc[c].hshift && sc[p].vshift == sc[c].vshift)
+        prev_count++;
+    i32 need_wp = 0, max_prev = 0;
+    flatten_tree(nodes, nn, c, stream_index, prev_count, trees[c],
+                 need_wp, max_prev);
+    i32 use_prev = max_prev < prev_count ? max_prev : prev_count;
+    prev_off_cnt[c] = {(i32)prev_bufs.size(), use_prev};
+    // collect same-shape preceding channels, most recent first
+    for (int p = c - 1; p >= 0 && (i32)(prev_bufs.size() -
+                                        prev_off_cnt[c].first) < use_prev;
+         p--) {
+      if (sc[p].width == sc[c].width && sc[p].height == sc[c].height &&
+          sc[p].hshift == sc[c].hshift && sc[p].vshift == sc[c].vshift) {
+        prev_bufs.push_back(sc[p].buf);
+        prev_strides.push_back(sc[p].stride);
+      }
+    }
+    ChannelDesc& cd = chans[c];
+    cd.buf = sc[c].buf;
+    cd.stride = sc[c].stride;
+    cd.width = sc[c].width;
+    cd.height = sc[c].height;
+    cd.tree = trees[c].data();
+    cd.tree_len = (i32)trees[c].size();
+    cd.need_wp = need_wp;
+    cd.num_prev = use_prev;
+    cd.is16 = 0;
+  }
+  for (int c = 0; c < n; c++) {
+    chans[c].prev_bufs = prev_bufs.data() + prev_off_cnt[c].first;
+    chans[c].prev_strides = prev_strides.data() + prev_off_cnt[c].first;
+  }
+
+  DecoderState dec;
+  dec.spec = spec;
+  dec.br = &br;
+  dec.begin();
+  return decode_modular_stream_core(dec, br, chans.data(), n,
+                                    dist_multiplier, wpp);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Zero-fill many buffers with the worker pool: numpy's calloc planes are
+// lazily faulted, so a fresh 200 MB coefficient allocation pays its page
+// faults inside the (partly serialized) decode writes; pre-faulting with
+// all cores turns that into a parallel memset.
+void jxlhost_memzero_batch(void* const* ptrs, const u64* sizes, i32 n,
+                           i32 n_threads) {
+  const u64 CHUNK = 4u << 20;
+  struct Piece { char* p; u64 len; };
+  std::vector<Piece> pieces;
+  for (i32 i = 0; i < n; i++) {
+    char* base = (char*)ptrs[i];
+    for (u64 off = 0; off < sizes[i]; off += CHUNK) {
+      u64 len = sizes[i] - off < CHUNK ? sizes[i] - off : CHUNK;
+      pieces.push_back(Piece{base + off, len});
+    }
+  }
+  i32 nt = n_threads < (i32)pieces.size() ? n_threads : (i32)pieces.size();
+  if (nt <= 1) {
+    for (auto& pc : pieces) std::memset(pc.p, 0, pc.len);
+    return;
+  }
+  std::atomic<i32> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      i32 k = next.fetch_add(1, std::memory_order_relaxed);
+      if (k >= (i32)pieces.size()) break;
+      std::memset(pieces[k].p, 0, pieces[k].len);
+    }
+  };
+  worker_pool().run(nt, worker);
+}
+
+// Decode MANY LF-group sections in one call. sec_ret[k] == 0 on success;
+// any nonzero value means "re-decode section k in Python" (100/101 =
+// outside the native envelope, other codes = stream errors whose exact
+// exception the Python parser reproduces).
+int jxlhost_decode_lf_groups_batch(
+    // global MA tree + its sample decoder spec (absent: n_gnodes == 0)
+    const i32* gnodes_flat, i64 n_gnodes,
+    const i32* gspec_header, const i32* gcluster_map, const i32* gcfgs,
+    const i32* gans_meta, const i32* gans_blob,
+    const i32* gpfx_meta, const i32* gpfx_blob,
+    // frame params
+    i32 num_lf_groups,
+    const i32* hshifts, const i32* vshifts,  // [3] channels x, y, b
+    i32 epf_enabled, double sigma_base, const double* sharp_lut,  // [8]
+    const i32* select_sizes, i32 num_types,  // [num_types*2]: (dw, dh)
+    i32 group_blocks,                        // group_dim / 8
+    // sections
+    i32 n_sections,
+    const u8* const* sec_data, const u64* sec_len_bytes,
+    const i32* sec_meta,   // [n*6]: lf_idx, bw, bh, w64, h64, has_lf_coeff
+    // LfCoeff outputs: 3 strided views per section, STREAM order (y,x,b)
+    const i32* lf_dims,    // [n*6]: (w, h) per stream channel
+    void* const* lf_bufs, const i64* lf_strides,   // [n*3]
+    // HfMetadata outputs (contiguous, pre-zeroed from Python)
+    i32* const* xfy_bufs, i32* const* bfy_bufs,    // [h64*w64]
+    signed char* const* sel_bufs,                  // [bh*bw], filled here
+    i32* const* mul_bufs,                          // [bh*bw]
+    float* const* sigma_bufs,                      // [bh*bw]
+    i32* out_extra_precision, u64* out_bit_pos, i32* sec_ret,
+    i32 n_threads) {
+  // stream-order channel shifts for LfCoeff: (y, x, b) = channels 1, 0, 2
+  const i32 ord[3] = {1, 0, 2};
+
+  auto run_section = [&](i32 k) -> int {
+    MemGuard mem;
+    BitReader br{sec_data[k], sec_len_bytes[k] * 8, 0};
+    i32 lf_idx = sec_meta[k * 6 + 0];
+    i32 bw = sec_meta[k * 6 + 1], bh = sec_meta[k * 6 + 2];
+    i32 w64 = sec_meta[k * 6 + 3], h64 = sec_meta[k * 6 + 4];
+    i32 has_lf = sec_meta[k * 6 + 5];
+    if (!has_lf) return 100;  // use_lf_frame sections: Python path
+
+    // global spec holder is built per worker lazily below (thread-safe:
+    // each section builds its own — cost is tiny vs the decode)
+    SpecHolder gholder;
+    const DecoderSpec* gspec = nullptr;
+    if (n_gnodes > 0) {
+      gholder.build(gspec_header, gcluster_map, gcfgs, gans_meta, gans_blob,
+                    gpfx_meta, gpfx_blob);
+      gspec = &gholder.spec;
+    }
+
+    // ---- LfCoeff (lf.rs:118-182) ----
+    out_extra_precision[k] = (i32)br.read(2);
+    SubChan lc[3];
+    for (int s = 0; s < 3; s++) {
+      i32 c = ord[s];
+      lc[s].buf = lf_bufs[k * 3 + s];
+      lc[s].stride = lf_strides[k * 3 + s];
+      lc[s].width = lf_dims[k * 6 + s * 2];
+      lc[s].height = lf_dims[k * 6 + s * 2 + 1];
+      lc[s].hshift = hshifts[c];
+      lc[s].vshift = vshifts[c];
+    }
+    int err = decode_subimage_native(br, lc, 3, 1 + lf_idx,
+                                     (const RawNode*)gnodes_flat, n_gnodes,
+                                     gspec, mem);
+    if (err) return err;
+
+    // ---- HfMetadata (hf_metadata.rs) ----
+    i64 grid = (i64)bw * bh;
+    u32 nbits = 0;
+    { u32 v = (u32)(grid - 1); while (v) { nbits++; v >>= 1; } }
+    i64 nb_blocks = 1 + (i64)br.read((int)nbits);
+    if (!mem.acquire((nb_blocks * 2 + grid) * 4)) return 12;
+    std::vector<i32> block_info((size_t)(nb_blocks * 2));
+    std::vector<i32> sharpness((size_t)grid);
+    SubChan hc[4];
+    hc[0] = SubChan{xfy_bufs[k], w64, w64, h64, 0, 0};
+    hc[1] = SubChan{bfy_bufs[k], w64, w64, h64, 0, 0};
+    hc[2] = SubChan{block_info.data(), nb_blocks, (i32)nb_blocks, 2, 0, 0};
+    hc[3] = SubChan{sharpness.data(), bw, bw, bh, 0, 0};
+    err = decode_subimage_native(br, hc, 4, 1 + 2 * num_lf_groups + lf_idx,
+                                 (const RawNode*)gnodes_flat, n_gnodes,
+                                 gspec, mem);
+    if (err) return err;
+    if (br.pos > br.len_bits) return 4;
+
+    // ---- varblock placement + EPF sigma ----
+    if (!mem.acquire(grid * 4)) return 12;
+    std::vector<i32> mul_full((size_t)grid, 0);
+    std::memset(sel_bufs[k], 0xFF, (size_t)grid);  // -1
+    std::memset(mul_bufs[k], 0, (size_t)grid * 4);
+    err = jxlhost_place_varblocks(block_info.data(), nb_blocks, bh, bw,
+                                  group_blocks, select_sizes, num_types,
+                                  sel_bufs[k], mul_bufs[k], mul_full.data());
+    if (err) return 200 + err;
+    if (epf_enabled) {
+      // float32 chain, matching the Python/native sigma computation
+      // (np.float32(sigma_base) / f32(mul) * f32(lut)) bit for bit
+      float* sg = sigma_bufs[k];
+      float sb = (float)sigma_base;
+      float lutf[8];
+      for (int i = 0; i < 8; i++) lutf[i] = (float)sharp_lut[i];
+      for (i64 i = 0; i < grid; i++) {
+        i32 mf = mul_full[i];
+        if (mf > 0) {
+          i32 sh = sharpness[i];
+          if (sh < 0 || sh >= 8) return 210;
+          float r = sb / (float)mf;
+          sg[i] = r * lutf[sh];
+        } else {
+          sg[i] = 0.0f;
+        }
+      }
+    }
+    out_bit_pos[k] = br.pos;
+    return 0;
+  };
+
+  i32 nt = (n_threads <= 1 || n_sections <= 1)
+               ? 1
+               : (n_threads < n_sections ? n_threads : n_sections);
+  std::atomic<i32> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      i32 k = next.fetch_add(1, std::memory_order_relaxed);
+      if (k >= n_sections) break;
+      sec_ret[k] = run_section(k);
+    }
+  };
+  worker_pool().run(nt, worker);
+  return 0;
+}
 
 }  // extern "C"

@@ -1359,3 +1359,36 @@ def test_roi_pushdown_subsampled_420():
     jobs = img._frames[0]._pass_group_jobs
     assert jobs < 16, jobs
     np.testing.assert_array_equal(crop, full[20:100, 10:110])
+
+
+def test_decode_batch_stacked():
+    """decode_batch_stacked: same-geometry VarDCT streams share ONE
+    vmapped device dispatch + one color tail + one quantized readback,
+    bit-identical to the per-image path; out-of-envelope streams
+    (modular lossless here) fall back transparently (VERDICT r3 item 5)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder import encode_jxl_modular
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu.serving import decode_batch, decode_batch_stacked
+
+    rng = np.random.default_rng(7)
+    streams = [
+        encode_jxl_vardct(
+            rng.random((128, 128, 3)).astype(np.float32), epf_iters=1
+        )
+        for _ in range(4)
+    ]
+    streams.append(encode_jxl_modular(
+        [rng.integers(0, 255, (48, 48)).astype(np.int64) for _ in range(3)]
+    ))
+    ref = decode_batch(streams, output="u8", num_workers=2)
+    got = decode_batch_stacked(streams, output="u8", num_workers=2)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+    got_f = decode_batch_stacked(streams[:4], output="f32", num_workers=2)
+    ref_f = decode_batch(streams[:4], output="f32", num_workers=2)
+    for a, b in zip(ref_f, got_f):
+        np.testing.assert_array_equal(a, b)

@@ -25,6 +25,33 @@ def make_stream(size: int, dense: bool = True) -> bytes:
     from encoder_vardct import encode_jxl_vardct
 
     rng = np.random.default_rng(3)
+    if size > 2048:
+        # multi-LF-group geometry (the encoder's single-LF-group envelope
+        # ends at 2048): tile the REAL quantized coefficients of the
+        # 1024^2 case so per-pixel token density matches the headline
+        # stream exactly, while the TOC carries (size/2048)^2 LF groups +
+        # per-256px-group sections — the layout where every host stage
+        # (LF batch, HF batch) has parallel grain
+        from encoder_vardct import encode_jxl_vardct_tiled
+
+        from jxl_oxide_tpu import JxlImage
+        from jxl_oxide_tpu.render.vardct import decode_vardct_frame
+
+        base = make_stream(1024, dense=dense)
+        img = JxlImage.from_bytes(base)
+        frame = img._frames[0]
+        decode_vardct_frame(frame, keep_coeffs=True)
+        st = frame._vardct_state
+        reps = size // 1024
+        coeff = np.tile(np.stack(st.coeff_planes), (1, reps, reps))
+        lf_q = np.tile(np.stack(st.lf_quant_planes), (1, reps, reps))
+        hf_meta = st.lf_groups[0].hf_meta
+        sel = np.tile(hf_meta.block_sel.astype(np.int64), (reps, reps))
+        mul = np.tile(hf_meta.block_mul.astype(np.int64), (reps, reps))
+        return encode_jxl_vardct_tiled(
+            size, size, sel, mul, coeff.astype(np.int64),
+            lf_q.astype(np.int64), epf_iters=2, gabor=True,
+        )
     if dense:
         rgb = rng.random((size, size, 3)).astype(np.float32)
     else:
@@ -72,17 +99,24 @@ def host_stage(data: bytes, threads: int):
         return HfGlobal(Bitstream(frame.section_bytes(entry)),
                         frame.image_header, header, lf_global)
 
-    # LF groups + HfGlobal concurrently, like the real decode path
+    # LF groups (native C++ batch when available — the real decode path)
+    # + HfGlobal concurrently
+    from jxl_oxide_tpu.render.vardct import _decode_lf_groups_batch
+
+    lf_jobs = list(range(header.num_lf_groups))
+    done = _decode_lf_groups_batch(frame, state, lf_global, lf_jobs,
+                                   mlf_groups)
+    lf_jobs = [i for i in lf_jobs if i not in done]
     if threads > 1:
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=threads) as ex:
             hf_fut = ex.submit(_do_hf_global)
-            for lf_idx, group in ex.map(_do_lf, range(header.num_lf_groups)):
+            for lf_idx, group in ex.map(_do_lf, lf_jobs):
                 state.place_lf_group(lf_idx, group)
             hf_global = hf_fut.result()
     else:
-        for lf_idx in range(header.num_lf_groups):
+        for lf_idx in lf_jobs:
             state.place_lf_group(*_do_lf(lf_idx))
         hf_global = _do_hf_global()
 
@@ -114,6 +148,10 @@ def host_stage(data: bytes, threads: int):
             do_job(job)
     dt = time.perf_counter() - t0
     mp = header.sample_width() * header.sample_height() / 1e6
+    # recycle the planes (the real decode path pools them after the fused
+    # dispatch); the next rep's zero-fill then reuses resident pages
+    state._planes_poolable = True
+    state.trim_coeff_planes()
     return dt, mp, state
 
 

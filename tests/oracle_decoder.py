@@ -30,9 +30,18 @@ exercises every composition stage (dense device plans, fused programs,
 native host runtime, fast-path dispatch) against an implementation that
 shares none of that code.
 
-Scope: bare codestreams, single-group single-pass frames, no patches/
-splines/noise, no extra channels, upsampling 1, orientation 1. The test
-encoders (tools/encoder*.py) generate exactly this class.
+Widened in round 4 (VERDICT r3 item 4): multi-group and multi-pass
+frames (both codecs), patches (with reference-frame slots), splines,
+noise, spot-color compositing, and EC dim_shift/ec_upsampling. The
+PARSERS for patches/splines/noise come from render.features (pure
+section parsing, same category as the models.vardct section parsers);
+their RENDERING is reimplemented here in float64 with no production
+fast paths — as is the non-separable EC upsampling and the patch
+blend-mode arithmetic.
+
+Scope: bare codestreams, color upsampling 1, orientation 1, integer
+ECs, no LF frames. The test encoders (tools/encoder*.py) generate
+exactly this class.
 """
 
 from __future__ import annotations
@@ -67,6 +76,14 @@ from jxl_oxide_tpu.models.vardct import (  # noqa: E402
     TransformType,
     write_hf_coeff,
 )
+# SECTION PARSERS only (entropy-coded feature lists; rendering is
+# reimplemented below in float64, see module docstring)
+from jxl_oxide_tpu.render.features import (  # noqa: E402
+    NoiseParameters,
+    PatchBlendMode,
+    Patches,
+    Splines,
+)
 
 __all__ = ["oracle_decode"]
 
@@ -81,12 +98,15 @@ def _wrap32(v: int) -> int:
 
 
 class _OCh:
-    """Channel bookkeeping: dims + shifts + (after decode) the grid."""
+    """Channel bookkeeping: dims + shifts + original (pre-transform) dims
+    for group splitting + (after decode) the grid."""
 
-    __slots__ = ("w", "h", "hs", "vs", "grid")
+    __slots__ = ("w", "h", "hs", "vs", "ow", "oh", "grid")
 
-    def __init__(self, w, h, hs=0, vs=0):
+    def __init__(self, w, h, hs=0, vs=0, ow=None, oh=None):
         self.w, self.h, self.hs, self.vs = w, h, hs, vs
+        self.ow = w if ow is None else ow
+        self.oh = h if oh is None else oh
         self.grid = None
 
 
@@ -146,7 +166,7 @@ def _evolve_channels(transforms, chans: list[_OCh], nb_meta: int):
                     nb_meta += sp.num_c
                 residues = []
                 for ch in chans[begin:end]:
-                    r = _OCh(ch.w, ch.h, ch.hs, ch.vs)
+                    r = _OCh(ch.w, ch.h, ch.hs, ch.vs, ch.ow, ch.oh)
                     if sp.horizontal:
                         w = ch.w
                         ch.w = (w + 1) // 2
@@ -386,10 +406,32 @@ def _inv_squeeze(grids: list, params: list) -> None:
                 ).T.copy()
 
 
-def _oracle_modular(bs, channels: list[_OCh], group_dim: int,
-                    bit_depth: int, global_ma: MaConfig | None):
-    """Decode a full modular (sub)image: header, channel evolution, the
-    single global stream (single-group scope), inverse transforms."""
+def _decode_group_stream(bs, global_ma, chans: list[_OCh],
+                         stream_index: int) -> None:
+    """One per-group modular sub-stream: its own modular header (local
+    MA tree allowed, transforms out of scope for recursive group images)
+    then the per-sample decode (frame.py _decode_pass_group /
+    parse_lf_group recursive images)."""
+    header = ModularHeader.parse(bs)
+    assert not header.transforms, (
+        "oracle scope: no transforms in per-group sub-images"
+    )
+    if header.use_global_tree:
+        ma = global_ma
+        assert ma is not None
+    else:
+        local_samples = sum(c.w * c.h for c in chans)
+        ma = MaConfig(bs, min(1024 + local_samples, 1 << 20))
+    _decode_stream(bs, ma, header.wp_header, chans, stream_index)
+
+
+def _oracle_modular(bs, channels: list[_OCh], fh, bit_depth: int,
+                    global_ma: MaConfig | None, secs=None):
+    """Decode a full modular image: header, channel evolution, the
+    global stream, then per-LF-group and per-(pass x group) streams
+    (image.rs prepare_gmodular/prepare_groups channel splitting),
+    inverse transforms."""
+    group_dim = fh.group_dim
     header = ModularHeader.parse(bs)
     if header.use_global_tree:
         ma = global_ma
@@ -402,13 +444,84 @@ def _oracle_modular(bs, channels: list[_OCh], group_dim: int,
     chans, nb_meta, sq_params = _evolve_channels(
         header.transforms, list(channels), 0
     )
-    # single-group scope: every channel must land in the global stream
-    # (meta channels, or dims <= group_dim; image.rs prepare_gmodular)
+    # global channels: meta channels + small channels, stopping at the
+    # first channel exceeding group_dim (image.rs prepare_gmodular)
+    n_global = 0
     for i, c in enumerate(chans):
-        assert i < nb_meta or (c.w <= group_dim and c.h <= group_dim), (
-            "oracle supports single-group frames only"
-        )
-    _decode_stream(bs, ma, header.wp_header, chans, 0)
+        if i < nb_meta or (c.w <= group_dim and c.h <= group_dim):
+            n_global += 1
+        else:
+            break
+    _decode_stream(bs, ma, header.wp_header, chans[:n_global], 0)
+
+    if n_global < len(chans):
+        assert secs is not None, "multi-group stream needs section access"
+        # group splitting (models/modular.py prepare_groups semantics):
+        # channels with shift < 3 go to (pass x group) streams at
+        # group_dim >> shift tiles; shift >= 3 to LF-group streams
+        gshift = group_dim.bit_length() - 1
+        num_lf_groups = fh.num_lf_groups
+        num_groups = fh.num_groups
+        lf_groups: dict[int, list] = {}
+        pass_groups: dict[tuple[int, int], list] = {}
+        for i in range(n_global, len(chans)):
+            c = chans[i]
+            c.grid = np.zeros((c.h, c.w), dtype=np.int64)
+            assert c.hs >= 0 and c.vs >= 0
+            if c.hs < 3 or c.vs < 3:
+                shift = min(c.hs, c.vs)
+                pass_idx = next(
+                    p for p, (mn, mx) in fh_pass_shifts(fh).items()
+                    if mn <= shift < mx
+                )
+                gw = group_dim >> c.hs
+                gh = group_dim >> c.vs
+                count_x = (c.ow + group_dim - 1) >> gshift
+                count_y = (c.oh + group_dim - 1) >> gshift
+                target = lambda gi: pass_groups.setdefault(  # noqa: E731
+                    (pass_idx, gi), [])
+            else:
+                gw = group_dim >> (c.hs - 3)
+                gh = group_dim >> (c.vs - 3)
+                count_x = (c.ow + (group_dim << 3) - 1) >> (gshift + 3)
+                count_y = (c.oh + (group_dim << 3) - 1) >> (gshift + 3)
+                target = lambda gi: lf_groups.setdefault(gi, [])  # noqa: E731
+            for gy in range(count_y):
+                for gx in range(count_x):
+                    g_idx = gy * count_x + gx
+                    x0, y0 = gx * gw, gy * gh
+                    x1 = min(x0 + gw, c.w)
+                    y1 = min(y0 + gh, c.h)
+                    if x1 <= x0 or y1 <= y0:
+                        continue
+                    sub = _OCh(x1 - x0, y1 - y0, c.hs, c.vs)
+                    target(g_idx).append((i, (y0, y1, x0, x1), sub))
+        # LF-group streams (stream 1 + num_lf_groups + idx; the oracle's
+        # scope has no VarDCT sections in modular frames)
+        for lf_idx in range(num_lf_groups):
+            entries = lf_groups.get(lf_idx, [])
+            if not entries:
+                continue
+            gbs = secs.get("lf_group", lf_idx)
+            _decode_group_stream(
+                gbs, ma, [e[2] for e in entries],
+                1 + num_lf_groups + lf_idx,
+            )
+            for i, (y0, y1, x0, x1), sub in entries:
+                chans[i].grid[y0:y1, x0:x1] = sub.grid
+        # (pass x group) streams
+        for p in range(fh.passes.num_passes):
+            for g in range(num_groups):
+                entries = pass_groups.get((p, g), [])
+                if not entries:
+                    continue
+                gbs = secs.get("group_pass", g, p)
+                _decode_group_stream(
+                    gbs, ma, [e[2] for e in entries],
+                    1 + 3 * num_lf_groups + 17 + p * num_groups + g,
+                )
+                for i, (y0, y1, x0, x1), sub in entries:
+                    chans[i].grid[y0:y1, x0:x1] = sub.grid
 
     grids = [c.grid for c in chans]
     sq_iter = iter(reversed(sq_params))
@@ -421,6 +534,19 @@ def _oracle_modular(bs, channels: list[_OCh], group_dim: int,
             _inv_squeeze(grids, next(sq_iter))
     assert len(grids) == orig_n
     return grids
+
+
+def fh_pass_shifts(fh) -> dict:
+    """pass_idx -> (minshift, maxshift) (render/frame.py:230-238)."""
+    passes = fh.passes
+    pass_shifts: dict[int, tuple[int, int]] = {}
+    maxshift = 3
+    for downsample, last_pass in zip(passes.downsample, passes.last_pass):
+        minshift = downsample.bit_length() - 1
+        pass_shifts[last_pass] = (minshift, maxshift)
+        maxshift = minshift
+    pass_shifts[passes.num_passes - 1] = (0, maxshift)
+    return pass_shifts
 
 
 # ===========================================================================
@@ -749,16 +875,407 @@ def _xyb_to_srgb(planes: np.ndarray, opsin, intensity_target: float):
 
 
 # ===========================================================================
+# Frame features in float64: non-separable upsampling, splines, noise,
+# patches, spot colors (jxl-render features/*, reimplemented)
+# ===========================================================================
+
+_D_UP2 = (
+    -0.01716200, -0.03452303, -0.04022174, -0.02921014, -0.00624645,
+    0.14111091, 0.28896755, 0.00278718, -0.01610267, 0.56661550,
+    0.03777607, -0.01986694, -0.03144731, -0.01185068, -0.00213539,
+)
+
+
+def _o_phase_kernels(k: int, weights) -> np.ndarray:
+    """[k*k, 25] phase kernels from the triangular weight table
+    (upsampling.rs:69-92: expansion + H/V flip symmetry), float64."""
+    mat_n = k // 2
+    quarter = np.zeros((mat_n * mat_n, 25))
+    weights = np.asarray(weights, dtype=np.float64)
+    idx = 0
+    for y in range(5 * mat_n):
+        mat_y, ky = divmod(y, 5)
+        for x in range(y, 5 * mat_n):
+            mat_x, kx = divmod(x, 5)
+            wv = weights[idx]
+            idx += 1
+            quarter[mat_y * mat_n + mat_x, ky * 5 + kx] = wv
+            quarter[mat_x * mat_n + mat_y, kx * 5 + ky] = wv
+    kernels = np.zeros((k, k, 5, 5))
+    for py in range(k):
+        mat_y = min(py, k - py - 1)
+        for px in range(k):
+            mat_x = min(px, k - px - 1)
+            ker = quarter[mat_y * mat_n + mat_x].reshape(5, 5)
+            if py >= mat_n:
+                ker = ker[::-1, :]
+            if px >= mat_n:
+                ker = ker[:, ::-1]
+            kernels[py, px] = ker
+    return kernels.reshape(k * k, 25)
+
+
+def _o_upsample_k(plane: np.ndarray, k: int, weights) -> np.ndarray:
+    h, w = plane.shape
+    kmat = _o_phase_kernels(k, weights)
+    padded = np.pad(plane, 2, mode="symmetric")
+    shifts = np.stack([
+        padded[iy : iy + h, ix : ix + w]
+        for iy in range(5) for ix in range(5)
+    ])
+    out = np.einsum("ps,shw->phw", kmat, shifts)
+    lo = shifts.min(axis=0)
+    hi = shifts.max(axis=0)
+    out = np.clip(out, lo[None], hi[None])
+    return out.reshape(k, k, h, w).transpose(2, 0, 3, 1).reshape(h * k, w * k)
+
+
+def _o_upsample(plane: np.ndarray, factor: int, meta) -> np.ndarray:
+    """Non-separable upsampling chain (upsampling.rs:6-43): x8 steps then
+    the x2/x4 remainder, each with its own kernel table. The default
+    weight TABLES are normative spec constants (jxl-image lib.rs:533-620)
+    and are taken from ops.upsample as data; the kernel expansion and
+    application here are independent float64 reimplementations."""
+    from jxl_oxide_tpu.ops.upsample import D_UP4, D_UP8  # spec constants
+
+    up2 = meta.up2_weight or _D_UP2
+    up4 = meta.up4_weight or D_UP4
+    up8 = meta.up8_weight or D_UP8
+    up8_count, last = divmod(factor.bit_length() - 1, 3)
+    out = plane
+    for _ in range(up8_count):
+        out = _o_upsample_k(out, 8, up8)
+    if last == 1:
+        out = _o_upsample_k(out, 2, up2)
+    elif last == 2:
+        out = _o_upsample_k(out, 4, up4)
+    return out
+
+
+_O_SPLINE_W = (0.0042, 0.075, 0.07, 0.3333)
+
+
+def _o_continuous_idct(dct: np.ndarray, t) -> np.ndarray:
+    i = np.arange(1, 32)
+    theta = np.multiply.outer(np.asarray(t, dtype=np.float64) + 0.5,
+                              i * (np.pi / 32.0))
+    return dct[0] + np.sqrt(2.0) * (np.cos(theta) @ dct[1:])
+
+
+def _o_erf(x: np.ndarray) -> np.ndarray:
+    """The reference's polynomial erf approximation (fastmath), f64."""
+    ax = np.abs(x)
+    d1 = ax * 7.77394369e-02 + 2.05260015e-04
+    d2 = d1 * ax + 2.32120216e-01
+    d3 = d2 * ax + 2.77820801e-01
+    d4 = d3 * ax + 1.0
+    d5 = d4 * d4
+    inv = 1.0 / d5
+    res = 1.0 - inv * inv
+    return np.where(x < 0, -res, res)
+
+
+def _o_upsample_points(points) -> np.ndarray:
+    s = np.asarray(points, dtype=np.float64)
+    if len(s) == 1:
+        return s
+    ext = np.concatenate([[2 * s[0] - s[1]], s, [2 * s[-1] - s[-2]]])
+    out = []
+    for i in range(len(ext) - 3):
+        p = ext[i : i + 4]
+        out.append(p[1])
+        t = np.zeros(4)
+        for k in range(1, 4):
+            t[k] = t[k - 1] + (np.sum((p[k] - p[k - 1]) ** 2)) ** 0.25
+        for step in range(1, 16):
+            knot = t[1] + (step / 16.0) * (t[2] - t[1])
+            a = [p[k] + (p[k + 1] - p[k]) * ((knot - t[k]) / (t[k + 1] - t[k]))
+                 for k in range(3)]
+            b = [a[k] + (a[k + 1] - a[k]) * ((knot - t[k]) / (t[k + 2] - t[k]))
+                 for k in range(2)]
+            out.append(b[0] + (b[1] - b[0]) * ((knot - t[1]) / (t[2] - t[1])))
+    out.append(s[-1])
+    return np.asarray(out)
+
+
+def _o_arc_samples(points):
+    ups = _o_upsample_points(points)
+    samples = [(ups[0], 1.0)]
+    current = ups[0]
+    next_idx = 0
+    while next_idx < len(ups):
+        prev = current
+        arclength = 0.0
+        while True:
+            if next_idx >= len(ups):
+                samples.append((prev, arclength))
+                break
+            nxt = ups[next_idx]
+            d = float(np.hypot(*(nxt - prev)))
+            if arclength + d >= 1.0:
+                current = prev + (nxt - prev) * ((1.0 - arclength) / d)
+                samples.append((current, 1.0))
+                break
+            arclength += d
+            prev = nxt
+            next_idx += 1
+    return samples
+
+
+def _o_render_splines(planes, splines, base_corr, width, height) -> None:
+    """Spline drawing (features/spline.rs), float64 in place."""
+    corr = base_corr if base_corr else (0.0, 1.0)
+    qa = float(splines.quant_adjust)
+    inv_qa = 1.0 / (1.0 + qa / 8.0) if qa >= 0 else 1.0 - qa / 8.0
+    for qs in splines.quant_splines:
+        xyb_dct = np.zeros((3, 32))
+        for c in range(3):
+            xyb_dct[c] = qs.xyb_dct[c] * _O_SPLINE_W[c] * inv_qa
+        xyb_dct[0] += corr[0] * xyb_dct[1]
+        xyb_dct[2] += corr[1] * xyb_dct[1]
+        sigma_dct = qs.sigma_dct * _O_SPLINE_W[3] * inv_qa
+        samples = _o_arc_samples(qs.quant_points)
+        arclength = len(samples) - 2.0 + samples[-1][1]
+        for i, (pt, length) in enumerate(samples):
+            t = 31.0 * min(1.0, i / arclength if arclength > 0 else 1.0)
+            sigma = float(_o_continuous_idct(sigma_dct, t))
+            if sigma == 0.0:
+                continue
+            inv_sigma = 1.0 / sigma
+            values = [float(_o_continuous_idct(xyb_dct[c], t)) * length
+                      for c in range(3)]
+            max_color = max(0.01, max(values))
+            max_distance = (
+                np.sqrt(2.0 * (np.log(10.0) * 3.0 + max_color)) * abs(sigma)
+            )
+            xb = max(0, int(np.floor(pt[0] - max_distance + 0.5)))
+            xe = min(width, int(np.floor(pt[0] + max_distance + 1.5)))
+            yb = max(0, int(np.floor(pt[1] - max_distance + 0.5)))
+            ye = min(height, int(np.floor(pt[1] + max_distance + 1.5)))
+            if xe <= xb or ye <= yb:
+                continue
+            ys, xs = np.mgrid[yb:ye, xb:xe]
+            dist = np.hypot(xs - pt[0], ys - pt[1])
+            sqrt_0125 = 0.35355338
+            factor = (
+                _o_erf((0.5 * dist + sqrt_0125) * inv_sigma)
+                - _o_erf((0.5 * dist - sqrt_0125) * inv_sigma)
+            )
+            for c in range(3):
+                planes[c][yb:ye, xb:xe] += (
+                    0.25 * values[c] * sigma * factor * factor
+                )
+
+
+def _o_split_mix_64(z: int) -> int:
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _o_noise_field(fh, visible: int, invisible: int) -> np.ndarray:
+    """[3, H, W] uniform noise in [1, 2): 8-lane XorShift128+ with
+    splitmix64 seeding (features/noise.rs:403-452) — the RNG is integer
+    and spec-fixed, implemented here with Python ints."""
+    width, height = fh.width, fh.height
+    gdim = fh.group_dim
+    gpr = -(-width // gdim)
+    gpc = -(-height // gdim)
+    M = 0xFFFFFFFFFFFFFFFF
+    seed0 = ((visible << 32) + invisible) & M
+    out = np.empty((3, height, width), dtype=np.float64)
+    for gy in range(gpc):
+        for gx in range(gpr):
+            x0, y0 = gx * gdim, gy * gdim
+            gw = min(gdim, width - x0)
+            gh = min(gdim, height - y0)
+            seed1 = ((x0 << 32) + y0) & M
+            s0 = [0] * 8
+            s1 = [0] * 8
+            s0[0] = _o_split_mix_64((seed0 + 0x9E3779B97F4A7C15) & M)
+            s1[0] = _o_split_mix_64((seed1 + 0x9E3779B97F4A7C15) & M)
+            for i in range(1, 8):
+                s0[i] = _o_split_mix_64(s0[i - 1])
+                s1[i] = _o_split_mix_64(s1[i - 1])
+            wn2 = -(-gw // 16)
+            stride = wn2 * 16
+            n_batches = wn2 * gh * 3
+            bits = np.empty((n_batches, 16), dtype=np.uint32)
+            for b in range(n_batches):
+                t1 = list(s0)
+                t0 = list(s1)
+                for lane in range(8):
+                    v = (t1[lane] + t0[lane]) & M
+                    bits[b, lane * 2] = v & 0xFFFFFFFF
+                    bits[b, lane * 2 + 1] = v >> 32
+                s0 = t0
+                s1 = [0] * 8
+                for lane in range(8):
+                    a = (t1[lane] ^ ((t1[lane] << 23) & M))
+                    s1[lane] = a ^ (t0[lane] ^ (a >> 18) ^ (t0[lane] >> 5))
+            f = ((bits >> np.uint32(9)) | np.uint32(0x3F800000)).view(
+                np.float32
+            ).astype(np.float64)
+            f = f.reshape(3, gh, stride)
+            out[:, y0 : y0 + gh, x0 : x0 + gw] = f[:, :, :gw]
+    return out
+
+
+def _o_render_noise(planes, fh, visible, invisible, base_corr, lut) -> None:
+    """Noise synthesis (features/noise.rs:12-86), float64 in place."""
+    corr_x, corr_b = base_corr if base_corr else (0.0, 1.0)
+    field = _o_noise_field(fh, visible, invisible)
+    padded = np.pad(field, ((0, 0), (2, 2), (2, 2)), mode="symmetric")
+    h, w = field.shape[1:]
+    acc = np.zeros_like(field)
+    for dy in range(5):
+        for dx in range(5):
+            acc += padded[:, dy : dy + h, dx : dx + w]
+    noise = acc * 0.16 - field * 4.0
+    lut9 = np.asarray(list(lut) + [lut[7]], dtype=np.float64)
+
+    def interp(v):
+        v = np.maximum(v, 0.0)
+        vi = np.minimum(v, 7.0).astype(np.int32)
+        frac = v - vi
+        return (lut9[vi + 1] - lut9[vi]) * frac + lut9[vi]
+
+    gx, gy = planes[0], planes[1]
+    sx = interp((gx + gy) * 3.0)
+    sy = interp((gy - gx) * 3.0)
+    nx = 0.22 * sx * (0.0078125 * noise[0] + 0.9921875 * noise[2])
+    ny = 0.22 * sy * (0.0078125 * noise[1] + 0.9921875 * noise[2])
+    planes[0] += corr_x * (nx + ny) + nx - ny
+    planes[1] += nx + ny
+    planes[2] += corr_b * (nx + ny)
+
+
+def _o_apply_patches(planes, patches, ref_slots, n_color, meta) -> None:
+    """Patch blending from saved reference canvases onto the frame's
+    [C, H, W] plane stack (blend.rs patch semantics), float64 in place."""
+    PB = PatchBlendMode
+    for patch in patches.patches:
+        ref = ref_slots[patch.ref_idx]
+        assert ref is not None, "patch references empty slot"
+        for target in patch.patch_targets:
+            for ci, blending in enumerate(
+                target.blending[: planes.shape[0]]
+            ):
+                mode = blending.mode
+                if mode == PB.NONE:
+                    continue
+                chans = (
+                    list(range(n_color)) if ci == 0 else [n_color + ci - 1]
+                )
+                alpha_idx = n_color + blending.alpha_channel
+                for ch in chans:
+                    _o_patch_blend_one(
+                        planes, ref, ch, patch, target, mode, alpha_idx,
+                        blending.clamp,
+                        is_alpha=(ch == alpha_idx and mode.use_alpha),
+                        premultiplied=bool(
+                            meta.ec_info
+                            and blending.alpha_channel < len(meta.ec_info)
+                            and meta.ec_info[
+                                blending.alpha_channel
+                            ].alpha_associated
+                        ),
+                    )
+
+
+def _o_patch_blend_one(planes, ref, ch, patch, target, mode, alpha_idx,
+                       clamp, is_alpha, premultiplied) -> None:
+    PB = PatchBlendMode
+    dst = planes[ch]
+    src = ref[ch]
+    sh, sw = src.shape
+    dh, dw = dst.shape
+    x0, y0 = patch.x0, patch.y0
+    w = min(patch.width, sw - x0)
+    h = min(patch.height, sh - y0)
+    dx0, dy0 = target.x, target.y
+    if dx0 < 0 or dy0 < 0:
+        sx_off, sy_off = max(0, -dx0), max(0, -dy0)
+        x0 += sx_off
+        y0 += sy_off
+        w -= sx_off
+        h -= sy_off
+        dx0, dy0 = max(0, dx0), max(0, dy0)
+    w = min(w, dw - dx0)
+    h = min(h, dh - dy0)
+    if w <= 0 or h <= 0:
+        return
+    s = src[y0 : y0 + h, x0 : x0 + w]
+    d = dst[dy0 : dy0 + h, dx0 : dx0 + w]
+    if mode == PB.REPLACE:
+        d[:, :] = s
+    elif mode == PB.ADD:
+        d += s
+    elif mode == PB.MUL:
+        sv = np.clip(s, 0.0, 1.0) if clamp else s
+        d *= sv
+    else:
+        swapped = mode in (PB.BLEND_BELOW, PB.MUL_ADD_BELOW)
+        sa = (ref[alpha_idx][y0 : y0 + h, x0 : x0 + w]
+              if alpha_idx < len(ref) else np.zeros_like(s))
+        da = (planes[alpha_idx][dy0 : dy0 + h, dx0 : dx0 + w]
+              if alpha_idx < planes.shape[0] else np.zeros_like(d))
+        base_s, new_s = (s, d.copy()) if swapped else (d.copy(), s)
+        base_a, new_a = (sa, da) if swapped else (da, sa)
+        if clamp:
+            new_a = np.clip(new_a, 0.0, 1.0)
+        if mode in (PB.BLEND_ABOVE, PB.BLEND_BELOW):
+            if is_alpha:
+                d[:, :] = new_a + base_a * (1.0 - new_a)
+            elif premultiplied:
+                d[:, :] = new_s + base_s * (1.0 - new_a)
+            else:
+                mixed = 1.0 - (1.0 - new_a) * (1.0 - base_a)
+                recip = np.where(
+                    mixed > 0, 1.0 / np.where(mixed == 0, 1, mixed), 0.0
+                )
+                d[:, :] = (
+                    new_a * new_s + base_a * base_s * (1.0 - new_a)
+                ) * recip
+        else:  # MulAdd
+            if is_alpha:
+                d[:, :] = base_s
+            else:
+                d[:, :] = base_s + new_a * new_s
+
+
+def _o_apply_spot_colors(planes, meta, n_color) -> None:
+    """SpotColour EC compositing (features/spot_colors.rs:5-37), in
+    place on the color planes."""
+    from jxl_oxide_tpu.headers.image import ExtraChannelType
+
+    if n_color != 3:
+        return
+    for e, info in enumerate(meta.ec_info):
+        if info.ty != ExtraChannelType.SPOT_COLOUR or not info.spot_colour:
+            continue
+        red, green, blue, solidity = info.spot_colour
+        mix = planes[n_color + e] * solidity
+        for c, colv in enumerate((red, green, blue)):
+            planes[c] = mix * colv + (1.0 - mix) * planes[c]
+
+
+# ===========================================================================
 # Frame walk
 # ===========================================================================
 
 
 def _parse_lf_global_oracle(bs, image_header, fh):
-    """Minimal LfGlobal parse for the oracle's scope (lf_global.rs:15-313
-    without patches/splines/noise)."""
-    assert not fh.flags.patches and not fh.flags.splines and not fh.flags.noise, (
-        "oracle scope excludes patches/splines/noise"
-    )
+    """LfGlobal parse (lf_global.rs:15-313): patches/splines/noise
+    feature lists via the shared section parsers, then LF dequant,
+    VarDCT params, and the optional global MA tree."""
+    patches = splines = noise = None
+    if fh.flags.patches:
+        patches = Patches.parse(bs, image_header, fh)
+    if fh.flags.splines:
+        splines = Splines.parse(bs, fh)
+    if fh.flags.noise:
+        noise = NoiseParameters.parse(bs)
     if bs.read_bool():
         lf_dequant = (1.0 / 32.0, 1.0 / 4.0, 1.0 / 2.0)
     else:
@@ -774,20 +1291,23 @@ def _parse_lf_global_oracle(bs, image_header, fh):
     if bs.read_bool():
         max_nodes = min(1 << 22, 1024 + fh.width * fh.height * num_channels // 16)
         ma = MaConfig(bs, max_nodes)
-    return lf_dequant, vardct, ma
+    return lf_dequant, vardct, ma, (patches, splines, noise)
 
 
-def _decode_modular_frame(bs, image_header, fh, ma):
+def _decode_modular_frame(secs, bs, image_header, fh, ma):
     bits = image_header.metadata.bit_depth.bits_per_sample
     assert fh.upsampling == 1 and not fh.do_ycbcr
+    meta = image_header.metadata
     w, h = fh.sample_width(), fh.sample_height()
     channels = [_OCh(w, h) for _ in range(fh.encoded_color_channels)]
-    for ec_info, ec_up in zip(image_header.metadata.ec_info, fh.ec_upsampling):
-        assert ec_up == 1 and ec_info.dim_shift == 0, (
-            "oracle scope: unscaled extra channels only"
-        )
-        channels.append(_OCh(w, h))
-    grids = _oracle_modular(bs, channels, fh.group_dim, bits, ma)
+    ec_shifts = []
+    for ec_info, ec_up in zip(meta.ec_info, fh.ec_upsampling):
+        ec_shift = (ec_up.bit_length() - 1) + ec_info.dim_shift
+        w_s = (w + (1 << ec_shift) - 1) >> ec_shift
+        h_s = (h + (1 << ec_shift) - 1) >> ec_shift
+        channels.append(_OCh(w_s, h_s, ec_shift, ec_shift, ow=w, oh=h))
+        ec_shifts.append(ec_shift)
+    grids = _oracle_modular(bs, channels, fh, bits, ma, secs=secs)
     # each extra channel normalizes by its OWN declared bit depth (a
     # d_alpha default EC is 8-bit regardless of the color depth) —
     # image.rs convert_modular bit-depth normalization per channel
@@ -803,6 +1323,13 @@ def _decode_modular_frame(bs, image_header, fh, ma):
     planes = [
         g.astype(np.float64) / s for g, s in zip(grids, scales)
     ]
+    # EC dim_shift / ec_upsampling: reduced-resolution EC planes upsample
+    # with the non-separable kernels (render.rs:110-118 + upsampling.rs)
+    for e, shift in enumerate(ec_shifts):
+        if shift:
+            planes[n_color + e] = _o_upsample(
+                planes[n_color + e], 1 << shift, meta
+            )[:h, :w]
     if n_color == 1:
         planes = [planes[0]] * 3 + planes[1:]
     return np.stack(planes)
@@ -832,31 +1359,61 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
     bits = meta.bit_depth.bits_per_sample
     assert all(j == 0 for j in fh.jpeg_upsampling), "oracle: no subsampling"
     w, h = fh.sample_width(), fh.sample_height()
-    assert w <= fh.group_dim and h <= fh.group_dim
+    assert not fh.flags.use_lf_frame, "oracle scope: no LF frames"
 
     # GlobalModular with zero channels: no modular header at all
     # (render/frame.py:175-176 mirrors the stream layout)
 
-    # LfGroup 0: LfCoeff + HfMetadata (shared section parsers)
-    bs = secs.get("lf_group", 0)
-    lf_w, lf_h = fh.lf_group_size_for(0)
-    lf_coeff = None
-    assert not fh.flags.use_lf_frame, "oracle scope: no LF frames"
-    lf_coeff = LfCoeff.parse(
-        bs, 0, lf_w, lf_h, fh.jpeg_upsampling, bits, ma, fh.group_dim
-    )
+    gdim = fh.group_dim
+    gdb = gdim // 8
+    bw_all = -(-w // 8)
+    bh_all = -(-h // 8)
     rf = fh.restoration_filter
     epf = (rf.epf.quant_mul, rf.epf.sharp_lut) if rf.epf.enabled else None
-    hf_meta = HfMetadata.parse(
-        bs, num_lf_groups=1, lf_group_idx=0, lf_width=lf_w, lf_height=lf_h,
-        jpeg_upsampling=fh.jpeg_upsampling, bits_per_sample=bits,
-        global_ma_config=ma, group_dim=fh.group_dim, epf=epf,
-        quantizer_global_scale=lf_vardct.quantizer.global_scale,
-    )
+    lfg_per_row = fh.lf_groups_per_row
+
+    # per-LF-group sections: LfCoeff + HfMetadata placed into frame grids
+    lf_quant = [np.zeros((bh_all, bw_all), dtype=np.int64) for _ in range(3)]
+    sel_grid = np.full((bh_all, bw_all), -1, dtype=np.int64)
+    mul_grid = np.zeros((bh_all, bw_all), dtype=np.int64)
+    sigma_grid = np.zeros((bh_all, bw_all))
+    w64, h64 = -(-w // 64), -(-h // 64)
+    xfy_grid = np.zeros((h64, w64), dtype=np.int64)
+    bfy_grid = np.zeros((h64, w64), dtype=np.int64)
+    metas = {}
+    extra_precision = 0
+    for lf_idx in range(fh.num_lf_groups):
+        bs = secs.get("lf_group", lf_idx)
+        lf_w, lf_h = fh.lf_group_size_for(lf_idx)
+        lf_coeff = LfCoeff.parse(
+            bs, lf_idx, lf_w, lf_h, fh.jpeg_upsampling, bits, ma, gdim
+        )
+        extra_precision = lf_coeff.extra_precision
+        hf_meta = HfMetadata.parse(
+            bs, num_lf_groups=fh.num_lf_groups, lf_group_idx=lf_idx,
+            lf_width=lf_w, lf_height=lf_h,
+            jpeg_upsampling=fh.jpeg_upsampling, bits_per_sample=bits,
+            global_ma_config=ma, group_dim=gdim, epf=epf,
+            quantizer_global_scale=lf_vardct.quantizer.global_scale,
+        )
+        metas[lf_idx] = hf_meta
+        lgx, lgy = lf_idx % lfg_per_row, lf_idx // lfg_per_row
+        bx0, by0 = lgx * gdim, lgy * gdim  # block offsets
+        for c, chan in enumerate(lf_coeff.lf_quant_xyb()):
+            ch_, cw_ = chan.shape
+            lf_quant[c][by0 : by0 + ch_, bx0 : bx0 + cw_] = chan
+        gh_, gw_ = hf_meta.block_sel.shape
+        sel_grid[by0 : by0 + gh_, bx0 : bx0 + gw_] = hf_meta.block_sel
+        mul_grid[by0 : by0 + gh_, bx0 : bx0 + gw_] = hf_meta.block_mul
+        sigma_grid[by0 : by0 + gh_, bx0 : bx0 + gw_] = hf_meta.epf_sigma
+        c64x, c64y = lgx * (gdim * 8 // 64), lgy * (gdim * 8 // 64)
+        fh_, fw_ = hf_meta.x_from_y.shape
+        xfy_grid[c64y : c64y + fh_, c64x : c64x + fw_] = hf_meta.x_from_y
+        bfy_grid[c64y : c64y + fh_, c64x : c64x + fw_] = hf_meta.b_from_y
 
     # HfGlobal (hf_global.rs): dequant matrices + presets + HfPass
     bs = secs.get("hf_global")
-    dm = DequantMatrixSet.parse(bs, bits, 1, ma, fh.group_dim)
+    dm = DequantMatrixSet.parse(bs, bits, fh.num_lf_groups, ma, gdim)
     bits_p = max(fh.num_groups - 1, 0).bit_length()
     num_hf_presets = bs.read_bits(bits_p) + 1
     hf_passes = [
@@ -864,32 +1421,52 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
         for _ in range(fh.passes.num_passes)
     ]
 
-    # pass group(s): HF coefficients (shared entropy/placement decode)
-    bh, bw = hf_meta.block_sel.shape
-    coeff = [np.zeros((bh * 8, bw * 8), dtype=np.int32) for _ in range(3)]
-    lf_quant = lf_coeff.lf_quant_xyb()
+    # (pass x group) sections: HF coefficients into frame-wide planes
+    # (shared entropy/placement decode, group-local grids)
+    coeff = [np.zeros((bh_all * 8, bw_all * 8), dtype=np.int32)
+             for _ in range(3)]
+    gpr = fh.groups_per_row
     for p in range(fh.passes.num_passes):
-        write_hf_coeff(
-            secs.get("group_pass", 0, p),
-            num_hf_presets=num_hf_presets,
-            hf_block_ctx=lf_vardct.hf_block_ctx,
-            block_sel=hf_meta.block_sel,
-            block_mul=hf_meta.block_mul,
-            jpeg_upsampling=fh.jpeg_upsampling,
-            lf_quant=lf_quant,
-            hf_pass=hf_passes[p],
-            coeff_shift=fh.passes.pass_shift(p),
-            hf_coeff_output=coeff,
-        )
+        for g in range(fh.num_groups):
+            gx, gy = g % gpr, g // gpr
+            left, top = gx * gdb, gy * gdb
+            gw_b = min(gdb, bw_all - left)
+            gh_b = min(gdb, bh_all - top)
+            write_hf_coeff(
+                secs.get("group_pass", g, p),
+                num_hf_presets=num_hf_presets,
+                hf_block_ctx=lf_vardct.hf_block_ctx,
+                block_sel=sel_grid[top : top + gh_b, left : left + gw_b],
+                block_mul=mul_grid[top : top + gh_b, left : left + gw_b],
+                jpeg_upsampling=fh.jpeg_upsampling,
+                lf_quant=[
+                    q[top : top + gh_b, left : left + gw_b]
+                    for q in lf_quant
+                ],
+                hf_pass=hf_passes[p],
+                coeff_shift=fh.passes.pass_shift(p),
+                hf_coeff_output=[
+                    cp[top * 8 : (top + gh_b) * 8,
+                       left * 8 : (left + gw_b) * 8]
+                    for cp in coeff
+                ],
+            )
         # empty pass-group modular stream is skipped by the production
         # decoder for channel-less frames; mirror that
+
+    # frame-wide varblock list + per-8x8 sigma from the per-group metas
+    hf_meta = HfMetadata(
+        x_from_y=xfy_grid, b_from_y=bfy_grid,
+        block_sel=sel_grid, block_mul=mul_grid, epf_sigma=sigma_grid,
+    )
+    bh, bw = bh_all, bw_all
 
     # ---- independent float64 composition ----
     quantizer = lf_vardct.quantizer
     corr = lf_vardct.lf_chan_corr
     opsin = meta.opsin_inverse_matrix
     scale_inv = quantizer.global_scale * quantizer.quant_lf
-    precision = 1 << (9 - lf_coeff.extra_precision)
+    precision = 1 << (9 - extra_precision)
     lf = np.stack([
         lf_quant[c].astype(np.float64) * (lf_dequant[c] * precision / scale_inv)
         for c in range(3)
@@ -1035,30 +1612,74 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
 
     renders = []
     canvas = None
+    ref_slots: list = [None] * 4
+    frame_counter = 0
+    num_prev_keyframes = 0
+    last_keyframe_idx = None
     while True:
         bs.zero_pad_to_byte()
         frame_start = bs.pos // 8
         fh = FrameHeader.parse(bs, image_header)
         toc = Toc.parse(bs, fh, frame_start)
-        assert fh.num_groups == 1, "oracle supports single-group frames"
         section_start = bs.pos // 8
         secs = _Sections(data, bs, toc, frame_start)
 
         lf_bs = secs.get("lf_global")
-        lf_dequant, lf_vardct, ma = _parse_lf_global_oracle(
+        lf_dequant, lf_vardct, ma, features = _parse_lf_global_oracle(
             lf_bs, image_header, fh
         )
+        patches, splines, noise = features
         if fh.encoding == Encoding.MODULAR:
-            planes = _decode_modular_frame(lf_bs, image_header, fh, ma)
+            planes = _decode_modular_frame(secs, lf_bs, image_header, fh, ma)
         else:
             planes = _decode_vardct_frame(
                 secs, image_header, fh, lf_dequant, lf_vardct, ma
             )
 
+        # features: patches -> splines -> noise (render.rs
+        # render_features order; context.py _apply_features semantics)
+        n_color = 3 if planes.shape[0] >= 3 else planes.shape[0]
+        base_corr = None
+        if lf_vardct is not None:
+            cc = lf_vardct.lf_chan_corr
+            base_corr = (cc.base_correlation_x, cc.base_correlation_b)
+        if patches is not None:
+            _o_apply_patches(
+                planes, patches, ref_slots, n_color, image_header.metadata
+            )
+        if splines is not None and n_color == 3:
+            _o_render_splines(
+                planes[:3], splines, base_corr, fh.width, fh.height
+            )
+        if noise is not None and n_color == 3:
+            is_kf = fh.is_keyframe
+            visible = num_prev_keyframes + (1 if is_kf else 0)
+            if is_kf:
+                invisible = 0
+            elif last_keyframe_idx is None:
+                invisible = 1 + frame_counter
+            else:
+                invisible = frame_counter - last_keyframe_idx
+            _o_render_noise(
+                planes[:3], fh, visible, invisible, base_corr, noise.lut
+            )
+
         if fh.frame_type.name in ("REGULAR", "SKIP_PROGRESSIVE"):
             canvas = _composite(canvas, planes, fh)
+            stored = canvas
+        else:
+            # REFERENCE_ONLY: rendered but never blended onto the canvas
+            stored = planes
+        if fh.can_reference:
+            ref_slots[fh.save_as_reference] = stored.copy()
+        if fh.frame_type.name in ("REGULAR", "SKIP_PROGRESSIVE"):
             if fh.is_last or fh.duration > 0:
-                renders.append(canvas.copy())
+                out = canvas.copy()
+                _o_apply_spot_colors(out, image_header.metadata, n_color)
+                renders.append(out)
+                num_prev_keyframes += 1
+                last_keyframe_idx = frame_counter
+        frame_counter += 1
         # seek to the next frame (sections are byte-sized)
         bs.pos = (section_start + toc.total_size) * 8
         if fh.is_last:

@@ -28,6 +28,7 @@ def _main_planes(data, n_color=3):
     out = []
     for k in range(img.num_keyframes):
         r = img.render_frame(k)
+        r.apply_spot_colors()  # the oracle composites spot ECs too
         out.append(np.stack(
             [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:n_color]]
             + [np.asarray(e, dtype=np.float64) for e in r.extra]
@@ -298,3 +299,131 @@ def test_differential_fuzz_smoke():
     # iterations include cold XLA compiles; on a loaded box only one may
     # finish inside the window — findings == 0 is the real assertion
     assert n >= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widened scope (VERDICT r3 item 4): features, EC scaling,
+# multi-group and multi-pass frames through the float64 oracle.
+
+FEAT_TOL = 2e-5
+
+
+def test_oracle_noise():
+    """Noise synthesis: integer XorShift128+ field (bit-exact by spec) +
+    float convolution/LUT mixing, f64 oracle vs f32 production."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(11)
+    base = [rng.integers(80, 176, (40, 40), dtype=np.int64) for _ in range(3)]
+    lut = [0.0, 0.1, 0.2, 0.4, 0.5, 0.5, 0.6, 0.8]
+    data = encode_jxl_modular(base, bit_depth=8, noise_lut=lut)
+    _assert_match(data, FEAT_TOL)
+
+
+def test_oracle_splines():
+    """Catmull-Rom spline drawing (arc resampling, continuous IDCT, erf
+    falloff) in the f64 oracle vs production."""
+    from encoder import encode_jxl_modular
+
+    h = w = 48
+    base = [np.full((h, w), 100, dtype=np.int64) for _ in range(3)]
+    xyb_dct = np.zeros((3, 32), dtype=np.int64)
+    xyb_dct[:, 0] = [40, 70, 50]
+    xyb_dct[1, 3] = 25
+    sigma_dct = np.zeros(32, dtype=np.int64)
+    sigma_dct[0] = 35
+    spec = dict(points=[(8, 10), (25, 16), (40, 36)],
+                xyb_dct=xyb_dct, sigma_dct=sigma_dct)
+    data = encode_jxl_modular(base, bit_depth=8, splines_spec=([spec], 2))
+    _assert_match(data, FEAT_TOL)
+
+
+@pytest.mark.parametrize("mode", [1, 2, 4])
+def test_oracle_patches(mode):
+    """Patches from a ReferenceOnly frame: Replace / Add / BlendAbove
+    blend modes through the oracle's ref-slot bookkeeping."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(13 + mode)
+    base = [rng.integers(0, 256, (32, 32), dtype=np.int64) for _ in range(3)]
+    ref = [rng.integers(0, 256, (32, 32), dtype=np.int64) for _ in range(3)]
+    spec = dict(ref_idx=0, x0=2, y0=4, width=12, height=9, x=5, y=6,
+                mode=mode)
+    data = encode_jxl_modular(base, bit_depth=8,
+                              reference_patch=(ref, spec))
+    _assert_match(data, FEAT_TOL)
+
+
+def test_oracle_spot_colors():
+    """SpotColour EC compositing onto the color planes."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(17)
+    color = [rng.integers(0, 256, (24, 24), dtype=np.int64) for _ in range(3)]
+    spot = rng.integers(0, 256, (24, 24), dtype=np.int64)
+    data = encode_jxl_modular(
+        color + [spot], bit_depth=8,
+        spot_colour=(0.8, 0.2, 0.1, 0.9),
+    )
+    _assert_match(data, FEAT_TOL)
+
+
+def test_oracle_ec_dim_shift():
+    """Extra channel coded at dim_shift-reduced resolution and upsampled
+    with the non-separable up2 kernels (f64 reimplementation)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(19)
+    h = w = 64
+    color = [rng.integers(0, 256, (h, w), dtype=np.int64) for _ in range(3)]
+    alpha = rng.integers(0, 256, (h >> 2, w >> 2), dtype=np.int64)
+    data = encode_jxl_modular(
+        color + [alpha], bit_depth=8, extra_alpha=True, alpha_dim_shift=2,
+    )
+    _assert_match(data, FEAT_TOL)
+
+
+def test_oracle_multi_group_modular():
+    """Multi-group modular frame: per-(pass x group) sub-streams with the
+    image.rs channel splitting, decoded group by group by the oracle."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(23)
+    h, w = 300, 280  # > group_dim 256: 2x2 groups
+    base = [rng.integers(0, 256, (h, w), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(base, bit_depth=8)
+    _assert_match(data, MOD_TOL)
+
+
+def test_oracle_multi_group_modular_rct_squeeze():
+    """Multi-group + RCT + squeeze: squeezed channels route to LF-group
+    and pass-group streams by their shifts."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(29)
+    h = w = 320
+    base = [rng.integers(0, 256, (h, w), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(base, bit_depth=8, rct=True, squeeze=True)
+    _assert_match(data, MOD_TOL)
+
+
+def test_oracle_multi_group_vardct():
+    """Multi-group VarDCT: per-group HF coefficient sections decode into
+    the oracle's frame-wide planes (write_hf_coeff on group slices)."""
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(31)
+    rgb = rng.random((512, 384, 3)).astype(np.float32)
+    data = encode_jxl_vardct(rgb, gabor=True, epf_iters=1)
+    _assert_match(data, VARDCT_TOL)
+
+
+def test_oracle_vardct_two_pass_multi_group():
+    """2-pass progressive multi-group VarDCT: coefficients accumulate
+    across per-(pass, group) sections."""
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(37)
+    rgb = rng.random((384, 512, 3)).astype(np.float32)
+    data = encode_jxl_vardct(rgb, num_passes=2)
+    _assert_match(data, VARDCT_TOL)

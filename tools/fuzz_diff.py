@@ -163,7 +163,107 @@ def gen_vardct(rng) -> tuple[bytes, float, dict]:
                               "extra_precision": ep}
 
 
-GENERATORS = (gen_modular, gen_modular, gen_palette, gen_vardct)
+FEAT_TOL = 2e-5
+
+
+def gen_features(rng) -> tuple[bytes, float, dict]:
+    """Round-4 widened classes (VERDICT r3 item 4): noise, splines,
+    patches (ref slots + blend modes), spot colors, EC dim_shift."""
+    from encoder import encode_jxl_modular
+
+    style = int(rng.integers(0, 5))
+    h = w = int(rng.choice((32, 48)))
+    cfg: dict = {"kind": "features", "style": style, "h": h}
+    base = [rng.integers(0, 256, (h, w), dtype=np.int64) for _ in range(3)]
+    if style == 0:  # noise
+        lut = [float(rng.uniform(0.0, 1.0)) for _ in range(8)]
+        # smooth mid-range base keeps the noise LUT interpolation in its
+        # well-conditioned region (as real photos do)
+        base = [rng.integers(64, 192, (h, w), dtype=np.int64)
+                for _ in range(3)]
+        cfg["lut"] = lut
+        data = encode_jxl_modular(base, bit_depth=8, noise_lut=lut)
+        return data, FEAT_TOL, cfg
+    if style == 1:  # splines
+        xyb_dct = np.zeros((3, 32), dtype=np.int64)
+        xyb_dct[:, 0] = rng.integers(20, 90, 3)
+        xyb_dct[1, int(rng.integers(1, 6))] = int(rng.integers(-30, 31))
+        sigma_dct = np.zeros(32, dtype=np.int64)
+        sigma_dct[0] = int(rng.integers(10, 60))
+        pts = [(int(rng.integers(2, w - 2)), int(rng.integers(2, h - 2)))
+               for _ in range(int(rng.integers(2, 5)))]
+        # consecutive control points must differ
+        pts = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+        spec = dict(points=pts, xyb_dct=xyb_dct, sigma_dct=sigma_dct)
+        qa = int(rng.integers(-4, 5))
+        cfg["spline"] = {"points": pts, "qa": qa}
+        data = encode_jxl_modular(base, bit_depth=8,
+                                  splines_spec=([spec], qa))
+        return data, FEAT_TOL, cfg
+    if style == 2:  # patches
+        ref = [rng.integers(0, 256, (h, w), dtype=np.int64)
+               for _ in range(3)]
+        mode = int(rng.choice([1, 2, 4]))
+        spec = dict(
+            ref_idx=0,
+            x0=int(rng.integers(0, w // 2)), y0=int(rng.integers(0, h // 2)),
+            width=int(rng.integers(4, w // 2)),
+            height=int(rng.integers(4, h // 2)),
+            x=int(rng.integers(0, w // 2)), y=int(rng.integers(0, h // 2)),
+            mode=mode,
+        )
+        cfg["patch"] = spec
+        data = encode_jxl_modular(base, bit_depth=8,
+                                  reference_patch=(ref, spec))
+        return data, FEAT_TOL, cfg
+    if style == 3:  # spot color EC
+        spot = rng.integers(0, 256, (h, w), dtype=np.int64)
+        rgbs = tuple(float(rng.uniform(0, 1)) for _ in range(4))
+        cfg["spot"] = rgbs
+        data = encode_jxl_modular(base + [spot], bit_depth=8,
+                                  spot_colour=rgbs)
+        return data, FEAT_TOL, cfg
+    # style 4: EC dim_shift (alpha coded at reduced resolution)
+    shift = int(rng.choice([1, 2, 3]))
+    alpha = rng.integers(0, 256, (h >> shift, w >> shift), dtype=np.int64)
+    cfg["dim_shift"] = shift
+    data = encode_jxl_modular(base + [alpha], bit_depth=8,
+                              extra_alpha=True, alpha_dim_shift=shift)
+    return data, FEAT_TOL, cfg
+
+
+def gen_multigroup(rng) -> tuple[bytes, float, dict]:
+    """Multi-group frames (both codecs) + 2-pass multi-group VarDCT."""
+    if rng.random() < 0.5:
+        from encoder import encode_jxl_modular
+
+        h = int(rng.choice((280, 300)))
+        w = int(rng.choice((264, 288)))
+        kw = {}
+        if rng.random() < 0.4:
+            kw["rct"] = True
+        if rng.random() < 0.4:
+            kw["squeeze"] = True
+        chans = [rng.integers(0, 256, (h, w), dtype=np.int64)
+                 for _ in range(3)]
+        cfg = {"kind": "multigroup_modular", "h": h, "w": w, **kw}
+        return encode_jxl_modular(chans, bit_depth=8, **kw), MOD_TOL, cfg
+    from encoder_vardct import encode_jxl_vardct
+
+    h = int(rng.choice((384, 512)))
+    w = int(rng.choice((320, 384)))
+    kw = dict(
+        gabor=bool(rng.random() < 0.5),
+        epf_iters=int(rng.integers(0, 3)),
+        num_passes=int(rng.choice([1, 2])),
+    )
+    rgb = rng.random((h, w, 3)).astype(np.float32)
+    cfg = {"kind": "multigroup_vardct", "h": h, "w": w, **kw}
+    return encode_jxl_vardct(rgb, **kw), VARDCT_TOL, cfg
+
+
+GENERATORS = (gen_modular, gen_modular, gen_palette, gen_vardct,
+              gen_features, gen_multigroup)
 
 
 def check_one(data: bytes, tol: float) -> float:
@@ -179,6 +279,7 @@ def check_one(data: bytes, tol: float) -> float:
     worst = 0.0
     for k, g in enumerate(got):
         r = img.render_frame(k)
+        r.apply_spot_colors()  # the oracle composites spot ECs too
         color = [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:3]]
         if len(color) == 1:
             # grayscale: the oracle triplicates the single color plane

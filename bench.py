@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
@@ -499,9 +500,14 @@ def _scaling_model(per_chip_mpps: float, size: int = 1024,
     will not be at 32 chips on a 1024px frame (32 rows per shard):
     treat the numbers as estimates, and reconcile against the measured
     structural overhead at n=2/4/8 on the virtual mesh (the
-    structural_validation block). Frame-parallel serving (independent
-    frames per chip) has no cross-chip traffic and sits at ~1.0 by
-    construction; this models the harder single-frame-sharded case."""
+    structural_validation block: counted flops show ~4% structural work
+    inflation when every shard holds real group bands, and a hard
+    granularity cliff when n exceeds the frame's 256px group-band count
+    — a 1024^2 frame supports at most 4 row shards; the 8/32-chip
+    projections therefore apply to frames with >= n group bands).
+    Frame-parallel serving (independent frames per chip) has no
+    cross-chip traffic and sits at ~1.0 by construction; this models
+    the harder single-frame-sharded case."""
     ici_bps = 9e10
     ici_latency_s = 2e-6  # per sequential halo exchange (launch + hop)
     w = size
@@ -794,6 +800,29 @@ def main() -> None:
         for n in (8, 32):
             scaling[f"modeled_total_efficiency_{n}chip"] = round(
                 eff_1chip * model[f"modeled_efficiency_{n}chip"], 4)
+    # second, independent leg for the model's structural assumption
+    # (VERDICT r3 item 8): COUNTED per-device XLA flops of the real
+    # sharded program at n=1/2/4/8 on the virtual CPU mesh. Runs in a
+    # subprocess (the script pins jax to CPU itself); a 2048^2 frame has
+    # 8 group rows, so all shard counts carry real work — the same run
+    # at 1024^2 exposes the group-row granularity cliff (>4 shards on 4
+    # group rows compute pure padding).
+    try:
+        import subprocess as _sp
+
+        sv = _sp.run(
+            [sys.executable, str(Path(__file__).parent
+                                 / "tools" / "structural_scaling.py"),
+             "--size", "2048"],
+            capture_output=True, text=True, timeout=900,
+        )
+        line = sv.stdout.strip().splitlines()[-1]
+        scaling["structural_validation"] = json.loads(line)
+        print(f"structural validation (counted flops, 2048^2): "
+              f"{scaling['structural_validation']['structural_work_ratio']}",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"structural validation failed: {e}", file=sys.stderr)
 
     import os
 

@@ -4317,12 +4317,18 @@ static int parse_ma_tree_native(BitReader& br, i64 node_limit,
 // Static pruning + BFS flatten of one (channel, stream, prev) tree into
 // the TreeNode layout the channel decoder consumes
 // (models/modular_ma.py make_flat_tree / _resolve_static).
-static void flatten_tree(const RawNode* nodes, i64 n, i32 channel,
-                         i32 stream, i32 prev,
-                         std::vector<TreeNode>& out, i32& need_wp,
-                         i32& max_prev) {
+static int flatten_tree(const RawNode* nodes, i64 n, i32 channel,
+                        i32 stream, i32 prev,
+                        std::vector<TreeNode>& out, i32& need_wp,
+                        i32& max_prev) {
+  bool bad = false;
   auto resolve = [&](i32 idx) {
+    // cycle guard: trees built by the parsers are acyclic (children
+    // always have larger indices), but defend against malformed node
+    // arrays — a self-cycle here would spin forever
+    i64 steps = 0;
     for (;;) {
+      if (idx < 0 || idx >= n || ++steps > n + 4) { bad = true; return 0; }
       const RawNode& nd = nodes[idx];
       if (nd.prop == -1) return idx;
       if (nd.prop == 0) idx = channel > nd.value ? nd.left : nd.right;
@@ -4348,6 +4354,7 @@ static void flatten_tree(const RawNode* nodes, i64 n, i32 channel,
   };
   visit(0);
   for (size_t i = 0; i < order.size(); i++) {
+    if (bad) return 159;
     const RawNode& nd = nodes[order[i]];
     if (nd.prop == -1) {
       out[i] = TreeNode{1, nd.cluster, nd.predictor, nd.offset,
@@ -4364,6 +4371,7 @@ static void flatten_tree(const RawNode* nodes, i64 n, i32 channel,
       }
     }
   }
+  return bad ? 159 : 0;
 }
 
 struct SubChan {
@@ -4405,7 +4413,7 @@ static int decode_subimage_native(BitReader& br, SubChan* sc, int n,
   i64 nn;
   const DecoderSpec* spec;
   if (use_global) {
-    if (!gnodes) return 101;
+    if (!gnodes || n_gnodes <= 0 || !gspec) return 101;
     nodes = gnodes;
     nn = n_gnodes;
     spec = gspec;
@@ -4438,8 +4446,9 @@ static int decode_subimage_native(BitReader& br, SubChan* sc, int n,
           sc[p].hshift == sc[c].hshift && sc[p].vshift == sc[c].vshift)
         prev_count++;
     i32 need_wp = 0, max_prev = 0;
-    flatten_tree(nodes, nn, c, stream_index, prev_count, trees[c],
-                 need_wp, max_prev);
+    int ferr = flatten_tree(nodes, nn, c, stream_index, prev_count,
+                            trees[c], need_wp, max_prev);
+    if (ferr) return ferr;
     i32 use_prev = max_prev < prev_count ? max_prev : prev_count;
     prev_off_cnt[c] = {(i32)prev_bufs.size(), use_prev};
     // collect same-shape preceding channels, most recent first

@@ -181,11 +181,16 @@ def parse_global_modular(
         from .. import native as _native
         from ..utils.options import get_force_wide
 
+        import os
+
         narrow = (
             meta.modular_16bit_buffers
             and not meta.bit_depth.is_float
             and not get_force_wide()
             and _native.available()
+            # the device modular tail computes in i32 (ops/modular_tail);
+            # decode wide so its results match the host lane bit for bit
+            and not os.environ.get("JXL_TPU_DEVICE_MODULAR")
         )
         modular = ModularImage(
             bs,

@@ -156,3 +156,87 @@ def test_squeeze_end_to_end_bitstream():
     np.testing.assert_array_equal(
         np.round(got * 255).astype(np.int64), img
     )
+
+
+def test_device_modular_tail_bit_exact(monkeypatch):
+    """JXL_TPU_DEVICE_MODULAR=1: the XLA inverse-transform tail
+    (ops/modular_tail.py — lax.scan squeeze recurrence, RCT, palette
+    gather) decodes bit-identically to the host C++/numpy path across
+    transform stacks (VERDICT r3 item 6)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import numpy as np
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(41)
+    cases = []
+    for kw in (
+        dict(squeeze=True),
+        dict(rct=True, rct_type=9),
+        dict(squeeze=True, rct=True),
+        dict(bit_depth=16, squeeze=True),
+    ):
+        bits = kw.get("bit_depth", 8)
+        chans = [
+            rng.integers(0, 1 << bits, (40, 56), dtype=np.int64)
+            for _ in range(3)
+        ]
+        cases.append((encode_jxl_modular(chans, **kw), kw))
+    # palette (no predictor deltas -> device gather path)
+    pal = rng.integers(0, 256, (1, 7), dtype=np.int64)
+    idx = rng.integers(-2, 7 + 4, (24, 24))
+    cases.append((
+        encode_jxl_modular(
+            [pal, idx], bit_depth=8, grayscale=True, image_size=(24, 24),
+            palette_spec=dict(nb_colours=7, nb_deltas=2, d_pred=0),
+        ),
+        {"palette": True},
+    ))
+
+    for data, kw in cases:
+        host = np.stack([
+            np.asarray(p) for p in JxlImage.from_bytes(data)
+            .render_frame(0).planes
+        ])
+        monkeypatch.setenv("JXL_TPU_DEVICE_MODULAR", "1")
+        dev = np.stack([
+            np.asarray(p) for p in JxlImage.from_bytes(data)
+            .render_frame(0).planes
+        ])
+        monkeypatch.delenv("JXL_TPU_DEVICE_MODULAR")
+        np.testing.assert_array_equal(dev, host, err_msg=str(kw))
+
+
+def test_device_modular_tail_on_mesh(monkeypatch):
+    """The device modular tail under a decode mesh: squeeze scans shard
+    by rows (each shard's recurrence is independent), RCT/palette are
+    pointwise — bit-identical to the host path on the 8-device mesh."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import numpy as np
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.parallel import decode_mesh
+
+    rng = np.random.default_rng(43)
+    chans = [
+        rng.integers(0, 256, (320, 280), dtype=np.int64) for _ in range(3)
+    ]
+    data = encode_jxl_modular(chans, squeeze=True, rct=True)
+    host = np.stack([
+        np.asarray(p)
+        for p in JxlImage.from_bytes(data).render_frame(0).planes
+    ])
+    monkeypatch.setenv("JXL_TPU_DEVICE_MODULAR", "1")
+    dev = np.stack([
+        np.asarray(p)
+        for p in JxlImage.from_bytes(data, mesh=decode_mesh(8))
+        .render_frame(0).planes
+    ])
+    monkeypatch.delenv("JXL_TPU_DEVICE_MODULAR")
+    np.testing.assert_array_equal(dev, host)

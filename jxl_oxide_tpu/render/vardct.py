@@ -2132,7 +2132,7 @@ def _decode_pass_groups_batch(
     n_sections = len(sec_pass_l)
     offs = np.asarray(off_l, dtype=np.int64) - frame.data_start
     sizes = np.asarray(size_l, dtype=np.int64)
-    if int((offs + sizes).max()) > len(frame.data):
+    if int(offs.min()) < 0 or int((offs + sizes).max()) > len(frame.data):
         raise JxlEofError("HF section not fully buffered")
 
     g_arr = np.asarray(group_ids, dtype=np.int64)

@@ -148,7 +148,18 @@ def main() -> int:
         # occasional double mutation
         if rng.random() < 0.3:
             data = mutate(data, rng)
+        t0 = time.monotonic()
         fail = try_decode(data)
+        dt = time.monotonic() - t0
+        if dt > 20.0:
+            # a near-hang on a tiny input is itself a robustness finding
+            # (decode cost must be bounded by the declared image size)
+            findings += 1
+            os.makedirs(args.save_dir, exist_ok=True)
+            name = f"slow_{int(time.time())}_{n}.fuzz"
+            with open(os.path.join(args.save_dir, name), "wb") as f:
+                f.write(data)
+            print(f"SLOW ({dt:.0f}s) saved to {name}", file=sys.stderr)
         n += 1
         if fail is not None:
             findings += 1

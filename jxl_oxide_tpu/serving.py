@@ -184,11 +184,14 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
 
     Streams outside the fast envelope (non-VarDCT, subsampled, features,
     extra channels, ...) silently take the per-image decode_batch path.
-    output: "u8" or "f32" (stacked path); other kinds fall back entirely."""
+    output: "u8" / "f32" (host readback) or "device" ([H, W, 3] f32
+    slices of the shared stacked array, left on the accelerator — the
+    TPU-ingest serving mode with ONE dispatch per stack and NO
+    readback); other kinds fall back entirely."""
     import jax
     import numpy as np
 
-    if output not in ("u8", "f32"):
+    if output not in ("u8", "f32", "device"):
         return decode_batch(streams, frame=frame, output=output,
                             num_workers=num_workers, **builder_kwargs)
     streams = list(streams)
@@ -265,8 +268,10 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
 
             if output == "u8":
                 res = np.asarray(_finalize_fn(1, 255.0, "uint8")(planes))
-            else:
+            elif output == "f32":
                 res = np.asarray(_finalize_fn(1, None, None)(planes))
+            else:  # "device": interleave on device, no host readback
+                res = _finalize_fn(1, None, None)(planes)
             for j, (i, *_rest) in enumerate(chunk):
                 results[i] = res[j]
 

@@ -551,42 +551,51 @@ class VardctFrameState:
         ph, pw = self.plane_shapes[channel]
         lh, lw = self.lf_shapes[channel]
         per_type: dict[int, list] = {}
-        if not self.subsampled:
-            # vectorized: pull (x, y, sel, mul) arrays straight off the
-            # per-LF-group grids instead of iterating blocks in Python
-            header = self.header
-            lfg_per_row = header.lf_groups_per_row
-            parts = []
-            for lf_group_idx, group in self.lf_groups.items():
-                if group.hf_meta is None:
-                    continue
-                base_x = (lf_group_idx % lfg_per_row) * header.group_dim
-                base_y = (lf_group_idx // lfg_per_row) * header.group_dim
-                sel_grid = group.hf_meta.block_sel
-                ys, xs = np.nonzero(sel_grid >= 0)
-                parts.append((
-                    xs.astype(np.int64) + base_x,
-                    ys.astype(np.int64) + base_y,
-                    sel_grid[ys, xs].astype(np.int64),
-                    group.hf_meta.block_mul[ys, xs].astype(np.int64),
-                ))
-            if parts:
-                xs = np.concatenate([p[0] for p in parts])
-                ys = np.concatenate([p[1] for p in parts])
-                sels = np.concatenate([p[2] for p in parts])
-                muls = np.concatenate([p[3] for p in parts])
-                for sel in np.unique(sels):
-                    m = sels == sel
-                    per_type[int(sel)] = np.stack(
-                        [xs[m], ys[m], muls[m]], axis=1
-                    )
-        else:
-            tmp: dict[int, list[tuple[int, int, int]]] = {}
-            for sbx, sby, sel, hf_mul in self._iter_varblocks(channel):
-                tmp.setdefault(sel, []).append((sbx, sby, hf_mul))
-            per_type = {
-                sel: np.asarray(v, dtype=np.int64) for sel, v in tmp.items()
-            }
+        # vectorized: pull (x, y, sel, mul) arrays straight off the
+        # per-LF-group grids instead of iterating blocks in Python; a
+        # subsampled channel keeps only lattice-aligned varblocks whose
+        # shifted position also holds an anchor (_iter_varblocks rule,
+        # for_each_varblocks vardct/mod.rs:687-730)
+        header = self.header
+        lfg_per_row = header.lf_groups_per_row
+        hs, vs = self.shifts[channel]
+        parts = []
+        for lf_group_idx, group in self.lf_groups.items():
+            if group.hf_meta is None:
+                continue
+            base_x = (lf_group_idx % lfg_per_row) * header.group_dim
+            base_y = (lf_group_idx // lfg_per_row) * header.group_dim
+            sel_grid = group.hf_meta.block_sel
+            ys, xs = np.nonzero(sel_grid >= 0)
+            if hs or vs:
+                sbx = xs >> hs
+                sby = ys >> vs
+                keep = ((sbx << hs) == xs) & ((sby << vs) == ys)
+                keep &= sel_grid[sby, sbx] >= 0
+                xs_c, ys_c = sbx[keep], sby[keep]
+                sels = sel_grid[ys[keep], xs[keep]].astype(np.int64)
+                muls = group.hf_meta.block_mul[ys[keep], xs[keep]].astype(
+                    np.int64)
+            else:
+                xs_c, ys_c = xs, ys
+                sels = sel_grid[ys, xs].astype(np.int64)
+                muls = group.hf_meta.block_mul[ys, xs].astype(np.int64)
+            parts.append((
+                xs_c.astype(np.int64) + (base_x >> hs),
+                ys_c.astype(np.int64) + (base_y >> vs),
+                sels,
+                muls,
+            ))
+        if parts:
+            xs = np.concatenate([p[0] for p in parts])
+            ys = np.concatenate([p[1] for p in parts])
+            sels = np.concatenate([p[2] for p in parts])
+            muls = np.concatenate([p[3] for p in parts])
+            for sel in np.unique(sels):
+                m = sels == sel
+                per_type[int(sel)] = np.stack(
+                    [xs[m], ys[m], muls[m]], axis=1
+                )
         buckets = []
         for sel, entries in sorted(per_type.items()):
             pos = np.asarray(entries, dtype=np.int64)  # [n, 3]

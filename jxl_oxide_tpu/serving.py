@@ -242,6 +242,8 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
             if batched is None:
                 fn = make_fn()
                 batched = jax.jit(jax.vmap(fn))
+                if len(_stacked_cache) > 32:
+                    _stacked_cache.clear()
                 _stacked_cache[(key, n)] = batched
             stacked = jax.tree.map(
                 lambda *xs: np.stack(xs), *[c[4] for c in chunk]

@@ -345,13 +345,18 @@ def build_fused_pipeline(plane_shape, lf_shape, entries,
     def pipeline(coeff, lf_quant, lf_scale_arr, x_grid, b_grid,
                  sigma_blocks, code_grid, mul_grid):
         if sparse_coeff_n is not None:
-            # sparse upload: coeff is (flat_idx [N] i32, values [N] i16),
-            # ascending-unique from the host's one-pass extractor and
-            # padded with ascending OUT-OF-BOUNDS indices ("drop" removes
-            # them), so the sorted+unique scatter fast path applies (6x
-            # over plain scatter-add on TPU). Cuts the host->device
-            # transfer by the coefficient sparsity factor.
+            # sparse upload: coeff is (flat_idx [N] i32 — or u16 index
+            # DELTAS when every gap fits, reconstructed by an on-device
+            # cumsum — and values [N] i16), ascending-unique from the
+            # host's one-pass extractor and padded with ascending
+            # OUT-OF-BOUNDS indices ("drop" removes them), so the
+            # sorted+unique scatter fast path applies (6x over plain
+            # scatter-add on TPU). Cuts the host->device transfer by the
+            # sparsity factor; the u16-delta form another ~33% (the
+            # tunnel-attached e2e path is upload-bound).
             c_idx, c_val = coeff
+            if c_idx.dtype == jnp.uint16:
+                c_idx = jnp.cumsum(c_idx.astype(jnp.int32)) - 1
             dense = jnp.zeros((3 * H * W,), dtype=jnp.int32)
             coeff = dense.at[c_idx].set(
                 c_val.astype(jnp.int32), mode="drop",
@@ -729,6 +734,8 @@ def build_fused_pipeline_subsampled(
             Hc, Wc = plane_shapes[c]
             if sparse_coeff_n is not None and sparse_coeff_n[c] is not None:
                 c_idx, c_val = coeff
+                if c_idx.dtype == jnp.uint16:  # index deltas (see above)
+                    c_idx = jnp.cumsum(c_idx.astype(jnp.int32)) - 1
                 dense = jnp.zeros((Hc * Wc,), dtype=jnp.int32)
                 coeff = dense.at[c_idx].set(
                     c_val.astype(jnp.int32), mode="drop",

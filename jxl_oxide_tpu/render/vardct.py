@@ -975,14 +975,28 @@ class VardctFrameState:
                 if idx_buf.size < sparse_n:
                     idx_buf = np.resize(idx_buf, sparse_n)
                     val_buf = np.resize(val_buf, sparse_n)
-                c_idx = idx_buf[:sparse_n].copy()
                 nz_n = min(int(nz_count), sparse_n)
-                c_idx[nz_n:] = size + np.arange(
-                    sparse_n - nz_n, dtype=np.int32
-                )
                 vals = val_buf[:sparse_n].copy()
                 vals[nz_n:] = 0
                 c_val = vals.astype(np.int16) if max_abs < 32768 else vals
+                # u16 index DELTAS when every gap fits: idx[k] =
+                # cumsum(delta)-1 on device; +1 pads continue ascending
+                # past the last real index (zero writes into already-zero
+                # positions, or OOB drops) — another ~33% off the upload
+                c_idx = None
+                if nz_n:
+                    real = idx_buf[:nz_n].astype(np.int64)
+                    deltas = np.empty(sparse_n, dtype=np.int64)
+                    deltas[0] = real[0] + 1
+                    deltas[1:nz_n] = np.diff(real)
+                    deltas[nz_n:] = 1
+                    if deltas[:nz_n].max() <= 0xFFFF:
+                        c_idx = deltas.astype(np.uint16)
+                if c_idx is None:
+                    c_idx = idx_buf[:sparse_n].copy()
+                    c_idx[nz_n:] = size + np.arange(
+                        sparse_n - nz_n, dtype=np.int32
+                    )
             else:
                 c_idx = np.empty(sparse_n, dtype=np.int32)
                 c_idx[: nz_flat.size] = nz_flat
@@ -1405,14 +1419,26 @@ class VardctFrameState:
                     if idx_buf.size < sparse_n:
                         idx_buf = np.resize(idx_buf, sparse_n)
                         val_buf = np.resize(val_buf, sparse_n)
-                    c_idx = idx_buf[:sparse_n].copy()
                     nz_n = min(int(nz_count), sparse_n)
-                    c_idx[nz_n:] = coeff.size + np.arange(
-                        sparse_n - nz_n, dtype=np.int32
-                    )
                     vals = val_buf[:sparse_n].copy()
                     vals[nz_n:] = 0
                     c_val = vals.astype(np.int16) if max_abs < 32768 else vals
+                    # u16 index deltas when every gap fits (see
+                    # fused_program_parts): cumsum on device, +1 pads
+                    c_idx = None
+                    if nz_n:
+                        real = idx_buf[:nz_n].astype(np.int64)
+                        deltas = np.empty(sparse_n, dtype=np.int64)
+                        deltas[0] = real[0] + 1
+                        deltas[1:nz_n] = np.diff(real)
+                        deltas[nz_n:] = 1
+                        if deltas[:nz_n].max() <= 0xFFFF:
+                            c_idx = deltas.astype(np.uint16)
+                    if c_idx is None:
+                        c_idx = idx_buf[:sparse_n].copy()
+                        c_idx[nz_n:] = coeff.size + np.arange(
+                            sparse_n - nz_n, dtype=np.int32
+                        )
                     coeff_input = (c_idx, c_val)
                 elif max_abs < 32768:
                     coeff_input = coeff.astype(np.int16)

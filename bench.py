@@ -330,104 +330,13 @@ def _bench_serving_batched(data: bytes, h: int, w: int,
     return best
 
 
-def _bench_real_pipeline(size: int = 1024) -> float:
-    """Honest device throughput of the REAL fused decoder program (LF +
-    HF dequant + CfL + bucketed inverse transforms + gaborish + EPF-2)
-    captured from an actual decode: the builder is wrapped to capture the
-    jitted fn and its device args, then K and 2K chained iterations run
-    inside single dispatches and the paired difference cancels RPC
-    latency (same method as _bench_compute_only)."""
-    import jax
-    import jax.numpy as jnp
-
-    import jxl_oxide_tpu.ops.vardct_pipeline as vp
-    from encoder_vardct import encode_jxl_vardct
-    from jxl_oxide_tpu import JxlImage
-    from jxl_oxide_tpu.render.vardct import VardctFrameState
-
-    h = w = size
-    data = encode_jxl_vardct(_smooth_rgb(h, w, seed=9), gabor=True,
-                             epf_iters=2)
-
-    captured = {}
-    orig = vp.build_fused_pipeline
-
-    def spy_builder(*a, **k):
-        inner = orig(*a, **k)
-
-        def spy(*args):
-            captured["fn"], captured["args"] = inner, args
-            return inner(*args)
-
-        return spy
-
-    cache_keys = set(VardctFrameState._fused_cache)
-    vp.build_fused_pipeline = spy_builder
-    try:
-        JxlImage.from_bytes(data).render_frame(0).to_u8()
-    finally:
-        vp.build_fused_pipeline = orig
-        for key in set(VardctFrameState._fused_cache) - cache_keys:
-            del VardctFrameState._fused_cache[key]
-    if "fn" not in captured:
-        return 0.0
-    fn, args = captured["fn"], captured["args"]
-
-    def chained(k):
-        @jax.jit
-        def f(*args):
-            # vary EVERY runtime input per iteration: XLA hoists
-            # loop-invariant computation out of the fori_loop, so a
-            # fixed coefficient input would let the scatter + dequant
-            # stages run once and overstate throughput
-            coeff, lf = args[0], args[1]
-
-            def body(i, acc):
-                d = (i & 1).astype(jnp.int32)
-                if isinstance(coeff, tuple):
-                    c = (coeff[0], coeff[1] + d.astype(coeff[1].dtype))
-                else:
-                    c = coeff + d
-                out = fn(c, lf + d.astype(lf.dtype), *args[2:])
-                return acc + out[0]
-
-            return jax.lax.fori_loop(
-                0, k, body, jnp.zeros((h, w), jnp.float32)
-            )
-
-        return f
-
-    k = 64
-    f1, f2 = chained(k), chained(2 * k)
-
-    def run(f):
-        return float(np.asarray(f(*args)[0, 0]))
-
-    run(f1)
-    run(f2)
-
-    def best(f, reps=3):
-        dts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run(f)
-            dts.append(time.perf_counter() - t0)
-        return min(dts)
-
-    t1, t2 = best(f1), best(f2)
-    diff = t2 - t1
-    if diff < 0.05 * t2:
-        diff = t2 / 2.0
-    return (h * w * k) / diff / 1e6
-
-
-def _bench_sharded_pipeline(size: int = 1024) -> float:
-    """The SAME real decode as _bench_real_pipeline but through the
-    sharded builder (shard_map + ppermute halos) on a 1-device mesh of
-    the real chip: measures the structural cost of the SPMD program
-    (halo concats, edge-mirror selects, padded-shard masking) with zero
-    actual ICI traffic. sharded/unsharded is the measured single-chip
-    scaling efficiency the BASELINE table asks for (>= 80% at 1 chip)."""
+def _bench_pipelines_pair(size: int = 1024):
+    """(real_mpps, sharded_mpps) measured INTERLEAVED: the 1-chip SPMD
+    efficiency is their ratio, and the dev box's ±15% ambient drift plus
+    tunnel jitter previously hit the two legs minutes apart (observed
+    ratio spread 0.67-0.88 across runs). Interleaving the K/2K chained
+    dispatches of both programs inside one loop puts both legs under the
+    same ambient conditions."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -440,35 +349,48 @@ def _bench_sharded_pipeline(size: int = 1024) -> float:
     h = w = size
     data = encode_jxl_vardct(_smooth_rgb(h, w, seed=9), gabor=True,
                              epf_iters=2)
-    mesh = Mesh(np.asarray(jax.devices()[:1]), ("d",))
 
-    captured = {}
-    orig = vp.build_fused_pipeline_sharded
+    def capture(builder_name, mesh):
+        captured = {}
+        orig = getattr(vp, builder_name)
 
-    def spy_builder(*a, **k):
-        inner, shardings = orig(*a, **k)
+        def spy_builder(*a, **k):
+            built = orig(*a, **k)
+            if isinstance(built, tuple):
+                inner, shardings = built
 
-        def spy(*args):
-            captured["fn"], captured["args"] = inner, args
-            return inner(*args)
+                def spy(*args):
+                    captured["fn"], captured["args"] = inner, args
+                    return inner(*args)
 
-        return spy, shardings
+                return spy, shardings
+            inner = built
 
-    cache_keys = set(VardctFrameState._fused_cache)
-    vp.build_fused_pipeline_sharded = spy_builder
-    parallel.set_decode_mesh(mesh)
-    try:
-        JxlImage.from_bytes(data).render_frame(0).to_u8()
-    finally:
-        parallel.set_decode_mesh(None)
-        vp.build_fused_pipeline_sharded = orig
-        for key in set(VardctFrameState._fused_cache) - cache_keys:
-            del VardctFrameState._fused_cache[key]
-    if "fn" not in captured:
-        return 0.0
-    fn, args = captured["fn"], captured["args"]
+            def spy(*args):
+                captured["fn"], captured["args"] = inner, args
+                return inner(*args)
 
-    def chained(k):
+            return spy
+
+        cache_keys = set(VardctFrameState._fused_cache)
+        setattr(vp, builder_name, spy_builder)
+        parallel.set_decode_mesh(mesh)
+        try:
+            JxlImage.from_bytes(data).render_frame(0).to_u8()
+        finally:
+            parallel.set_decode_mesh(None)
+            setattr(vp, builder_name, orig)
+            for key in set(VardctFrameState._fused_cache) - cache_keys:
+                del VardctFrameState._fused_cache[key]
+        return captured.get("fn"), captured.get("args")
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("d",))
+    fn_r, args_r = capture("build_fused_pipeline", None)
+    fn_s, args_s = capture("build_fused_pipeline_sharded", mesh1)
+    if fn_r is None or fn_s is None:
+        return 0.0, 0.0
+
+    def chained(fn, k):
         @jax.jit
         def f(*args):
             coeff, lf = args[0], args[1]
@@ -489,27 +411,31 @@ def _bench_sharded_pipeline(size: int = 1024) -> float:
         return f
 
     k = 64
-    f1, f2 = chained(k), chained(2 * k)
+    runners = {
+        "r1": (chained(fn_r, k), args_r), "r2": (chained(fn_r, 2 * k), args_r),
+        "s1": (chained(fn_s, k), args_s), "s2": (chained(fn_s, 2 * k), args_s),
+    }
 
-    def run(f):
+    def run(name):
+        f, args = runners[name]
         return float(np.asarray(f(*args)[0, 0]))
 
-    run(f1)
-    run(f2)
-
-    def best(f, reps=3):
-        dts = []
-        for _ in range(reps):
+    for name in runners:
+        run(name)  # warm/compile
+    best = {name: float("inf") for name in runners}
+    for _ in range(4):
+        for name in ("r1", "s1", "r2", "s2"):  # interleaved A/B
             t0 = time.perf_counter()
-            run(f)
-            dts.append(time.perf_counter() - t0)
-        return min(dts)
+            run(name)
+            best[name] = min(best[name], time.perf_counter() - t0)
 
-    t1, t2 = best(f1), best(f2)
-    diff = t2 - t1
-    if diff < 0.05 * t2:
-        diff = t2 / 2.0
-    return (h * w * k) / diff / 1e6
+    def rate(t1, t2):
+        diff = t2 - t1
+        if diff < 0.05 * t2:
+            diff = t2 / 2.0
+        return (h * w * k) / diff / 1e6
+
+    return rate(best["r1"], best["r2"]), rate(best["s1"], best["s2"])
 
 
 def _scaling_model(per_chip_mpps: float, size: int = 1024,
@@ -799,17 +725,12 @@ def main() -> None:
     device_mpps = _bench_compute_only(2048 if transfer > 16 else 512)
     print(f"compute-only pipeline: {device_mpps:.1f} MP/s", file=sys.stderr)
     try:
-        real_pipe_mpps = _bench_real_pipeline(1024)
+        real_pipe_mpps, sharded_mpps = _bench_pipelines_pair(1024)
     except Exception as e:  # pragma: no cover
-        print(f"real-pipeline bench failed: {e}", file=sys.stderr)
-        real_pipe_mpps = 0.0
+        print(f"pipeline pair bench failed: {e}", file=sys.stderr)
+        real_pipe_mpps = sharded_mpps = 0.0
     print(f"real fused pipeline (gabor+EPF2): {real_pipe_mpps:.1f} MP/s",
           file=sys.stderr)
-    try:
-        sharded_mpps = _bench_sharded_pipeline(1024)
-    except Exception as e:  # pragma: no cover
-        print(f"sharded-pipeline bench failed: {e}", file=sys.stderr)
-        sharded_mpps = 0.0
     eff_1chip = (
         round(sharded_mpps / real_pipe_mpps, 4)
         if sharded_mpps > 0 and real_pipe_mpps > 0 else 0.0

@@ -226,7 +226,17 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
         # planes into the pool for the next image's host stage
         state._planes_poolable = True
         state.trim_coeff_planes()
-        groups.setdefault(key, []).append((i, img, state, make_fn, inputs))
+        # the group shares ONE color tail: fold the tail's identity into
+        # the grouping key (program keys don't cover color metadata)
+        meta = img.image_header.metadata
+        tail_key = (
+            meta.xyb_encoded, repr(meta.colour_encoding),
+            repr(meta.opsin_inverse_matrix), repr(meta.tone_mapping),
+            repr(img.requested_encoding),
+        )
+        groups.setdefault((key, tail_key), []).append(
+            (i, img, state, make_fn, inputs)
+        )
 
     _stacked_cache = decode_batch_stacked.__dict__.setdefault("_cache", {})
     for key, members in groups.items():

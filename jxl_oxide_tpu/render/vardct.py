@@ -978,7 +978,11 @@ class VardctFrameState:
                 nz_n = min(int(nz_count), sparse_n)
                 vals = val_buf[:sparse_n].copy()
                 vals[nz_n:] = 0
-                c_val = vals.astype(np.int16) if max_abs < 32768 else vals
+                c_val = (
+                    vals.astype(np.int8) if max_abs < 128
+                    else vals.astype(np.int16) if max_abs < 32768
+                    else vals
+                )
                 # u16 index DELTAS when every gap fits: idx[k] =
                 # cumsum(delta)-1 on device; +1 pads continue ascending
                 # past the last real index (zero writes into already-zero
@@ -1422,7 +1426,11 @@ class VardctFrameState:
                     nz_n = min(int(nz_count), sparse_n)
                     vals = val_buf[:sparse_n].copy()
                     vals[nz_n:] = 0
-                    c_val = vals.astype(np.int16) if max_abs < 32768 else vals
+                    c_val = (
+                    vals.astype(np.int8) if max_abs < 128
+                    else vals.astype(np.int16) if max_abs < 32768
+                    else vals
+                )
                     # u16 index deltas when every gap fits (see
                     # fused_program_parts): cumsum on device, +1 pads
                     c_idx = None

@@ -1392,3 +1392,25 @@ def test_decode_batch_stacked():
     ref_f = decode_batch(streams[:4], output="f32", num_workers=2)
     for a, b in zip(ref_f, got_f):
         np.testing.assert_array_equal(a, b)
+
+
+def test_decode_batch_stacked_mixed_color_metadata():
+    """Images sharing a fused-program geometry but differing in color
+    metadata (xyb vs plain sRGB enum) must not share one stacked color
+    tail — each group gets its own transform."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu.serving import decode_batch, decode_batch_stacked
+
+    rng = np.random.default_rng(11)
+    streams = []
+    for xyb in (False, True, False, True):
+        rgb = rng.random((128, 128, 3)).astype(np.float32)
+        streams.append(encode_jxl_vardct(rgb, xyb=xyb))
+    ref = decode_batch(streams, output="u8", num_workers=2)
+    got = decode_batch_stacked(streams, output="u8", num_workers=2)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)

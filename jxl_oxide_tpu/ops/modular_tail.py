@@ -148,6 +148,8 @@ def inv_rct_device(a, b, c, rct_type: int):
         else:
             e = bb
     out = [d, e, f]
+    # inverse permutation (rct.rs inverse_permute; identical swap
+    # sequence to the host models/modular_transform.py Rct.inverse)
     if perm == 1:
         out[0], out[1] = out[1], out[0]
         out[0], out[2] = out[2], out[0]
@@ -157,11 +159,9 @@ def inv_rct_device(a, b, c, rct_type: int):
     elif perm == 3:
         out[1], out[2] = out[2], out[1]
     elif perm == 4:
-        out[0], out[2] = out[2], out[0]
-        out[1], out[2] = out[2], out[1]
+        out[0], out[1] = out[1], out[0]
     elif perm == 5:
         out[0], out[2] = out[2], out[0]
-        out[0], out[1] = out[1], out[0]
     return out[0], out[1], out[2]
 
 

@@ -861,9 +861,13 @@ def build_fused_pipeline_subsampled_sharded(
                               for s, m in matrices3[c].items()},
                 global_scale, (qm_scale[c],),
             )[0]
-            # upsample to the full-res local band; the sharded axis
-            # exchanges a 1-sample stored-res halo, the other axis is
-            # local (clamp at the band's own edge == global edge there)
+            # upsample to the full-res local band, HORIZONTAL then
+            # VERTICAL in both layouts (the single-device program's
+            # order — 2-D triangle roundings do not commute across axis
+            # order, and sharded-vs-single bit-identity depends on it);
+            # the sharded axis exchanges a 1-sample stored-res halo, the
+            # other axis is local (clamp at the band's own edge == the
+            # global edge there)
             if by_rows:
                 while outc.shape[1] < Wl:
                     outc = _triangle_up2(outc, 1)
@@ -871,11 +875,11 @@ def build_fused_pipeline_subsampled_sharded(
                     vloc_c = vloc // (Hl // outc.shape[0])
                     outc = _up2_sharded(outc, 0, vloc_c)
             else:
-                while outc.shape[0] < Hl:
-                    outc = _triangle_up2(outc, 0)
                 while outc.shape[1] < Wl:
                     vloc_c = vloc // (Wl // outc.shape[1])
                     outc = _up2_sharded(outc, 1, vloc_c)
+                while outc.shape[0] < Hl:
+                    outc = _triangle_up2(outc, 0)
             planes.append(outc[:Hl, :Wl])
         out = jnp.stack(planes)
 

@@ -253,6 +253,40 @@ def _pool_release(arrays) -> None:
             _PLANE_POOL[key] = arrays
 
 
+def _pack_sparse_upload(idx_buf, val_buf, nz_count, max_abs,
+                        sparse_n: int, size: int):
+    """(c_idx, c_val) sparse coefficient upload from the native
+    extractor's ascending-unique output: pow2-padded to `sparse_n`,
+    values narrowed to i8/i16 when they fit, and indices as u16 DELTAS
+    when every gap fits (reconstructed by an on-device cumsum; +1 pads
+    continue ascending — zero writes into already-zero positions or OOB
+    drops) or as absolute i32 with ascending OUT-OF-BOUNDS pads."""
+    if idx_buf.size < sparse_n:
+        idx_buf = np.resize(idx_buf, sparse_n)
+        val_buf = np.resize(val_buf, sparse_n)
+    nz_n = min(int(nz_count), sparse_n)
+    vals = val_buf[:sparse_n].copy()
+    vals[nz_n:] = 0
+    c_val = (
+        vals.astype(np.int8) if max_abs < 128
+        else vals.astype(np.int16) if max_abs < 32768
+        else vals
+    )
+    c_idx = None
+    if nz_n:
+        real = idx_buf[:nz_n].astype(np.int64)
+        deltas = np.empty(sparse_n, dtype=np.int64)
+        deltas[0] = real[0] + 1
+        deltas[1:nz_n] = np.diff(real)
+        deltas[nz_n:] = 1
+        if deltas[:nz_n].max() <= 0xFFFF:
+            c_idx = deltas.astype(np.uint16)
+    if c_idx is None:
+        c_idx = idx_buf[:sparse_n].copy()
+        c_idx[nz_n:] = size + np.arange(sparse_n - nz_n, dtype=np.int32)
+    return c_idx, c_val
+
+
 def _release_cell(cell) -> None:
     """weakref.finalize target: return a state's remaining tracked bytes
     to its AllocTracker exactly once (trim may have returned part already)."""
@@ -966,41 +1000,13 @@ class VardctFrameState:
             )
 
         if sparse_n is not None:
-            # pads carry ascending OUT-OF-BOUNDS indices (>= plane size)
-            # so the device scatter can truthfully claim sorted+unique
-            # (mode="drop" discards them); the extractor emits ascending
-            # unique indices by construction
+            # packed by _pack_sparse_upload (pow2 pads, i8/i16 value
+            # narrowing, u16 index deltas when gaps fit)
             size = coeff_stack.size
             if idx_buf is not None:
-                if idx_buf.size < sparse_n:
-                    idx_buf = np.resize(idx_buf, sparse_n)
-                    val_buf = np.resize(val_buf, sparse_n)
-                nz_n = min(int(nz_count), sparse_n)
-                vals = val_buf[:sparse_n].copy()
-                vals[nz_n:] = 0
-                c_val = (
-                    vals.astype(np.int8) if max_abs < 128
-                    else vals.astype(np.int16) if max_abs < 32768
-                    else vals
+                c_idx, c_val = _pack_sparse_upload(
+                    idx_buf, val_buf, nz_count, max_abs, sparse_n, size
                 )
-                # u16 index DELTAS when every gap fits: idx[k] =
-                # cumsum(delta)-1 on device; +1 pads continue ascending
-                # past the last real index (zero writes into already-zero
-                # positions, or OOB drops) — another ~33% off the upload
-                c_idx = None
-                if nz_n:
-                    real = idx_buf[:nz_n].astype(np.int64)
-                    deltas = np.empty(sparse_n, dtype=np.int64)
-                    deltas[0] = real[0] + 1
-                    deltas[1:nz_n] = np.diff(real)
-                    deltas[nz_n:] = 1
-                    if deltas[:nz_n].max() <= 0xFFFF:
-                        c_idx = deltas.astype(np.uint16)
-                if c_idx is None:
-                    c_idx = idx_buf[:sparse_n].copy()
-                    c_idx[nz_n:] = size + np.arange(
-                        sparse_n - nz_n, dtype=np.int32
-                    )
             else:
                 c_idx = np.empty(sparse_n, dtype=np.int32)
                 c_idx[: nz_flat.size] = nz_flat
@@ -1418,36 +1424,14 @@ class VardctFrameState:
                 idx_buf = np.zeros(cap, dtype=np.int32)
                 val_buf = np.zeros(cap, dtype=np.int32)
                 nz_count, max_abs = _native.sparse_extract(flat, idx_buf, val_buf)
-                if nz_count * 6 < coeff.size * 2 // 2:
+                # dense int16 plane = size*2 bytes; sparse entry = 6
+                # bytes worst case: go sparse under half the dense bytes
+                if nz_count * 6 < coeff.size:
                     sparse_n = 1 << max(10, int(nz_count - 1).bit_length())
-                    if idx_buf.size < sparse_n:
-                        idx_buf = np.resize(idx_buf, sparse_n)
-                        val_buf = np.resize(val_buf, sparse_n)
-                    nz_n = min(int(nz_count), sparse_n)
-                    vals = val_buf[:sparse_n].copy()
-                    vals[nz_n:] = 0
-                    c_val = (
-                    vals.astype(np.int8) if max_abs < 128
-                    else vals.astype(np.int16) if max_abs < 32768
-                    else vals
-                )
-                    # u16 index deltas when every gap fits (see
-                    # fused_program_parts): cumsum on device, +1 pads
-                    c_idx = None
-                    if nz_n:
-                        real = idx_buf[:nz_n].astype(np.int64)
-                        deltas = np.empty(sparse_n, dtype=np.int64)
-                        deltas[0] = real[0] + 1
-                        deltas[1:nz_n] = np.diff(real)
-                        deltas[nz_n:] = 1
-                        if deltas[:nz_n].max() <= 0xFFFF:
-                            c_idx = deltas.astype(np.uint16)
-                    if c_idx is None:
-                        c_idx = idx_buf[:sparse_n].copy()
-                        c_idx[nz_n:] = coeff.size + np.arange(
-                            sparse_n - nz_n, dtype=np.int32
-                        )
-                    coeff_input = (c_idx, c_val)
+                    coeff_input = _pack_sparse_upload(
+                        idx_buf, val_buf, nz_count, max_abs, sparse_n,
+                        coeff.size,
+                    )
                 elif max_abs < 32768:
                     coeff_input = coeff.astype(np.int16)
                 else:

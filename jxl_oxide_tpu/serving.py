@@ -123,7 +123,7 @@ def _host_stage_fast(img: JxlImage, frame: int):
     header = fr.header
     if (
         header.encoding != Encoding.VARDCT
-        or any(j != 0 for j in header.jpeg_upsampling)
+        or header.do_ycbcr  # the stacked color tail has no YCbCr leg
         or header.upsampling != 1
         or header.lf_level != 0
         or header.flags.use_lf_frame
@@ -132,6 +132,10 @@ def _host_stage_fast(img: JxlImage, frame: int):
         or header.flags.noise
         or not header.is_last
         or header.x0 or header.y0
+        # cropped frames composite onto the full canvas in the general
+        # path; the stacked program returns frame-sized planes
+        or header.sample_width() != img.image_header.size.width
+        or header.sample_height() != img.image_header.size.height
     ):
         return None
     lf_global = fr.parse_lf_global()
@@ -227,26 +231,31 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
         state._planes_poolable = True
         state.trim_coeff_planes()
         # the group shares ONE color tail: fold the tail's identity into
-        # the grouping key (program keys don't cover color metadata)
+        # the grouping key (program keys don't cover color metadata).
+        # Input DTYPES are data-dependent (u16-delta vs i32 sparse
+        # indices, i8/i16/i32 values) and np.stack silently promotes a
+        # mixed pair — deltas read as absolute indices decode to garbage
+        # — so they join the key too.
         meta = img.image_header.metadata
         tail_key = (
             meta.xyb_encoded, repr(meta.colour_encoding),
             repr(meta.opsin_inverse_matrix), repr(meta.tone_mapping),
             repr(img.requested_encoding),
         )
-        groups.setdefault((key, tail_key), []).append(
+        dtype_key = tuple(
+            x.dtype.str for x in jax.tree.leaves(inputs)
+        )
+        groups.setdefault((key, tail_key, dtype_key), []).append(
             (i, img, state, make_fn, inputs)
         )
 
     _stacked_cache = decode_batch_stacked.__dict__.setdefault("_cache", {})
     for key, members in groups.items():
         for s0 in range(0, len(members), max_stack):
+            # singleton chunks run through the same path (vmap over 1):
+            # the host entropy stage already ran, so re-decoding from
+            # bytes via the fallback would double the host work
             chunk = members[s0 : s0 + max_stack]
-            if len(chunk) == 1:
-                # no stacking win; single-image fused path
-                i, img, state, make_fn, inputs = chunk[0]
-                slow.append(i)
-                continue
             n = len(chunk)
             batched = _stacked_cache.get((key, n))
             if batched is None:

@@ -1414,3 +1414,39 @@ def test_decode_batch_stacked_mixed_color_metadata():
     got = decode_batch_stacked(streams, output="u8", num_workers=2)
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_decode_batch_stacked_ycbcr_and_crop_fallback():
+    """do_ycbcr frames (the stacked tail has no YCbCr leg) and cropped
+    frames (stacked returns frame-sized planes, the general path
+    composites onto the canvas) must fall back to the per-image path and
+    stay identical to decode_batch."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder import encode_jxl_modular
+    from encoder_vardct import encode_jxl_vardct_420
+
+    from jxl_oxide_tpu.serving import decode_batch, decode_batch_stacked
+
+    rng = np.random.default_rng(21)
+    streams = []
+    # do_ycbcr (4:2:0) VarDCT
+    coeff = [np.zeros((32, 32), np.int64), np.zeros((64, 64), np.int64),
+             np.zeros((32, 32), np.int64)]
+    for c in coeff:
+        m = rng.random(c.shape) < 0.2
+        c[m] = rng.integers(-9, 10, int(m.sum()))
+    lf = [rng.integers(-20, 20, (4, 4)), rng.integers(-20, 20, (8, 8)),
+          rng.integers(-20, 20, (4, 4))]
+    streams.append(encode_jxl_vardct_420(64, 64, coeff, lf, 4096))
+    # cropped modular frame (smaller than canvas)
+    chans = [rng.integers(0, 256, (24, 24), dtype=np.int64)
+             for _ in range(3)]
+    streams.append(encode_jxl_modular(
+        chans, bit_depth=8, image_size=(48, 48), crop=(8, 8, 24, 24)
+    ))
+    ref = decode_batch(streams, output="u8", num_workers=2)
+    got = decode_batch_stacked(streams, output="u8", num_workers=2)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)

@@ -334,6 +334,10 @@ def test_mesh_subsampled_420(caplog):
     cases = [
         ((0, 1, 0), 768, 512),    # 4:2:0, 3 group rows on 8 devices
         ((0, 2, 0), 512, 768),    # 4:2:2-family, wide: column bands
+        ((0, 1, 0), 512, 768),    # 4:2:0 WIDE: column bands with BOTH
+                                  # chroma axes upsampled (h-then-v order
+                                  # must match single-device; regression
+                                  # for the cols-sharded order swap)
     ]
     for ups, h, w in cases:
         bh, bw = h // 8, w // 8

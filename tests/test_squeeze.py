@@ -176,6 +176,9 @@ def test_device_modular_tail_bit_exact(monkeypatch):
     for kw in (
         dict(squeeze=True),
         dict(rct=True, rct_type=9),
+        dict(rct=True, rct_type=28),   # permutation 4 (single swap a,b)
+        dict(rct=True, rct_type=35),   # permutation 5 (single swap a,c)
+        dict(rct=True, rct_type=13),   # permutation 1
         dict(squeeze=True, rct=True),
         dict(bit_depth=16, squeeze=True),
     ):

@@ -1450,3 +1450,52 @@ def test_decode_batch_stacked_ycbcr_and_crop_fallback():
     got = decode_batch_stacked(streams, output="u8", num_workers=2)
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_progressive_subsampled_420():
+    """Progressive (partial-feed) rendering of a multi-group 4:2:0
+    stream through the fused subsampled pipeline: every partial render
+    is finite, and the final progressive render equals the one-shot
+    decode bit for bit."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T, jpeg_shifts
+
+    rng = np.random.default_rng(31)
+    ups, h, w = (0, 1, 0), 768, 512
+    bh, bw = h // 8, w // 8
+    shifts = jpeg_shifts(ups)
+    sel = np.full((bh, bw), int(T.DCT8), np.int64)
+    mul = np.ones((bh, bw), np.int64)
+    coeff = []
+    lf = []
+    for c in range(3):
+        hs, vs = shifts[c]
+        cp = np.zeros((h >> vs, w >> hs), np.int64)
+        m = rng.random(cp.shape) < 0.15
+        cp[m] = rng.integers(-9, 10, int(m.sum()))
+        coeff.append(cp)
+        lf.append(rng.integers(-30, 31, (bh >> vs, bw >> hs)).astype(np.int64))
+    data = encode_jxl_vardct_tiled(
+        h, w, sel, mul, coeff, lf, gabor=True, epf_iters=1,
+        jpeg_upsampling=ups,
+    )
+    img = JxlImage()
+    step = len(data) // 9 + 1
+    renders = 0
+    for i in range(0, len(data), step):
+        img.feed_bytes(data[i : i + step])
+        r = img.render_loading_frame()
+        if r is not None:
+            p = np.stack([np.asarray(x) for x in r.planes])
+            assert np.isfinite(p).all()
+            renders += 1
+    assert renders >= 3
+    final_prog = np.stack([np.asarray(x) for x in img.render_frame(0).planes])
+    oneshot = np.stack([
+        np.asarray(x) for x in JxlImage.from_bytes(data).render_frame(0).planes
+    ])
+    np.testing.assert_array_equal(final_prog, oneshot)

@@ -504,7 +504,7 @@ def _bench_host_entropy():
     for _ in range(4):
         dt, mp, _ = host_stage(data, threads)
         best = dt if best is None else min(best, dt)
-    for _ in range(5):
+    for _ in range(8):
         dt, mp, _ = host_stage(data, 1)
         best1 = dt if best1 is None else min(best1, dt)
     data_1k = make_stream(1024, dense=True)

@@ -507,13 +507,19 @@ class VardctFrameState:
             base_x = (lf_group_idx % lfg_per_row) * header.group_dim
             base_y = (lf_group_idx // lfg_per_row) * header.group_dim
             sel_grid = group.hf_meta.block_sel
+            gdb = header.group_dim // 8
             for bx, by, sel, hf_mul in group.hf_meta.varblocks:
                 sbx = bx >> hs
                 sby = by >> vs
                 if hs or vs:
                     if (sbx << hs) != bx or (sby << vs) != by:
                         continue
-                    if sel_grid[sby, sbx] < 0:
+                    # pass-group-local shifted-anchor check (the
+                    # reference composes per group subgrid,
+                    # vardct/mod.rs:487-497)
+                    cgx, cgy = (bx // gdb) * gdb, (by // gdb) * gdb
+                    if sel_grid[cgy + ((by - cgy) >> vs),
+                                cgx + ((bx - cgx) >> hs)] < 0:
                         continue
                 yield (base_x >> hs) + sbx, (base_y >> vs) + sby, sel, hf_mul
 
@@ -605,7 +611,15 @@ class VardctFrameState:
                 sbx = xs >> hs
                 sby = ys >> vs
                 keep = ((sbx << hs) == xs) & ((sby << vs) == ys)
-                keep &= sel_grid[sby, sbx] >= 0
+                # the shifted-anchor existence check is PASS-GROUP-local
+                # (dequant_hf_varblock_grouped operates on the group
+                # subgrid, vardct/mod.rs:487-497): check cell =
+                # group_base + (local >> shift), not position >> shift
+                gdb = header.group_dim // 8
+                cgx = (xs // gdb) * gdb
+                cgy = (ys // gdb) * gdb
+                keep &= sel_grid[cgy + ((ys - cgy) >> vs),
+                                 cgx + ((xs - cgx) >> hs)] >= 0
                 xs_c, ys_c = sbx[keep], sby[keep]
                 sels = sel_grid[ys[keep], xs[keep]].astype(np.int64)
                 muls = group.hf_meta.block_mul[ys[keep], xs[keep]].astype(

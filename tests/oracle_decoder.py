@@ -1354,12 +1354,43 @@ class _Sections:
         return nbs
 
 
+def _o_triangle_up2(p: np.ndarray, axis: int) -> np.ndarray:
+    """float64 JPEG chroma 2x triangle upsample along one axis,
+    clamp-to-edge (filter/ycbcr.rs apply_jpeg_upsampling_single):
+    out[2j] = (prev + 3p)/4, out[2j+1] = (3p + next)/4."""
+    p0 = np.moveaxis(p, axis, 0)
+    prev = np.concatenate([p0[:1], p0[:-1]], axis=0)
+    nxt = np.concatenate([p0[1:], p0[-1:]], axis=0)
+    a = (prev + 3.0 * p0) * 0.25
+    b = (3.0 * p0 + nxt) * 0.25
+    out = np.stack([a, b], axis=1).reshape((2 * p0.shape[0],) + p0.shape[1:])
+    return np.moveaxis(out, 0, axis)
+
+
+def _o_ycbcr_to_rgb(cb, y, cr):
+    """float64 BT.601 YCbCr -> RGB with the +128/255 Y offset
+    (ycbcr.rs:40-56); channel order in the stream is [Cb, Y, Cr]."""
+    yy = y + 128.0 / 255.0
+    r = cr * 1.402 + yy
+    g = cb * (-0.114 * 1.772 / 0.587) + cr * (-0.299 * 1.402 / 0.587) + yy
+    b = cb * 1.772 + yy
+    return r, g, b
+
+
 def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
     meta = image_header.metadata
     bits = meta.bit_depth.bits_per_sample
-    assert all(j == 0 for j in fh.jpeg_upsampling), "oracle: no subsampling"
+    from jxl_oxide_tpu.models.vardct import jpeg_shifts as _jps
+
+    shifts = _jps(fh.jpeg_upsampling)
+    subsampled = any(j != 0 for j in fh.jpeg_upsampling)
     w, h = fh.sample_width(), fh.sample_height()
     assert not fh.flags.use_lf_frame, "oracle scope: no LF frames"
+    if subsampled:
+        assert fh.flags.skip_adaptive_lf_smoothing, (
+            "oracle scope: subsampled frames skip adaptive LF smoothing "
+            "(the reference requires equal-size LF planes)"
+        )
 
     # GlobalModular with zero channels: no modular header at all
     # (render/frame.py:175-176 mirrors the stream layout)
@@ -1368,12 +1399,26 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
     gdb = gdim // 8
     bw_all = -(-w // 8)
     bh_all = -(-h // 8)
+    h_up = any(j in (1, 2) for j in fh.jpeg_upsampling)
+    v_up = any(j in (1, 3) for j in fh.jpeg_upsampling)
+    if h_up:
+        bw_all = -(-bw_all // 2) * 2
+    if v_up:
+        bh_all = -(-bh_all // 2) * 2
     rf = fh.restoration_filter
     epf = (rf.epf.quant_mul, rf.epf.sharp_lut) if rf.epf.enabled else None
     lfg_per_row = fh.lf_groups_per_row
 
-    # per-LF-group sections: LfCoeff + HfMetadata placed into frame grids
-    lf_quant = [np.zeros((bh_all, bw_all), dtype=np.int64) for _ in range(3)]
+    def _cs(v, s):  # ceil-shift
+        return (v + (1 << s) - 1) >> s
+
+    # per-LF-group sections: LfCoeff + HfMetadata placed into frame
+    # grids; LF planes are per-channel at their shifted geometries
+    lf_quant = [
+        np.zeros((_cs(bh_all, shifts[c][1]), _cs(bw_all, shifts[c][0])),
+                 dtype=np.int64)
+        for c in range(3)
+    ]
     sel_grid = np.full((bh_all, bw_all), -1, dtype=np.int64)
     mul_grid = np.zeros((bh_all, bw_all), dtype=np.int64)
     sigma_grid = np.zeros((bh_all, bw_all))
@@ -1400,8 +1445,10 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
         lgx, lgy = lf_idx % lfg_per_row, lf_idx // lfg_per_row
         bx0, by0 = lgx * gdim, lgy * gdim  # block offsets
         for c, chan in enumerate(lf_coeff.lf_quant_xyb()):
+            hs_, vs_ = shifts[c]
             ch_, cw_ = chan.shape
-            lf_quant[c][by0 : by0 + ch_, bx0 : bx0 + cw_] = chan
+            lf_quant[c][by0 >> vs_ : (by0 >> vs_) + ch_,
+                        bx0 >> hs_ : (bx0 >> hs_) + cw_] = chan
         gh_, gw_ = hf_meta.block_sel.shape
         sel_grid[by0 : by0 + gh_, bx0 : bx0 + gw_] = hf_meta.block_sel
         mul_grid[by0 : by0 + gh_, bx0 : bx0 + gw_] = hf_meta.block_mul
@@ -1422,9 +1469,13 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
     ]
 
     # (pass x group) sections: HF coefficients into frame-wide planes
-    # (shared entropy/placement decode, group-local grids)
-    coeff = [np.zeros((bh_all * 8, bw_all * 8), dtype=np.int32)
-             for _ in range(3)]
+    # (shared entropy/placement decode, group-local grids; coefficient
+    # planes are per-channel at shifted geometries)
+    coeff = [
+        np.zeros((_cs(bh_all, shifts[c][1]) * 8,
+                  _cs(bw_all, shifts[c][0]) * 8), dtype=np.int32)
+        for c in range(3)
+    ]
     gpr = fh.groups_per_row
     for p in range(fh.passes.num_passes):
         for g in range(fh.num_groups):
@@ -1432,6 +1483,19 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
             left, top = gx * gdb, gy * gdb
             gw_b = min(gdb, bw_all - left)
             gh_b = min(gdb, bh_all - top)
+            lf_views = []
+            out_views = []
+            for c in range(3):
+                hs_, vs_ = shifts[c]
+                x0c, y0c = left >> hs_, top >> vs_
+                lf_views.append(
+                    lf_quant[c][y0c : y0c + _cs(gh_b, vs_),
+                                x0c : x0c + _cs(gw_b, hs_)]
+                )
+                out_views.append(
+                    coeff[c][y0c * 8 : (y0c + _cs(gh_b, vs_)) * 8,
+                             x0c * 8 : (x0c + _cs(gw_b, hs_)) * 8]
+                )
             write_hf_coeff(
                 secs.get("group_pass", g, p),
                 num_hf_presets=num_hf_presets,
@@ -1439,17 +1503,10 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
                 block_sel=sel_grid[top : top + gh_b, left : left + gw_b],
                 block_mul=mul_grid[top : top + gh_b, left : left + gw_b],
                 jpeg_upsampling=fh.jpeg_upsampling,
-                lf_quant=[
-                    q[top : top + gh_b, left : left + gw_b]
-                    for q in lf_quant
-                ],
+                lf_quant=lf_views,
                 hf_pass=hf_passes[p],
                 coeff_shift=fh.passes.pass_shift(p),
-                hf_coeff_output=[
-                    cp[top * 8 : (top + gh_b) * 8,
-                       left * 8 : (left + gw_b) * 8]
-                    for cp in coeff
-                ],
+                hf_coeff_output=out_views,
             )
         # empty pass-group modular stream is skipped by the production
         # decoder for channel-less frames; mirror that
@@ -1467,62 +1524,95 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
     opsin = meta.opsin_inverse_matrix
     scale_inv = quantizer.global_scale * quantizer.quant_lf
     precision = 1 << (9 - extra_precision)
-    lf = np.stack([
+    lf = [
         lf_quant[c].astype(np.float64) * (lf_dequant[c] * precision / scale_inv)
         for c in range(3)
-    ])
-    kx0 = corr.base_correlation_x + (corr.x_factor_lf - 128) / corr.colour_factor
-    kb0 = corr.base_correlation_b + (corr.b_factor_lf - 128) / corr.colour_factor
-    lf[0] += kx0 * lf[1]
-    lf[2] += kb0 * lf[1]
-    if not fh.flags.skip_adaptive_lf_smoothing:
-        scales = [512.0 * lf_dequant[c] / scale_inv for c in range(3)]
-        lf = _lf_smooth(lf, scales)
+    ]
+    if not subsampled:
+        # LF CfL + adaptive smoothing only apply to equal-size LF planes
+        # (the reference skips both for subsampled frames,
+        # vardct/mod.rs:184 + dequant_lf smoothing precondition)
+        kx0 = corr.base_correlation_x + (corr.x_factor_lf - 128) / corr.colour_factor
+        kb0 = corr.base_correlation_b + (corr.b_factor_lf - 128) / corr.colour_factor
+        lf[0] = lf[0] + kx0 * lf[1]
+        lf[2] = lf[2] + kb0 * lf[1]
+        if not fh.flags.skip_adaptive_lf_smoothing:
+            scales = [512.0 * lf_dequant[c] / scale_inv for c in range(3)]
+            lf = list(_lf_smooth(np.stack(lf), scales))
 
     qb = np.asarray(opsin.quant_bias, dtype=np.float64)
     qbn = float(opsin.quant_bias_numerator)
-    q = np.stack([c.astype(np.float64) for c in coeff])
-    safe = np.where(q == 0.0, 1.0, q)
-    biased = np.where(
-        np.abs(q) <= 1.0, q * qb[:, None, None], q - qbn / safe
-    )
+    biased = []
+    for c in range(3):
+        q = coeff[c].astype(np.float64)
+        safe = np.where(q == 0.0, 1.0, q)
+        biased.append(np.where(np.abs(q) <= 1.0, q * qb[c], q - qbn / safe))
 
     # per-64x64 CfL factor maps at coefficient-plane resolution
+    # (HF CfL is also skipped for subsampled frames, vardct/mod.rs:355)
     H, W = bh * 8, bw * 8
-    kx_map = corr.base_correlation_x + np.repeat(
-        np.repeat(hf_meta.x_from_y.astype(np.float64), 64, 0), 64, 1
-    )[:H, :W] / corr.colour_factor
-    kb_map = corr.base_correlation_b + np.repeat(
-        np.repeat(hf_meta.b_from_y.astype(np.float64), 64, 0), 64, 1
-    )[:H, :W] / corr.colour_factor
+    if not subsampled:
+        kx_map = corr.base_correlation_x + np.repeat(
+            np.repeat(hf_meta.x_from_y.astype(np.float64), 64, 0), 64, 1
+        )[:H, :W] / corr.colour_factor
+        kb_map = corr.base_correlation_b + np.repeat(
+            np.repeat(hf_meta.b_from_y.astype(np.float64), 64, 0), 64, 1
+        )[:H, :W] / corr.colour_factor
 
     qm_scale = (
         0.8 ** (fh.x_qm_scale - 2), 1.0, 0.8 ** (fh.b_qm_scale - 2)
     )
-    out = np.zeros((3, H, W))
+    # per-channel output planes at each channel's stored geometry
+    out_ch = [
+        np.zeros((lf_quant[c].shape[0] * 8, lf_quant[c].shape[1] * 8))
+        for c in range(3)
+    ]
     T = TransformType
     for bx, by, sel, mul in hf_meta.varblocks:
         tw, th = T.SELECT_SIZE[sel]
         h0, w0 = th * 8, tw * 8
-        ys, xs = by * 8, bx * 8
-        deq = np.zeros((3, h0, w0))
+        deq = [None, None, None]
         for c in range(3):
+            hs_, vs_ = shifts[c]
+            if (bx >> hs_) << hs_ != bx or (by >> vs_) << vs_ != by:
+                deq[c] = None  # not lattice-aligned: channel skips block
+                continue
+            # for_each_varblocks rule (vardct/mod.rs:687-730): the
+            # shifted position must itself hold a varblock anchor. The
+            # check is PASS-GROUP-local (dequant_hf_varblock_grouped
+            # operates on the group subgrid), so the shifted cell is
+            # group_base + (local >> shift) in frame coordinates.
+            cgx, cgy = (bx // gdb) * gdb, (by // gdb) * gdb
+            chk_x = cgx + ((bx - cgx) >> hs_)
+            chk_y = cgy + ((by - cgy) >> vs_)
+            if hs_ or vs_:
+                if sel_grid[chk_y, chk_x] < 0:
+                    deq[c] = None
+                    continue
+            ys, xs = (by >> vs_) * 8, (bx >> hs_) * 8
             matrix = dm.get(c, sel, T.need_transpose(sel)).astype(np.float64)
-            region = biased[c, ys : ys + h0, xs : xs + w0]
+            region = biased[c][ys : ys + h0, xs : xs + w0]
             deq[c] = region * matrix * (
                 65536.0 / quantizer.global_scale * qm_scale[c] / mul
             )
-        deq[0] += kx_map[ys : ys + h0, xs : xs + w0] * deq[1]
-        deq[2] += kb_map[ys : ys + h0, xs : xs + w0] * deq[1]
+        if not subsampled:
+            ys, xs = by * 8, bx * 8
+            deq[0] += kx_map[ys : ys + h0, xs : xs + w0] * deq[1]
+            deq[2] += kb_map[ys : ys + h0, xs : xs + w0] * deq[1]
         for c in range(3):
+            if deq[c] is None:
+                continue
+            hs_, vs_ = shifts[c]
+            cby, cbx = by >> vs_, bx >> hs_
+            ys, xs = cby * 8, cbx * 8
             blk = deq[c]
             if th * tw == 1:
-                blk[0, 0] = lf[c, by, bx]
+                blk[0, 0] = lf[c][cby, cbx]
                 pix = _inv_special(blk, sel)
             else:
                 # transform_common.rs:11-77: forward-DCT the LF tile,
                 # rescale by scale_f, embed in the low corner
-                lf_tile = lf[c, by : by + th, bx : bx + tw]
+                lf_tile = lf[c][cby : cby + th, cbx : cbx + tw]
                 logh = 5 - (th.bit_length() - 1)
                 logw = 5 - (tw.bit_length() - 1)
                 sf = (
@@ -1531,7 +1621,19 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
                 )
                 blk[:th, :tw] = _fwd2(lf_tile) / sf
                 pix = _idct2(blk)
-            out[c, ys : ys + h0, xs : xs + w0] = pix
+            out_ch[c][ys : ys + h0, xs : xs + w0] = pix
+
+    # chroma upsample (JPEG triangle filter, clamp-to-edge,
+    # filter/ycbcr.rs apply_jpeg_upsampling_single): horizontal then
+    # vertical, matching the production fused order
+    for c in range(3):
+        p = out_ch[c]
+        while p.shape[1] < W:
+            p = _o_triangle_up2(p, 1)
+        while p.shape[0] < H:
+            p = _o_triangle_up2(p, 0)
+        out_ch[c] = p[:H, :W]
+    out = np.stack(out_ch)
 
     if rf.gab.enabled:
         out = np.stack([
@@ -1663,6 +1765,12 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
             _o_render_noise(
                 planes[:3], fh, visible, invisible, base_corr, noise.lut
             )
+
+        if fh.do_ycbcr and not meta.xyb_encoded:
+            # BT.601 conversion after features, before blending/record
+            # (render/context.py _convert_color_for_record order)
+            r, g, b = _o_ycbcr_to_rgb(planes[0], planes[1], planes[2])
+            planes[0], planes[1], planes[2] = r, g, b
 
         if fh.frame_type.name in ("REGULAR", "SKIP_PROGRESSIVE"):
             canvas = _composite(canvas, planes, fh)

@@ -226,6 +226,74 @@ def test_oracle_vardct_mixed_transforms(seed):
 
 
 # ---------------------------------------------------------------------------
+# Chroma-subsampled VarDCT (do_ycbcr 4:2:0/4:2:2/4:4:0): fused subsampled
+# device pipeline + triangle chroma upsample + BT.601 vs the oracle's
+# independent per-channel f64 composition.
+
+
+def _make_420_planes(rng, h, w, ups, density=0.12):
+    from jxl_oxide_tpu.models.vardct import jpeg_shifts
+
+    shifts = jpeg_shifts(ups)
+    coeff, lf_q = [], []
+    for c in range(3):
+        hs, vs = shifts[c]
+        sh = (h >> vs, w >> hs)
+        cp = np.zeros(sh, dtype=np.int64)
+        m = rng.random(sh) < density
+        cp[m] = rng.integers(-15, 16, int(m.sum()))
+        coeff.append(cp)
+        lf_q.append(rng.integers(-40, 41, (sh[0] // 8, sh[1] // 8)))
+    return coeff, lf_q
+
+
+@pytest.mark.parametrize("ups,kw", [
+    ((0, 1, 0), dict()),
+    ((0, 1, 0), dict(gabor=True, epf_iters=2)),
+    ((0, 2, 0), dict()),
+    ((0, 3, 0), dict(gabor=True)),
+])
+def test_oracle_vardct_subsampled(ups, kw):
+    from encoder_vardct import encode_jxl_vardct_420
+
+    rng = np.random.default_rng(sum(ups) * 37 + len(kw))
+    h, w = 64, 48
+    coeff, lf_q = _make_420_planes(rng, h, w, ups)
+    data = encode_jxl_vardct_420(
+        h, w, coeff, lf_q, 4096, jpeg_upsampling=ups, **kw
+    )
+    _assert_match(data, VARDCT_TOL)
+
+
+def test_oracle_vardct_subsampled_multigroup_occupied_check():
+    """Multi-group 4:2:0 where an aligned anchor's shifted check cell is
+    Occupied (covered by a 2-wide varblock, not an anchor): the shifted-
+    anchor existence check is PASS-GROUP-local (jxl-frame
+    pass_group.rs:80-96 + jxl-vardct hf_coeff.rs:144-154), so anchors
+    (8,38)/(8,40) in group gx=1 skip their chroma contribution.
+    Regression: encoder/composition used frame-global (and LF-group-
+    local) check cells, desyncing the token stream against the
+    pass-group-local entropy decoder on exactly this layout."""
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+
+    rng = np.random.default_rng(11)
+    h, w = 256, 512
+    bh, bw = h // 8, w // 8
+    ups = (0, 1, 0)
+    sel = np.zeros((bh, bw), dtype=np.int64)
+    mul = np.ones((bh, bw), dtype=np.int64) * 2
+    sel[4, 35] = int(T.DCT8X16)  # (w8, h8) == (2, 1): covers (4, 35-36)
+    sel[4, 36] = -1
+    coeff, lf_q = _make_420_planes(rng, h, w, ups, density=0.15)
+    data = encode_jxl_vardct_tiled(
+        h, w, sel, mul, coeff, lf_q, jpeg_upsampling=ups
+    )
+    _assert_match(data, VARDCT_TOL)
+
+
+# ---------------------------------------------------------------------------
 # Blending chains
 
 

@@ -1125,10 +1125,15 @@ def encode_jxl_vardct_tiled(
                     sx, sy = bx >> chs, by >> cvs
                     if chs or cvs:
                         # write_hf_coeff alignment rule: lattice-aligned
-                        # anchor whose shifted position holds an anchor
+                        # anchor whose shifted position holds an anchor.
+                        # The existence check is PASS-GROUP-local (the
+                        # decoder checks the group's block_sel subgrid,
+                        # jxl-frame pass_group.rs:80-96), so the check
+                        # cell is group_base + (local >> shift).
                         if (sx << chs) != bx or (sy << cvs) != by:
                             continue
-                        if sel_grid[sy, sx] < 0:
+                        if sel_grid[by0 + ((by - by0) >> cvs),
+                                    bx0 + ((bx - bx0) >> chs)] < 0:
                             continue
                     vals = []
                     for (dx, dy) in order[num_blocks:]:

@@ -262,8 +262,70 @@ def gen_multigroup(rng) -> tuple[bytes, float, dict]:
     return encode_jxl_vardct(rgb, **kw), VARDCT_TOL, cfg
 
 
+def gen_subsampled(rng) -> tuple[bytes, float, dict]:
+    """Chroma-subsampled do_ycbcr VarDCT (4:2:0/4:2:2/4:4:0): single-group
+    via encode_jxl_vardct_420, or multi-group tiled with random occupied
+    check cells (the pass-group-local shifted-anchor rule)."""
+    from encoder_vardct import encode_jxl_vardct_420, encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T, jpeg_shifts
+
+    ups = ((0, 1, 0), (0, 2, 0), (0, 3, 0))[int(rng.integers(0, 3))]
+    shifts = jpeg_shifts(ups)
+
+    def planes(h, w, density):
+        coeff, lf_q = [], []
+        for c in range(3):
+            hs, vs = shifts[c]
+            sh = (h >> vs, w >> hs)
+            cp = np.zeros(sh, dtype=np.int64)
+            m = rng.random(sh) < density
+            cp[m] = rng.integers(-15, 16, int(m.sum()))
+            coeff.append(cp)
+            lf_q.append(rng.integers(-40, 41, (sh[0] // 8, sh[1] // 8)))
+        return coeff, lf_q
+
+    density = float(rng.uniform(0.05, 0.3))
+    if rng.random() < 0.6:  # single group
+        h = int(rng.choice((32, 64, 96)))
+        w = int(rng.choice((32, 48, 64)))
+        kw = dict(
+            gabor=bool(rng.random() < 0.5),
+            epf_iters=int(rng.integers(0, 3)),
+        )
+        coeff, lf_q = planes(h, w, density)
+        cfg = {"kind": "subsampled", "ups": ups, "h": h, "w": w, **kw}
+        return (encode_jxl_vardct_420(h, w, coeff, lf_q, 4096,
+                                      jpeg_upsampling=ups, **kw),
+                VARDCT_TOL, cfg)
+    # multi-group tiled: all-DCT8 plus a few 2-wide blocks at unaligned
+    # anchors, turning random shifted check cells into Occupied
+    h = int(rng.choice((256, 272)))
+    w = int(rng.choice((512, 528)))
+    bh, bw = -(-h // 8), -(-w // 8)
+    sel = np.zeros((bh, bw), dtype=np.int64)
+    mul = np.ones((bh, bw), dtype=np.int64) * int(rng.integers(1, 4))
+    n_wide = int(rng.integers(0, 6))
+    for _ in range(n_wide):
+        # odd/odd anchors are lattice-unaligned in every subsampled
+        # layout: the wide block contributes no chroma itself, but its
+        # Occupied tail cell can fail other anchors' shifted checks
+        # (chroma holes — never overlaps)
+        y = int(rng.integers(0, bh // 2)) * 2 + 1
+        x = int(rng.integers(0, (bw - 2) // 2)) * 2 + 1
+        if sel[y, x] == 0 and sel[y, x + 1] == 0:
+            sel[y, x] = int(T.DCT8X16)  # (w8, h8) == (2, 1)
+            sel[y, x + 1] = -1
+    coeff, lf_q = planes(bh * 8, bw * 8, density)
+    cfg = {"kind": "subsampled_tiled", "ups": ups, "h": h, "w": w,
+           "n_wide": n_wide}
+    return (encode_jxl_vardct_tiled(h, w, sel, mul, coeff, lf_q,
+                                    jpeg_upsampling=ups),
+            VARDCT_TOL, cfg)
+
+
 GENERATORS = (gen_modular, gen_modular, gen_palette, gen_vardct,
-              gen_features, gen_multigroup)
+              gen_features, gen_multigroup, gen_subsampled)
 
 
 def check_one(data: bytes, tol: float) -> float:

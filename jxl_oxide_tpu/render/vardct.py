@@ -1356,21 +1356,15 @@ class VardctFrameState:
             plans.append((entries, code_grid, mul_grid, matrices))
         return plans, qm_scale
 
-    @traced("Dequant and transform (subsampled)")
-    def _run_fused_subsampled(self, hf_global: HfGlobal | None, rect=None):
-        """Chroma-subsampled frames (do_ycbcr 4:2:0/4:2:2/4:4:0): ONE
-        fused program runs all three per-channel dequant + inverse
-        transform pipelines at their stored geometries, then the JPEG
-        triangle chroma upsample AND the restoration filters in the same
-        dispatch (jxl-render/src/vardct/mod.rs:48-385 subsampled path +
-        image.rs:448-486 upsample + render.rs filter order). Output is
-        full-resolution [3, h, w] (still YCbCr); sets chroma_upsampled
-        and filters_applied. `rect` restricts the program to a plane
-        sub-rect (ROI pushdown, group-aligned)."""
-        import jax
-
-        from ..ops.vardct_pipeline import build_fused_pipeline_subsampled
-
+    def fused_subsampled_program_parts(self, hf_global: HfGlobal | None,
+                                       rect=None, copy_inputs=False):
+        """(key, make_fn, inputs) for the fused subsampled program, or
+        None when the dense plan overflows (staged fallback). Shared by
+        _run_fused_subsampled and serving.decode_batch_stacked (4:2:0
+        streams — the dominant JPEG-transcode shape — stack the same
+        way non-subsampled frames do). With copy_inputs, dense plane
+        references are copied so the caller may pool the state's
+        planes."""
         header = self.header
         quantizer = self.frame.lf_global.vardct.quantizer
         lf_dequant = self.frame.lf_global.lf_dequant
@@ -1382,8 +1376,7 @@ class VardctFrameState:
         )
         planned = self._subsampled_channel_plans(hf_global, rect=rect)
         if planned is None:
-            planes = self._run_staged(hf_global)
-            return planes
+            return None  # dense plan overflow: staged fallback
         plans, qm_scale = planned
 
         rf = header.restoration_filter
@@ -1449,13 +1442,15 @@ class VardctFrameState:
                 elif max_abs < 32768:
                     coeff_input = coeff.astype(np.int16)
                 else:
-                    coeff_input = coeff
+                    coeff_input = coeff.copy() if copy_inputs else coeff
             else:
                 if np.abs(coeff).max(initial=0) < 32768:
                     coeff_input = coeff.astype(np.int16)
                 else:
-                    coeff_input = coeff
+                    coeff_input = coeff.copy() if copy_inputs else coeff
             sparse_ns.append(sparse_n)
+            if copy_inputs and lf_q is self.lf_quant_planes[c]:
+                lf_q = lf_q.copy()
             inputs.extend([coeff_input, lf_q, plans[c][1], plans[c][2]])
         inputs.append(sigma_blocks)
 
@@ -1475,12 +1470,14 @@ class VardctFrameState:
             ),
             (self.height, self.width),
         )
-        fn = self._fused_cache.get(key)
-        if fn is None:
+
+        def make_fn():
+            from ..ops.vardct_pipeline import build_fused_pipeline_subsampled
+
             lf_shapes_eff = tuple(
                 (ps[0] // 8, ps[1] // 8) for ps in plane_shapes
             )
-            fn = build_fused_pipeline_subsampled(
+            return build_fused_pipeline_subsampled(
                 plane_shapes, lf_shapes_eff, full_shape, entries3, matrices3,
                 tuple(float(q) for q in self.opsin.quant_bias),
                 float(self.opsin.quant_bias_numerator),
@@ -1491,6 +1488,29 @@ class VardctFrameState:
                 crop=(self.height, self.width),
                 embed=embed,
             )
+
+        return key, make_fn, inputs
+
+    @traced("Dequant and transform (subsampled)")
+    def _run_fused_subsampled(self, hf_global: HfGlobal | None, rect=None):
+        """Chroma-subsampled frames (do_ycbcr 4:2:0/4:2:2/4:4:0): ONE
+        fused program runs all three per-channel dequant + inverse
+        transform pipelines at their stored geometries, then the JPEG
+        triangle chroma upsample AND the restoration filters in the same
+        dispatch (jxl-render/src/vardct/mod.rs:48-385 subsampled path +
+        image.rs:448-486 upsample + render.rs filter order). Output is
+        full-resolution [3, h, w] (still YCbCr); sets chroma_upsampled
+        and filters_applied. `rect` restricts the program to a plane
+        sub-rect (ROI pushdown, group-aligned)."""
+        import jax
+
+        parts = self.fused_subsampled_program_parts(hf_global, rect=rect)
+        if parts is None:
+            return self._run_staged(hf_global)
+        key, make_fn, inputs = parts
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = make_fn()
             self._fused_cache[key] = fn
 
         placed = jax.device_put(inputs)

@@ -92,12 +92,14 @@ def decode_iter(streams: Iterable[bytes], *, frame: int = 0,
 def _host_stage_fast(img: JxlImage, frame: int):
     """Run ONLY the host entropy stage of a stream in the stacked-serving
     envelope; returns (state, hf_global, frame_obj) or None when the
-    stream needs the general path. Envelope: one VarDCT keyframe, no
-    chroma subsampling, no extra channels / features / upsampling /
-    LF frames, orientation 1, xyb or plain-enum color, no CMS legs —
-    i.e. the image pipeline after the fused program is exactly
-    (color transform -> interleave -> quantize), which is shape-agnostic
-    and applies to a whole stacked batch at once."""
+    stream needs the general path. Envelope: one VarDCT keyframe
+    (including do_ycbcr and chroma-subsampled 4:2:0/4:2:2/4:4:0 — the
+    dominant JPEG-transcode shape), no extra channels / features /
+    upsampling / LF frames, orientation 1, non-grayscale, xyb or
+    plain-enum color, no CMS legs — i.e. the image pipeline after the
+    fused program is exactly ([ycbcr->rgb] -> color transform ->
+    interleave -> quantize), which is pointwise/shape-agnostic and
+    applies to a whole stacked batch at once."""
     from .headers.frame import Encoding
     from .io.bitstream import Bitstream
     from .render.vardct import (
@@ -108,6 +110,8 @@ def _host_stage_fast(img: JxlImage, frame: int):
         parse_lf_group,
     )
 
+    from .headers.image import ColourSpace
+
     meta = img.image_header.metadata
     if (
         frame != 0
@@ -117,13 +121,15 @@ def _host_stage_fast(img: JxlImage, frame: int):
         or img.requested_icc is not None
         or getattr(img, "_cms", None) is not None
         or meta.colour_encoding.want_icc
+        # grayscale collapses to one channel in the general path; the
+        # stacked tail is fixed three-channel
+        or meta.colour_encoding.colour_space == ColourSpace.GREY
     ):
         return None
     fr = img._frames[0]
     header = fr.header
     if (
         header.encoding != Encoding.VARDCT
-        or header.do_ycbcr  # the stacked color tail has no YCbCr leg
         or header.upsampling != 1
         or header.lf_level != 0
         or header.flags.use_lf_frame
@@ -186,8 +192,10 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
     + ONE quantized readback — the fixed per-dispatch link cost divides
     by the stack size (the serving-shape win; VERDICT r3 item 5).
 
-    Streams outside the fast envelope (non-VarDCT, subsampled, features,
-    extra channels, ...) silently take the per-image decode_batch path.
+    Streams outside the fast envelope (non-VarDCT, grayscale, features,
+    extra channels, ...) silently take the per-image decode_batch path;
+    do_ycbcr and chroma-subsampled VarDCT are IN the envelope (the
+    fused subsampled program + a stacked BT.601 leg).
     output: "u8" / "f32" (host readback) or "device" ([H, W, 3] f32
     slices of the shared stacked array, left on the accelerator — the
     TPU-ingest serving mode with ONE dispatch per stack and NO
@@ -221,7 +229,12 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
             slow.append(i)
             continue
         state, hf_global, fr = fast
-        parts = state.fused_program_parts(hf_global)
+        if state.subsampled:
+            parts = state.fused_subsampled_program_parts(
+                hf_global, copy_inputs=True
+            )
+        else:
+            parts = state.fused_program_parts(hf_global)
         if parts is None:
             slow.append(i)
             continue
@@ -238,7 +251,8 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
         # — so they join the key too.
         meta = img.image_header.metadata
         tail_key = (
-            meta.xyb_encoded, repr(meta.colour_encoding),
+            meta.xyb_encoded, fr.header.do_ycbcr,
+            repr(meta.colour_encoding),
             repr(meta.opsin_inverse_matrix), repr(meta.tone_mapping),
             repr(img.requested_encoding),
         )
@@ -283,6 +297,12 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
             target = img0.requested_encoding or ColourEncoding()
             tr = img0._cached_transform(source, target, meta)
             planes = [out[:, c] for c in range(3)]
+            if chunk[0][2].frame.header.do_ycbcr:
+                # BT.601 leg on the whole stack (pointwise); stream
+                # channel order is [Cb, Y, Cr]
+                from .ops.color import ycbcr_to_rgb
+
+                planes = list(ycbcr_to_rgb(planes[0], planes[1], planes[2]))
             if not tr.is_noop:
                 planes = list(tr.run(planes))
             from .api import _finalize_fn

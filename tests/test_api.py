@@ -1417,10 +1417,11 @@ def test_decode_batch_stacked_mixed_color_metadata():
 
 
 def test_decode_batch_stacked_ycbcr_and_crop_fallback():
-    """do_ycbcr frames (the stacked tail has no YCbCr leg) and cropped
-    frames (stacked returns frame-sized planes, the general path
-    composites onto the canvas) must fall back to the per-image path and
-    stay identical to decode_batch."""
+    """do_ycbcr 4:2:0 frames run IN the stacked envelope (fused
+    subsampled program + stacked BT.601 leg); cropped frames (stacked
+    returns frame-sized planes, the general path composites onto the
+    canvas) fall back to the per-image path — both identical to
+    decode_batch."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
@@ -1445,6 +1446,48 @@ def test_decode_batch_stacked_ycbcr_and_crop_fallback():
              for _ in range(3)]
     streams.append(encode_jxl_modular(
         chans, bit_depth=8, image_size=(48, 48), crop=(8, 8, 24, 24)
+    ))
+    ref = decode_batch(streams, output="u8", num_workers=2)
+    got = decode_batch_stacked(streams, output="u8", num_workers=2)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_decode_batch_stacked_subsampled_groups():
+    """Chroma-subsampled streams stack: same-geometry 4:2:0 images share
+    one vmapped subsampled dispatch + one BT.601/color tail; different
+    filter params / layouts (4:2:2) / xyb images form separate groups.
+    All bit-identical to the per-image path."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct, encode_jxl_vardct_420
+
+    from jxl_oxide_tpu.models.vardct import jpeg_shifts
+    from jxl_oxide_tpu.serving import decode_batch, decode_batch_stacked
+
+    def mk(seed, ups=(0, 1, 0), **kw):
+        r = np.random.default_rng(seed)
+        h = w = 64
+        coeff, lf = [], []
+        for c in range(3):
+            hs, vs = jpeg_shifts(ups)[c]
+            sh = (h >> vs, w >> hs)
+            cp = np.zeros(sh, dtype=np.int64)
+            m = r.random(sh) < 0.1
+            cp[m] = r.integers(-12, 13, int(m.sum()))
+            coeff.append(cp)
+            lf.append(r.integers(-30, 31, (sh[0] // 8, sh[1] // 8)))
+        return encode_jxl_vardct_420(
+            h, w, coeff, lf, 4096, jpeg_upsampling=ups, **kw
+        )
+
+    streams = [mk(s) for s in range(3)]                    # one 420 stack
+    streams += [mk(s, gabor=True, epf_iters=2) for s in (9, 10)]
+    streams.append(mk(11, ups=(0, 2, 0)))                  # 4:2:2 group
+    streams.append(encode_jxl_vardct(
+        np.random.default_rng(5).random((64, 64, 3)).astype(np.float32),
+        xyb=True,
     ))
     ref = decode_batch(streams, output="u8", num_workers=2)
     got = decode_batch_stacked(streams, output="u8", num_workers=2)

@@ -313,6 +313,8 @@ def gen_subsampled(rng) -> tuple[bytes, float, dict]:
         # (chroma holes — never overlaps)
         y = int(rng.integers(0, bh // 2)) * 2 + 1
         x = int(rng.integers(0, (bw - 2) // 2)) * 2 + 1
+        if x % 32 == 31:
+            continue  # 2-wide block must not cross the 256px group border
         if sel[y, x] == 0 and sel[y, x + 1] == 0:
             sel[y, x] = int(T.DCT8X16)  # (w8, h8) == (2, 1)
             sel[y, x + 1] = -1

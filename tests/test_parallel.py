@@ -343,6 +343,12 @@ def test_mesh_subsampled_420(caplog):
         bh, bw = h // 8, w // 8
         shifts = jpeg_shifts(ups)
         sel = np.full((bh, bw), int(T.DCT8), dtype=np.int64)
+        # a 2-wide block at an unaligned anchor turns its tail cell
+        # Occupied: some aligned anchors then fail the pass-group-local
+        # shifted-anchor check (chroma holes) — the layout that desynced
+        # the frame-global/LF-group-local rules (see test_oracle)
+        sel[5, 33] = int(T.DCT8X16)
+        sel[5, 34] = -1
         mul = rng.integers(1, 4, (bh, bw)).astype(np.int64)
         coeff = []
         lf_q = []

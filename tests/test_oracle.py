@@ -293,6 +293,26 @@ def test_oracle_vardct_subsampled_multigroup_occupied_check():
     _assert_match(data, VARDCT_TOL)
 
 
+def test_oracle_vardct_subsampled_two_pass():
+    """Quality-progressive (2-pass) chroma-subsampled multi-group VarDCT:
+    per-pass coefficient accumulation composes with the per-channel
+    shifted geometry (pass loop hf_coeff.rs:228-236 + subsampled
+    write_hf_coeff channel skips)."""
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    rng = np.random.default_rng(19)
+    h, w = 256, 512
+    bh, bw = h // 8, w // 8
+    ups = (0, 1, 0)
+    sel = np.zeros((bh, bw), dtype=np.int64)
+    mul = np.ones((bh, bw), dtype=np.int64) * 2
+    coeff, lf_q = _make_420_planes(rng, h, w, ups, density=0.15)
+    data = encode_jxl_vardct_tiled(
+        h, w, sel, mul, coeff, lf_q, jpeg_upsampling=ups, num_passes=2
+    )
+    _assert_match(data, VARDCT_TOL)
+
+
 # ---------------------------------------------------------------------------
 # Blending chains
 

@@ -951,6 +951,8 @@ def encode_jxl_vardct_tiled(
     cfl_grids: tuple | None = None,       # (x_from_y, b_from_y) int grids
     skip_lf_smoothing: bool = True,
     jpeg_upsampling=(0, 0, 0),
+    num_passes: int = 1,
+    pass_shift: int = 1,                  # pass-0 coefficient downshift
 ) -> bytes:
     """Synthesize a MULTI-GROUP (and multi-LF-group) VarDCT codestream
     with an explicit varblock layout over the whole image: the general
@@ -997,7 +999,13 @@ def encode_jxl_vardct_tiled(
         for ups in jpeg_upsampling:
             out.write(ups, 2)
     out.write_u32_sel(0, 0, 0)  # upsampling
-    out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    if num_passes == 1:
+        out.write_u32_sel(0, 0, 0)  # num_passes = 1
+    else:
+        assert num_passes == 2
+        out.write(1, 2)  # num_passes = 2
+        out.write(0, 2)  # num_ds = 0
+        out.write(pass_shift, 2)  # shift[0]
     out.write_bool(False)  # have_crop
     out.write_u32_sel(0, 0, 0)  # blending Replace
     out.write_bool(True)  # is_last
@@ -1102,12 +1110,23 @@ def encode_jxl_vardct_tiled(
     if hfp_bits:
         hf_global.write(0, hfp_bits)  # 1 preset
     num_clusters_ctx = 495 * 15
-    hf_global.write(2, 2)  # used_orders = 0
-    hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
-    hf_enc.write_header(hf_global)
+    for _ in range(num_passes):
+        hf_global.write(2, 2)  # used_orders = 0
+        hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+        hf_enc.write_header(hf_global)
+
+    # pass coefficient split: pass 0 carries q >> shift, pass 1 the
+    # remainder; the decoder adds (v << coeff_shift) per pass
+    if num_passes == 2:
+        coeff0 = [c >> pass_shift for c in coeff]
+        coeff_pass = [coeff0,
+                      [c - (c0 << pass_shift)
+                       for c, c0 in zip(coeff, coeff0)]]
+    else:
+        coeff_pass = [coeff]
 
     # --- per-group HF token streams ---
-    def group_tokens(gx, gy):
+    def group_tokens(gx, gy, coeff=coeff):
         tokens: list[int] = []
         by0, bx0 = gy * gdb, gx * gdb
         for by in range(by0, min(by0 + gdb, bh)):
@@ -1154,12 +1173,15 @@ def encode_jxl_vardct_tiled(
         raise NotImplementedError("use encode_jxl_vardct_mixed for single-group")
 
     group_secs = []
-    for gy in range(gpc):
-        for gx in range(gpr):
-            gsec = BitWriter()
-            genc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
-            genc.encode_tokens(gsec, group_tokens(gx, gy))
-            group_secs.append(gsec)
+    for p in range(num_passes):
+        for gy in range(gpc):
+            for gx in range(gpr):
+                gsec = BitWriter()
+                genc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
+                genc.encode_tokens(
+                    gsec, group_tokens(gx, gy, coeff=coeff_pass[p])
+                )
+                group_secs.append(gsec)
 
     sections = [lf_global, *lf_group_secs, hf_global, *group_secs]
 

@@ -319,10 +319,11 @@ def gen_subsampled(rng) -> tuple[bytes, float, dict]:
             sel[y, x] = int(T.DCT8X16)  # (w8, h8) == (2, 1)
             sel[y, x + 1] = -1
     coeff, lf_q = planes(bh * 8, bw * 8, density)
+    np_ = int(rng.choice([1, 1, 2]))
     cfg = {"kind": "subsampled_tiled", "ups": ups, "h": h, "w": w,
-           "n_wide": n_wide}
+           "n_wide": n_wide, "num_passes": np_}
     return (encode_jxl_vardct_tiled(h, w, sel, mul, coeff, lf_q,
-                                    jpeg_upsampling=ups),
+                                    jpeg_upsampling=ups, num_passes=np_),
             VARDCT_TOL, cfg)
 
 

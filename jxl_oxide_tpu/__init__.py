@@ -34,13 +34,13 @@ def _init_compilation_cache() -> None:
 
 _init_compilation_cache()
 
-from .api import JxlImage, Render
+from .api import JxlImage, Render, clear_program_caches
 from .parallel import decode_mesh, set_decode_mesh
 from .serving import decode_batch, decode_iter
 from .utils.errors import JxlError
 
 __all__ = [
     "JxlImage", "Render", "JxlError", "decode_mesh", "set_decode_mesh",
-    "decode_batch", "decode_iter",
+    "decode_batch", "decode_iter", "clear_program_caches",
 ]
 __version__ = "0.2.0"

@@ -1181,3 +1181,28 @@ class JxlImage:
             name=kf.name,
             duration=kf.duration,
         )
+
+
+def clear_program_caches() -> None:
+    """Release compiled XLA programs and pooled host buffers.
+
+    Every distinct (geometry, filter params, dequant tables) key
+    compiles a fresh fused program, and jax's internal LRU caches
+    strongly hold recent executables (mmap'd JIT code sections) even
+    after the decoder's per-image caches die — a long-running process
+    decoding many HETEROGENEOUS streams accumulates mapped regions
+    until `vm.max_map_count` (~65530) is exhausted, at which point
+    LLVM's next JIT mmap fails. Call this periodically (every few
+    thousand distinct-geometry decodes) in such workloads; steady-shape
+    serving reuses cached programs and never needs it. The fuzzers
+    (tools/fuzz_diff.py, tools/fuzz.py) call it on a fixed cadence.
+    """
+    import jax
+
+    from .render import vardct as _vardct
+    from .serving import decode_batch_stacked
+
+    decode_batch_stacked.__dict__.pop("_cache", None)
+    with _vardct._PLANE_POOL_LOCK:
+        _vardct._PLANE_POOL.clear()
+    jax.clear_caches()

@@ -1361,6 +1361,40 @@ def test_roi_pushdown_subsampled_420():
     np.testing.assert_array_equal(crop, full[20:100, 10:110])
 
 
+def test_clear_program_caches_releases_mappings():
+    """Decoding heterogeneous streams accumulates mmap'd XLA executables
+    that outlive the per-image program caches (jax's internal LRU caches
+    hold recent compiles); clear_program_caches() must release them —
+    without it a long fuzz/serving loop exhausts vm.max_map_count and
+    LLVM's next JIT mmap segfaults (found by a 30-min fuzz_diff window,
+    kernel log: segfault in libgcc_s unwinder after 'LLVM compilation
+    error: Cannot allocate memory')."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage, clear_program_caches
+
+    def nmaps():
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            return sum(1 for _ in f)
+
+    rng = np.random.default_rng(3)
+    # distinct per-stream filter params force distinct fused programs
+    for i in range(4):
+        rgb = rng.random((64 + 16 * i, 64, 3)).astype(np.float32)
+        data = encode_jxl_vardct(rgb, gabor=(i % 2 == 0), epf_iters=i % 4)
+        JxlImage.from_bytes(data).render_frame(0)
+    grown = nmaps()
+    clear_program_caches()
+    released = nmaps()
+    # the decodes above map hundreds of JIT sections; the clear must
+    # drop the bulk of them (exact counts vary with allocator arenas)
+    assert released < grown - 100, (grown, released)
+
+
 def test_decode_batch_stacked():
     """decode_batch_stacked: same-geometry VarDCT streams share ONE
     vmapped device dispatch + one color tail + one quantized readback,

@@ -143,6 +143,12 @@ def main() -> int:
     n = 0
     findings = 0
     while time.monotonic() < deadline:
+        if n and n % 200 == 0:
+            # valid-enough mutants compile fresh XLA programs; jax's
+            # internal LRU caches hold recent executables (mmaps) until
+            # clear_caches — see tools/fuzz_diff.py run() for the
+            # map-count exhaustion mechanics
+            jax.clear_caches()
         seed = seeds[int(rng.integers(len(seeds)))]
         data = mutate(seed, rng)
         # occasional double mutation

@@ -375,6 +375,16 @@ def run(seconds: float, seed: int, save_dir: Path,
     while time.monotonic() < deadline:
         if max_iters is not None and n >= max_iters:
             break
+        if n and n % 25 == 0:
+            # every stream compiles fresh XLA programs (per-stream
+            # constants -> distinct jaxprs) and jax's internal LRU
+            # caches strongly hold recent executables after our
+            # functions die; ~200 retained mmaps per decode exhausts
+            # vm.max_map_count (65530) in ~15 min and segfaults LLVM's
+            # next JIT mmap. Periodic clearing bounds it.
+            from jxl_oxide_tpu import clear_program_caches
+
+            clear_program_caches()
         gen = GENERATORS[int(rng.integers(0, len(GENERATORS)))]
         data, tol, cfg = gen(rng)
         try:

@@ -1377,7 +1377,13 @@ def _o_ycbcr_to_rgb(cb, y, cr):
     return r, g, b
 
 
-def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
+def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma,
+                         lf_planes_override=None, raw_output=False):
+    """One VarDCT frame to float64 planes. `lf_planes_override` supplies
+    pre-dequantized LF planes from a rendered LF frame (use_lf_frame:
+    identity scale, no LF CfL, no smoothing, edge-padded —
+    vardct/mod.rs:176-205); `raw_output` skips the color tail (LF frames
+    are stored in the raw working space)."""
     meta = image_header.metadata
     bits = meta.bit_depth.bits_per_sample
     from jxl_oxide_tpu.models.vardct import jpeg_shifts as _jps
@@ -1385,7 +1391,9 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
     shifts = _jps(fh.jpeg_upsampling)
     subsampled = any(j != 0 for j in fh.jpeg_upsampling)
     w, h = fh.sample_width(), fh.sample_height()
-    assert not fh.flags.use_lf_frame, "oracle scope: no LF frames"
+    if fh.flags.use_lf_frame:
+        assert lf_planes_override is not None, "LF slot empty"
+        assert not subsampled, "oracle scope: LF frames are 4:4:4"
     if subsampled:
         assert fh.flags.skip_adaptive_lf_smoothing, (
             "oracle scope: subsampled frames skip adaptive LF smoothing "
@@ -1430,10 +1438,13 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
     for lf_idx in range(fh.num_lf_groups):
         bs = secs.get("lf_group", lf_idx)
         lf_w, lf_h = fh.lf_group_size_for(lf_idx)
-        lf_coeff = LfCoeff.parse(
-            bs, lf_idx, lf_w, lf_h, fh.jpeg_upsampling, bits, ma, gdim
-        )
-        extra_precision = lf_coeff.extra_precision
+        if fh.flags.use_lf_frame:
+            lf_coeff = None  # LfCoeff absent; LF comes from the LF frame
+        else:
+            lf_coeff = LfCoeff.parse(
+                bs, lf_idx, lf_w, lf_h, fh.jpeg_upsampling, bits, ma, gdim
+            )
+            extra_precision = lf_coeff.extra_precision
         hf_meta = HfMetadata.parse(
             bs, num_lf_groups=fh.num_lf_groups, lf_group_idx=lf_idx,
             lf_width=lf_w, lf_height=lf_h,
@@ -1444,7 +1455,9 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
         metas[lf_idx] = hf_meta
         lgx, lgy = lf_idx % lfg_per_row, lf_idx // lfg_per_row
         bx0, by0 = lgx * gdim, lgy * gdim  # block offsets
-        for c, chan in enumerate(lf_coeff.lf_quant_xyb()):
+        for c, chan in enumerate(
+            lf_coeff.lf_quant_xyb() if lf_coeff is not None else ()
+        ):
             hs_, vs_ = shifts[c]
             ch_, cw_ = chan.shape
             lf_quant[c][by0 >> vs_ : (by0 >> vs_) + ch_,
@@ -1496,6 +1509,10 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
                     coeff[c][y0c * 8 : (y0c + _cs(gh_b, vs_)) * 8,
                              x0c * 8 : (x0c + _cs(gw_b, hs_)) * 8]
                 )
+            if fh.flags.use_lf_frame:
+                # no LfCoeff: the block-context LF index is skipped
+                # entirely (pass_group.rs lf_quant = None)
+                lf_views = None
             write_hf_coeff(
                 secs.get("group_pass", g, p),
                 num_hf_presets=num_hf_presets,
@@ -1524,11 +1541,29 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
     opsin = meta.opsin_inverse_matrix
     scale_inv = quantizer.global_scale * quantizer.quant_lf
     precision = 1 << (9 - extra_precision)
-    lf = [
-        lf_quant[c].astype(np.float64) * (lf_dequant[c] * precision / scale_inv)
-        for c in range(3)
-    ]
-    if not subsampled:
+    if lf_planes_override is not None:
+        # pre-dequantized LF from the rendered LF frame: identity scale,
+        # edge-replicated to the block grid; LF CfL and smoothing are
+        # skipped (vardct/mod.rs:176-205)
+        lf = []
+        for c in range(3):
+            tgt_h, tgt_w = lf_quant[c].shape
+            src = np.asarray(lf_planes_override[c], dtype=np.float64)
+            p = np.zeros((tgt_h, tgt_w))
+            sh_, sw_ = min(src.shape[0], tgt_h), min(src.shape[1], tgt_w)
+            p[:sh_, :sw_] = src[:sh_, :sw_]
+            if sh_ < tgt_h:
+                p[sh_:, :sw_] = p[sh_ - 1 : sh_, :sw_]
+            if sw_ < tgt_w:
+                p[:, sw_:] = p[:, sw_ - 1 : sw_]
+            lf.append(p)
+    else:
+        lf = [
+            lf_quant[c].astype(np.float64)
+            * (lf_dequant[c] * precision / scale_inv)
+            for c in range(3)
+        ]
+    if not subsampled and lf_planes_override is None:
         # LF CfL + adaptive smoothing only apply to equal-size LF planes
         # (the reference skips both for subsampled frames,
         # vardct/mod.rs:184 + dequant_lf smoothing precondition)
@@ -1654,6 +1689,8 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma):
             out = _epf_pass(out, sigma, 2, cs, float(rf.epf.pass2_sigma_scale), bsm)
 
     out = out[:, :h, :w]
+    if raw_output:
+        return out  # LF-frame store: raw working-space planes
     if meta.xyb_encoded:
         out = _xyb_to_srgb(out, opsin, meta.tone_mapping.intensity_target)
     return out
@@ -1715,6 +1752,7 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
     renders = []
     canvas = None
     ref_slots: list = [None] * 4
+    lf_slots: list = [None] * 4
     frame_counter = 0
     num_prev_keyframes = 0
     last_keyframe_idx = None
@@ -1731,11 +1769,32 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
             lf_bs, image_header, fh
         )
         patches, splines, noise = features
+        if fh.frame_type.name == "LF_FRAME":
+            # DC frame at 8^lf_level downsampling: rendered raw (no color
+            # tail, no features) and stored in LF slot lf_level-1; an LF
+            # frame may itself consume the next level (render/context.py
+            # add_frame LF branch)
+            assert fh.encoding == Encoding.VARDCT
+            assert patches is None and splines is None and noise is None
+            override = (
+                lf_slots[fh.lf_level] if fh.flags.use_lf_frame else None
+            )
+            planes = _decode_vardct_frame(
+                secs, image_header, fh, lf_dequant, lf_vardct, ma,
+                lf_planes_override=override, raw_output=True,
+            )
+            lf_slots[fh.lf_level - 1] = planes
+            frame_counter += 1
+            bs.pos = (section_start + toc.total_size) * 8
+            continue
         if fh.encoding == Encoding.MODULAR:
             planes = _decode_modular_frame(secs, lf_bs, image_header, fh, ma)
         else:
             planes = _decode_vardct_frame(
-                secs, image_header, fh, lf_dequant, lf_vardct, ma
+                secs, image_header, fh, lf_dequant, lf_vardct, ma,
+                lf_planes_override=(
+                    lf_slots[fh.lf_level] if fh.flags.use_lf_frame else None
+                ),
             )
 
         # features: patches -> splines -> noise (render.rs

@@ -293,6 +293,25 @@ def test_oracle_vardct_subsampled_multigroup_occupied_check():
     _assert_match(data, VARDCT_TOL)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(use_lf_frame=True),
+    dict(use_lf_frame=True, lf_levels=2),
+    dict(use_lf_frame=True, gabor=True, epf_iters=2),
+    dict(use_lf_frame=True, xyb=True),
+])
+def test_oracle_vardct_lf_frame_chain(kw):
+    """LF (DC) frame chains: the LF frame renders raw at 8^level
+    downsampling, stores into slot level-1, and the consumer uses the
+    planes as pre-dequantized LF (identity scale, no LF CfL, no
+    smoothing, edge-padded — vardct/mod.rs:176-205)."""
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(sum(map(ord, str(sorted(kw)))))
+    rgb = rng.random((96, 96, 3)).astype(np.float32)
+    data = encode_jxl_vardct(rgb, global_scale=65536, **kw)
+    _assert_match(data, VARDCT_TOL)
+
+
 def test_oracle_vardct_subsampled_two_pass():
     """Quality-progressive (2-pass) chroma-subsampled multi-group VarDCT:
     per-pass coefficient accumulation composes with the per-channel

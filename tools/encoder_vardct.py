@@ -169,9 +169,11 @@ def encode_jxl_vardct(
         for level in range(lf_levels, 0, -1):
             kind = "lf" if level == lf_levels else "lf_use_lf"
             _write_frame(out, downs[level], global_scale, quant_lf, False, 0,
-                         frame_kind=kind, lf_level=level)
+                         frame_kind=kind, lf_level=level, xyb=xyb,
+                         x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale)
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
-                     frame_kind="use_lf")
+                     frame_kind="use_lf", xyb=xyb,
+                     x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale)
     else:
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
                      frame_kind="regular", num_passes=num_passes,

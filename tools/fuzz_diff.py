@@ -257,6 +257,12 @@ def gen_multigroup(rng) -> tuple[bytes, float, dict]:
         epf_iters=int(rng.integers(0, 3)),
         num_passes=int(rng.choice([1, 2])),
     )
+    if rng.random() < 0.35:  # LF (DC) frame chain
+        kw["use_lf_frame"] = True
+        kw["lf_levels"] = int(rng.choice([1, 2]))
+        kw["num_passes"] = 1
+        kw["global_scale"] = 65536
+        kw["xyb"] = bool(rng.random() < 0.5)
     rgb = rng.random((h, w, 3)).astype(np.float32)
     cfg = {"kind": "multigroup_vardct", "h": h, "w": w, **kw}
     return encode_jxl_vardct(rgb, **kw), VARDCT_TOL, cfg

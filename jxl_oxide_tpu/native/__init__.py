@@ -33,11 +33,15 @@ _tried = False
 
 
 def _lib_path() -> str:
-    """Sanitized builds (JXL_TPU_NATIVE_SANITIZE=address) use a separate
-    library: ASan+UBSan instrumented, for CI sweeps over the fuzz corpus
-    (the reference confines unsafe to audited SIMD; our C++ pointer code
-    gets sanitizer coverage instead)."""
-    if os.environ.get("JXL_TPU_NATIVE_SANITIZE"):
+    """Sanitized builds (JXL_TPU_NATIVE_SANITIZE=address|thread) use
+    separate libraries: ASan+UBSan for pointer/UB sweeps over the fuzz
+    corpus, TSan for the threaded runtime (WorkerPool + batch decoders
+    — SURVEY.md §5's 'host C++ under TSAN' line; the reference confines
+    unsafe to audited SIMD, our C++ gets sanitizer coverage instead)."""
+    san = os.environ.get("JXL_TPU_NATIVE_SANITIZE")
+    if san == "thread":
+        return os.path.join(_LIB_DIR, "libjxl_host_tsan.so")
+    if san:
         return os.path.join(_LIB_DIR, "libjxl_host_asan.so")
     if os.environ.get("JXL_TPU_NATIVE_PROF"):
         return os.path.join(_LIB_DIR, "libjxl_host_prof.so")
@@ -53,7 +57,10 @@ def _build() -> bool:
         return False
     if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= src_mtime:
         return True
-    if os.environ.get("JXL_TPU_NATIVE_SANITIZE"):
+    san = os.environ.get("JXL_TPU_NATIVE_SANITIZE")
+    if san == "thread":
+        opt = ["-O1", "-g", "-fsanitize=thread"]
+    elif san:
         opt = ["-O1", "-g", "-fsanitize=address,undefined",
                "-fno-sanitize-recover=undefined"]
     else:

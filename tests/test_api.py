@@ -861,6 +861,38 @@ def test_native_asan_clean():
     )
 
 
+def test_native_tsan_clean():
+    """The native host library, rebuilt with ThreadSanitizer, runs the
+    THREADED entry points — persistent WorkerPool, LF-group batch,
+    HF pass-group batch, parallel memzero, modular batch, plus two
+    concurrent Python callers of the pool — without TSan reports
+    (SURVEY.md §5: 'host C++ should run under TSAN in CI')."""
+    import subprocess
+    import sys as _sys
+
+    tsan = subprocess.run(
+        ["g++", "-print-file-name=libtsan.so"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    if not tsan or not os.path.exists(tsan):
+        pytest.skip("libtsan not available")
+    env = dict(os.environ)
+    env.update({
+        "LD_PRELOAD": tsan,
+        "TSAN_OPTIONS": "halt_on_error=1:abort_on_error=1",
+        "JXL_TPU_NATIVE_SANITIZE": "thread",
+    })
+    env.pop("JXL_TPU_NO_NATIVE", None)
+    r = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(__file__), "tsan_harness.py")],
+        env=env, capture_output=True, timeout=570,
+    )
+    assert r.returncode == 0 and b"TSAN_OK" in r.stdout, (
+        r.stdout[-1000:], r.stderr[-3000:],
+    )
+
+
 def test_mutation_fuzz_short():
     """A short deterministic mutation-fuzz sweep (tools/fuzz.py): every
     mutant either decodes or raises JxlError under the 128 MiB budget

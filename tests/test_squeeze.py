@@ -133,29 +133,66 @@ def test_squeeze_native_python_wrapping_equivalence():
 
 
 def test_squeeze_end_to_end_bitstream():
-    """One explicit horizontal squeeze step through the bitstream: encoder
-    writes [avg, residual] channels; the decoder's transform machinery
-    reconstructs the original exactly (transform.rs squeeze path)."""
-    from encoder import (
-        AnsStreamEncoder,
-        DEFAULT_CFG,
-        encode_jxl_modular,
-    )
+    """One horizontal squeeze step through the bitstream: the encoder
+    forward-squeezes channel 0 into [avg, residual] coded channels and
+    the decoder's transform machinery reconstructs the original exactly
+    (transform.rs squeeze path). The encoder's forward helper must agree
+    with this file's independently-written one."""
+    from encoder import _forward_squeeze_h as enc_fwd
+    from encoder import encode_jxl_modular
 
     from jxl_oxide_tpu import JxlImage
 
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (16, 20))
-    avg, res = _forward_squeeze_h(img)
+    avg_t, res_t = _forward_squeeze_h(img)
+    avg_e, res_e = enc_fwd(img)
+    np.testing.assert_array_equal(avg_e, avg_t)
+    np.testing.assert_array_equal(res_e, res_t)
     data = encode_jxl_modular(
-        [avg, res], bit_depth=8, grayscale=True,
-        image_size=(16, 20), squeeze=True,
+        [img], bit_depth=8, grayscale=True, squeeze=True,
     )
     out = JxlImage.from_bytes(data).render_frame(0)
     got = np.asarray(out.planes[0])
     np.testing.assert_array_equal(
         np.round(got * 255).astype(np.int64), img
     )
+
+
+def test_squeeze_roundtrip_vs_source_all_geometries():
+    """encode_jxl_modular(squeeze=True) must round-trip BIT-EXACTLY
+    against the source at every grouping geometry: single-group,
+    multi-group, and the take_while mix where the squeezed avg/res fit
+    the LfGlobal stream while the full channels split into groups
+    (image.rs prepare_gmodular). Regression: the encoder wrote the
+    squeeze transform header without forward-squeezing, so channel 0
+    decoded to valid-but-scrambled values that only decoder-vs-decoder
+    comparisons could miss (found writing the TSan harness)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(11)
+    for (h, w), kw in [
+        ((64, 64), {}),
+        ((600, 560), {}),               # all channels grouped
+        ((256, 257), {}),               # avg/res global, c1/c2 grouped
+        ((129, 400), {}),
+        ((600, 560), {"rct": True}),    # RCT + squeeze transform chain
+        ((41, 57), {}),                 # odd dims
+    ]:
+        chans = [rng.integers(0, 256, (h, w), dtype=np.int64)
+                 for _ in range(3)]
+        data = encode_jxl_modular(chans, bit_depth=8, squeeze=True, **kw)
+        m = JxlImage(num_threads=2)
+        m.feed_bytes(data)
+        m.finish()
+        out = m._frames[0].decode_modular_frame()
+        for c, o in zip(chans, out):
+            np.testing.assert_array_equal(o, c, err_msg=str(((h, w), kw)))
 
 
 def test_device_modular_tail_bit_exact(monkeypatch):

@@ -291,6 +291,33 @@ class RleAnsStreamEncoder(AnsStreamEncoder):
 PRED_ZERO, PRED_WEST, PRED_GRADIENT = 0, 1, 5
 
 
+def _forward_squeeze_h(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encoder-side horizontal squeeze (exact inverse of the decoder's
+    inverse_squeeze_h, squeeze.rs:59-88): avg = first - trunc(diff/2),
+    residual = diff - smooth tendency of the reconstructed neighborhood.
+    Odd widths carry the last column in avg."""
+    from jxl_oxide_tpu.models.modular_transform import _tendency
+
+    v = np.asarray(v, dtype=np.int64)
+    h, w = v.shape
+    rw = w // 2
+    aw = w - rw
+    avg = np.zeros((h, aw), dtype=np.int64)
+    res = np.zeros((h, rw), dtype=np.int64)
+    if w % 2 == 1:
+        avg[:, -1] = v[:, -1]
+    diff = v[:, 0 : 2 * rw : 2] - v[:, 1 : 2 * rw : 2]
+    half = np.sign(diff) * (np.abs(diff) // 2)
+    avg[:, :rw] = v[:, 0 : 2 * rw : 2] - half
+    left = avg[:, 0].copy()
+    for x in range(rw):
+        nxt = avg[:, x + 1] if x + 1 < aw else avg[:, x]
+        t = _tendency(left, avg[:, x], nxt)
+        res[:, x] = diff[:, x] - t
+        left = v[:, 2 * x + 1]
+    return avg, res
+
+
 def forward_residuals(arr: np.ndarray, predictor: int) -> list[int]:
     h, w = arr.shape
     a = arr.astype(np.int64)
@@ -418,8 +445,16 @@ def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | N
                          rct_type: int = 6):
     w.write_bool(use_global_tree)
     w.write_bool(True)  # default wp
+    # forward (header) transform order; the decoder inverts in reverse
+    n_tr = int(palette_spec is not None) + int(rct_begin is not None) \
+        + int(squeeze_h)
+    if n_tr == 0:
+        w.write_u32_sel(0, 0, 0)
+    elif n_tr == 1:
+        w.write_u32_sel(1, 1, 0)
+    else:
+        w.write_u32_sel(2, n_tr, 4, offset=2)
     if palette_spec is not None:
-        w.write_u32_sel(1, 1, 0)  # nb_transforms = 1
         w.write(1, 2)  # transform id = Palette
         w.write(0, 2)  # begin_c selector u(3)
         w.write(palette_spec.get("begin_c", 0), 3)
@@ -433,18 +468,7 @@ def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | N
             w.write(1, 2)
             w.write(nd - 1, 8)
         w.write(palette_spec.get("d_pred", 0), 4)
-    elif squeeze_h:
-        w.write_u32_sel(1, 1, 0)  # nb_transforms = 1
-        w.write(2, 2)  # transform id = Squeeze
-        w.write(1, 2)  # num_sq U32 selector 1 (1 + u(4))
-        w.write(0, 4)  # -> num_sq = 1
-        w.write_bool(True)   # horizontal
-        w.write_bool(True)   # in_place
-        w.write(0, 2)        # begin_c selector u(3)
-        w.write(0, 3)        # begin_c = 0
-        w.write(0, 2)        # num_c selector 0 -> 1
-    elif rct_begin is not None:
-        w.write_u32_sel(1, 1, 0)  # nb_transforms = 1
+    if rct_begin is not None:
         w.write(0, 2)  # transform id = RCT
         # begin_c via U32(u(3), 8+u(6), 72+u(10), 1096+u(13))
         assert rct_begin < 8
@@ -462,8 +486,15 @@ def write_modular_header(w: BitWriter, use_global_tree: bool, rct_begin: int | N
         else:
             w.write(3, 2)
             w.write(rct_type - 10, 6)
-    else:
-        w.write_u32_sel(0, 0, 0)  # nb_transforms = 0
+    if squeeze_h:
+        w.write(2, 2)  # transform id = Squeeze
+        w.write(1, 2)  # num_sq U32 selector 1 (1 + u(4))
+        w.write(0, 4)  # -> num_sq = 1
+        w.write_bool(True)   # horizontal
+        w.write_bool(True)   # in_place
+        w.write(0, 2)        # begin_c selector u(3)
+        w.write(0, 3)        # begin_c = 0
+        w.write(0, 2)        # num_c selector 0 -> 1
 
 
 def encode_stream_tokens(w: BitWriter, enc: AnsStreamEncoder, channels, predictor):
@@ -1072,19 +1103,50 @@ def encode_jxl_modular(
         num_groups = gpr * gpc
         single = num_groups == 1  # num_passes == 1
 
+        # coded channel list: (array, hshift, vshift). The in-place
+        # horizontal squeeze of channel 0 codes [avg, res, c1, c2] with
+        # hshift 1 on avg/res (modular_transform.py Squeeze.check)
+        if squeeze:
+            avg0, res0 = _forward_squeeze_h(enc_channels[0])
+            coded = ([(avg0, 1, 0), (res0, 1, 0)]
+                     + [(c, 0, 0) for c in enc_channels[1:]])
+        else:
+            coded = [(c, 0, 0) for c in enc_channels]
+
         global_channels = []
         group_channels: dict[int, list[np.ndarray]] = {}
         if fw <= group_dim and fh <= group_dim:
-            global_channels = enc_channels
+            global_channels = [c for c, _, _ in coded]
         else:
-            for i, ch in enumerate(enc_channels):
+            rest = coded
+            if squeeze:
+                # image.rs prepare_gmodular take_while: leading coded
+                # channels that fit group_dim decode in the LfGlobal
+                # stream (a squeezed avg/res can fit while the full
+                # channels do not)
+                n_glob = 0
+                for c, _, _ in coded:
+                    if c.shape[0] <= group_dim and c.shape[1] <= group_dim:
+                        n_glob += 1
+                    else:
+                        break
+                global_channels = [c for c, _, _ in coded[:n_glob]]
+                rest = coded[n_glob:]
+            for ch, hs_c, vs_c in rest:
+                # per-channel tile = group_dim >> shift; the group grid
+                # comes from the ORIGINAL (unsqueezed) dims, which the
+                # squeeze preserves (prepare_groups, modular.py:216-221)
+                gw_t = group_dim >> hs_c
+                gh_t = group_dim >> vs_c
                 for gy in range(gpc):
                     for gx in range(gpr):
                         gi = gy * gpr + gx
                         tile = ch[
-                            gy * group_dim : (gy + 1) * group_dim,
-                            gx * group_dim : (gx + 1) * group_dim,
+                            gy * gh_t : (gy + 1) * gh_t,
+                            gx * gw_t : (gx + 1) * gw_t,
                         ]
+                        if tile.size == 0:
+                            continue
                         group_channels.setdefault(gi, []).append(tile)
 
         # LfGlobal section

@@ -237,8 +237,10 @@ def gen_multigroup(rng) -> tuple[bytes, float, dict]:
     if rng.random() < 0.5:
         from encoder import encode_jxl_modular
 
-        h = int(rng.choice((280, 300)))
-        w = int(rng.choice((264, 288)))
+        # include take_while geometries where a squeezed avg/res channel
+        # fits the LfGlobal stream while full channels split into groups
+        h = int(rng.choice((280, 300, 192, 256)))
+        w = int(rng.choice((264, 288, 257, 400)))
         kw = {}
         if rng.random() < 0.4:
             kw["rct"] = True

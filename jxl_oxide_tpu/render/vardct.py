@@ -253,6 +253,19 @@ def _pool_release(arrays) -> None:
             _PLANE_POOL[key] = arrays
 
 
+def _sparse_upload_enabled() -> bool:
+    """Sparse (index, value) coefficient uploads trade an on-device
+    scatter (~6 ns/index on the dev chip) for fewer uplink bytes — the
+    right trade on transfer-bound links (the ~30 MiB/s dev tunnel), the
+    wrong one on locally-attached chips once densities pass a few
+    percent (a 12%-dense 1024^2 stream spends ~2.4 ms in the scatter vs
+    ~0.6 ms of extra PCIe upload). JXL_TPU_SPARSE_UPLOAD=0 forces dense
+    uploads for local deployments; default keeps the byte heuristic."""
+    import os
+
+    return os.environ.get("JXL_TPU_SPARSE_UPLOAD") != "0"
+
+
 def _pack_sparse_upload(idx_buf, val_buf, nz_count, max_abs,
                         sparse_n: int, size: int):
     """(c_idx, c_val) sparse coefficient upload from the native
@@ -964,11 +977,11 @@ class VardctFrameState:
             idx_buf = np.zeros(cap, dtype=np.int32)
             val_buf = np.zeros(cap, dtype=np.int32)
             nz_count, max_abs = _native.sparse_extract(flat, idx_buf, val_buf)
-            if nz_count * 6 < dense_bytes // 2:
+            if nz_count * 6 < dense_bytes // 2 and _sparse_upload_enabled():
                 sparse_n = 1 << max(10, int(nz_count - 1).bit_length())
         else:
             nz_flat = np.flatnonzero(coeff_stack.reshape(-1))
-            if nz_flat.size * 6 < dense_bytes // 2:
+            if nz_flat.size * 6 < dense_bytes // 2 and _sparse_upload_enabled():
                 sparse_n = 1 << max(10, int(nz_flat.size - 1).bit_length())
 
         # constant CfL factor maps (all-zero correlation grids): the
@@ -1433,7 +1446,7 @@ class VardctFrameState:
                 nz_count, max_abs = _native.sparse_extract(flat, idx_buf, val_buf)
                 # dense int16 plane = size*2 bytes; sparse entry = 6
                 # bytes worst case: go sparse under half the dense bytes
-                if nz_count * 6 < coeff.size:
+                if nz_count * 6 < coeff.size and _sparse_upload_enabled():
                     sparse_n = 1 << max(10, int(nz_count - 1).bit_length())
                     coeff_input = _pack_sparse_upload(
                         idx_buf, val_buf, nz_count, max_abs, sparse_n,

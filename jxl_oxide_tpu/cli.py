@@ -54,6 +54,17 @@ def _build_parser():
     pr.add_argument("-o", "--output-prefix", default="progressive")
     pr.add_argument("--steps", type=int, default=6)
 
+    sm = sub.add_parser(
+        "slow-motion",
+        help="animate the progressive loading process into an APNG",
+    )
+    sm.add_argument("input")
+    sm.add_argument("-o", "--output", default="slow-motion.png")
+    sm.add_argument("--steps", type=int, default=24,
+                    help="byte-prefix steps (one APNG frame per step)")
+    sm.add_argument("--frame-ms", type=int, default=120,
+                    help="per-frame duration in milliseconds")
+
     dj = sub.add_parser("dump-jbrd", help="reconstruct the original JPEG")
     dj.add_argument("input")
     dj.add_argument("-o", "--output", required=True)
@@ -296,6 +307,39 @@ def cmd_progressive(args) -> int:
     return 0
 
 
+def cmd_slow_motion(args) -> int:
+    """Animate the progressive loading process: feed byte prefixes,
+    render each loading state, and write one APNG (the reference's
+    slow_motion devtool encodes an MP4 via ffmpeg, slow_motion.rs;
+    APNG keeps the tool dependency-free here)."""
+    from .api import JxlImage
+    from .io.png import write_apng
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    img = JxlImage()
+    frames = []
+    step = max(1, len(data) // max(1, args.steps))
+    for i in range(0, len(data), step):
+        img.feed_bytes(data[i : i + step])
+        if img.image_header is None or not img._frames:
+            continue
+        try:
+            r = img.render_loading_frame()
+        except Exception:
+            continue
+        frames.append(np.clip(
+            np.round(np.stack(r.image_planar(), -1) * 255), 0, 255
+        ).astype(np.uint8))
+    img.finish()
+    frames.append(JxlImage.from_bytes(data).render_frame(0).to_u8())
+    # hold the final frame a bit longer
+    durations = [args.frame_ms] * (len(frames) - 1) + [args.frame_ms * 6]
+    write_apng(args.output, frames, durations)
+    print(f"{len(frames)} loading states -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_dump_jbrd(args) -> int:
     from .api import JxlImage
 
@@ -352,6 +396,8 @@ def main(argv=None) -> int:
         return cmd_info(args)
     if args.command == "progressive":
         return cmd_progressive(args)
+    if args.command == "slow-motion":
+        return cmd_slow_motion(args)
     if args.command == "dump-jbrd":
         return cmd_dump_jbrd(args)
     if args.command == "generate-fixture":

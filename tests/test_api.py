@@ -100,6 +100,31 @@ def test_cli_info_and_decode(tmp_path):
     assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_cli_slow_motion(tmp_path):
+    """slow-motion devtool: animates the progressive loading process
+    into an APNG (slow_motion.rs analog; APNG instead of ffmpeg MP4)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    fix = tmp_path / "fix.jxl"
+    out = subprocess.run(
+        [sys.executable, "-m", "jxl_oxide_tpu", "generate-fixture",
+         "-o", str(fix), "--kind", "vardct", "--size", "320x288"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    apng = tmp_path / "slow.png"
+    out = subprocess.run(
+        [sys.executable, "-m", "jxl_oxide_tpu", "slow-motion", str(fix),
+         "-o", str(apng), "--steps", "8"],
+        capture_output=True, text=True, env=env, timeout=570,
+    )
+    assert out.returncode == 0, out.stderr
+    blob = apng.read_bytes()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n" and b"acTL" in blob
+    assert blob.count(b"fcTL") >= 2  # at least one partial + the final
+
+
 def test_progressive_render():
     """Partial feeds must render progressively without errors, and the final
     feed must match the one-shot decode (render_loading_frame contract)."""

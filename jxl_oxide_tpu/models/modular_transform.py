@@ -7,7 +7,7 @@ transform/palette.rs (synthetic + delta palette, kDeltaPalette table),
 transform/squeeze.rs (tendency smoothing, default param schedule).
 
 The numpy implementations here are the bit-exactness oracle; the device path
-(jxl_oxide_tpu.ops.modular_inverse) implements the same math as XLA int32
+(jxl_oxide_tpu.ops.modular_tail) implements the same math as XLA int32
 programs (squeeze rows via lax.scan) and is tested against these.
 """
 

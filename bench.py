@@ -648,6 +648,24 @@ def _bench_compute_only(size: int = 2048) -> float:
     return (h * w * k) / diff / 1e6
 
 
+def _bench_modular_device(size: int = 2048) -> dict:
+    """Device modular tail on-chip (VERDICT r4 item 1): the full default
+    inverse-squeeze chain for a size^2 i32 plane as one jitted XLA
+    program (ops/modular_tail.py), K/2K chained dispatches with the
+    paired-difference latency cancellation, vs the host C++ path
+    (jxlhost_inverse_squeeze_h) on identical data."""
+    from measure_modular_device import device_rate, host_time
+
+    dev = device_rate(size, k=4)
+    host = size * size / host_time(size)
+    return {
+        "modular_device_mpps": round(dev / 1e6, 1),
+        "modular_host_mpps_1t": round(host / 1e6, 1),
+        "modular_device_speedup": round(dev / host, 1),
+        "size": size,
+    }
+
+
 def _bench_jbr_reconstruct(size: int = 1024, reps: int = 4) -> float:
     """BASELINE config 5: JPEG bitstream reconstruction (jxl-jbr).
     Host-only: jbrd header + coefficients -> byte-exact JPEG via the
@@ -791,6 +809,17 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"structural validation failed: {e}", file=sys.stderr)
 
+    try:
+        modular_dev = _bench_modular_device()
+    except Exception as e:  # pragma: no cover
+        print(f"modular device bench failed: {e}", file=sys.stderr)
+        modular_dev = {}
+    if modular_dev:
+        print(f"device modular tail (2048^2 squeeze chain): "
+              f"{modular_dev['modular_device_mpps']:.1f} Msamples/s on-chip "
+              f"vs {modular_dev['modular_host_mpps_1t']:.1f} host C++ 1t",
+              file=sys.stderr)
+
     import os
 
     # overall wall-clock budget: a congested dev tunnel must not push the
@@ -856,6 +885,8 @@ def main() -> None:
         ),
         "device_mpps": round(device_mpps, 1),
         "device_real_pipeline_mpps": round(real_pipe_mpps, 1),
+        "modular_device_mpps": modular_dev.get("modular_device_mpps", 0.0),
+        "modular_device": modular_dev,
         "scaling": scaling,
         "transfer_mbps": transfer,
         "e2e_tunnel_mpps": e2e,

@@ -257,16 +257,21 @@ class ModularImage:
         """Apply inverse transforms (reverse order, in place through views)
         and return the original channel arrays.
 
-        With JXL_TPU_DEVICE_MODULAR=1 the numeric tail (inverse squeeze /
-        RCT / palette-apply) runs as jitted i32 XLA programs instead
-        (ops/modular_tail.py, bit-exact vs this path; SURVEY §7 Phase B,
-        VERDICT r3 item 6), sharded over the decode mesh when one is set."""
-        import os
+        The numeric tail (inverse squeeze / RCT / palette-apply) runs as
+        jitted i32 XLA programs (ops/modular_tail.py, bit-exact vs this
+        path; SURVEY §7 Phase B) automatically when a locally-attached
+        accelerator backs dispatch and the planes are wide enough for
+        the scan's cross-axis to fill the VPU; JXL_TPU_DEVICE_MODULAR
+        (1/0) overrides the selection. Sharded over the decode mesh when
+        one is set."""
+        from ..utils import options as _opts
 
         if (
-            os.environ.get("JXL_TPU_DEVICE_MODULAR")
+            _opts.device_modular_may_engage()
             and self.header.transforms
             and self._device_tail_supported()
+            and (_opts.device_modular_forced()
+                 or self._device_tail_worthwhile())
         ):
             return self._finish_device()
         slots = self.slots
@@ -274,6 +279,18 @@ class ModularImage:
             tr.inverse(slots, self.bit_depth)
         self.finished = True
         return self.image_channels
+
+    def _device_tail_worthwhile(self) -> bool:
+        """Auto-selection size gate: the squeeze scan is sequential along
+        the squeezed axis and vectorizes across the other, so small
+        planes are dispatch/step-latency-bound on the accelerator while
+        the host C++ path finishes in microseconds. Engage only when at
+        least one transformed plane carries >= 2^20 samples (measured
+        crossover region on v5e, tools/measure_modular_device.py)."""
+        return any(
+            s.arr is not None and s.arr.size >= (1 << 20)
+            for s in self.slots
+        )
 
     def _device_tail_supported(self) -> bool:
         """Device envelope: i32 lane and transforms whose device twins are

@@ -17,9 +17,13 @@ Semantics notes:
   - tendency's truncating divisions are computed with the
     add-sign-bit-then-arithmetic-shift identity (exact trunc toward 0).
 
-Gated by JXL_TPU_DEVICE_MODULAR=1 (models/modular.py finish()); the
-host C++/numpy path remains the default (a scan-bound device squeeze
-only wins when the accelerator is local and the cross axis is wide).
+Selection (models/modular.py finish()): automatic — engages when a
+locally-attached accelerator backs dispatch (utils.options
+.local_accelerator) and a transformed plane carries >= 2^20 samples (a
+scan-bound device squeeze only wins when the accelerator is local and
+the cross axis is wide); JXL_TPU_DEVICE_MODULAR=1/0 overrides. On-chip
+throughput: tools/measure_modular_device.py, bench.py
+modular_device_mpps.
 """
 
 from __future__ import annotations

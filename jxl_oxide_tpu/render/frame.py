@@ -179,9 +179,7 @@ def parse_global_modular(
         # JxlImageBuilder force_wide_buffers). The native decoder has the
         # i16 store path; the Python fallback stays wide.
         from .. import native as _native
-        from ..utils.options import get_force_wide
-
-        import os
+        from ..utils.options import device_modular_may_engage, get_force_wide
 
         narrow = (
             meta.modular_16bit_buffers
@@ -190,7 +188,7 @@ def parse_global_modular(
             and _native.available()
             # the device modular tail computes in i32 (ops/modular_tail);
             # decode wide so its results match the host lane bit for bit
-            and not os.environ.get("JXL_TPU_DEVICE_MODULAR")
+            and not device_modular_may_engage()
         )
         modular = ModularImage(
             bs,

@@ -381,6 +381,22 @@ class FrameHeader:
             and meta.grayscale
         )
         h.encoded_color_channels = 1 if actually_grayscale else 3
+        if (
+            h.encoding == Encoding.VARDCT
+            and any(h.jpeg_upsampling)
+            and not h.flags.skip_adaptive_lf_smoothing
+        ):
+            # libjxl rejects this combination as an invalid bitstream
+            # (adaptive LF smoothing needs equal-size LF planes; the
+            # reference PANICS on it — generic/mod.rs:27 assert_eq on
+            # in_x.len()==in_y.len() with per-channel shifted LF planes
+            # from util.rs:150-152). Note subsampled + use_lf_frame is
+            # structurally impossible: jpeg_upsampling is only coded
+            # when !use_lf_frame (header.rs:25, parse above).
+            raise JxlValidationError(
+                "adaptive LF smoothing is incompatible with chroma "
+                "subsampling"
+            )
         return h
 
     @staticmethod

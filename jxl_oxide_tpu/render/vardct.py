@@ -715,10 +715,15 @@ class VardctFrameState:
         """Dequant -> CfL -> inverse transforms, all on device. Returns
         [x, y, b] float32 planes at shifted rounded sizes.
 
-        Non-subsampled frames take the fused single-dispatch path (one XLA
-        computation, one device->host transfer); subsampled frames fall
-        back to staged per-plane calls. `rect` restricts the device
-        program to a plane sub-rect (ROI pushdown)."""
+        Every valid frame takes a fused single-dispatch path (one XLA
+        computation, one device->host transfer), subsampled or not.
+        Subsampled frames never carry adaptive LF smoothing (invalid
+        bitstream, rejected at FrameHeader.parse like libjxl; the
+        reference panics on it) or an LF-frame override (jpeg_upsampling
+        is only coded when !use_lf_frame, header.rs:25), so the
+        per-channel stored-geometry pipeline needs no smoothing/override
+        legs. `rect` restricts the device program to a plane sub-rect
+        (ROI pushdown)."""
         import os
 
         from ..parallel import get_decode_mesh
@@ -726,27 +731,16 @@ class VardctFrameState:
         if os.environ.get("JXL_TPU_FORCE_STAGED"):
             return self._run_staged(hf_global)
         mesh = get_decode_mesh()
-        fused_sub_ok = (
-            self.header.flags.skip_adaptive_lf_smoothing
-            and self.lf_override is None
-        )
+        if self.subsampled:
+            assert self.header.flags.skip_adaptive_lf_smoothing
+            assert self.lf_override is None
         if mesh is not None:
             if not self.subsampled:
                 return self._run_fused_sharded(hf_global, mesh)
-            if fused_sub_ok:
-                return self._run_fused_subsampled_sharded(hf_global, mesh)
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "decode mesh set but this chroma-subsampled frame needs "
-                "adaptive LF smoothing / an LF frame (per-channel plane "
-                "geometries); using the single-device path"
-            )
+            return self._run_fused_subsampled_sharded(hf_global, mesh)
         if not self.subsampled:
             return self._run_fused(hf_global, rect=rect)
-        if fused_sub_ok:
-            return self._run_fused_subsampled(hf_global, rect=rect)
-        return self._run_staged(hf_global)
+        return self._run_fused_subsampled(hf_global, rect=rect)
 
     _fused_cache: dict = {}
 

@@ -1393,12 +1393,13 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma,
     w, h = fh.sample_width(), fh.sample_height()
     if fh.flags.use_lf_frame:
         assert lf_planes_override is not None, "LF slot empty"
-        assert not subsampled, "oracle scope: LF frames are 4:4:4"
-    if subsampled:
-        assert fh.flags.skip_adaptive_lf_smoothing, (
-            "oracle scope: subsampled frames skip adaptive LF smoothing "
-            "(the reference requires equal-size LF planes)"
-        )
+        # structural: jpeg_upsampling is only coded when !use_lf_frame
+        # (header.rs:25), so an LF-consuming frame is always 4:4:4
+        assert not subsampled
+    # structural: subsampled + adaptive LF smoothing is an invalid
+    # bitstream (FrameHeader.parse raises, like libjxl; the reference
+    # panics) — the parse above already rejected it
+    assert not subsampled or fh.flags.skip_adaptive_lf_smoothing
 
     # GlobalModular with zero channels: no modular header at all
     # (render/frame.py:175-176 mirrors the stream layout)

@@ -375,3 +375,45 @@ def test_mesh_subsampled_420(caplog):
         assert not [r for r in caplog.records
                     if "single-device" in r.message], ups
         np.testing.assert_array_equal(sharded, single, err_msg=str(ups))
+
+
+def test_subsampled_smoothing_is_invalid_bitstream():
+    """Chroma-subsampled VarDCT + adaptive LF smoothing raises
+    JxlValidationError at FrameHeader.parse (VERDICT r4 item 2: the
+    fused_sub_ok staged fallback is deleted — this combination is an
+    invalid bitstream per libjxl, and the reference PANICS on it via
+    generic/mod.rs:27's equal-plane-size assert, so every VALID
+    subsampled frame takes the fused pipeline). Subsampled +
+    use_lf_frame needs no test: jpeg_upsampling is only coded when
+    !use_lf_frame (header.rs:25)."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.models.vardct import TransformType as T, jpeg_shifts
+    from jxl_oxide_tpu.utils.errors import JxlValidationError
+
+    rng = np.random.default_rng(98)
+    ups, h, w = (0, 1, 0), 512, 256
+    bh, bw = h // 8, w // 8
+    shifts = jpeg_shifts(ups)
+    sel = np.full((bh, bw), int(T.DCT8), dtype=np.int64)
+    mul = np.ones((bh, bw), dtype=np.int64)
+    coeff = []
+    lf_q = []
+    for c in range(3):
+        hs, vs = shifts[c]
+        coeff.append(np.zeros((h >> vs, w >> hs), dtype=np.int64))
+        lf_q.append(
+            rng.integers(-9, 10, (bh >> vs, bw >> hs)).astype(np.int64)
+        )
+    data = encode_jxl_vardct_tiled(
+        h, w, sel, mul, coeff, lf_q,
+        jpeg_upsampling=ups, skip_lf_smoothing=False,
+    )
+    with pytest.raises(JxlValidationError, match="chroma"):
+        JxlImage.from_bytes(data).render_frame(0)

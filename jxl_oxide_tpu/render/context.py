@@ -15,7 +15,7 @@ import numpy as np
 
 from ..headers.frame import BlendMode, FrameType
 from ..utils.errors import JxlNotSupportedError
-from .render import render_frame
+from .render import apply_frame_upsampling, render_frame, upsample_ec_to_color
 
 __all__ = ["RenderContext", "KeyframeRender"]
 
@@ -181,6 +181,7 @@ class RenderContext:
                 frame._lf_frame_planes = lf_planes
             if fr is None:
                 fr = render_frame(frame)
+            apply_frame_upsampling(fr)
             self.set_lf_frame(header.lf_level - 1, fr.color)
             self._frame_counter += 1
             return None
@@ -200,6 +201,7 @@ class RenderContext:
                 frame, cache=getattr(frame, "_progressive_cache", None)
             )
         self._apply_features(fr, frame)
+        apply_frame_upsampling(fr)
         self._convert_color_for_record(fr, frame)
         canvas_color, canvas_extra = self._composite(fr, frame)
 
@@ -241,6 +243,7 @@ class RenderContext:
         bookkeeping). The render_loading_frame contract
         (jxl-render/src/lib.rs:723-894 + image.rs:788-845)."""
         self._apply_features(fr, frame)
+        apply_frame_upsampling(fr)
         self._convert_color_for_record(fr, frame)
         canvas_color, canvas_extra = self._composite(fr, frame)
         return KeyframeRender(
@@ -268,6 +271,12 @@ class RenderContext:
                 cc = lf_global.vardct.lf_chan_corr
                 base_corr = (cc.base_correlation_x, cc.base_correlation_b)
             if lf_global.patches is not None:
+                # patch blending needs EC planes at the color channels'
+                # (sample) resolution first (render.rs:183 ec_to_color)
+                upsample_ec_to_color(fr)
+                fr.extra = [
+                    np.array(p, dtype=np.float32) for p in fr.extra
+                ]
                 self._apply_patches(fr, lf_global.patches)
             if lf_global.splines is not None and fr.color_channels == 3:
                 from .features import render_spline

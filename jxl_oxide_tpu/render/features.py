@@ -353,10 +353,15 @@ def render_spline(planes, splines: Splines, base_correlations_xb,
             max_color = max(0.01, max(values))
             max_distance = np.sqrt(2.0 * (np.log(10.0) * 3.0 + max_color)) * abs(sigma)
 
+            # loop bounds in FULL-res frame coordinates (spline.rs:209-218
+            # clips to frame_header.width/height), writes clipped at the
+            # grid's edge (try_get_mut -> break): with upsampling > 1 the
+            # planes are sample-res and only their top-left region is hit
+            ph, pw = planes[0].shape
             xb = max(0, int(np.floor(pt[0] - max_distance + 0.5)))
-            xe = min(width, int(np.floor(pt[0] + max_distance + 1.5)))
+            xe = min(width, pw, int(np.floor(pt[0] + max_distance + 1.5)))
             yb = max(0, int(np.floor(pt[1] - max_distance + 0.5)))
-            ye = min(height, int(np.floor(pt[1] + max_distance + 1.5)))
+            ye = min(height, ph, int(np.floor(pt[1] + max_distance + 1.5)))
             if xe <= xb or ye <= yb:
                 continue
             ys, xs = np.mgrid[yb:ye, xb:xe]
@@ -451,6 +456,13 @@ def render_noise(planes, header, visible: int, invisible: int,
     noise = acc * 0.16 - field_arr * 4.0
 
     lut9 = np.asarray(list(lut) + [lut[7]], dtype=np.float32)
+    # noise application reads the FULL-res convolved field at the grid's
+    # own coordinates (noise.rs:25-33 downsample_with_shift + :60-63 row
+    # indexing): sample-res planes (upsampling > 1) use the field's
+    # top-left region
+    ph, pw = planes[0].shape
+    if noise.shape[1:] != (ph, pw):
+        noise = noise[:, :ph, :pw]
     gx, gy = planes[0], planes[1]
     in_x = gx + gy
     in_y = gy - gx

@@ -28,6 +28,11 @@ class FrameRender:
     extra: list  # float32 planes per extra channel
     color_channels: int
     frame: object
+    # features (patches) may pre-upsample EC planes to color resolution
+    # before the final frame upsampling (image.rs:487-513 ec_to_color_only);
+    # the remaining EC factor depends on which staging happened
+    ec_at_color_res: bool = False
+    upsampled: bool = False
     gray_converted_to_rgb: bool = False
     # color planes already converted to the signaled target encoding
     # (image.rs:266 ct_done): set by convert_color_for_record for blending
@@ -221,32 +226,11 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
     if gray_cloned:
         color = color[:1]
 
-    # Image upsampling (frame.upsampling > 1)
-    if header.upsampling > 1:
-        from ..ops.upsample import upsample_nonseparable
-
-        factor = header.upsampling
-        color = [
-            upsample_nonseparable(p, factor, meta) for p in color
-        ]
-        color = [p[: header.sample_height(1), : header.sample_width(1)] for p in color]
-    target_h = header.sample_height(1)
-    target_w = header.sample_width(1)
-    for i in range(len(extra)):
-        eh, ew = extra[i].shape
-        if (eh, ew) != (target_h, target_w):
-            from ..ops.upsample import upsample_nonseparable
-
-            # EC planes decode at ec_upsampling << dim_shift reduced
-            # resolution (render.rs:110-118 upsampling_factor); derive the
-            # factor from the headers, not from shape ratios.
-            factor = (
-                header.ec_upsampling[i] if i < len(header.ec_upsampling) else 1
-            ) << meta.ec_info[i].dim_shift
-            extra[i] = upsample_nonseparable(extra[i], factor, meta)[
-                :target_h, :target_w
-            ]
-
+    # Frame/EC upsampling does NOT happen here: the reference renders
+    # features (patches/splines/noise) at sample resolution FIRST
+    # (render.rs:138-149), then upsamples every channel to full size —
+    # apply_frame_upsampling below runs after RenderContext's feature
+    # pass.
     return FrameRender(
         color=list(color),
         extra=list(extra),
@@ -254,6 +238,80 @@ def render_frame(frame, lf_global=None, allow_partial: bool = False,
         frame=frame,
         gray_converted_to_rgb=False,
     )
+
+
+def _ec_factor(header, meta, i: int) -> int:
+    """Total EC upsampling factor to full resolution: ec_upsampling <<
+    dim_shift (render.rs:110-118 upsampling_factor)."""
+    return (
+        header.ec_upsampling[i] if i < len(header.ec_upsampling) else 1
+    ) << meta.ec_info[i].dim_shift
+
+
+def upsample_ec_to_color(fr) -> None:
+    """Bring EC planes to the COLOR channels' current (sample)
+    resolution before patch blending (render.rs:183, image.rs:487-513
+    ec_to_color_only: each channel upsamples by its factor down to the
+    color shift target). Two-stage EC upsampling (ec->color then
+    color->full) is the reference's numerical behavior whenever patches
+    are present — it differs from a one-shot ec->full upsample."""
+    if fr.ec_at_color_res:
+        return
+    frame = fr.frame
+    header = frame.header
+    meta = frame.image_header.metadata
+    th, tw = header.sample_height(), header.sample_width()
+    for i in range(len(fr.extra)):
+        eh, ew = fr.extra[i].shape
+        if (eh, ew) == (th, tw):
+            continue
+        from ..ops.upsample import upsample_nonseparable
+
+        factor = _ec_factor(header, meta, i) // header.upsampling
+        fr.extra[i] = np.asarray(
+            upsample_nonseparable(fr.extra[i], factor, meta)
+        )[:th, :tw]
+    fr.ec_at_color_res = True
+
+
+def apply_frame_upsampling(fr) -> None:
+    """Frame + EC non-separable upsampling to the full frame size,
+    AFTER feature rendering (render.rs:149 upsample_nonseparable with
+    target factor 0; features run at sample resolution in full-res
+    coordinates, clipped). Idempotent per frame render."""
+    if fr.upsampled:
+        return
+    fr.upsampled = True
+    frame = fr.frame
+    header = frame.header
+    meta = frame.image_header.metadata
+    target_h = header.sample_height(1)
+    target_w = header.sample_width(1)
+    if header.upsampling > 1:
+        from ..ops.upsample import upsample_nonseparable
+
+        fr.color = [
+            upsample_nonseparable(p, header.upsampling, meta)[
+                :target_h, :target_w
+            ]
+            for p in fr.color
+        ]
+    for i in range(len(fr.extra)):
+        eh, ew = fr.extra[i].shape
+        if (eh, ew) == (target_h, target_w):
+            continue
+        from ..ops.upsample import upsample_nonseparable
+
+        # remaining factor: the full ec factor, or just the frame factor
+        # when patches already staged the EC at color resolution
+        factor = (
+            header.upsampling
+            if fr.ec_at_color_res
+            else _ec_factor(header, meta, i)
+        )
+        fr.extra[i] = upsample_nonseparable(fr.extra[i], factor, meta)[
+            :target_h, :target_w
+        ]
 
 
 def _assemble_epf_sigma(frame, h: int, w: int) -> np.ndarray:

@@ -1048,10 +1048,14 @@ def _o_render_splines(planes, splines, base_corr, width, height) -> None:
             max_distance = (
                 np.sqrt(2.0 * (np.log(10.0) * 3.0 + max_color)) * abs(sigma)
             )
+            # FULL-res frame coordinates (spline.rs:209-218), writes
+            # clipped to the grid (try_get_mut): sample-res planes under
+            # upsampling > 1 receive the top-left window
+            ph, pw = planes[0].shape
             xb = max(0, int(np.floor(pt[0] - max_distance + 0.5)))
-            xe = min(width, int(np.floor(pt[0] + max_distance + 1.5)))
+            xe = min(width, pw, int(np.floor(pt[0] + max_distance + 1.5)))
             yb = max(0, int(np.floor(pt[1] - max_distance + 0.5)))
-            ye = min(height, int(np.floor(pt[1] + max_distance + 1.5)))
+            ye = min(height, ph, int(np.floor(pt[1] + max_distance + 1.5)))
             if xe <= xb or ye <= yb:
                 continue
             ys, xs = np.mgrid[yb:ye, xb:xe]
@@ -1132,6 +1136,12 @@ def _o_render_noise(planes, fh, visible, invisible, base_corr, lut) -> None:
         for dx in range(5):
             acc += padded[:, dy : dy + h, dx : dx + w]
     noise = acc * 0.16 - field * 4.0
+    # the convolved field is FULL-res (noise.rs:97-102); sample-res
+    # planes under upsampling > 1 read its top-left window (noise.rs
+    # :25-33 downsample_with_shift + :60-63 row indexing)
+    ph, pw = planes[0].shape
+    if noise.shape[1:] != (ph, pw):
+        noise = noise[:, :ph, :pw]
     lut9 = np.asarray(list(lut) + [lut[7]], dtype=np.float64)
 
     def interp(v):
@@ -1295,14 +1305,35 @@ def _parse_lf_global_oracle(bs, image_header, fh):
 
 
 def _decode_modular_frame(secs, bs, image_header, fh, ma):
+    """Modular frame at SAMPLE resolution: returns (color stack
+    [>=n_color, h_s, w_s] — grayscale triplicated — , list of EC planes
+    at their stored resolutions, list of total EC upsampling factors to
+    full resolution). Frame/EC upsampling is staged by the caller AFTER
+    feature rendering (render.rs:138-149); do_ycbcr chroma planes decode
+    at jpeg shifts and triangle-upsample to sample resolution here
+    (render path order: chroma upsample before filters)."""
     bits = image_header.metadata.bit_depth.bits_per_sample
-    assert fh.upsampling == 1 and not fh.do_ycbcr
     meta = image_header.metadata
     w, h = fh.sample_width(), fh.sample_height()
-    channels = [_OCh(w, h) for _ in range(fh.encoded_color_channels)]
+    u_shift = fh.upsampling.bit_length() - 1
+    if fh.do_ycbcr:
+        from jxl_oxide_tpu.render.frame import jpeg_channel_info
+
+        channels = []
+        for idx in range(3):
+            ci = jpeg_channel_info(w, h, fh.jpeg_upsampling, idx)
+            channels.append(
+                _OCh(ci.width, ci.height, ci.hshift, ci.vshift, ow=w, oh=h)
+            )
+    else:
+        channels = [_OCh(w, h) for _ in range(fh.encoded_color_channels)]
     ec_shifts = []
     for ec_info, ec_up in zip(meta.ec_info, fh.ec_upsampling):
-        ec_shift = (ec_up.bit_length() - 1) + ec_info.dim_shift
+        # stored shift is relative to SAMPLE resolution (render/frame.py
+        # parse_global_modular: ec_upsampling << dim_shift over frame
+        # upsampling, validated >= 0)
+        ec_shift = (ec_up.bit_length() - 1) + ec_info.dim_shift - u_shift
+        assert ec_shift >= 0, "EC upsampling < color upsampling"
         w_s = (w + (1 << ec_shift) - 1) >> ec_shift
         h_s = (h + (1 << ec_shift) - 1) >> ec_shift
         channels.append(_OCh(w_s, h_s, ec_shift, ec_shift, ow=w, oh=h))
@@ -1323,16 +1354,47 @@ def _decode_modular_frame(secs, bs, image_header, fh, ma):
     planes = [
         g.astype(np.float64) / s for g, s in zip(grids, scales)
     ]
-    # EC dim_shift / ec_upsampling: reduced-resolution EC planes upsample
-    # with the non-separable kernels (render.rs:110-118 + upsampling.rs)
-    for e, shift in enumerate(ec_shifts):
-        if shift:
-            planes[n_color + e] = _o_upsample(
-                planes[n_color + e], 1 << shift, meta
-            )[:h, :w]
+    color = planes[:n_color]
+    if fh.do_ycbcr:
+        # JPEG triangle chroma upsample to sample resolution, horizontal
+        # then vertical (production fused order, render.py:171-186)
+        for c in range(3):
+            p = color[c]
+            while p.shape[1] < w:
+                p = _o_triangle_up2(p, 1)
+            while p.shape[0] < h:
+                p = _o_triangle_up2(p, 0)
+            color[c] = p[:h, :w]
+    # restoration filters at sample resolution (render.py:193-222:
+    # gabor + EPF with the constant sigma_for_modular; grayscale clones)
+    rf = fh.restoration_filter
+    if rf.gab.enabled or rf.epf.enabled:
+        cs = list(color) if n_color >= 3 else [color[0]] * 3
+        if rf.gab.enabled:
+            cs = [
+                _gabor(cs[c], rf.gab.weights[c][0], rf.gab.weights[c][1])
+                for c in range(3)
+            ]
+        if rf.epf.enabled:
+            out = np.stack(cs)
+            sigma = np.full((h, w), float(rf.epf.sigma_for_modular))
+            csc = rf.epf.channel_scale
+            bsm = float(rf.epf.border_sad_mul)
+            if rf.epf.iters == 3:
+                out = _epf_pass(out, sigma, 0, csc,
+                                float(rf.epf.pass0_sigma_scale), bsm)
+            if rf.epf.iters >= 1:
+                out = _epf_pass(out, sigma, 1, csc, 1.0, bsm)
+            if rf.epf.iters >= 2:
+                out = _epf_pass(out, sigma, 2, csc,
+                                float(rf.epf.pass2_sigma_scale), bsm)
+            cs = [out[0], out[1], out[2]]
+        color = cs if n_color >= 3 else cs[:1]
     if n_color == 1:
-        planes = [planes[0]] * 3 + planes[1:]
-    return np.stack(planes)
+        color = [color[0]] * 3
+    ecs = planes[n_color:]
+    ec_factors = [1 << (s + u_shift) for s in ec_shifts]
+    return np.stack(color), ecs, ec_factors
 
 
 class _Sections:
@@ -1697,46 +1759,127 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma,
     return out
 
 
-def _composite(canvas, frame_planes, fh, n_color=3):
-    """Frame blending onto the running canvas (blend.rs:550-680 via
-    render/context.py semantics): Replace / Add / Blend (alpha-weighted,
-    non-premultiplied; MixAlpha for the alpha channel itself)."""
+def _o_blend_one(base, new, mode, x0, y0, base_alpha, new_alpha, clamp,
+                 premultiplied, is_alpha_channel):
+    """One channel blend in float64 (blend.rs:550-680): base is
+    image-sized, new is frame-sized placed at (x0, y0); in place."""
     from jxl_oxide_tpu.headers.frame import BlendMode
 
-    binfo = fh.blending_info
-    if canvas is None or binfo.mode == BlendMode.REPLACE:
-        return frame_planes.copy()
-    out = canvas.copy()
-    if binfo.mode == BlendMode.ADD:
-        out[:n_color] += frame_planes[:n_color]
-        for e, eb in enumerate(fh.ec_blending_info):
-            assert eb.mode == BlendMode.ADD
-            out[n_color + e] += frame_planes[n_color + e]
-        return out
-    assert binfo.mode == BlendMode.BLEND
-    alpha_idx = None
-    if frame_planes.shape[0] > n_color:
-        alpha_idx = n_color + binfo.alpha_channel
-    if alpha_idx is None:
-        out[:n_color] = frame_planes[:n_color]
-        return out
-    na = frame_planes[alpha_idx]
-    ba = canvas[alpha_idx]
-    if binfo.clamp:
-        na = np.clip(na, 0.0, 1.0)
-    mixed = 1.0 - (1.0 - na) * (1.0 - ba)
-    recip = np.where(mixed > 0.0, 1.0 / np.where(mixed == 0, 1, mixed), 0.0)
-    for c in range(n_color):
-        out[c] = (na * frame_planes[c] + ba * canvas[c] * (1.0 - na)) * recip
-    for e, eb in enumerate(fh.ec_blending_info):
-        ch = n_color + e
-        if eb.mode == BlendMode.BLEND and ch == alpha_idx:
-            out[ch] = na + canvas[ch] * (1.0 - na)  # MixAlpha
-        elif eb.mode == BlendMode.REPLACE:
-            out[ch] = frame_planes[ch]
+    ih, iw = base.shape
+    fh_, fw = new.shape
+    sx0, sy0 = max(0, -x0), max(0, -y0)
+    dx0, dy0 = max(0, x0), max(0, y0)
+    w = min(fw - sx0, iw - dx0)
+    h = min(fh_ - sy0, ih - dy0)
+    if w <= 0 or h <= 0:
+        return
+    nv = new[sy0 : sy0 + h, sx0 : sx0 + w]
+    bv = base[dy0 : dy0 + h, dx0 : dx0 + w]
+    if mode == BlendMode.REPLACE:
+        bv[:, :] = nv
+    elif mode == BlendMode.ADD:
+        bv += nv
+    elif mode == BlendMode.MUL:
+        bv *= np.clip(nv, 0.0, 1.0) if clamp else nv
+    elif mode == BlendMode.BLEND:
+        na = (
+            new_alpha[sy0 : sy0 + h, sx0 : sx0 + w]
+            if new_alpha is not None else None
+        )
+        ba = (
+            base_alpha[dy0 : dy0 + h, dx0 : dx0 + w]
+            if base_alpha is not None else np.zeros_like(bv)
+        )
+        if is_alpha_channel:
+            nval = np.clip(nv, 0.0, 1.0) if clamp else nv
+            bv[:, :] = nval + bv * (1.0 - nval)  # MixAlpha
+        elif na is None:
+            bv[:, :] = nv
         else:
-            assert eb.mode == BlendMode.BLEND
-            out[ch] = (na * frame_planes[ch] + ba * canvas[ch] * (1.0 - na)) * recip
+            na = np.clip(na, 0.0, 1.0) if clamp else na
+            if premultiplied:
+                bv[:, :] = nv + bv * (1.0 - na)
+            else:
+                mixed = 1.0 - (1.0 - na) * (1.0 - ba)
+                recip = np.where(
+                    mixed > 0.0, 1.0 / np.where(mixed == 0, 1, mixed), 0.0
+                )
+                bv[:, :] = (na * nv + ba * bv * (1.0 - na)) * recip
+    elif mode == BlendMode.MUL_ADD:
+        na = (
+            new_alpha[sy0 : sy0 + h, sx0 : sx0 + w]
+            if new_alpha is not None else None
+        )
+        if is_alpha_channel:
+            pass  # blend.rs MulAdd skips the alpha channel itself
+        elif na is None:
+            bv += nv
+        else:
+            bv += (np.clip(na, 0.0, 1.0) if clamp else na) * nv
+    else:
+        raise AssertionError(f"oracle scope: blend mode {mode}")
+
+
+def _composite(frame_planes, fh, ref_slots, meta, img_w, img_h,
+               n_color=3):
+    """Frame blending onto per-channel blend-source bases
+    (blend.rs:218-232 + :550-680; context.py _composite): each channel
+    derives its base plane, base alpha, and premultiplied flag from its
+    OWN BlendingInfo — bases come from the channel's SOURCE reference
+    slot (zeros when empty), NOT from a running canvas, and the frame
+    places at (x0, y0) on the image-sized output."""
+    from jxl_oxide_tpu.headers.frame import BlendMode
+
+    C = frame_planes.shape[0]
+    binfo = fh.blending_info
+    full_replace = (
+        binfo.mode == BlendMode.REPLACE
+        and not fh.have_crop
+        and all(
+            e.mode == BlendMode.REPLACE for e in fh.ec_blending_info
+        )
+    )
+    if full_replace and frame_planes.shape[1:] == (img_h, img_w):
+        return frame_planes.copy()
+
+    def slot_plane(src, ch):
+        base = ref_slots[src]
+        if base is None or ch >= base.shape[0]:
+            return None
+        return base[ch]
+
+    def alpha_ctx(info):
+        if not info.mode.use_alpha:
+            return None, None, False
+        ai = n_color + info.alpha_channel
+        base_a = slot_plane(info.source, ai)
+        new_a = frame_planes[ai] if ai < C else None
+        premul = bool(
+            meta.ec_info
+            and info.alpha_channel < len(meta.ec_info)
+            and meta.ec_info[info.alpha_channel].alpha_associated
+        )
+        return base_a, new_a, premul
+
+    out = np.zeros((C, img_h, img_w), dtype=np.float64)
+    for ch in range(C):
+        info = (
+            binfo if ch < n_color
+            else fh.ec_blending_info[ch - n_color]
+        )
+        b = slot_plane(info.source, ch)
+        if b is not None:
+            out[ch] = b
+        base_a, new_a, premul = alpha_ctx(info)
+        is_alpha = (
+            ch >= n_color
+            and info.mode.use_alpha
+            and (ch - n_color) == info.alpha_channel
+        )
+        _o_blend_one(
+            out[ch], frame_planes[ch], info.mode, fh.x0, fh.y0,
+            base_a, new_a, info.clamp, premul, is_alpha,
+        )
     return out
 
 
@@ -1784,34 +1927,62 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
                 secs, image_header, fh, lf_dequant, lf_vardct, ma,
                 lf_planes_override=override, raw_output=True,
             )
+            if fh.upsampling > 1:
+                th, tw = fh.sample_height(1), fh.sample_width(1)
+                planes = np.stack([
+                    _o_upsample(p, fh.upsampling, meta)[:th, :tw]
+                    for p in planes
+                ])
             lf_slots[fh.lf_level - 1] = planes
             frame_counter += 1
             bs.pos = (section_start + toc.total_size) * 8
             continue
         if fh.encoding == Encoding.MODULAR:
-            planes = _decode_modular_frame(secs, lf_bs, image_header, fh, ma)
+            color, ecs, ec_factors = _decode_modular_frame(
+                secs, lf_bs, image_header, fh, ma
+            )
         else:
-            planes = _decode_vardct_frame(
+            assert not meta.ec_info, (
+                "oracle scope: VarDCT frames with extra channels"
+            )
+            color = _decode_vardct_frame(
                 secs, image_header, fh, lf_dequant, lf_vardct, ma,
                 lf_planes_override=(
                     lf_slots[fh.lf_level] if fh.flags.use_lf_frame else None
                 ),
             )
+            ecs, ec_factors = [], []
 
-        # features: patches -> splines -> noise (render.rs
-        # render_features order; context.py _apply_features semantics)
-        n_color = 3 if planes.shape[0] >= 3 else planes.shape[0]
+        # features at SAMPLE resolution in full-res coordinates
+        # (render.rs:138-149): patches -> splines -> noise, then
+        # frame/EC upsampling (render.rs:149) — context.py semantics
+        n_color = 3 if color.shape[0] >= 3 else color.shape[0]
         base_corr = None
         if lf_vardct is not None:
             cc = lf_vardct.lf_chan_corr
             base_corr = (cc.base_correlation_x, cc.base_correlation_b)
+        u = fh.upsampling
+        ec_at_color = False
         if patches is not None:
+            # ECs to color (sample) resolution first (render.rs:183,
+            # image.rs:487-513 ec_to_color_only)
+            sh_, sw_ = color.shape[1:]
+            for i in range(len(ecs)):
+                f = ec_factors[i] // u
+                if f > 1:
+                    ecs[i] = _o_upsample(ecs[i], f, meta)[:sh_, :sw_]
+            ec_at_color = True
+            planes = np.concatenate(
+                [color, np.stack(ecs)]
+            ) if ecs else color
             _o_apply_patches(
                 planes, patches, ref_slots, n_color, image_header.metadata
             )
+            color = planes[: color.shape[0]]
+            ecs = [planes[color.shape[0] + i] for i in range(len(ecs))]
         if splines is not None and n_color == 3:
             _o_render_splines(
-                planes[:3], splines, base_corr, fh.width, fh.height
+                color[:3], splines, base_corr, fh.width, fh.height
             )
         if noise is not None and n_color == 3:
             is_kf = fh.is_keyframe
@@ -1823,8 +1994,26 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
             else:
                 invisible = frame_counter - last_keyframe_idx
             _o_render_noise(
-                planes[:3], fh, visible, invisible, base_corr, noise.lut
+                color[:3], fh, visible, invisible, base_corr, noise.lut
             )
+
+        # upsample to full frame size: color by fh.upsampling, each EC
+        # by its remaining factor (frame factor when patches already
+        # staged it at color resolution, the full factor otherwise)
+        th, tw = fh.sample_height(1), fh.sample_width(1)
+        if u > 1:
+            color = np.stack(
+                [_o_upsample(p, u, meta)[:th, :tw] for p in color]
+            )
+        up_ecs = []
+        for i, e in enumerate(ecs):
+            f = u if ec_at_color else ec_factors[i]
+            if f > 1:
+                e = _o_upsample(e, f, meta)[:th, :tw]
+            up_ecs.append(e)
+        planes = (
+            np.concatenate([color, np.stack(up_ecs)]) if up_ecs else color
+        )
 
         if fh.do_ycbcr and not meta.xyb_encoded:
             # BT.601 conversion after features, before blending/record
@@ -1833,7 +2022,11 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
             planes[0], planes[1], planes[2] = r, g, b
 
         if fh.frame_type.name in ("REGULAR", "SKIP_PROGRESSIVE"):
-            canvas = _composite(canvas, planes, fh)
+            canvas = _composite(
+                planes, fh, ref_slots, meta,
+                image_header.size.width, image_header.size.height,
+                n_color=n_color,
+            )
             stored = canvas
         else:
             # REFERENCE_ONLY: rendered but never blended onto the canvas

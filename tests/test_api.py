@@ -406,6 +406,76 @@ def test_fuzz_corpus_sweep(fuzz_corpus_paths):
             raise AssertionError(f"{os.path.basename(path)}: {type(e).__name__}: {e}")
 
 
+def test_fuzz_corpus_pixels(fuzz_corpus_paths):
+    """Pixel-level use of the reference fuzz corpus (VERDICT r4 item 3):
+    every seed that decodes successfully is cross-checked against the
+    float64 oracle (the only third-party bitstreams in the environment
+    must validate CONTENT, not just crash-freeness). Seeds outside the
+    oracle's scope are skipped with a recorded reason; production
+    rejecting a stream (JxlError) is a valid outcome (these are fuzz
+    crashes, mostly malformed). The accounting asserts pin the current
+    corpus composition so scope regressions (a decodable seed silently
+    dropping to skipped) fail loudly."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_decoder import oracle_decode
+
+    from jxl_oxide_tpu.utils.errors import JxlError
+
+    assert fuzz_corpus_paths, "fuzz corpus unavailable"
+    invalid, compared, skipped = [], [], {}
+    for path in fuzz_corpus_paths:
+        name = os.path.basename(path)
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            img = JxlImage(approx_memory_limit=128 << 20)
+            img.feed_bytes(data)
+            img.finish()
+            renders = [img.render_frame(i) for i in range(img.num_keyframes)]
+        except JxlError:
+            invalid.append(name)
+            continue
+        codestream = bytes(img._codestream)
+        try:
+            got = oracle_decode(codestream)
+        except (AssertionError, JxlError) as e:
+            skipped[name] = f"oracle scope: {type(e).__name__}: {e}"
+            continue
+        assert len(got) == len(renders), name
+        worst = 0.0
+        for g, r in zip(got, renders):
+            r.apply_spot_colors()
+            color = [np.asarray(p, dtype=np.float64)
+                     for p in list(r.planes)[:3]]
+            if len(color) == 1:
+                color = color * 3
+            w = np.stack(
+                color + [np.asarray(e, dtype=np.float64) for e in r.extra]
+            )
+            assert g.shape[0] == w.shape[0], (name, g.shape, w.shape)
+            excess = np.abs(g - w) - 1e-6 * np.abs(g)
+            worst = max(worst, float(excess.max()))
+        # VarDCT f32-vs-f64 tolerance (fuzz seeds can mix encodings;
+        # use the looser bound): tools/fuzz_diff.py VARDCT_TOL
+        assert worst <= 2e-4, (name, worst)
+        compared.append((name, worst))
+    # corpus accounting: 60 seeds; the bulk are malformed (crash
+    # regressions). Every seed that production decodes must be either
+    # compared or carry an explicit oracle-scope skip reason.
+    assert len(invalid) + len(compared) + len(skipped) == len(
+        fuzz_corpus_paths
+    )
+    # 3 of the 60 seeds decode; 2 are in oracle scope (round 5 widened
+    # the oracle to frame upsampling, do_ycbcr modular, modular filters,
+    # and per-EC blend-source compositing to cover them)
+    assert len(compared) >= 2, (compared, skipped)
+    assert len(compared) + len(skipped) >= 3, (compared, skipped)
+    for name, reason in skipped.items():
+        print(f"corpus-pixels skip {name}: {reason}")
+
+
 def test_crop_random_rects():
     """4 random ROI rects vs the full render (tests/crop/mod.rs:7-90)."""
     from encoder import encode_jxl_modular

@@ -490,6 +490,116 @@ def test_oracle_ec_dim_shift():
     _assert_match(data, FEAT_TOL)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(upsampling=2),
+    dict(upsampling=8),
+    dict(upsampling=2, gabor=True),
+    dict(upsampling=2, epf_iters=2),
+    dict(upsampling=4, gabor=True, epf_iters=1),
+])
+def test_oracle_frame_upsampling(kw):
+    """Frame upsampling (fh.upsampling > 1): channels decode at sample
+    resolution, restoration filters run at sample resolution, then the
+    non-separable kernel upsamples to full size (render.rs:149; round-5
+    widening, VERDICT r4 item 4 — the class fuzz seed rct_zero_sized
+    exercises)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(31)
+    u = kw["upsampling"]
+    H = W = 64
+    hs = -(-H // u)
+    chans = [rng.integers(0, 256, (hs, hs), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8, image_size=(H, W), **kw)
+    _assert_match(data, FEAT_TOL)
+
+
+def test_oracle_modular_do_ycbcr():
+    """do_ycbcr modular frame (4:4:4): channels carry YCbCr samples,
+    BT.601 conversion after filters/features (round-5 widening — the
+    class fuzz seed upsample_separate_ec exercises together with
+    upsampling and per-EC blending)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(37)
+    chans = [rng.integers(0, 256, (24, 24), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8, do_ycbcr=True)
+    _assert_match(data, FEAT_TOL)
+
+
+def test_oracle_upsampling_with_features():
+    """Features render at SAMPLE resolution in full-res coordinates
+    before upsampling (render.rs:138-149): splines and noise on an
+    upsampling=2 frame (the production ordering fix of round 5)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(41)
+    H = W = 64
+    base = [rng.integers(60, 196, (32, 32), dtype=np.int64)
+            for _ in range(3)]
+    xyb_dct = np.zeros((3, 32), dtype=np.int64)
+    xyb_dct[:, 0] = (40, 30, 20)
+    sigma_dct = np.zeros(32, dtype=np.int64)
+    sigma_dct[0] = 30
+    spec = dict(points=[(6, 8), (20, 12), (30, 28)],
+                xyb_dct=xyb_dct, sigma_dct=sigma_dct)
+    data = encode_jxl_modular(
+        base, bit_depth=8, image_size=(H, W), upsampling=2,
+        splines_spec=([spec], 2),
+        noise_lut=[0.2, 0.3, 0.4, 0.5, 0.5, 0.4, 0.3, 0.2],
+    )
+    _assert_match(data, FEAT_TOL)
+
+
+@pytest.mark.parametrize("ec_up", [2, 4])
+def test_oracle_upsampling_ec(ec_up):
+    """EC channels under frame upsampling: stored shift is
+    log2(ec_upsampling) + dim_shift - log2(upsampling) relative to
+    sample resolution; one-shot upsample by the FULL EC factor when no
+    patches are present (render.rs:110-118)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(43)
+    H = W = 64
+    u = 2
+    hs = H // u
+    rel = ec_up // u
+    chans = [rng.integers(0, 256, (hs, hs), dtype=np.int64)
+             for _ in range(3)]
+    alpha = rng.integers(0, 256, (hs // rel, hs // rel), dtype=np.int64)
+    data = encode_jxl_modular(
+        chans + [alpha], bit_depth=8, image_size=(H, W), upsampling=u,
+        extra_alpha=True, ec_upsampling=[ec_up],
+    )
+    _assert_match(data, FEAT_TOL)
+
+
+def test_oracle_patches_two_stage_ec():
+    """Patches + dim-shifted EC: the EC plane upsamples to COLOR
+    resolution before patch blending and by the remaining frame factor
+    afterwards (image.rs:487-513 ec_to_color_only; two-stage kernels
+    differ numerically from a one-shot upsample)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(47)
+    h = w = 32
+    base = [rng.integers(0, 256, (h, w), dtype=np.int64)
+            for _ in range(3)]
+    alpha = rng.integers(0, 256, (h >> 1, w >> 1), dtype=np.int64)
+    # the ReferenceOnly frame codes the EC channel too (at its shift)
+    ref = [rng.integers(0, 256, (h, w), dtype=np.int64) for _ in range(3)]
+    ref_alpha = rng.integers(0, 256, (h >> 1, w >> 1), dtype=np.int64)
+    spec = dict(ref_idx=0, x0=2, y0=4, width=10, height=8, x=5, y=6,
+                mode=1)
+    data = encode_jxl_modular(
+        base + [alpha], bit_depth=8, extra_alpha=True, alpha_dim_shift=1,
+        reference_patch=(ref + [ref_alpha], spec),
+    )
+    _assert_match(data, FEAT_TOL)
+
+
 def test_oracle_multi_group_modular():
     """Multi-group modular frame: per-(pass x group) sub-streams with the
     image.rs channel splitting, decoded group by group by the oracle."""

@@ -515,10 +515,12 @@ def encode_stream_tokens(w: BitWriter, enc: AnsStreamEncoder, channels, predicto
 # Full image encoding
 
 
-def _encode_patches(w: BitWriter, spec: dict) -> None:
+def _encode_patches(w: BitWriter, spec: dict, num_extra: int = 0) -> None:
     """Entropy-coded patch list (jxl-frame data/patch.rs): one PatchRef
-    with one target, 0 extra channels. spec keys: ref_idx, x0, y0, width,
-    height, x, y, mode (PatchBlendMode raw value)."""
+    with one target; per-target blending info for color + each of
+    num_extra ECs (mode per EC from spec["ec_modes"], default NONE).
+    spec keys: ref_idx, x0, y0, width, height, x, y, mode
+    (PatchBlendMode raw value)."""
     enc = AnsStreamEncoder(10, 64, 6, DEFAULT_CFG)
     enc.write_header(w)
     toks = [
@@ -531,10 +533,13 @@ def _encode_patches(w: BitWriter, spec: dict) -> None:
         0,                      # count - 1        (ctx 7)
         spec["x"],              # first target x   (ctx 4)
         spec["y"],              # first target y   (ctx 4)
-        spec["mode"],           # blending mode    (ctx 5)
     ]
-    if spec["mode"] >= 3:
-        toks.append(int(spec.get("clamp", False)))  # ctx 9
+    ec_modes = spec.get("ec_modes", [0] * num_extra)
+    for mode in [spec["mode"]] + list(ec_modes):
+        toks.append(mode)       # ctx 5 (alpha-channel token only when
+                                # >= 2 alpha ECs exist — none here)
+        if mode >= 3:
+            toks.append(int(spec.get("clamp", False)))  # ctx 9
     enc.encode_tokens(w, toks)
 
 
@@ -670,6 +675,9 @@ def encode_jxl_modular(
     animation_blend: bool = False,
     spot_colour: tuple | None = None,
     upsampling: int = 1,
+    do_ycbcr: bool = False,
+    jpeg_upsampling: tuple = (0, 0, 0),
+    ec_upsampling: list | None = None,
     image_size: tuple | None = None,
     squeeze: bool = False,
     palette_spec: dict | None = None,
@@ -703,6 +711,10 @@ def encode_jxl_modular(
         "channels must be a LIST of (H, W) planes, not an interleaved "
         "(H, W, C) array"
     )
+    assert not (do_ycbcr and any(jpeg_upsampling)), (
+        "encoder scope: do_ycbcr modular only at 4:4:4"
+    )
+    assert not do_ycbcr or not xyb, "do_ycbcr is absent when xyb_encoded"
     h, w = image_size if image_size is not None else channels[0].shape
     ch_h, ch_w = channels[0].shape
     n_ch = len(channels)
@@ -712,7 +724,11 @@ def encode_jxl_modular(
     if grayscale is None:
         grayscale = n_color == 1
     if palette_spec is None and not squeeze:
-        n_full = n_ch - (1 if (extra_alpha and alpha_dim_shift) else 0)
+        ec_shifted = extra_alpha and (
+            alpha_dim_shift
+            or (ec_upsampling and ec_upsampling[0] != upsampling)
+        )
+        n_full = n_ch - (1 if ec_shifted else 0)
         assert all(c.shape == (ch_h, ch_w) for c in channels[:n_full])
 
     if rct:
@@ -982,14 +998,21 @@ def encode_jxl_modular(
             flags |= 0x10
         if flags == 0:
             out.write_u64_zero()
-        else:
+        elif flags <= 16:
             out.write(1, 2)  # U64 selector: 1 + u(4)
             out.write(flags - 1, 4)
+        else:
+            out.write(2, 2)  # U64 selector: 17 + u(8)
+            out.write(flags - 17, 8)
         if not xyb:
-            out.write_bool(False)  # do_ycbcr (absent when xyb_encoded)
+            out.write_bool(do_ycbcr)  # absent when xyb_encoded
+        if do_ycbcr:
+            for v in jpeg_upsampling:
+                out.write(v, 2)
         out.write({1: 0, 2: 1, 4: 2, 8: 3}[upsampling], 2)  # upsampling
-        for _ in range(num_extra):
-            out.write_u32_sel(0, 0, 0)  # ec_upsampling = 1
+        for i in range(num_extra):
+            eu = ec_upsampling[i] if ec_upsampling else 1
+            out.write({1: 0, 2: 1, 4: 2, 8: 3}[eu], 2)
         out.write(group_size_shift, 2)
         if frame_type != 2:  # ReferenceOnly has no Passes
             out.write_u32_sel(0, 0, 0)  # num_passes = 1
@@ -1152,7 +1175,7 @@ def encode_jxl_modular(
         # LfGlobal section
         lf = BitWriter()
         if patch_spec is not None:
-            _encode_patches(lf, patch_spec)
+            _encode_patches(lf, patch_spec, num_extra)
         if splines_spec is not None:
             _encode_splines(lf, *splines_spec)
         if noise_lut is not None:

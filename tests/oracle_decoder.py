@@ -1304,6 +1304,31 @@ def _parse_lf_global_oracle(bs, image_header, fh):
     return lf_dequant, vardct, ma, (patches, splines, noise)
 
 
+def _o_norm_samples(g: np.ndarray, bd) -> np.ndarray:
+    """Modular integer samples -> float64. Integer depths divide by
+    (1<<bits)-1; float depths reinterpret the integer as a custom
+    sign/exp/mantissa float (jxl-image lib.rs:427-470), with subnormal
+    handling — an independent reimplementation of the production
+    _parse_integer_samples."""
+    if not bd.is_float:
+        return g.astype(np.float64) / float((1 << bd.bits_per_sample) - 1)
+    bits, exp_bits = bd.bits_per_sample, bd.exp_bits
+    if bits == 32 and exp_bits == 8:
+        return (
+            g.astype(np.int64).astype(np.uint32).view(np.float32)
+            .astype(np.float64)
+        )
+    m = bits - exp_bits - 1
+    u = g.astype(np.int64) & ((1 << bits) - 1)
+    sign = u >> (bits - 1)
+    exp = (u >> m) & ((1 << exp_bits) - 1)
+    mant = (u & ((1 << m) - 1)).astype(np.float64) / float(1 << m)
+    bias = (1 << (exp_bits - 1)) - 1
+    val = (1.0 + mant) * np.exp2((exp - bias).astype(np.float64))
+    val = np.where(exp == 0, mant * np.exp2(float(1 - bias)), val)
+    return np.where(sign == 1, -val, val)
+
+
 def _decode_modular_frame(secs, bs, image_header, fh, ma):
     """Modular frame at SAMPLE resolution: returns (color stack
     [>=n_color, h_s, w_s] — grayscale triplicated — , list of EC planes
@@ -1339,21 +1364,15 @@ def _decode_modular_frame(secs, bs, image_header, fh, ma):
         channels.append(_OCh(w_s, h_s, ec_shift, ec_shift, ow=w, oh=h))
         ec_shifts.append(ec_shift)
     grids = _oracle_modular(bs, channels, fh, bits, ma, secs=secs)
-    # each extra channel normalizes by its OWN declared bit depth (a
-    # d_alpha default EC is 8-bit regardless of the color depth) —
-    # image.rs convert_modular bit-depth normalization per channel
+    # each channel normalizes by its OWN declared bit depth (a d_alpha
+    # default EC is 8-bit regardless of the color depth) — image.rs
+    # convert_modular bit-depth normalization per channel; float-sample
+    # depths reinterpret the integer as a custom float (lib.rs:427-470)
     n_color = fh.encoded_color_channels
-    for ec in image_header.metadata.ec_info:
-        assert not ec.bit_depth.is_float, (
-            "oracle scope: integer-sample ECs only"
-        )
-    scales = [float((1 << bits) - 1)] * n_color + [
-        float((1 << ec.bit_depth.bits_per_sample) - 1)
-        for ec in image_header.metadata.ec_info
+    depths = [meta.bit_depth] * n_color + [
+        ec.bit_depth for ec in meta.ec_info
     ]
-    planes = [
-        g.astype(np.float64) / s for g, s in zip(grids, scales)
-    ]
+    planes = [_o_norm_samples(g, bd) for g, bd in zip(grids, depths)]
     color = planes[:n_color]
     if fh.do_ycbcr:
         # JPEG triangle chroma upsample to sample resolution, horizontal
@@ -1883,15 +1902,39 @@ def _composite(frame_planes, fh, ref_slots, meta, img_w, img_h,
     return out
 
 
+def _o_orient(planes: np.ndarray, orientation: int) -> np.ndarray:
+    """EXIF orientation 1-8 on a [C, H, W] stack (fb.rs:171-409):
+    independent index-map formulation — display pixel (y, x) samples the
+    stored plane at the mapped coordinate."""
+    if orientation == 1:
+        return planes
+    _, h, w = planes.shape
+    oh, ow = (w, h) if orientation >= 5 else (h, w)
+    yy, xx = np.mgrid[0:oh, 0:ow]
+    # stored coordinates sampled for each display pixel
+    maps = {
+        2: (yy, w - 1 - xx),            # mirror horizontal
+        3: (h - 1 - yy, w - 1 - xx),    # rotate 180
+        4: (h - 1 - yy, xx),            # mirror vertical
+        5: (xx, yy),                    # transpose
+        6: (h - 1 - xx, yy),            # rotate 90 CW
+        7: (h - 1 - xx, w - 1 - yy),    # anti-transpose
+        8: (xx, w - 1 - yy),            # rotate 90 CCW
+    }
+    sy, sx = maps[orientation]
+    return planes[:, sy, sx]
+
+
 def oracle_decode(data: bytes) -> list[np.ndarray]:
     """Decode a bare codestream; returns [C, H, W] float64 planes per
     keyframe (color in the stream's nominal encoding — sRGB for
-    xyb_encoded or srgb-enum streams — plus any extra channels)."""
+    xyb_encoded or srgb-enum streams — plus any extra channels), with
+    the EXIF orientation applied (the comparison surface is
+    image_all_channels, fb.rs:171-409)."""
     assert data[:2] == b"\xff\x0a", "oracle accepts bare codestreams"
     bs = Bitstream(data)
     image_header = ImageHeader.parse(bs)
     meta = image_header.metadata
-    assert meta.orientation == 1, "oracle scope: orientation 1"
 
     renders = []
     canvas = None
@@ -2037,7 +2080,7 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
             if fh.is_last or fh.duration > 0:
                 out = canvas.copy()
                 _o_apply_spot_colors(out, image_header.metadata, n_color)
-                renders.append(out)
+                renders.append(_o_orient(out, meta.orientation))
                 num_prev_keyframes += 1
                 last_keyframe_idx = frame_counter
         frame_counter += 1

@@ -446,13 +446,15 @@ def test_fuzz_corpus_pixels(fuzz_corpus_paths):
         assert len(got) == len(renders), name
         worst = 0.0
         for g, r in zip(got, renders):
-            r.apply_spot_colors()
-            color = [np.asarray(p, dtype=np.float64)
-                     for p in list(r.planes)[:3]]
-            if len(color) == 1:
+            arr = np.moveaxis(
+                np.asarray(r.image_all_channels(), dtype=np.float64), -1, 0
+            )
+            nc = len(r.planes)
+            color = [arr[i] for i in range(nc)]
+            if nc == 1:
                 color = color * 3
             w = np.stack(
-                color + [np.asarray(e, dtype=np.float64) for e in r.extra]
+                color + [arr[nc + i] for i in range(len(r.extra))]
             )
             assert g.shape[0] == w.shape[0], (name, g.shape, w.shape)
             excess = np.abs(g - w) - 1e-6 * np.abs(g)

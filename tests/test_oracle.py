@@ -22,17 +22,20 @@ from oracle_decoder import oracle_decode  # noqa: E402
 
 
 def _main_planes(data, n_color=3):
+    """Production keyframes as [C, H, W] float64 stacks through the
+    ORIENTED public surface (image_all_channels, fb.rs:171-409) so
+    orientation 2-8 streams compare end to end."""
     from jxl_oxide_tpu import JxlImage
 
     img = JxlImage.from_bytes(data)
     out = []
     for k in range(img.num_keyframes):
         r = img.render_frame(k)
-        r.apply_spot_colors()  # the oracle composites spot ECs too
-        out.append(np.stack(
-            [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:n_color]]
-            + [np.asarray(e, dtype=np.float64) for e in r.extra]
-        ))
+        arr = np.moveaxis(
+            np.asarray(r.image_all_channels(), dtype=np.float64), -1, 0
+        )
+        nc = min(len(r.planes), n_color)
+        out.append(arr[: nc + len(r.extra)])
     return out
 
 
@@ -598,6 +601,63 @@ def test_oracle_patches_two_stage_ec():
         reference_patch=(ref + [ref_alpha], spec),
     )
     _assert_match(data, FEAT_TOL)
+
+
+@pytest.mark.parametrize("o", list(range(2, 9)))
+def test_oracle_orientation(o):
+    """EXIF orientations 2-8 through the oriented public surface
+    (fb.rs:171-409) vs the oracle's independent index-map formulation —
+    modular (with an EC) and VarDCT legs (VERDICT r4 item 4)."""
+    from encoder import encode_jxl_modular
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(300 + o)
+    chans = [rng.integers(0, 256, (12, 18), dtype=np.int64)
+             for _ in range(3)]
+    alpha = rng.integers(0, 256, (12, 18), dtype=np.int64)
+    _assert_match(
+        encode_jxl_modular(chans + [alpha], bit_depth=8, orientation=o,
+                           extra_alpha=True),
+        MOD_TOL,
+    )
+    rgb = rng.random((24, 40, 3)).astype(np.float32)
+    _assert_match(
+        encode_jxl_vardct(rgb, gabor=True, epf_iters=1, orientation=o),
+        VARDCT_TOL,
+    )
+
+
+@pytest.mark.parametrize("bits,exp", [(16, 5), (32, 8), (20, 6)])
+def test_oracle_float_sample_ec(bits, exp):
+    """Float-sample extra channels (BitDepth float form, jxl-image
+    lib.rs:427-470): the stored integers reinterpret as sign/exp/
+    mantissa floats — production vs the oracle's independent f64
+    reimplementation (VERDICT r4 item 4)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(51)
+    h = w = 24
+    color = [rng.integers(0, 256, (h, w), dtype=np.int64)
+             for _ in range(3)]
+    if bits == 16:
+        vals = np.float16(rng.random((h, w))).view(np.uint16)
+        ec = vals.astype(np.int64)
+    elif bits == 32:
+        vals = np.float32(rng.random((h, w))).view(np.uint32)
+        ec = vals.astype(np.int64)
+    else:
+        # arbitrary (bits, exp): synthesize valid patterns directly
+        m = bits - exp - 1
+        ec = (
+            (rng.integers(0, 2, (h, w)) << (bits - 1))
+            | (rng.integers(1, (1 << exp) - 1, (h, w)) << m)
+            | rng.integers(0, 1 << m, (h, w))
+        ).astype(np.int64)
+    data = encode_jxl_modular(
+        color + [ec], bit_depth=8,
+        extra_channel_specs=[dict(ty=1, bits=bits, float_exp_bits=exp)],
+    )
+    _assert_match(data, MOD_TOL)
 
 
 def test_oracle_multi_group_modular():

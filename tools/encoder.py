@@ -410,7 +410,7 @@ class Lz77AnsStreamEncoder(AnsStreamEncoder):
 
 
 def write_ma_config(w: BitWriter, predictor: int, lz77_rle: bool = False,
-                    lz77_matches: bool = False):
+                    lz77_matches: bool = False, cfg=None):
     """Single-leaf MA tree + token decoder header.
 
     Tree stream tokens (ctx order): prop+1=0 (leaf), predictor, offset=0,
@@ -422,12 +422,13 @@ def write_ma_config(w: BitWriter, predictor: int, lz77_rle: bool = False,
     # token decoder for 1 leaf context
     cls = (Lz77AnsStreamEncoder if lz77_matches
            else RleAnsStreamEncoder if lz77_rle else AnsStreamEncoder)
-    sample_enc = cls(1, 256, 8, DEFAULT_CFG)
+    sample_enc = cls(1, 256, 8, cfg or DEFAULT_CFG)
     sample_enc.write_header(w)
     return sample_enc
 
 
-def write_ma_config_tree(w: BitWriter, tree_tokens: list[int], num_leaves: int):
+def write_ma_config_tree(w: BitWriter, tree_tokens: list[int], num_leaves: int,
+                         cfg=None):
     """General MA tree writer: tree_tokens in MaConfig.parse order (BFS:
     prop+1 [, packed value | predictor, packed offset, mul_log, mul_bits]).
     Returns the sample-token encoder (num_leaves contexts -> cluster 0)."""
@@ -435,7 +436,7 @@ def write_ma_config_tree(w: BitWriter, tree_tokens: list[int], num_leaves: int):
     tree_enc = AnsStreamEncoder(6, 64, 6, tree_cfg)
     tree_enc.write_header(w)
     tree_enc.encode_tokens(w, tree_tokens)
-    sample_enc = AnsStreamEncoder(num_leaves, 256, 8, DEFAULT_CFG)
+    sample_enc = AnsStreamEncoder(num_leaves, 256, 8, cfg or DEFAULT_CFG)
     sample_enc.write_header(w)
     return sample_enc
 
@@ -846,7 +847,15 @@ def encode_jxl_modular(
     # modular_16bit_buffers: promise that every modular sample (including
     # transform intermediates) fits i16 — only honest for small depths
     # (squeeze/RCT expand the range by a few bits)
-    out.write_bool(bit_depth <= 12 and float_exp_bits is None)
+    # modular_16bit_buffers: a conformant encoder must clear it when any
+    # channel's samples exceed 16-bit patterns (float-sample ECs store
+    # raw bit patterns; narrow i16 buffers would wrap them — the
+    # reference narrows purely on this flag, lib.rs:280-282)
+    ec_wide = any(
+        spec.get("float_exp_bits") is not None and spec.get("bits", bit_depth) > 16
+        for spec in (extra_channel_specs or [])
+    )
+    out.write_bool(bit_depth <= 12 and float_exp_bits is None and not ec_wide)
     if num_extra == 1:
         out.write(1, 2)  # num_extra U32 selector 1 (= 1)
     elif num_extra:
@@ -887,7 +896,8 @@ def encode_jxl_modular(
         out.write_bool(False)
         out_ty = int(spec["ty"])
         _write_enum(out, out_ty)
-        _write_bit_depth(out, spec.get("bits", bit_depth))
+        _write_bit_depth(out, spec.get("bits", bit_depth),
+                         spec.get("float_exp_bits"))
         out.write(0, 2)  # dim_shift = 0
         nm = spec.get("name", "").encode("utf-8")
         if nm:
@@ -1187,12 +1197,26 @@ def encode_jxl_modular(
             for v in lf_dequant:
                 lf.write(int(np.float16(v).view(np.uint16)), 16)
         lf.write_bool(True)  # has global MA tree
+        # huge samples (float-sample ECs store raw bit patterns, e.g.
+        # ~2^30 for f32) overflow the 256-token alphabet under the
+        # default msb/lsb=2 config; fall back to a pure-exponent config
+        # (token == bit length) whose tokens stay < 64 for any i64
+        vmax = max(
+            (int(np.abs(np.asarray(c)).max()) if np.asarray(c).size else 0
+             for c in enc_channels),
+            default=0,
+        )
+        cfg = (
+            IntegerConfig(split_exponent=4, msb_in_token=0, lsb_in_token=0)
+            if vmax >= (1 << 16) else None
+        )
         if custom_tree is not None:
             tree_tokens, num_leaves, token_fn = custom_tree
-            sample_enc = write_ma_config_tree(lf, tree_tokens, num_leaves)
+            sample_enc = write_ma_config_tree(lf, tree_tokens, num_leaves,
+                                              cfg=cfg)
         else:
             sample_enc = write_ma_config(lf, predictor, lz77_rle=lz77_rle,
-                                         lz77_matches=lz77_matches)
+                                         lz77_matches=lz77_matches, cfg=cfg)
         write_modular_header(lf, use_global_tree=True,
                              rct_begin=0 if rct else None,
                              squeeze_h=squeeze, palette_spec=palette_spec,

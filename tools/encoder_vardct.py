@@ -125,6 +125,7 @@ def encode_jxl_vardct(
     epf_sharp_lut: list | None = None,
     epf_sigma: tuple | None = None,
     epf_channel_scale: tuple | None = None,
+    orientation: int = 1,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -132,7 +133,7 @@ def encode_jxl_vardct(
     references it (flags.use_lf_frame)."""
     h, w, _ = rgb.shape
     out = BitWriter()
-    _write_image_header(out, h, w, xyb=xyb)
+    _write_image_header(out, h, w, xyb=xyb, orientation=orientation)
     if xyb:
         # forward XYB (inverse of xyb.rs:34-60 + opsin inverse matrix)
         from jxl_oxide_tpu.ops.color import srgb_to_linear
@@ -187,19 +188,28 @@ def encode_jxl_vardct(
 
 
 def _write_image_header(out: BitWriter, h: int, w: int,
-                        xyb: bool = False) -> None:
+                        xyb: bool = False, orientation: int = 1) -> None:
     out.write(0x0AFF, 16)
     out.write_bool(False)
     _write_size_u32(out, h)
     out.write(0, 3)
     _write_size_u32(out, w)
     out.write_bool(False)  # not all_default metadata
-    out.write_bool(False)  # no extra_fields
+    if orientation != 1:
+        out.write_bool(True)   # extra_fields
+        out.write(orientation - 1, 3)
+        out.write_bool(False)  # no intrinsic size
+        out.write_bool(False)  # no preview
+        out.write_bool(False)  # no animation
+    else:
+        out.write_bool(False)  # no extra_fields
     _write_bit_depth(out, 8)
     out.write_bool(True)  # modular_16bit_buffers
     out.write_u32_sel(0, 0, 0)  # num_extra = 0
     out.write_bool(xyb)  # xyb_encoded
     out.write_bool(True)  # colour_encoding all_default (sRGB)
+    if orientation != 1:
+        out.write_bool(True)  # tone_mapping all_default (extra_fields)
     out.write_u64_zero()  # extensions
     out.write_bool(True)  # default_m
     out.zero_pad_to_byte()

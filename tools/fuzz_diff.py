@@ -166,6 +166,89 @@ def gen_vardct(rng) -> tuple[bytes, float, dict]:
 FEAT_TOL = 2e-5
 
 
+def gen_widened(rng) -> tuple[bytes, float, dict]:
+    """Round-5 widened classes (VERDICT r4 item 4): EXIF orientation
+    2-8, frame upsampling 2/4/8 (features stay at sample resolution),
+    do_ycbcr modular, float-sample ECs, ec_upsampling combinations."""
+    from encoder import encode_jxl_modular
+    from encoder_vardct import encode_jxl_vardct
+
+    style = int(rng.integers(0, 4))
+    if style == 0:  # orientation, modular or vardct
+        o = int(rng.integers(2, 9))
+        if rng.random() < 0.5:
+            h, w = int(rng.choice(MOD_DIMS)), int(rng.choice(MOD_DIMS))
+            chans = [rng.integers(0, 256, (h, w), dtype=np.int64)
+                     for _ in range(3)]
+            kw = {}
+            if rng.random() < 0.5:
+                kw["extra_alpha"] = True
+                chans.append(rng.integers(0, 256, (h, w), dtype=np.int64))
+            data = encode_jxl_modular(chans, bit_depth=8, orientation=o,
+                                      **kw)
+            return data, MOD_TOL, {"kind": "orientation", "o": o,
+                                   "enc": "modular", **kw}
+        h = w = int(rng.choice(VARDCT_DIMS))
+        rgb = rng.random((h, w, 3)).astype(np.float32)
+        data = encode_jxl_vardct(
+            rgb, orientation=o, gabor=bool(rng.random() < 0.5),
+            epf_iters=int(rng.integers(0, 3)),
+        )
+        return data, VARDCT_TOL, {"kind": "orientation", "o": o,
+                                  "enc": "vardct", "h": h}
+    if style == 1:  # frame upsampling (+ optional filters/features/ECs)
+        u = int(rng.choice([2, 2, 4, 8]))
+        H = W = int(rng.choice([32, 64]))
+        hs = -(-H // u)
+        chans = [rng.integers(0, 256, (hs, hs), dtype=np.int64)
+                 for _ in range(3)]
+        kw: dict = dict(upsampling=u, image_size=(H, W))
+        cfg = {"kind": "upsampling", "u": u, "H": H}
+        r = rng.random()
+        if r < 0.3:
+            kw["gabor"] = True
+            kw["epf_iters"] = int(rng.integers(0, 3))
+        elif r < 0.5:
+            kw["noise_lut"] = list(rng.uniform(0, 0.6, 8))
+        elif r < 0.7 and u <= (1 << 3):
+            ec_up = int(rng.choice([v for v in (2, 4, 8) if v >= u]))
+            rel = ec_up // u
+            kw["extra_alpha"] = True
+            kw["ec_upsampling"] = [ec_up]
+            chans.append(rng.integers(
+                0, 256, (-(-hs // rel), -(-hs // rel)), dtype=np.int64))
+            cfg["ec_up"] = ec_up
+        cfg["kw"] = {k: v for k, v in kw.items() if k != "image_size"}
+        return encode_jxl_modular(chans, bit_depth=8, **kw), FEAT_TOL, cfg
+    if style == 2:  # do_ycbcr modular (4:4:4)
+        h, w = int(rng.choice(MOD_DIMS)), int(rng.choice(MOD_DIMS))
+        chans = [rng.integers(0, 256, (h, w), dtype=np.int64)
+                 for _ in range(3)]
+        data = encode_jxl_modular(chans, bit_depth=8, do_ycbcr=True)
+        return data, FEAT_TOL, {"kind": "ycbcr_modular", "h": h, "w": w}
+    # float-sample EC
+    bits, exp = [(16, 5), (32, 8), (20, 6)][int(rng.integers(0, 3))]
+    h = w = int(rng.choice(MOD_DIMS))
+    color = [rng.integers(0, 256, (h, w), dtype=np.int64)
+             for _ in range(3)]
+    if bits == 16:
+        ec = np.float16(rng.random((h, w))).view(np.uint16).astype(np.int64)
+    elif bits == 32:
+        ec = np.float32(rng.random((h, w))).view(np.uint32).astype(np.int64)
+    else:
+        m = bits - exp - 1
+        ec = (
+            (rng.integers(0, 2, (h, w)) << (bits - 1))
+            | (rng.integers(1, (1 << exp) - 1, (h, w)) << m)
+            | rng.integers(0, 1 << m, (h, w))
+        ).astype(np.int64)
+    data = encode_jxl_modular(
+        color + [ec], bit_depth=8,
+        extra_channel_specs=[dict(ty=1, bits=bits, float_exp_bits=exp)],
+    )
+    return data, MOD_TOL, {"kind": "float_ec", "bits": bits, "exp": exp}
+
+
 def gen_features(rng) -> tuple[bytes, float, dict]:
     """Round-4 widened classes (VERDICT r3 item 4): noise, splines,
     patches (ref slots + blend modes), spot colors, EC dim_shift."""
@@ -336,7 +419,7 @@ def gen_subsampled(rng) -> tuple[bytes, float, dict]:
 
 
 GENERATORS = (gen_modular, gen_modular, gen_palette, gen_vardct,
-              gen_features, gen_multigroup, gen_subsampled)
+              gen_features, gen_multigroup, gen_subsampled, gen_widened)
 
 
 def check_one(data: bytes, tol: float) -> float:
@@ -352,15 +435,19 @@ def check_one(data: bytes, tol: float) -> float:
     worst = 0.0
     for k, g in enumerate(got):
         r = img.render_frame(k)
-        r.apply_spot_colors()  # the oracle composites spot ECs too
-        color = [np.asarray(p, dtype=np.float64) for p in list(r.planes)[:3]]
-        if len(color) == 1:
+        # ORIENTED public surface (image_all_channels, fb.rs:171-409):
+        # covers orientation 2-8 streams end to end; spot ECs composite
+        # inside it, matching the oracle
+        arr = np.moveaxis(
+            np.asarray(r.image_all_channels(), dtype=np.float64), -1, 0
+        )
+        nc = len(r.planes)
+        color = [arr[i] for i in range(nc)]
+        if nc == 1:
             # grayscale: the oracle triplicates the single color plane
             # (VarDCT plane convention); match it so extras line up
             color = color * 3
-        w = np.stack(
-            color + [np.asarray(e, dtype=np.float64) for e in r.extra]
-        )
+        w = np.stack(color + [arr[nc + i] for i in range(len(r.extra))])
         assert g.shape[0] == w.shape[0], (
             f"plane count mismatch: oracle {g.shape[0]} vs "
             f"production {w.shape[0]}"

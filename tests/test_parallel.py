@@ -277,7 +277,14 @@ def test_mesh_real_pipeline_lf_frame_and_two_pass():
     rng = np.random.default_rng(95)
     rgb = rng.random((512, 256, 3)).astype(np.float32)
     for kw in ({"use_lf_frame": True}, {"num_passes": 2},
-               {"use_lf_frame": True, "lf_levels": 2}):
+               {"use_lf_frame": True, "lf_levels": 2},
+               # >= 3 passes + downsample entries (coeff_shift
+               # accumulation across multiple boundaries,
+               # hf_coeff.rs:228-236; VERDICT r4 item 8)
+               {"num_passes": 3, "pass_shifts": [2, 1],
+                "pass_downsample": [(2, 0)]},
+               {"num_passes": 4, "pass_shifts": [3, 2, 1],
+                "pass_downsample": [(8, 0), (2, 1)]}):
         data = encode_jxl_vardct(rgb, gabor=True, **kw)
         single = _decode_planes(data)
         sharded = _decode_planes(data, mesh=decode_mesh(2))

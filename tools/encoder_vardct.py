@@ -116,6 +116,8 @@ def encode_jxl_vardct(
     use_lf_frame: bool = False,
     lf_levels: int = 1,
     num_passes: int = 1,
+    pass_shifts: list | None = None,
+    pass_downsample: list | None = None,
     dct8_params: list | None = None,
     xyb: bool = False,
     x_qm_scale: int = 3,
@@ -178,6 +180,7 @@ def encode_jxl_vardct(
     else:
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
                      frame_kind="regular", num_passes=num_passes,
+                     pass_shifts=pass_shifts, pass_downsample=pass_downsample,
                      dct8_params=dct8_params, xyb=xyb,
                      x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale,
                      num_hf_presets=num_hf_presets,
@@ -215,6 +218,68 @@ def _write_image_header(out: BitWriter, h: int, w: int,
     out.zero_pad_to_byte()
 
 
+def _write_passes(out: BitWriter, num_passes: int,
+                  pass_shifts: list | None,
+                  pass_downsample: list | None) -> None:
+    """Passes header (jxl-frame header.rs Passes): num_passes
+    U32(1,2,3,4+u(3)), num_ds U32(0,1,2,3+u(1)), per-pass shift u(2)
+    (all but last), downsample U32(1,2,4,8) + last_pass U32(0,1,2,u(3))
+    per ds entry."""
+    if num_passes == 1:
+        out.write_u32_sel(0, 0, 0)
+        return
+    if num_passes == 2:
+        out.write(1, 2)
+    elif num_passes == 3:
+        out.write(2, 2)
+    else:
+        out.write(3, 2)
+        out.write(num_passes - 4, 3)
+    ds = pass_downsample or []
+    if len(ds) == 0:
+        out.write(0, 2)
+    elif len(ds) == 1:
+        out.write(1, 2)
+    elif len(ds) == 2:
+        out.write(2, 2)
+    else:
+        out.write(3, 2)
+        out.write(len(ds) - 3, 1)
+    assert len(pass_shifts) == num_passes - 1
+    for s in pass_shifts:
+        out.write(s, 2)
+    for d, _lp in ds:
+        out.write({1: 0, 2: 1, 4: 2, 8: 3}[d], 2)
+    for _d, lp in ds:
+        if lp == 0:
+            out.write(0, 2)
+        elif lp == 1:
+            out.write(1, 2)
+        elif lp == 2:
+            out.write(2, 2)
+        else:
+            out.write(3, 2)
+            out.write(lp, 3)
+
+
+def _split_passes(q: np.ndarray, num_passes: int,
+                  pass_shifts: list | None) -> list:
+    """Split quantized coefficients across passes so that
+    sum_p (q_p << coeff_shift(p)) == q exactly (the decoder's additive
+    accumulation, hf_coeff.rs:228-236). Arithmetic >> floors negatives;
+    the remainder per stage stays in [0, 2^shift)."""
+    if num_passes == 1:
+        return [q]
+    out = []
+    rem = q
+    for s in pass_shifts:
+        qp = rem >> s
+        out.append(qp)
+        rem = rem - (qp << s)
+    out.append(rem)
+    return out
+
+
 def _write_frame(
     out: BitWriter,
     rgb: np.ndarray,
@@ -226,6 +291,8 @@ def _write_frame(
     lf_level: int = 1,
     num_passes: int = 1,
     pass_shift: int = 2,
+    pass_shifts: list | None = None,      # per-pass coeff shifts (len n-1)
+    pass_downsample: list | None = None,  # [(downsample, last_pass), ...]
     dct8_params: list | None = None,
     xyb: bool = False,
     x_qm_scale: int = 3,
@@ -346,13 +413,9 @@ def _write_frame(
     if xyb:
         out.write(x_qm_scale, 3)
         out.write(b_qm_scale, 3)
-    if num_passes == 1:
-        out.write_u32_sel(0, 0, 0)  # num_passes = 1
-    else:
-        assert num_passes == 2
-        out.write(1, 2)  # num_passes = 2
-        out.write(0, 2)  # num_ds = 0
-        out.write(pass_shift, 2)  # shift[0]
+    if pass_shifts is None and num_passes > 1:
+        pass_shifts = [pass_shift] * (num_passes - 1)
+    _write_passes(out, num_passes, pass_shifts, pass_downsample)
     if is_lf:
         out.write(lf_level - 1, 2)
     else:
@@ -497,13 +560,10 @@ def _write_frame(
     # Per-group HF token streams (hfp selector bits are 0-width for 1 preset)
     order = natural_order(0)  # DCT8
 
-    # pass coefficient split: pass 0 carries q >> shift, pass 1 the
-    # remainder; the decoder adds (v << coeff_shift) per pass
-    if num_passes == 2:
-        q0 = q >> pass_shift
-        q_pass = [q0, q - (q0 << pass_shift)]
-    else:
-        q_pass = [q]
+    # pass coefficient split: each non-final pass p carries the current
+    # remainder >> shift[p]; the decoder ADDS (v << coeff_shift(p)) per
+    # pass into the same i32 buffers (hf_coeff.rs:228-236)
+    q_pass = _split_passes(q, num_passes, pass_shifts)
 
     def group_tokens(gx, gy, qarr=None):
         if qarr is None:
@@ -965,6 +1025,8 @@ def encode_jxl_vardct_tiled(
     jpeg_upsampling=(0, 0, 0),
     num_passes: int = 1,
     pass_shift: int = 1,                  # pass-0 coefficient downshift
+    pass_shifts: list | None = None,      # per-pass coeff shifts (len n-1)
+    pass_downsample: list | None = None,  # [(downsample, last_pass), ...]
 ) -> bytes:
     """Synthesize a MULTI-GROUP (and multi-LF-group) VarDCT codestream
     with an explicit varblock layout over the whole image: the general
@@ -1011,13 +1073,9 @@ def encode_jxl_vardct_tiled(
         for ups in jpeg_upsampling:
             out.write(ups, 2)
     out.write_u32_sel(0, 0, 0)  # upsampling
-    if num_passes == 1:
-        out.write_u32_sel(0, 0, 0)  # num_passes = 1
-    else:
-        assert num_passes == 2
-        out.write(1, 2)  # num_passes = 2
-        out.write(0, 2)  # num_ds = 0
-        out.write(pass_shift, 2)  # shift[0]
+    if pass_shifts is None and num_passes > 1:
+        pass_shifts = [pass_shift] * (num_passes - 1)
+    _write_passes(out, num_passes, pass_shifts, pass_downsample)
     out.write_bool(False)  # have_crop
     out.write_u32_sel(0, 0, 0)  # blending Replace
     out.write_bool(True)  # is_last
@@ -1127,15 +1185,14 @@ def encode_jxl_vardct_tiled(
         hf_enc = AnsStreamEncoder(num_clusters_ctx, 256, 8, DEFAULT_CFG)
         hf_enc.write_header(hf_global)
 
-    # pass coefficient split: pass 0 carries q >> shift, pass 1 the
-    # remainder; the decoder adds (v << coeff_shift) per pass
-    if num_passes == 2:
-        coeff0 = [c >> pass_shift for c in coeff]
-        coeff_pass = [coeff0,
-                      [c - (c0 << pass_shift)
-                       for c, c0 in zip(coeff, coeff0)]]
-    else:
+    # pass coefficient split (hf_coeff.rs:228-236 additive accumulation)
+    if num_passes == 1:
         coeff_pass = [coeff]
+    else:
+        per_chan = [_split_passes(c, num_passes, pass_shifts)
+                    for c in coeff]
+        coeff_pass = [[pc[p] for pc in per_chan]
+                      for p in range(num_passes)]
 
     # --- per-group HF token streams ---
     def group_tokens(gx, gy, coeff=coeff):

@@ -132,7 +132,7 @@ def gen_vardct(rng) -> tuple[bytes, float, dict]:
         kw = dict(
             gabor=bool(rng.random() < 0.5),
             epf_iters=int(rng.integers(0, 4)),
-            num_passes=int(rng.choice([1, 1, 2])),
+            num_passes=int(rng.choice([1, 1, 2, 3])),
             xyb=bool(rng.random() < 0.5),
         )
         rgb = rng.random((h, w, 3)).astype(np.float32)

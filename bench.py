@@ -265,6 +265,42 @@ def _bench_case(data: bytes, h: int, w: int, reps: int = 12,
     return best
 
 
+def _bench_case_device_resident(data: bytes, h: int, w: int,
+                                reps: int = 8) -> float:
+    """Per-case decode with pixels LEFT ON DEVICE (no u8 readback): the
+    per-case number then tracks host stage + upload + device program
+    instead of the tunnel's download leg (VERDICT r4 item 7 — r03/r04
+    corpus numbers swung 7x on tunnel weather alone). 8-way pipelined so
+    upload latency overlaps host work."""
+    from jxl_oxide_tpu import JxlImage
+
+    def decode_dev():
+        img = JxlImage.from_bytes(data)
+        out = None
+        for i in range(img.num_keyframes):
+            r = img.render_frame(i)
+            out = r.planes
+        try:
+            import jax
+
+            if isinstance(out[0], jax.Array):
+                float(np.asarray(out[0][0, 0]))  # completion sync
+        except ImportError:
+            pass
+
+    decode_dev()  # warm
+    import concurrent.futures as cf
+
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(lambda _: decode_dev(), range(reps)))
+        dt = time.perf_counter() - t0
+        best = max(best, (h * w * reps) / dt / 1e6)
+    return best
+
+
 def _bench_device_resident(data: bytes, h: int, w: int, reps: int = 16) -> float:
     """Serving mode for TPU-side consumers: pixels stay on device (no u8
     readback over the link). 8 concurrent decodes overlap host entropy
@@ -648,6 +684,102 @@ def _bench_compute_only(size: int = 2048) -> float:
     return (h * w * k) / diff / 1e6
 
 
+def _bench_stacked_vs_perimage(size: int = 512, k: int = 8) -> dict:
+    """On-chip stacked-serving comparison (VERDICT r4 item 6): the SAME
+    real fused program per-image vs vmapped over a K-stack, both timed
+    with the chained K/2K latency-cancelling methodology (pure compute),
+    plus the measured per-dispatch round-trip. The stacked mode's win is
+    (K-1) saved dispatches minus any vmap compute overhead; both
+    components are reported so the claim holds for any link latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.serving import _host_stage_fast
+
+    data = encode_jxl_vardct(_smooth_rgb(size, size, seed=21), gabor=True,
+                             epf_iters=2)
+    img = JxlImage.from_bytes(data)
+    state, hf_global, fr = _host_stage_fast(img, 0)
+    parts = state.fused_program_parts(hf_global)
+    assert parts is not None
+    _key, make_fn, inputs = parts
+    fn = make_fn()
+    leaves, treedef = jax.tree.flatten(inputs)
+    dev_leaves = [jax.device_put(x) for x in leaves]
+    stacked_leaves = [
+        jax.device_put(np.stack([x] * k)) for x in leaves
+    ]
+
+    def chained(f, n, stacked):
+        def body(i, acc):
+            ls = (dev_leaves, stacked_leaves)[stacked]
+            first = ls[0] + (i & 1).astype(ls[0].dtype)
+            args = jax.tree.unflatten(treedef, [first] + list(ls[1:]))
+            out = f(*args)
+            # consume EVERY output element: reading one scalar lets XLA
+            # dead-code-eliminate the other images/planes (the CLAUDE.md
+            # all-channel-consumption hazard)
+            return acc + jnp.sum(out)
+
+        @jax.jit
+        def run():
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return run
+
+    vfn = jax.vmap(fn)
+    n = 24
+    runners = {
+        "s1": chained(fn, n, False), "s2": chained(fn, 2 * n, False),
+        "k1": chained(vfn, n, True), "k2": chained(vfn, 2 * n, True),
+    }
+    for r in runners.values():
+        float(np.asarray(r()))  # compile + warm
+    best = {name: float("inf") for name in runners}
+    for _ in range(4):
+        for name in ("s1", "k1", "s2", "k2"):
+            t0 = time.perf_counter()
+            float(np.asarray(runners[name]()))
+            best[name] = min(best[name], time.perf_counter() - t0)
+
+    def diff(a, b):
+        d = best[b] - best[a]
+        return d if d > 0.05 * best[b] else best[b] / 2.0
+
+    t_single = diff("s1", "s2") / n
+    t_stack = diff("k1", "k2") / n
+    # per-dispatch round trip (the quantity the stack divides by K)
+    @jax.jit
+    def one_consumed():
+        return jnp.sum(fn(*jax.tree.unflatten(treedef, dev_leaves)))
+
+    float(np.asarray(one_consumed()))
+    disp = min(
+        _time_once(lambda: float(np.asarray(one_consumed())))
+        for _ in range(6)
+    )
+    px = size * size
+    return {
+        "k": k,
+        "perimage_compute_mpps": round(px / t_single / 1e6, 1),
+        "stacked_compute_mpps": round(k * px / t_stack / 1e6, 1),
+        "stacked_compute_overhead": round(t_stack / (k * t_single), 3),
+        "dispatch_roundtrip_ms": round((disp - t_single) * 1e3, 2),
+        "note": "compute via chained K/2K pairs (latency cancelled); "
+                "stacked serving saves (k-1) dispatch round-trips per "
+                "stack at stacked_compute_overhead x compute cost",
+    }
+
+
+def _time_once(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
 def _bench_modular_device(size: int = 2048) -> dict:
     """Device modular tail on-chip (VERDICT r4 item 1): the full default
     inverse-squeeze chain for a size^2 i32 plane as one jitted XLA
@@ -810,6 +942,16 @@ def main() -> None:
         print(f"structural validation failed: {e}", file=sys.stderr)
 
     try:
+        stacked_pair = _bench_stacked_vs_perimage()
+        print(f"stacked vs per-image (on-chip): "
+              f"{stacked_pair['stacked_compute_mpps']} vs "
+              f"{stacked_pair['perimage_compute_mpps']} MP/s compute, "
+              f"dispatch {stacked_pair['dispatch_roundtrip_ms']} ms",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"stacked pair bench failed: {e}", file=sys.stderr)
+        stacked_pair = {}
+    try:
         modular_dev = _bench_modular_device()
     except Exception as e:  # pragma: no cover
         print(f"modular device bench failed: {e}", file=sys.stderr)
@@ -829,6 +971,7 @@ def main() -> None:
 
     cases = _make_cases()
     results = {}
+    results_dev = {}
     for name, (data, h, w) in cases.items():
         elapsed = time.perf_counter() - t_start
         remaining = budget - elapsed
@@ -844,7 +987,15 @@ def main() -> None:
             print(f"case {name} failed: {e}", file=sys.stderr)
             mpps = 0.0
         results[name] = round(mpps, 2)
-        print(f"case {name}: {mpps:.2f} MP/s", file=sys.stderr)
+        try:
+            mpps_dev = _bench_case_device_resident(data, h, w)
+        except Exception as e:  # pragma: no cover
+            print(f"case {name} device-resident failed: {e}",
+                  file=sys.stderr)
+            mpps_dev = 0.0
+        results_dev[name] = round(mpps_dev, 2)
+        print(f"case {name}: {mpps:.2f} MP/s "
+              f"(device-resident {mpps_dev:.2f})", file=sys.stderr)
 
     flagship = cases["vardct_xyb"]
     if time.perf_counter() - t_start < budget - 30:
@@ -892,9 +1043,11 @@ def main() -> None:
         "e2e_tunnel_mpps": e2e,
         "e2e_device_resident_mpps": round(dev_resident, 2),
         "serving_batched_mpps": round(serving_batched, 2),
+        "serving_stacked_vs_perimage": stacked_pair,
         "jbr_reconstruct_mpps": round(jbr_mpps, 1),
         "corpus_geomean_mpps": round(geomean, 2),
         "cases": results,
+        "cases_device_resident": results_dev,
     }))
 
 

@@ -118,8 +118,12 @@ def _host_stage_fast(img: JxlImage, frame: int):
         or img.num_keyframes != 1
         or meta.orientation != 1
         or meta.ec_info
+        # CMS only matters for ICC legs (requested_icc / want_icc below):
+        # a default PilCms instance always exists on JxlImage, and gating
+        # on its mere presence silently killed the whole fast envelope
+        # (every image has one — found by the round-5 on-chip bench;
+        # test_stacked_fast_envelope_engages pins engagement now)
         or img.requested_icc is not None
-        or getattr(img, "_cms", None) is not None
         or meta.colour_encoding.want_icc
         # grayscale collapses to one channel in the general path; the
         # stacked tail is fixed three-channel
@@ -273,7 +277,11 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
             n = len(chunk)
             batched = _stacked_cache.get((key, n))
             if batched is None:
-                fn = make_fn()
+                # the chunk's OWN builder — the bare `make_fn` name here
+                # is the stale grouping-loop variable (the last fast
+                # image's program: a mixed srgb+xyb batch quantized every
+                # group with the last image's qm_scale)
+                fn = chunk[0][3]()
                 batched = jax.jit(jax.vmap(fn))
                 if len(_stacked_cache) > 32:
                     _stacked_cache.clear()

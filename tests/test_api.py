@@ -1524,6 +1524,30 @@ def test_clear_program_caches_releases_mappings():
     assert released < grown - 100, (grown, released)
 
 
+def test_stacked_fast_envelope_engages():
+    """_host_stage_fast must actually ACCEPT in-envelope streams: the
+    output-equality tests below cannot distinguish the stacked path from
+    a silent per-image fallback, and the envelope was once dead because
+    the default PilCms tripped a too-strict CMS gate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.serving import _host_stage_fast
+
+    rng = np.random.default_rng(7)
+    data = encode_jxl_vardct(
+        rng.random((128, 128, 3)).astype(np.float32), epf_iters=1
+    )
+    img = JxlImage.from_bytes(data)
+    out = _host_stage_fast(img, 0)
+    assert out is not None, "in-envelope stream rejected by fast path"
+    state, hf_global, fr = out
+    assert state.fused_program_parts(hf_global) is not None
+
+
 def test_decode_batch_stacked():
     """decode_batch_stacked: same-geometry VarDCT streams share ONE
     vmapped device dispatch + one color tail + one quantized readback,

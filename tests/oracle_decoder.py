@@ -425,45 +425,53 @@ def _decode_group_stream(bs, global_ma, chans: list[_OCh],
     _decode_stream(bs, ma, header.wp_header, chans, stream_index)
 
 
-def _oracle_modular(bs, channels: list[_OCh], fh, bit_depth: int,
-                    global_ma: MaConfig | None, secs=None):
-    """Decode a full modular image: header, channel evolution, the
-    global stream, then per-LF-group and per-(pass x group) streams
-    (image.rs prepare_gmodular/prepare_groups channel splitting),
-    inverse transforms."""
-    group_dim = fh.group_dim
-    header = ModularHeader.parse(bs)
-    if header.use_global_tree:
-        ma = global_ma
-        assert ma is not None
-    else:
-        local_samples = sum(c.w * c.h for c in channels)
-        ma = MaConfig(bs, min(1024 + local_samples, 1 << 20))
+class _OracleModularCtx:
+    """Incremental modular-image decode: header + global stream up
+    front, then per-LF-group and per-(pass x group) channel streams on
+    demand, inverse transforms at finish (image.rs prepare_gmodular/
+    prepare_groups channel splitting). Used both by modular frames
+    (group streams sit at section starts) and VarDCT frames with extra
+    channels (group streams sit INSIDE the VarDCT sections —
+    lf_group.rs order LfCoeff -> modular LF channels -> HfMetadata;
+    pass_group.rs HF coefficients -> modular channels)."""
 
-    orig_n = len(channels)
-    chans, nb_meta, sq_params = _evolve_channels(
-        header.transforms, list(channels), 0
-    )
-    # global channels: meta channels + small channels, stopping at the
-    # first channel exceeding group_dim (image.rs prepare_gmodular)
-    n_global = 0
-    for i, c in enumerate(chans):
-        if i < nb_meta or (c.w <= group_dim and c.h <= group_dim):
-            n_global += 1
+    def __init__(self, bs, channels: list[_OCh], fh, bit_depth: int,
+                 global_ma: MaConfig | None):
+        group_dim = fh.group_dim
+        self.fh = fh
+        self.bit_depth = bit_depth
+        header = ModularHeader.parse(bs)
+        self.header = header
+        if header.use_global_tree:
+            ma = global_ma
+            assert ma is not None
         else:
-            break
-    _decode_stream(bs, ma, header.wp_header, chans[:n_global], 0)
+            local_samples = sum(c.w * c.h for c in channels)
+            ma = MaConfig(bs, min(1024 + local_samples, 1 << 20))
+        self.ma = ma
 
-    if n_global < len(chans):
-        assert secs is not None, "multi-group stream needs section access"
+        self.orig_n = len(channels)
+        chans, nb_meta, sq_params = _evolve_channels(
+            header.transforms, list(channels), 0
+        )
+        self.chans = chans
+        self.sq_params = sq_params
+        # global channels: meta channels + small channels, stopping at
+        # the first channel exceeding group_dim (prepare_gmodular)
+        n_global = 0
+        for i, c in enumerate(chans):
+            if i < nb_meta or (c.w <= group_dim and c.h <= group_dim):
+                n_global += 1
+            else:
+                break
+        _decode_stream(bs, ma, header.wp_header, chans[:n_global], 0)
+
         # group splitting (models/modular.py prepare_groups semantics):
         # channels with shift < 3 go to (pass x group) streams at
         # group_dim >> shift tiles; shift >= 3 to LF-group streams
+        self.lf_groups: dict[int, list] = {}
+        self.pass_groups: dict[tuple[int, int], list] = {}
         gshift = group_dim.bit_length() - 1
-        num_lf_groups = fh.num_lf_groups
-        num_groups = fh.num_groups
-        lf_groups: dict[int, list] = {}
-        pass_groups: dict[tuple[int, int], list] = {}
         for i in range(n_global, len(chans)):
             c = chans[i]
             c.grid = np.zeros((c.h, c.w), dtype=np.int64)
@@ -478,14 +486,14 @@ def _oracle_modular(bs, channels: list[_OCh], fh, bit_depth: int,
                 gh = group_dim >> c.vs
                 count_x = (c.ow + group_dim - 1) >> gshift
                 count_y = (c.oh + group_dim - 1) >> gshift
-                target = lambda gi: pass_groups.setdefault(  # noqa: E731
+                target = lambda gi: self.pass_groups.setdefault(  # noqa: E731
                     (pass_idx, gi), [])
             else:
                 gw = group_dim >> (c.hs - 3)
                 gh = group_dim >> (c.vs - 3)
                 count_x = (c.ow + (group_dim << 3) - 1) >> (gshift + 3)
                 count_y = (c.oh + (group_dim << 3) - 1) >> (gshift + 3)
-                target = lambda gi: lf_groups.setdefault(gi, [])  # noqa: E731
+                target = lambda gi: self.lf_groups.setdefault(gi, [])  # noqa: E731
             for gy in range(count_y):
                 for gx in range(count_x):
                     g_idx = gy * count_x + gx
@@ -496,44 +504,68 @@ def _oracle_modular(bs, channels: list[_OCh], fh, bit_depth: int,
                         continue
                     sub = _OCh(x1 - x0, y1 - y0, c.hs, c.vs)
                     target(g_idx).append((i, (y0, y1, x0, x1), sub))
-        # LF-group streams (stream 1 + num_lf_groups + idx; the oracle's
-        # scope has no VarDCT sections in modular frames)
-        for lf_idx in range(num_lf_groups):
-            entries = lf_groups.get(lf_idx, [])
-            if not entries:
-                continue
-            gbs = secs.get("lf_group", lf_idx)
-            _decode_group_stream(
-                gbs, ma, [e[2] for e in entries],
-                1 + num_lf_groups + lf_idx,
-            )
-            for i, (y0, y1, x0, x1), sub in entries:
-                chans[i].grid[y0:y1, x0:x1] = sub.grid
-        # (pass x group) streams
-        for p in range(fh.passes.num_passes):
-            for g in range(num_groups):
-                entries = pass_groups.get((p, g), [])
-                if not entries:
-                    continue
-                gbs = secs.get("group_pass", g, p)
-                _decode_group_stream(
-                    gbs, ma, [e[2] for e in entries],
-                    1 + 3 * num_lf_groups + 17 + p * num_groups + g,
-                )
-                for i, (y0, y1, x0, x1), sub in entries:
-                    chans[i].grid[y0:y1, x0:x1] = sub.grid
 
-    grids = [c.grid for c in chans]
-    sq_iter = iter(reversed(sq_params))
-    for tr in reversed(header.transforms):
-        if isinstance(tr, Rct):
-            _inv_rct(grids, tr.begin_c, tr.rct_type)
-        elif isinstance(tr, Palette):
-            _inv_palette(grids, tr, bit_depth)
-        elif isinstance(tr, Squeeze):
-            _inv_squeeze(grids, next(sq_iter))
-    assert len(grids) == orig_n
-    return grids
+    @property
+    def has_group_streams(self) -> bool:
+        return bool(self.lf_groups or self.pass_groups)
+
+    def decode_lf_group(self, gbs, lf_idx: int) -> None:
+        """Modular LF-group channel stream (no-op when this LF group
+        carries no channels: production skips the substream entirely)."""
+        entries = self.lf_groups.get(lf_idx, [])
+        if not entries:
+            return
+        _decode_group_stream(
+            gbs, self.ma, [e[2] for e in entries],
+            1 + self.fh.num_lf_groups + lf_idx,
+        )
+        for i, (y0, y1, x0, x1), sub in entries:
+            self.chans[i].grid[y0:y1, x0:x1] = sub.grid
+
+    def decode_pass_group(self, gbs, p: int, g: int) -> None:
+        entries = self.pass_groups.get((p, g), [])
+        if not entries:
+            return
+        _decode_group_stream(
+            gbs, self.ma, [e[2] for e in entries],
+            1 + 3 * self.fh.num_lf_groups + 17
+            + p * self.fh.num_groups + g,
+        )
+        for i, (y0, y1, x0, x1), sub in entries:
+            self.chans[i].grid[y0:y1, x0:x1] = sub.grid
+
+    def finish(self) -> list:
+        grids = [c.grid for c in self.chans]
+        sq_iter = iter(reversed(self.sq_params))
+        for tr in reversed(self.header.transforms):
+            if isinstance(tr, Rct):
+                _inv_rct(grids, tr.begin_c, tr.rct_type)
+            elif isinstance(tr, Palette):
+                _inv_palette(grids, tr, self.bit_depth)
+            elif isinstance(tr, Squeeze):
+                _inv_squeeze(grids, next(sq_iter))
+        assert len(grids) == self.orig_n
+        return grids
+
+
+def _oracle_modular(bs, channels: list[_OCh], fh, bit_depth: int,
+                    global_ma: MaConfig | None, secs=None):
+    """Decode a full modular image: header, channel evolution, the
+    global stream, then per-LF-group and per-(pass x group) streams,
+    inverse transforms."""
+    ctx = _OracleModularCtx(bs, channels, fh, bit_depth, global_ma)
+    if ctx.has_group_streams:
+        assert secs is not None, "multi-group stream needs section access"
+        for lf_idx in range(fh.num_lf_groups):
+            if ctx.lf_groups.get(lf_idx):
+                ctx.decode_lf_group(secs.get("lf_group", lf_idx), lf_idx)
+        for p in range(fh.passes.num_passes):
+            for g in range(fh.num_groups):
+                if ctx.pass_groups.get((p, g)):
+                    ctx.decode_pass_group(
+                        secs.get("group_pass", g, p), p, g
+                    )
+    return ctx.finish()
 
 
 def fh_pass_shifts(fh) -> dict:
@@ -1297,11 +1329,33 @@ def _parse_lf_global_oracle(bs, image_header, fh):
         vardct = LfGlobalVarDct.parse(bs)
     # GlobalModular: optional global MA tree + global modular channels
     ma = None
-    num_channels = fh.encoded_color_channels + len(image_header.metadata.ec_info)
+    meta = image_header.metadata
+    num_channels = fh.encoded_color_channels + len(meta.ec_info)
     if bs.read_bool():
         max_nodes = min(1 << 22, 1024 + fh.width * fh.height * num_channels // 16)
         ma = MaConfig(bs, max_nodes)
-    return lf_dequant, vardct, ma, (patches, splines, noise)
+    # VarDCT frames with extra channels: the modular image (ECs only —
+    # color is VarDCT-coded) parses its header + global channels INSIDE
+    # LfGlobal (lf_global.rs GlobalModular; render/frame.py
+    # parse_global_modular), and its per-group channel streams decode
+    # inside the VarDCT sections later
+    mod_ctx = None
+    if fh.encoding == Encoding.VARDCT and meta.ec_info:
+        w, h = fh.sample_width(), fh.sample_height()
+        u_shift = fh.upsampling.bit_length() - 1
+        channels = []
+        for ec_info, ec_up in zip(meta.ec_info, fh.ec_upsampling):
+            ec_shift = (
+                (ec_up.bit_length() - 1) + ec_info.dim_shift - u_shift
+            )
+            assert ec_shift >= 0, "EC upsampling < color upsampling"
+            w_s = (w + (1 << ec_shift) - 1) >> ec_shift
+            h_s = (h + (1 << ec_shift) - 1) >> ec_shift
+            channels.append(_OCh(w_s, h_s, ec_shift, ec_shift, ow=w, oh=h))
+        mod_ctx = _OracleModularCtx(
+            bs, channels, fh, meta.bit_depth.bits_per_sample, ma
+        )
+    return lf_dequant, vardct, ma, (patches, splines, noise), mod_ctx
 
 
 def _o_norm_samples(g: np.ndarray, bd) -> np.ndarray:
@@ -1459,7 +1513,8 @@ def _o_ycbcr_to_rgb(cb, y, cr):
 
 
 def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma,
-                         lf_planes_override=None, raw_output=False):
+                         lf_planes_override=None, raw_output=False,
+                         mod_ctx=None):
     """One VarDCT frame to float64 planes. `lf_planes_override` supplies
     pre-dequantized LF planes from a rendered LF frame (use_lf_frame:
     identity scale, no LF CfL, no smoothing, edge-padded —
@@ -1527,6 +1582,10 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma,
                 bs, lf_idx, lf_w, lf_h, fh.jpeg_upsampling, bits, ma, gdim
             )
             extra_precision = lf_coeff.extra_precision
+        if mod_ctx is not None:
+            # modular LF-group channels sit BETWEEN LfCoeff and
+            # HfMetadata in the section (lf_group.rs parse order)
+            mod_ctx.decode_lf_group(bs, lf_idx)
         hf_meta = HfMetadata.parse(
             bs, num_lf_groups=fh.num_lf_groups, lf_group_idx=lf_idx,
             lf_width=lf_w, lf_height=lf_h,
@@ -1595,8 +1654,9 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma,
                 # no LfCoeff: the block-context LF index is skipped
                 # entirely (pass_group.rs lf_quant = None)
                 lf_views = None
+            gbs = secs.get("group_pass", g, p)
             write_hf_coeff(
-                secs.get("group_pass", g, p),
+                gbs,
                 num_hf_presets=num_hf_presets,
                 hf_block_ctx=lf_vardct.hf_block_ctx,
                 block_sel=sel_grid[top : top + gh_b, left : left + gw_b],
@@ -1607,6 +1667,10 @@ def _decode_vardct_frame(secs, image_header, fh, lf_dequant, lf_vardct, ma,
                 coeff_shift=fh.passes.pass_shift(p),
                 hf_coeff_output=out_views,
             )
+            if mod_ctx is not None:
+                # modular channels follow the HF coefficients inside
+                # the same section (pass_group.rs:139)
+                mod_ctx.decode_pass_group(gbs, p, g)
         # empty pass-group modular stream is skipped by the production
         # decoder for channel-less frames; mirror that
 
@@ -1952,8 +2016,8 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
         secs = _Sections(data, bs, toc, frame_start)
 
         lf_bs = secs.get("lf_global")
-        lf_dequant, lf_vardct, ma, features = _parse_lf_global_oracle(
-            lf_bs, image_header, fh
+        lf_dequant, lf_vardct, ma, features, mod_ctx = (
+            _parse_lf_global_oracle(lf_bs, image_header, fh)
         )
         patches, splines, noise = features
         if fh.frame_type.name == "LF_FRAME":
@@ -1969,6 +2033,7 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
             planes = _decode_vardct_frame(
                 secs, image_header, fh, lf_dequant, lf_vardct, ma,
                 lf_planes_override=override, raw_output=True,
+                mod_ctx=mod_ctx,
             )
             if fh.upsampling > 1:
                 th, tw = fh.sample_height(1), fh.sample_width(1)
@@ -1985,16 +2050,30 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
                 secs, lf_bs, image_header, fh, ma
             )
         else:
-            assert not meta.ec_info, (
-                "oracle scope: VarDCT frames with extra channels"
-            )
             color = _decode_vardct_frame(
                 secs, image_header, fh, lf_dequant, lf_vardct, ma,
                 lf_planes_override=(
                     lf_slots[fh.lf_level] if fh.flags.use_lf_frame else None
                 ),
+                mod_ctx=mod_ctx,
             )
             ecs, ec_factors = [], []
+            if mod_ctx is not None:
+                # EC grids normalize by their OWN declared bit depths
+                # (image.rs per-channel convert_modular)
+                grids = mod_ctx.finish()
+                u_shift = fh.upsampling.bit_length() - 1
+                for g_, ec_info, ec_up in zip(
+                    grids, meta.ec_info, fh.ec_upsampling
+                ):
+                    ecs.append(_o_norm_samples(g_, ec_info.bit_depth))
+                    ec_factors.append(
+                        (ec_up.bit_length() - 1 + ec_info.dim_shift
+                         - u_shift, )
+                    )
+                ec_factors = [
+                    1 << (s_[0] + u_shift) for s_ in ec_factors
+                ]
 
         # features at SAMPLE resolution in full-res coordinates
         # (render.rs:138-149): patches -> splines -> noise, then

@@ -624,6 +624,27 @@ def test_oracle_pass_progressive(np_, shifts, ds):
     _assert_match(data, VARDCT_TOL)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(gabor=True, epf_iters=2),
+    dict(num_passes=2),
+    dict(xyb=True),
+])
+def test_oracle_vardct_extra_channel(kw):
+    """VarDCT frames WITH extra channels (lossy + alpha — the class the
+    round-4 corpus seed squeeze_tendency_overflow exposed as an oracle
+    gap): the modular EC image parses its header + global channels
+    inside LfGlobal and its group streams inside the VarDCT sections
+    (lf_global.rs GlobalModular, lf_group.rs / pass_group.rs order)."""
+    from encoder_vardct import encode_jxl_vardct
+
+    rng = np.random.default_rng(600)
+    rgb = rng.random((64, 64, 3)).astype(np.float32)
+    alpha = rng.integers(0, 256, (64, 64))
+    data = encode_jxl_vardct(rgb, alpha=alpha, **kw)
+    _assert_match(data, VARDCT_TOL)
+
+
 @pytest.mark.parametrize("o", list(range(2, 9)))
 def test_oracle_orientation(o):
     """EXIF orientations 2-8 through the oriented public surface

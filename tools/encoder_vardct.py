@@ -128,6 +128,7 @@ def encode_jxl_vardct(
     epf_sigma: tuple | None = None,
     epf_channel_scale: tuple | None = None,
     orientation: int = 1,
+    alpha: np.ndarray | None = None,
 ) -> bytes:
     """Encode an RGB float image (values in [0,1], shape [h, w, 3]) as a
     VarDCT bare codestream (DCT8 blocks only). With use_lf_frame, a
@@ -135,7 +136,8 @@ def encode_jxl_vardct(
     references it (flags.use_lf_frame)."""
     h, w, _ = rgb.shape
     out = BitWriter()
-    _write_image_header(out, h, w, xyb=xyb, orientation=orientation)
+    _write_image_header(out, h, w, xyb=xyb, orientation=orientation,
+                        extra_alpha=alpha is not None)
     if xyb:
         # forward XYB (inverse of xyb.rs:34-60 + opsin inverse matrix)
         from jxl_oxide_tpu.ops.color import srgb_to_linear
@@ -181,6 +183,7 @@ def encode_jxl_vardct(
         _write_frame(out, rgb, global_scale, quant_lf, gabor, epf_iters,
                      frame_kind="regular", num_passes=num_passes,
                      pass_shifts=pass_shifts, pass_downsample=pass_downsample,
+                     alpha=alpha,
                      dct8_params=dct8_params, xyb=xyb,
                      x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale,
                      num_hf_presets=num_hf_presets,
@@ -191,7 +194,8 @@ def encode_jxl_vardct(
 
 
 def _write_image_header(out: BitWriter, h: int, w: int,
-                        xyb: bool = False, orientation: int = 1) -> None:
+                        xyb: bool = False, orientation: int = 1,
+                        extra_alpha: bool = False) -> None:
     out.write(0x0AFF, 16)
     out.write_bool(False)
     _write_size_u32(out, h)
@@ -208,7 +212,11 @@ def _write_image_header(out: BitWriter, h: int, w: int,
         out.write_bool(False)  # no extra_fields
     _write_bit_depth(out, 8)
     out.write_bool(True)  # modular_16bit_buffers
-    out.write_u32_sel(0, 0, 0)  # num_extra = 0
+    if extra_alpha:
+        out.write(1, 2)       # num_extra = 1
+        out.write_bool(True)  # d_alpha default ExtraChannelInfo
+    else:
+        out.write_u32_sel(0, 0, 0)  # num_extra = 0
     out.write_bool(xyb)  # xyb_encoded
     out.write_bool(True)  # colour_encoding all_default (sRGB)
     if orientation != 1:
@@ -302,6 +310,7 @@ def _write_frame(
     epf_sharp_lut: list | None = None,
     epf_sigma: tuple | None = None,   # (quant_mul, pass0, pass2, border)
     epf_channel_scale: tuple | None = None,
+    alpha: np.ndarray | None = None,  # (h, w) int alpha EC samples
 ) -> None:
     h, w, _ = rgb.shape
     assert h <= 2048 and w <= 2048, "single-LF-group encoder"
@@ -410,6 +419,8 @@ def _write_frame(
         out.write_bool(False)  # do_ycbcr (absent when xyb_encoded)
     if not use_lf:
         out.write_u32_sel(0, 0, 0)  # upsampling = 1
+        if alpha is not None:
+            out.write_u32_sel(0, 0, 0)  # ec_upsampling[0] = 1
     if xyb:
         out.write(x_qm_scale, 3)
         out.write(b_qm_scale, 3)
@@ -422,6 +433,8 @@ def _write_frame(
         out.write_bool(False)  # have_crop
     if not is_lf:
         out.write_u32_sel(0, 0, 0)  # blending Replace
+        if alpha is not None:
+            out.write_u32_sel(0, 0, 0)  # EC blending Replace
         out.write_bool(True)  # is_last
     out.write_u32_sel(0, 0, 0)  # name len 0
     def _f16(v):
@@ -490,6 +503,11 @@ def _write_frame(
     sec.write_bool(True)  # HfBlockContext default
     sec.write_bool(True)  # LfChannelCorrelation all_default
     sec.write_bool(False)  # no global MA tree
+    if alpha is not None:
+        # GlobalModular carries the EC channel (full-res alpha <=
+        # group_dim stays a GLOBAL channel, prepare_gmodular)
+        assert h <= 256 and w <= 256, "EC must fit one group here"
+        _encode_local_modular(sec, [np.asarray(alpha, dtype=np.int64)])
     # GlobalModular: zero channels -> no modular header at all
 
     # LfGroup 0: LfCoeff (extra_precision + modular [y,x,b]), no mlf, HfMetadata

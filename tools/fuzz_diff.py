@@ -173,7 +173,19 @@ def gen_widened(rng) -> tuple[bytes, float, dict]:
     from encoder import encode_jxl_modular
     from encoder_vardct import encode_jxl_vardct
 
-    style = int(rng.integers(0, 4))
+    style = int(rng.integers(0, 5))
+    if style == 4:  # VarDCT + alpha EC (lossy + transparency)
+        h = w = int(rng.choice([64, 96]))
+        rgb = rng.random((h, w, 3)).astype(np.float32)
+        alpha = rng.integers(0, 256, (h, w))
+        kw = dict(
+            gabor=bool(rng.random() < 0.5),
+            epf_iters=int(rng.integers(0, 3)),
+            num_passes=int(rng.choice([1, 1, 2])),
+            xyb=bool(rng.random() < 0.5),
+        )
+        data = encode_jxl_vardct(rgb, alpha=alpha, **kw)
+        return data, VARDCT_TOL, {"kind": "vardct_alpha", "h": h, **kw}
     if style == 0:  # orientation, modular or vardct
         o = int(rng.integers(2, 9))
         if rng.random() < 0.5:

@@ -798,14 +798,18 @@ def _bench_modular_device(size: int = 2048) -> dict:
     }
 
 
-def _bench_jbr_reconstruct(size: int = 1024, reps: int = 4) -> float:
+def _bench_jbr_reconstruct(size: int = 1024, reps: int = 4):
     """BASELINE config 5: JPEG bitstream reconstruction (jxl-jbr).
     Host-only: jbrd header + coefficients -> byte-exact JPEG via the
     native scan encoder. Uses the test harness's synthetic jbrd builder
-    (tests/test_jbr.py), the same path the PIL-validated tests drive."""
+    (tests/test_jbr.py), the same path the PIL-validated tests drive.
+    Returns (restart-free serial MP/s, DRI-stream MP/s at all cores,
+    DRI-stream MP/s 1 thread) — restart segments encode segment-parallel
+    (VERDICT r4 item 10)."""
     sys.path.insert(0, "/root/repo/tests")
-    from test_jbr import make_fake_frame, make_jbrd_box
+    from test_jbr import make_fake_frame, make_jbrd_box, make_jbrd_box_dri
 
+    import jxl_oxide_tpu.utils.threads as th
     from jxl_oxide_tpu.jbr import JpegBitstreamData, reconstruct_jpeg
 
     rng = np.random.default_rng(12)
@@ -816,14 +820,27 @@ def _bench_jbr_reconstruct(size: int = 1024, reps: int = 4) -> float:
     quant = np.ones((8, 8), dtype=np.int32) * 4
     frame = make_fake_frame(size, size, lf, coeff, quant)
     jbrd = JpegBitstreamData(make_jbrd_box([0xC0, 0xC4, 0xDB, 0xDA, 0xD9]))
-    reconstruct_jpeg(jbrd, frame)  # warm
-    best = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        reconstruct_jpeg(jbrd, frame)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return size * size / best / 1e6
+    jbrd_dri = JpegBitstreamData(make_jbrd_box_dri(w8))  # 1 row/segment
+
+    def best_of(jb, threads):
+        th.set_num_threads(threads)
+        try:
+            reconstruct_jpeg(jb, frame)  # warm
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                reconstruct_jpeg(jb, frame)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        finally:
+            th.set_num_threads(None)
+        return size * size / best / 1e6
+
+    return (
+        best_of(jbrd, 1),
+        best_of(jbrd_dri, None or __import__("multiprocessing").cpu_count()),
+        best_of(jbrd_dri, 1),
+    )
 
 
 def _device_available(timeout_s: float = 180.0) -> bool:
@@ -849,11 +866,13 @@ def main() -> None:
           f"1024^2 single-LF-group: {host_1k_mpps:.1f} / {host_1k_1t:.1f})",
           file=sys.stderr)
     try:
-        jbr_mpps = _bench_jbr_reconstruct()
+        jbr_mpps, jbr_dri_mpps, jbr_dri_1t = _bench_jbr_reconstruct()
     except Exception as e:  # pragma: no cover
         print(f"jbr bench failed: {e}", file=sys.stderr)
-        jbr_mpps = 0.0
-    print(f"jpeg reconstruction: {jbr_mpps:.1f} MP/s", file=sys.stderr)
+        jbr_mpps = jbr_dri_mpps = jbr_dri_1t = 0.0
+    print(f"jpeg reconstruction: {jbr_mpps:.1f} MP/s (DRI stream: "
+          f"{jbr_dri_mpps:.1f} all-core / {jbr_dri_1t:.1f} 1t)",
+          file=sys.stderr)
 
     if not _device_available():
         print("device unreachable (tunnel down?) -- emitting host-only "
@@ -1045,6 +1064,8 @@ def main() -> None:
         "serving_batched_mpps": round(serving_batched, 2),
         "serving_stacked_vs_perimage": stacked_pair,
         "jbr_reconstruct_mpps": round(jbr_mpps, 1),
+        "jbr_reconstruct_dri_mpps": round(jbr_dri_mpps, 1),
+        "jbr_reconstruct_dri_mpps_1t": round(jbr_dri_1t, 1),
         "corpus_geomean_mpps": round(geomean, 2),
         "cases": results,
         "cases_device_resident": results_dev,

@@ -396,7 +396,7 @@ def jbr_encode_scan(comps_data, scan_type: int, has_dc: bool, ss: int,
                     se: int, al: int, w8: int, h8: int,
                     restart_interval: int, reset_points, extra_zero_runs,
                     nat8, padding_bits: bytes | None,
-                    padding_pos: int) -> tuple[bytes, int]:
+                    padding_pos: int, n_threads: int | None = None) -> tuple[bytes, int]:
     """Encode one JPEG scan in C++ (jxlhost_jbr_encode_scan).
 
     comps_data: list of (lf_plane i32, hf_plane i32, dc_offset, hs, vs,
@@ -406,6 +406,16 @@ def jbr_encode_scan(comps_data, scan_type: int, has_dc: bool, ss: int,
     from ..utils.errors import JxlEofError, JxlError
 
     lib = get_lib()
+    if n_threads is None:
+        from ..utils.threads import num_workers
+
+        # one worker per restart segment (sequential scans parallelize
+        # at restart boundaries; see jxlhost_jbr_encode_scan)
+        segs = (
+            (w8 * h8 + restart_interval - 1) // restart_interval
+            if restart_interval else 1
+        )
+        n_threads = num_workers(segs)
     n = len(comps_data)
     comp_meta = np.zeros(n * 10, dtype=np.int64)
     plane_ptrs = (ctypes.c_void_p * (n * 2))()
@@ -462,6 +472,7 @@ def jbr_encode_scan(comps_data, scan_type: int, has_dc: bool, ss: int,
         ctypes.c_uint64(len(padding_bits) * 8 if padding_bits else 0),
         ctypes.byref(pad_pos),
         ctypes.byref(out_ptr), ctypes.byref(out_len),
+        ctypes.c_int32(n_threads),
     )
     if ret == 1:
         raise JxlError("JPEG huffman symbol has no code")

@@ -594,6 +594,38 @@ def test_reconstruct_restart_intervals():
             np.testing.assert_allclose(block, expected, atol=1.5)
 
 
+def test_reconstruct_dri_parallel_parity():
+    """Segment-parallel scan encode (restart intervals, VERDICT r4 item
+    10): the multi-threaded native encode must be byte-identical to the
+    single-threaded native encode on a many-segment stream (64 MCU rows,
+    DRI=8 -> 32 segments)."""
+    from jxl_oxide_tpu import native
+
+    quant = np.full((8, 8), 16, dtype=np.int32)
+    rng = np.random.default_rng(21)
+    h, w = 64, 256
+    lf_quant = rng.integers(-15, 16, (h // 8, w // 8)).astype(np.int32)
+    coeff = rng.integers(-4, 5, (h, w)).astype(np.int32)
+    coeff[rng.random((h, w)) < 0.7] = 0
+
+    def run(threads):
+        import jxl_oxide_tpu.utils.threads as th
+
+        th.set_num_threads(threads)
+        try:
+            return reconstruct_jpeg(
+                JpegBitstreamData(make_jbrd_box_dri(8)),
+                make_fake_frame(w, h, lf_quant, coeff, quant),
+            )
+        finally:
+            th.set_num_threads(None)
+
+    par = run(4)
+    ser = run(1)
+    assert par == ser
+    assert par.count(b"\xff\xd0") >= 1  # restart markers present
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_jbr_differential_sweep(seed):
     """Randomized differential check: native and Python scan encoders

@@ -114,4 +114,24 @@ out = mimg._frames[0].decode_modular_frame()
 for c, o in zip(chans, out):
     assert np.array_equal(c, o)
 
+# segment-parallel jbr scan encode (restart intervals, round 5)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+from test_jbr import make_fake_frame, make_jbrd_box_dri  # noqa: E402
+
+from jxl_oxide_tpu.jbr import (  # noqa: E402
+    JpegBitstreamData,
+    reconstruct_jpeg,
+)
+
+quantj = np.full((8, 8), 16, dtype=np.int32)
+jh, jw = 128, 512
+lfj = rng.integers(-15, 16, (jh // 8, jw // 8)).astype(np.int32)
+cj = rng.integers(-4, 5, (jh, jw)).astype(np.int32)
+cj[rng.random((jh, jw)) < 0.7] = 0
+jpeg = reconstruct_jpeg(
+    JpegBitstreamData(make_jbrd_box_dri(8)),
+    make_fake_frame(jw, jh, lfj, cj, quantj),
+)
+assert jpeg.count(b"\xff\xd0") >= 1
+
 print("TSAN_OK")

@@ -731,10 +731,14 @@ def _bench_stacked_vs_perimage(size: int = 512, k: int = 8) -> dict:
         return run
 
     vfn = jax.vmap(fn)
-    n = 24
+    # iteration counts sized so K*t_iter dwarfs per-dispatch jitter on
+    # the tunnel (a 512^2 iteration is ~100 us; a 24-iteration chain's
+    # K/2K difference drowned in the ~ms dispatch noise and swung the
+    # per-image leg 4x between runs)
+    n_s, n_k = 512, 64
     runners = {
-        "s1": chained(fn, n, False), "s2": chained(fn, 2 * n, False),
-        "k1": chained(vfn, n, True), "k2": chained(vfn, 2 * n, True),
+        "s1": chained(fn, n_s, False), "s2": chained(fn, 2 * n_s, False),
+        "k1": chained(vfn, n_k, True), "k2": chained(vfn, 2 * n_k, True),
     }
     for r in runners.values():
         float(np.asarray(r()))  # compile + warm
@@ -745,12 +749,12 @@ def _bench_stacked_vs_perimage(size: int = 512, k: int = 8) -> dict:
             float(np.asarray(runners[name]()))
             best[name] = min(best[name], time.perf_counter() - t0)
 
-    def diff(a, b):
+    def diff(a, b, n):
         d = best[b] - best[a]
         return d if d > 0.05 * best[b] else best[b] / 2.0
 
-    t_single = diff("s1", "s2") / n
-    t_stack = diff("k1", "k2") / n
+    t_single = diff("s1", "s2", n_s) / n_s
+    t_stack = diff("k1", "k2", n_k) / n_k
     # per-dispatch round trip (the quantity the stack divides by K)
     @jax.jit
     def one_consumed():

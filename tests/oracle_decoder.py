@@ -1383,7 +1383,8 @@ def _o_norm_samples(g: np.ndarray, bd) -> np.ndarray:
     return np.where(sign == 1, -val, val)
 
 
-def _decode_modular_frame(secs, bs, image_header, fh, ma):
+def _decode_modular_frame(secs, bs, image_header, fh, ma,
+                          lf_dequant=(1 / 32.0, 1 / 4.0, 1 / 2.0)):
     """Modular frame at SAMPLE resolution: returns (color stack
     [>=n_color, h_s, w_s] — grayscale triplicated — , list of EC planes
     at their stored resolutions, list of total EC upsampling factors to
@@ -1426,8 +1427,22 @@ def _decode_modular_frame(secs, bs, image_header, fh, ma):
     depths = [meta.bit_depth] * n_color + [
         ec.bit_depth for ec in meta.ec_info
     ]
-    planes = [_o_norm_samples(g, bd) for g, bd in zip(grids, depths)]
-    color = planes[:n_color]
+    if meta.xyb_encoded and n_color == 3:
+        # convert_modular_xyb (image.rs:148-188): stream order [y, x, b],
+        # b += y, m/128 scaling -> float XYB planes [x, y, b]; the
+        # XYB->sRGB tail applies at the top level AFTER features and
+        # upsampling (the production postprocess order)
+        yg, xg, bg = (g.astype(np.float64) for g in grids[:3])
+        bg = bg + yg
+        m_x, m_y, m_b = (float(m) / 128.0 for m in lf_dequant)
+        color = [xg * m_x, yg * m_y, bg * m_b]
+        planes = color + [
+            _o_norm_samples(g, bd)
+            for g, bd in zip(grids[n_color:], depths[n_color:])
+        ]
+    else:
+        planes = [_o_norm_samples(g, bd) for g, bd in zip(grids, depths)]
+        color = planes[:n_color]
     if fh.do_ycbcr:
         # JPEG triangle chroma upsample to sample resolution, horizontal
         # then vertical (production fused order, render.py:171-186)
@@ -2047,7 +2062,7 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
             continue
         if fh.encoding == Encoding.MODULAR:
             color, ecs, ec_factors = _decode_modular_frame(
-                secs, lf_bs, image_header, fh, ma
+                secs, lf_bs, image_header, fh, ma, lf_dequant=lf_dequant
             )
         else:
             color = _decode_vardct_frame(
@@ -2142,6 +2157,15 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
             # (render/context.py _convert_color_for_record order)
             r, g, b = _o_ycbcr_to_rgb(planes[0], planes[1], planes[2])
             planes[0], planes[1], planes[2] = r, g, b
+        elif meta.xyb_encoded and fh.encoding == Encoding.MODULAR \
+                and planes.shape[0] >= 3:
+            # lossless-XYB modular: the XYB->sRGB tail applies after
+            # features/upsampling (VarDCT frames convert inside
+            # _decode_vardct_frame)
+            planes[:3] = _xyb_to_srgb(
+                planes[:3], meta.opsin_inverse_matrix,
+                meta.tone_mapping.intensity_target,
+            )
 
         if fh.frame_type.name in ("REGULAR", "SKIP_PROGRESSIVE"):
             canvas = _composite(

@@ -626,6 +626,25 @@ def test_oracle_pass_progressive(np_, shifts, ds):
 
 @pytest.mark.parametrize("kw", [
     dict(),
+    dict(squeeze=True),
+    dict(rct=True),
+])
+def test_oracle_modular_xyb(kw):
+    """Lossless-XYB modular streams (xyb_encoded + Modular encoding):
+    stream order [y, x, b], b += y, m/128 scaling (convert_modular_xyb,
+    image.rs:148-188), XYB->sRGB tail after features/upsampling — the
+    oracle's independent f64 leg vs production (round-5 widening)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(700)
+    chans = [rng.integers(0, 256, (32, 40), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8, xyb=True, **kw)
+    _assert_match(data, FEAT_TOL)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
     dict(gabor=True, epf_iters=2),
     dict(num_passes=2),
     dict(xyb=True),

@@ -173,7 +173,18 @@ def gen_widened(rng) -> tuple[bytes, float, dict]:
     from encoder import encode_jxl_modular
     from encoder_vardct import encode_jxl_vardct
 
-    style = int(rng.integers(0, 5))
+    style = int(rng.integers(0, 6))
+    if style == 5:  # lossless-XYB modular
+        h, w = int(rng.choice(MOD_DIMS)), int(rng.choice(MOD_DIMS))
+        chans = [rng.integers(0, 256, (h, w), dtype=np.int64)
+                 for _ in range(3)]
+        kw = {}
+        if rng.random() < 0.4:
+            kw["squeeze"] = True
+        elif rng.random() < 0.5:
+            kw["rct"] = True
+        data = encode_jxl_modular(chans, bit_depth=8, xyb=True, **kw)
+        return data, FEAT_TOL, {"kind": "modular_xyb", "h": h, **kw}
     if style == 4:  # VarDCT + alpha EC (lossy + transparency)
         h = w = int(rng.choice([64, 96]))
         rgb = rng.random((h, w, 3)).astype(np.float32)

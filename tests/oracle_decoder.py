@@ -2022,6 +2022,15 @@ def oracle_decode(data: bytes) -> list[np.ndarray]:
     frame_counter = 0
     num_prev_keyframes = 0
     last_keyframe_idx = None
+    if meta.preview is not None:
+        # the preview frame precedes frame 0 and is SKIPPED (api.py
+        # :407-418 / jxl-oxide lib.rs:384-411): parse its header with
+        # preview field coding (no duration/is_last) + TOC, hop over
+        bs.zero_pad_to_byte()
+        pstart = bs.pos // 8
+        pfh = FrameHeader.parse(bs, image_header, is_preview=True)
+        ptoc = Toc.parse(bs, pfh, pstart)
+        bs.pos = (bs.pos // 8 + ptoc.total_size) * 8
     while True:
         bs.zero_pad_to_byte()
         frame_start = bs.pos // 8

@@ -624,6 +624,35 @@ def test_oracle_pass_progressive(np_, shifts, ds):
     _assert_match(data, VARDCT_TOL)
 
 
+def test_oracle_cropped_frame():
+    """have_crop frames composite at (x0, y0) on the image-sized canvas
+    (header.rs crop fields; the round-5 per-channel blend-source
+    _composite rewrite made offset placement oracle-expressible)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(800)
+    chans = [rng.integers(0, 256, (12, 16), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(
+        chans, bit_depth=8, image_size=(24, 32), crop=(5, 3, 16, 12),
+    )
+    _assert_match(data, MOD_TOL)
+
+
+def test_oracle_preview_frame():
+    """Streams with a preview frame: the preview precedes frame 0 with
+    its own header coding (no duration/is_last) and is skipped
+    (lib.rs:384-411)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(801)
+    chans = [rng.integers(0, 256, (24, 24), dtype=np.int64)
+             for _ in range(3)]
+    pv = [rng.integers(0, 256, (8, 8), dtype=np.int64) for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8, preview_channels=pv)
+    _assert_match(data, MOD_TOL)
+
+
 @pytest.mark.parametrize("kw", [
     dict(),
     dict(squeeze=True),

@@ -173,7 +173,27 @@ def gen_widened(rng) -> tuple[bytes, float, dict]:
     from encoder import encode_jxl_modular
     from encoder_vardct import encode_jxl_vardct
 
-    style = int(rng.integers(0, 6))
+    style = int(rng.integers(0, 7))
+    if style == 6:  # cropped frames / preview frames
+        from encoder import encode_jxl_modular as _ej
+
+        if rng.random() < 0.5:
+            H, W = 24, 32
+            cw, ch_ = int(rng.integers(4, 20)), int(rng.integers(4, 16))
+            x0 = int(rng.integers(0, W - cw + 4))
+            y0 = int(rng.integers(0, H - ch_ + 4))
+            chans = [rng.integers(0, 256, (ch_, cw), dtype=np.int64)
+                     for _ in range(3)]
+            data = _ej(chans, bit_depth=8, image_size=(H, W),
+                       crop=(x0, y0, cw, ch_))
+            return data, MOD_TOL, {"kind": "crop", "rect": (x0, y0, cw, ch_)}
+        h, w = int(rng.choice(MOD_DIMS)), int(rng.choice(MOD_DIMS))
+        chans = [rng.integers(0, 256, (h, w), dtype=np.int64)
+                 for _ in range(3)]
+        pv = [rng.integers(0, 256, (8, 8), dtype=np.int64)
+              for _ in range(3)]
+        data = _ej(chans, bit_depth=8, preview_channels=pv)
+        return data, MOD_TOL, {"kind": "preview", "h": h}
     if style == 5:  # lossless-XYB modular
         h, w = int(rng.choice(MOD_DIMS)), int(rng.choice(MOD_DIMS))
         chans = [rng.integers(0, 256, (h, w), dtype=np.int64)

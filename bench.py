@@ -702,7 +702,7 @@ def _bench_stacked_vs_perimage(size: int = 512, k: int = 8) -> dict:
     data = encode_jxl_vardct(_smooth_rgb(size, size, seed=21), gabor=True,
                              epf_iters=2)
     img = JxlImage.from_bytes(data)
-    state, hf_global, fr = _host_stage_fast(img, 0)
+    state, hf_global, fr, _alpha = _host_stage_fast(img, 0)
     parts = state.fused_program_parts(hf_global)
     assert parts is not None
     _key, make_fn, inputs = parts

@@ -17,6 +17,8 @@ from __future__ import annotations
 import concurrent.futures as _cf
 from typing import Iterable, Sequence
 
+import numpy as np
+
 from .api import JxlImage
 
 __all__ = ["decode_batch", "decode_batch_stacked", "decode_iter"]
@@ -91,17 +93,20 @@ def decode_iter(streams: Iterable[bytes], *, frame: int = 0,
 
 def _host_stage_fast(img: JxlImage, frame: int):
     """Run ONLY the host entropy stage of a stream in the stacked-serving
-    envelope; returns (state, hf_global, frame_obj) or None when the
-    stream needs the general path. Envelope: one VarDCT keyframe
-    (including do_ycbcr and chroma-subsampled 4:2:0/4:2:2/4:4:0 — the
-    dominant JPEG-transcode shape), no extra channels / features /
-    upsampling / LF frames, orientation 1, non-grayscale, xyb or
-    plain-enum color, no CMS legs — i.e. the image pipeline after the
-    fused program is exactly ([ycbcr->rgb] -> color transform ->
-    interleave -> quantize), which is pointwise/shape-agnostic and
-    applies to a whole stacked batch at once."""
+    envelope; returns (state, hf_global, frame_obj, alpha_plane|None) or
+    None when the stream needs the general path. Envelope: one VarDCT
+    keyframe (including do_ycbcr and chroma-subsampled
+    4:2:0/4:2:2/4:4:0 — the dominant JPEG-transcode shape, and lossy +
+    full-res integer ALPHA — the web-transparency shape, round 5), no
+    other extra channels / features / upsampling / LF frames,
+    orientation 1, non-grayscale, xyb or plain-enum color, no CMS
+    legs — i.e. the image pipeline after the fused program is exactly
+    ([ycbcr->rgb] -> color transform -> interleave -> quantize) with
+    alpha passed through, which is pointwise/shape-agnostic and applies
+    to a whole stacked batch at once."""
     from .headers.frame import Encoding
     from .io.bitstream import Bitstream
+    from .render.render import _parse_integer_samples
     from .render.vardct import (
         HfGlobal,
         VardctFrameState,
@@ -110,14 +115,20 @@ def _host_stage_fast(img: JxlImage, frame: int):
         parse_lf_group,
     )
 
-    from .headers.image import ColourSpace
+    from .headers.image import ColourSpace, ExtraChannelType
 
     meta = img.image_header.metadata
+    ec_ok = len(meta.ec_info) <= 1 and all(
+        info.ty == ExtraChannelType.ALPHA
+        and info.dim_shift == 0
+        and not info.bit_depth.is_float
+        for info in meta.ec_info
+    )
     if (
         frame != 0
         or img.num_keyframes != 1
         or meta.orientation != 1
-        or meta.ec_info
+        or not ec_ok
         # CMS only matters for ICC legs (requested_icc / want_icc below):
         # a default PilCms instance always exists on JxlImage, and gating
         # on its mere presence silently killed the whole fast envelope
@@ -149,25 +160,37 @@ def _host_stage_fast(img: JxlImage, frame: int):
     ):
         return None
     lf_global = fr.parse_lf_global()
-    if lf_global.gmodular.modular is not None:
-        return None  # modular channels: general path
+    gmod = lf_global.gmodular
+    modular = gmod.modular
+    if modular is not None and not meta.ec_info:
+        return None  # unexpected modular channels: general path
+    if modular is not None:
+        mlf_groups, pass_groups = modular.prepare_groups(fr.pass_shifts)
+    else:
+        mlf_groups, pass_groups = {}, [{}]
 
     state = VardctFrameState(fr)
     if fr.toc.is_single_entry:
         bs = fr._single_bs
         state.place_lf_group(0, parse_lf_group(
-            bs, fr.image_header, header, lf_global, 0, None
+            bs, fr.image_header, header, lf_global, 0, mlf_groups.get(0)
         ))
         hf_global = HfGlobal(bs, fr.image_header, header, lf_global)
         for p in range(header.passes.num_passes):
             state.decode_pass_group_hf(bs, hf_global, p, 0)
+            sub = (
+                pass_groups[p].get(0) if p < len(pass_groups) else None
+            )
+            fr._decode_pass_group(bs, p, 0, sub, gmod)
     else:
         lf_jobs = list(range(header.num_lf_groups))
-        done = _decode_lf_groups_batch(fr, state, lf_global, lf_jobs, {})
+        done = _decode_lf_groups_batch(fr, state, lf_global, lf_jobs,
+                                       mlf_groups)
         for lf_idx in (i for i in lf_jobs if i not in done):
             bs = Bitstream(fr.section_bytes(fr.toc.entry_for("lf_group", lf_idx)))
             state.place_lf_group(lf_idx, parse_lf_group(
-                bs, fr.image_header, header, lf_global, lf_idx, None
+                bs, fr.image_header, header, lf_global, lf_idx,
+                mlf_groups.get(lf_idx),
             ))
         bs = Bitstream(fr.section_bytes(fr.toc.entry_for("hf_global")))
         hf_global = HfGlobal(bs, fr.image_header, header, lf_global)
@@ -176,7 +199,7 @@ def _host_stage_fast(img: JxlImage, frame: int):
             for g in range(header.num_groups):
                 by_group.setdefault(g, []).append((p, g))
         leftover = _decode_pass_groups_batch(
-            fr, state, hf_global, by_group, [{}], lf_global.gmodular
+            fr, state, hf_global, by_group, pass_groups, gmod
         )
         for jobs in leftover:
             for p, g in jobs:
@@ -184,7 +207,18 @@ def _host_stage_fast(img: JxlImage, frame: int):
                     fr.section_bytes(fr.toc.entry_for("group_pass", g, p))
                 )
                 state.decode_pass_group_hf(bs, hf_global, p, g)
-    return state, hf_global, fr
+                sub = (
+                    pass_groups[p].get(g) if p < len(pass_groups) else None
+                )
+                fr._decode_pass_group(bs, p, g, sub, gmod)
+    alpha = None
+    if modular is not None:
+        chans = modular.finish()
+        ec_int = chans[gmod.extra_channel_from]
+        alpha = _parse_integer_samples(
+            np.asarray(ec_int), meta.ec_info[0].bit_depth
+        )
+    return state, hf_global, fr, alpha
 
 
 def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
@@ -232,7 +266,7 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
         if fast is None:
             slow.append(i)
             continue
-        state, hf_global, fr = fast
+        state, hf_global, fr, alpha = fast
         if state.subsampled:
             parts = state.fused_subsampled_program_parts(
                 hf_global, copy_inputs=True
@@ -263,8 +297,9 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
         dtype_key = tuple(
             x.dtype.str for x in jax.tree.leaves(inputs)
         )
-        groups.setdefault((key, tail_key, dtype_key), []).append(
-            (i, img, state, make_fn, inputs)
+        has_alpha = alpha is not None
+        groups.setdefault((key, tail_key, dtype_key, has_alpha), []).append(
+            (i, img, state, make_fn, inputs, alpha)
         )
 
     _stacked_cache = decode_batch_stacked.__dict__.setdefault("_cache", {})
@@ -291,6 +326,10 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
             )
             placed = jax.device_put(stacked)
             out = batched(*placed)  # [N, 3, h, w]
+            alpha_stack = (
+                jax.device_put(np.stack([c[5] for c in chunk]))
+                if key[3] else None
+            )
             # color tail on the whole stack (ops are pointwise/shape-
             # agnostic), then one interleave+quantize readback
             img0 = chunk[0][1]
@@ -313,6 +352,10 @@ def decode_batch_stacked(streams: Sequence[bytes], *, frame: int = 0,
                 planes = list(ycbcr_to_rgb(planes[0], planes[1], planes[2]))
             if not tr.is_noop:
                 planes = list(tr.run(planes))
+            if alpha_stack is not None:
+                # alpha passes through the color tail untouched (the
+                # per-image path interleaves color + alpha the same way)
+                planes = planes + [alpha_stack]
             from .api import _finalize_fn
 
             if output == "u8":

@@ -1564,8 +1564,45 @@ def test_stacked_fast_envelope_engages():
     img = JxlImage.from_bytes(data)
     out = _host_stage_fast(img, 0)
     assert out is not None, "in-envelope stream rejected by fast path"
-    state, hf_global, fr = out
+    state, hf_global, fr, alpha = out
+    assert alpha is None
     assert state.fused_program_parts(hf_global) is not None
+
+
+def test_decode_batch_stacked_alpha():
+    """Lossy + full-res integer ALPHA streams are IN the stacked fast
+    envelope (round 5 — the web-transparency serving shape): the EC
+    decodes on host, stacks, and passes through the color tail into the
+    interleave; outputs bit-identical to the per-image path, and
+    alpha-less images form separate groups."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+    from jxl_oxide_tpu.serving import (
+        _host_stage_fast,
+        decode_batch,
+        decode_batch_stacked,
+    )
+
+    rng = np.random.default_rng(17)
+    streams = []
+    for i in range(4):
+        rgb = rng.random((128, 128, 3)).astype(np.float32)
+        alpha = rng.integers(0, 256, (128, 128)) if i % 2 == 0 else None
+        streams.append(encode_jxl_vardct(rgb, epf_iters=1, alpha=alpha))
+    # the alpha streams must ENGAGE the fast path
+    out = _host_stage_fast(JxlImage.from_bytes(streams[0]), 0)
+    assert out is not None and out[3] is not None
+    for output in ("u8", "f32"):
+        ref = decode_batch(streams, output=output, num_workers=2)
+        got = decode_batch_stacked(streams, output=output, num_workers=2)
+        for a, b in zip(ref, got):
+            assert a.shape == b.shape  # [H, W, 4] for the alpha pair
+            np.testing.assert_array_equal(a, b)
+    assert ref[0].shape[-1] == 4 and ref[1].shape[-1] == 3
 
 
 def test_decode_batch_stacked():

@@ -714,21 +714,28 @@ def _bench_stacked_vs_perimage(size: int = 512, k: int = 8) -> dict:
     ]
 
     def chained(f, n, stacked):
-        def body(i, acc):
-            ls = (dev_leaves, stacked_leaves)[stacked]
-            first = ls[0] + (i & 1).astype(ls[0].dtype)
-            args = jax.tree.unflatten(treedef, [first] + list(ls[1:]))
-            out = f(*args)
-            # consume EVERY output element: reading one scalar lets XLA
-            # dead-code-eliminate the other images/planes (the CLAUDE.md
-            # all-channel-consumption hazard)
-            return acc + jnp.sum(out)
-
+        # the input leaves MUST be jit ARGUMENTS: closing over device
+        # arrays in a zero-arg jit makes them compile-time constants and
+        # XLA folds the two (i & 1) parity variants into precomputed
+        # frames — the loop then measures nothing (observed 4-6x
+        # overread before this harness passed arguments)
         @jax.jit
-        def run():
+        def run(*leaves):
+            def body(i, acc):
+                first = leaves[0] + (i & 1).astype(leaves[0].dtype)
+                args = jax.tree.unflatten(
+                    treedef, [first] + list(leaves[1:])
+                )
+                out = f(*args)
+                # consume EVERY output element: reading one scalar lets
+                # XLA dead-code-eliminate the other images/planes (the
+                # CLAUDE.md all-channel-consumption hazard)
+                return acc + jnp.sum(out)
+
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        return run
+        ls = (dev_leaves, stacked_leaves)[stacked]
+        return lambda: run(*ls)
 
     vfn = jax.vmap(fn)
     # iteration counts sized so K*t_iter dwarfs per-dispatch jitter on
@@ -757,12 +764,12 @@ def _bench_stacked_vs_perimage(size: int = 512, k: int = 8) -> dict:
     t_stack = diff("k1", "k2", n_k) / n_k
     # per-dispatch round trip (the quantity the stack divides by K)
     @jax.jit
-    def one_consumed():
-        return jnp.sum(fn(*jax.tree.unflatten(treedef, dev_leaves)))
+    def one_consumed(*leaves):
+        return jnp.sum(fn(*jax.tree.unflatten(treedef, list(leaves))))
 
-    float(np.asarray(one_consumed()))
+    float(np.asarray(one_consumed(*dev_leaves)))
     disp = min(
-        _time_once(lambda: float(np.asarray(one_consumed())))
+        _time_once(lambda: float(np.asarray(one_consumed(*dev_leaves))))
         for _ in range(6)
     )
     px = size * size

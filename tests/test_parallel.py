@@ -384,6 +384,32 @@ def test_mesh_subsampled_420(caplog):
         np.testing.assert_array_equal(sharded, single, err_msg=str(ups))
 
 
+def test_mesh_vardct_alpha():
+    """VarDCT + alpha EC on the mesh: the EC's modular image decodes on
+    host while the color pipeline shards; output (incl. the alpha
+    channel) bit-identical to single-device."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder_vardct import encode_jxl_vardct
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(99)
+    rgb = rng.random((256, 256, 3)).astype(np.float32)
+    alpha = rng.integers(0, 256, (256, 256))
+    data = encode_jxl_vardct(rgb, gabor=True, epf_iters=1, alpha=alpha)
+    a1 = np.asarray(
+        JxlImage.from_bytes(data).render_frame(0).image_all_channels()
+    )
+    a2 = np.asarray(
+        JxlImage.from_bytes(data, mesh=decode_mesh(8))
+        .render_frame(0).image_all_channels()
+    )
+    assert a1.shape[-1] == 4
+    np.testing.assert_array_equal(a1, a2)
+
+
 def test_subsampled_smoothing_is_invalid_bitstream():
     """Chroma-subsampled VarDCT + adaptive LF smoothing raises
     JxlValidationError at FrameHeader.parse (VERDICT r4 item 2: the

@@ -179,16 +179,26 @@ def parse_global_modular(
         # JxlImageBuilder force_wide_buffers). The native decoder has the
         # i16 store path; the Python fallback stays wide.
         from .. import native as _native
-        from ..utils.options import device_modular_may_engage, get_force_wide
+        from ..utils.options import (
+            device_modular_forced,
+            device_modular_may_engage,
+            get_force_wide,
+        )
 
+        # the device modular tail computes in i32 (ops/modular_tail);
+        # decode wide so its results match the host lane bit for bit.
+        # Under AUTO selection only frames large enough to engage the
+        # tail (finish()'s >= 2^20-sample gate) give up the narrow i16
+        # fast path — small images on a local TPU keep it.
+        wide_for_device = device_modular_forced() or (
+            device_modular_may_engage() and cw * ch >= (1 << 20)
+        )
         narrow = (
             meta.modular_16bit_buffers
             and not meta.bit_depth.is_float
             and not get_force_wide()
             and _native.available()
-            # the device modular tail computes in i32 (ops/modular_tail);
-            # decode wide so its results match the host lane bit for bit
-            and not device_modular_may_engage()
+            and not wide_for_device
         )
         modular = ModularImage(
             bs,

@@ -250,6 +250,45 @@ def test_device_modular_tail_bit_exact(monkeypatch):
         np.testing.assert_array_equal(dev, host, err_msg=str(kw))
 
 
+def test_device_modular_auto_policy(monkeypatch):
+    """Auto selection (knob unset): on a locally-attached TPU the device
+    tail engages only for frames >= 2^20 samples — SMALL images keep the
+    narrow i16 fast path and the host transform tail (VERDICT r4 item 1:
+    the env knob demotes to an override)."""
+    import numpy as np
+
+    from jxl_oxide_tpu.utils import options as opts
+
+    monkeypatch.delenv("JXL_TPU_DEVICE_MODULAR", raising=False)
+    # CPU backend (tests): auto never engages
+    assert not opts.device_modular_may_engage()
+    # fake a locally-attached TPU
+    monkeypatch.setattr(opts, "local_accelerator", lambda: True)
+    assert opts.device_modular_may_engage()
+    assert not opts.device_modular_forced()
+
+    from jxl_oxide_tpu.render.frame import parse_lf_global  # noqa: F401
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from encoder import encode_jxl_modular
+
+    from jxl_oxide_tpu import JxlImage
+
+    rng = np.random.default_rng(44)
+    chans = [rng.integers(0, 256, (48, 64), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(chans, bit_depth=8, squeeze=True)
+    m = JxlImage(num_threads=1)
+    m.feed_bytes(data)
+    m.finish()
+    out = m._frames[0].decode_modular_frame()
+    # small frame on a "local TPU": narrow lane retained (i16 buffers)
+    assert out[0].dtype == np.int16
+    for c, o in zip(chans, out):
+        np.testing.assert_array_equal(o, c)
+
+
 def test_device_modular_tail_on_mesh(monkeypatch):
     """The device modular tail under a decode mesh: squeeze scans shard
     by rows (each shard's recurrence is independent), RCT/palette are

@@ -693,6 +693,33 @@ def test_oracle_vardct_extra_channel(kw):
     _assert_match(data, VARDCT_TOL)
 
 
+@pytest.mark.parametrize("np_", [1, 2])
+def test_oracle_vardct_extra_channel_multigroup(np_):
+    """MULTI-GROUP VarDCT + alpha: the EC's per-group modular substreams
+    sit after the HF tokens inside each last-pass group section
+    (pass_group.rs:139) and decode through the native HF batch's
+    returned bit positions — the first real-data coverage of that
+    production path."""
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+
+    rng = np.random.default_rng(610 + np_)
+    h = w = 512
+    bh, bw = h // 8, w // 8
+    sel = np.full((bh, bw), int(T.DCT8), dtype=np.int64)
+    mul = np.ones((bh, bw), dtype=np.int64)
+    coeff = rng.integers(-9, 10, (3, h, w)).astype(np.int64)
+    coeff[rng.random((3, h, w)) < 0.7] = 0
+    lf_q = rng.integers(-40, 41, (3, bh, bw)).astype(np.int64)
+    alpha = rng.integers(0, 256, (h, w))
+    data = encode_jxl_vardct_tiled(
+        h, w, sel, mul, coeff, lf_q, gabor=True, epf_iters=1,
+        alpha=alpha, num_passes=np_,
+    )
+    _assert_match(data, VARDCT_TOL)
+
+
 @pytest.mark.parametrize("o", list(range(2, 9)))
 def test_oracle_orientation(o):
     """EXIF orientations 2-8 through the oriented public surface

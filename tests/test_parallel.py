@@ -409,6 +409,31 @@ def test_mesh_vardct_alpha():
     assert a1.shape[-1] == 4
     np.testing.assert_array_equal(a1, a2)
 
+    # multi-group: EC substreams decode inside last-pass group sections
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T
+
+    h, w = 768, 256
+    bh, bw = h // 8, w // 8
+    sel = np.full((bh, bw), int(T.DCT8), dtype=np.int64)
+    mul = np.ones((bh, bw), dtype=np.int64)
+    coeff = rng.integers(-9, 10, (3, h, w)).astype(np.int64)
+    coeff[rng.random((3, h, w)) < 0.7] = 0
+    lf_q = rng.integers(-40, 41, (3, bh, bw)).astype(np.int64)
+    am = rng.integers(0, 256, (h, w))
+    data2 = encode_jxl_vardct_tiled(
+        h, w, sel, mul, coeff, lf_q, gabor=True, epf_iters=1, alpha=am,
+    )
+    b1 = np.asarray(
+        JxlImage.from_bytes(data2).render_frame(0).image_all_channels()
+    )
+    b2 = np.asarray(
+        JxlImage.from_bytes(data2, mesh=decode_mesh(8))
+        .render_frame(0).image_all_channels()
+    )
+    np.testing.assert_array_equal(b1, b2)
+
 
 def test_subsampled_smoothing_is_invalid_bitstream():
     """Chroma-subsampled VarDCT + adaptive LF smoothing raises

@@ -27,6 +27,7 @@ from encoder import (  # noqa: E402
     _pack_signed,
     _write_bit_depth,
     _write_size_u32,
+    encode_stream_tokens,
     tokenize_uint,
     write_ma_config,
     write_modular_header,
@@ -1045,6 +1046,7 @@ def encode_jxl_vardct_tiled(
     pass_shift: int = 1,                  # pass-0 coefficient downshift
     pass_shifts: list | None = None,      # per-pass coeff shifts (len n-1)
     pass_downsample: list | None = None,  # [(downsample, last_pass), ...]
+    alpha: np.ndarray | None = None,      # (h, w) int alpha EC samples
 ) -> bytes:
     """Synthesize a MULTI-GROUP (and multi-LF-group) VarDCT codestream
     with an explicit varblock layout over the whole image: the general
@@ -1078,7 +1080,7 @@ def encode_jxl_vardct_tiled(
     single = num_groups == 1
 
     out = BitWriter()
-    _write_image_header(out, h, w)
+    _write_image_header(out, h, w, extra_alpha=alpha is not None)
 
     # --- FrameHeader (VarDCT) ---
     out.zero_pad_to_byte()
@@ -1091,11 +1093,15 @@ def encode_jxl_vardct_tiled(
         for ups in jpeg_upsampling:
             out.write(ups, 2)
     out.write_u32_sel(0, 0, 0)  # upsampling
+    if alpha is not None:
+        out.write_u32_sel(0, 0, 0)  # ec_upsampling[0] = 1
     if pass_shifts is None and num_passes > 1:
         pass_shifts = [pass_shift] * (num_passes - 1)
     _write_passes(out, num_passes, pass_shifts, pass_downsample)
     out.write_bool(False)  # have_crop
     out.write_u32_sel(0, 0, 0)  # blending Replace
+    if alpha is not None:
+        out.write_u32_sel(0, 0, 0)  # EC blending Replace
     out.write_bool(True)  # is_last
     out.write_u32_sel(0, 0, 0)  # name len 0
     out.write_bool(False)  # restoration filter not default
@@ -1141,8 +1147,20 @@ def encode_jxl_vardct_tiled(
     lf_global.write(0, 2)
     lf_global.write_bool(True)  # HfBlockContext default (15 clusters)
     lf_global.write_bool(True)  # LfChannelCorrelation all_default
-    lf_global.write_bool(False)  # no global MA tree
-    # GlobalModular: zero channels -> no modular header
+    alpha_enc = None
+    if alpha is None:
+        lf_global.write_bool(False)  # no global MA tree
+        # GlobalModular: zero channels -> no modular header
+    else:
+        # GlobalModular with the full-res alpha EC channel: global
+        # single-leaf gradient tree + modular header; the channel itself
+        # exceeds group_dim so it splits into per-(last-pass x group)
+        # tiles inside the VarDCT sections (prepare_groups), leaving the
+        # global stream EMPTY (state + final-state only)
+        lf_global.write_bool(True)  # global MA tree
+        alpha_enc = write_ma_config(lf_global, 5)  # gradient
+        write_modular_header(lf_global, use_global_tree=True)
+        alpha_enc.encode_tokens(lf_global, [])
 
     # --- per-LF-group sections: LfCoeff + HfMetadata (local grids) ---
     lf_group_secs = []
@@ -1268,6 +1286,17 @@ def encode_jxl_vardct_tiled(
                 genc.encode_tokens(
                     gsec, group_tokens(gx, gy, coeff=coeff_pass[p])
                 )
+                if alpha is not None and p == num_passes - 1:
+                    # modular substream follows the HF tokens in the
+                    # same section (pass_group.rs:139); shift-0 channels
+                    # belong to the LAST pass (fh_pass_shifts)
+                    tile = np.asarray(
+                        alpha[gy * gd : (gy + 1) * gd,
+                              gx * gd : (gx + 1) * gd],
+                        dtype=np.int64,
+                    )
+                    write_modular_header(gsec, use_global_tree=True)
+                    encode_stream_tokens(gsec, alpha_enc, [tile], 5)
                 group_secs.append(gsec)
 
     sections = [lf_global, *lf_group_secs, hf_global, *group_secs]

@@ -391,6 +391,26 @@ def gen_multigroup(rng) -> tuple[bytes, float, dict]:
         kw["num_passes"] = 1
         kw["global_scale"] = 65536
         kw["xyb"] = bool(rng.random() < 0.5)
+    elif rng.random() < 0.4:
+        # multigroup + alpha: EC substreams inside last-pass sections
+        from encoder_vardct import encode_jxl_vardct_tiled
+
+        from jxl_oxide_tpu.models.vardct import TransformType as _T
+
+        bh, bw = h // 8, w // 8
+        sel = np.full((bh, bw), int(_T.DCT8), dtype=np.int64)
+        mul = np.ones((bh, bw), dtype=np.int64)
+        coeff = rng.integers(-9, 10, (3, h, w)).astype(np.int64)
+        coeff[rng.random((3, h, w)) < 0.7] = 0
+        lf_q = rng.integers(-40, 41, (3, bh, bw)).astype(np.int64)
+        am = rng.integers(0, 256, (h, w))
+        cfg = {"kind": "multigroup_vardct_alpha", "h": h, "w": w,
+               "num_passes": kw["num_passes"]}
+        return (encode_jxl_vardct_tiled(
+            h, w, sel, mul, coeff, lf_q, gabor=kw["gabor"],
+            epf_iters=kw["epf_iters"], alpha=am,
+            num_passes=kw["num_passes"],
+        ), VARDCT_TOL, cfg)
     rgb = rng.random((h, w, 3)).astype(np.float32)
     cfg = {"kind": "multigroup_vardct", "h": h, "w": w, **kw}
     return encode_jxl_vardct(rgb, **kw), VARDCT_TOL, cfg

@@ -693,6 +693,39 @@ def test_oracle_vardct_extra_channel(kw):
     _assert_match(data, VARDCT_TOL)
 
 
+def test_oracle_vardct_alpha_subsampled():
+    """4:2:0 chroma-subsampled VarDCT + full-res alpha: the JPEG-
+    transcode shape with transparency — per-channel stored-geometry
+    color pipelines compose with the EC's modular substreams."""
+    from encoder_vardct import encode_jxl_vardct_tiled
+
+    from jxl_oxide_tpu.models.vardct import TransformType as T, jpeg_shifts
+
+    rng = np.random.default_rng(620)
+    ups, h, w = (0, 1, 0), 512, 256
+    bh, bw = h // 8, w // 8
+    shifts = jpeg_shifts(ups)
+    sel = np.full((bh, bw), int(T.DCT8), dtype=np.int64)
+    mul = np.ones((bh, bw), dtype=np.int64)
+    coeff, lf_q = [], []
+    for c in range(3):
+        hs, vs = shifts[c]
+        sh = (h >> vs, w >> hs)
+        cp = np.zeros(sh, dtype=np.int64)
+        m = rng.random(sh) < 0.2
+        cp[m] = rng.integers(-9, 10, int(m.sum()))
+        coeff.append(cp)
+        lf_q.append(
+            rng.integers(-30, 31, (bh >> vs, bw >> hs)).astype(np.int64)
+        )
+    alpha = rng.integers(0, 256, (h, w))
+    data = encode_jxl_vardct_tiled(
+        h, w, sel, mul, coeff, lf_q, gabor=True, epf_iters=1,
+        jpeg_upsampling=ups, alpha=alpha,
+    )
+    _assert_match(data, VARDCT_TOL)
+
+
 @pytest.mark.parametrize("np_", [1, 2])
 def test_oracle_vardct_extra_channel_multigroup(np_):
     """MULTI-GROUP VarDCT + alpha: the EC's per-group modular substreams

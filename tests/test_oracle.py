@@ -358,6 +358,36 @@ def test_oracle_blending_chain(blend, alpha):
     _assert_match(data, MOD_TOL)
 
 
+@pytest.mark.parametrize("spec", [
+    1,                              # Add
+    3,                              # MulAdd (skip-alpha-channel rule)
+    4,                              # Mul, no clamp
+    {"mode": 4, "clamp": True},     # Mul with sample clamping
+    {"mode": 2, "clamp": True},     # Blend with clamped alpha
+])
+@pytest.mark.parametrize("alpha", [False, True])
+def test_oracle_blend_modes(spec, alpha):
+    """Frame-level Add/Mul/MulAdd blending (blend.rs:550-680): the modes
+    the Blend(2)-only chain test never reaches — including the MulAdd
+    alpha-channel skip rule and the Mul clamp flag (header.rs
+    BlendingInfo: clamp coded iff use_alpha-with-extra or Mul)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(501)
+    h = w = 24
+
+    def fr():
+        n = 3 + (1 if alpha else 0)
+        return [rng.integers(0, 256, (h, w), dtype=np.int64)
+                for _ in range(n)]
+
+    data = encode_jxl_modular(
+        fr(), bit_depth=8, extra_alpha=alpha,
+        animation_frames=[fr(), fr()], animation_blend=spec,
+    )
+    _assert_match(data, MOD_TOL)
+
+
 def test_oracle_palette_negative_indices_no_deltas():
     """nb_deltas == 0 with negative (delta-palette) indices: the
     prediction pass still applies to every index < nb_deltas — found by

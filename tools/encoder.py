@@ -673,7 +673,7 @@ def encode_jxl_modular(
     noise_lut=None,
     splines_spec: tuple | None = None,
     extra_alpha: bool = False,
-    animation_blend: bool = False,
+    animation_blend: bool | int | dict = False,
     spot_colour: tuple | None = None,
     upsampling: int = 1,
     do_ycbcr: bool = False,
@@ -1054,18 +1054,42 @@ def encode_jxl_modular(
             _crop_u32(chh)
         if frame_type in (0, 3):  # is_normal: blending/duration/is_last
             if blend:
-                # BlendingInfo: mode Blend(2), alpha 0, no clamp, source 0
-                out.write(2, 2)
+                # blend spec: True = Blend(2); int = that BlendMode raw
+                # value; dict allows {"mode", "ec_mode", "clamp"}.
+                # Wire format (header.rs BlendingInfo): mode U32(0,1,2,
+                # 3+u(2)); alpha_channel iff have_extra and use_alpha;
+                # clamp iff (have_extra and use_alpha) or mode==Mul;
+                # source iff the effective mode doesn't reset the canvas.
+                bmode, bclamp = 2, False
+                ec_mode = None
+                if blend is not True:
+                    if isinstance(blend, dict):
+                        bmode = int(blend.get("mode", 2))
+                        bclamp = bool(blend.get("clamp", False))
+                        ec_mode = blend.get("ec_mode")
+                    else:
+                        bmode = int(blend)
+                assert 1 <= bmode <= 4, "blending main mode must not reset"
+
+                def _binfo(mode, clamp):
+                    if mode < 3:
+                        out.write(mode, 2)
+                    else:
+                        out.write(3, 2)
+                        out.write(mode - 3, 2)
+                    use_alpha = mode in (2, 3)  # Blend / MulAdd
+                    if extra_alpha and use_alpha:
+                        out.write(0, 2)  # alpha_channel = 0
+                    if (extra_alpha and use_alpha) or mode == 4:
+                        out.write_bool(clamp)
+                    out.write(1, 2)  # source = slot 1 (prev frame there)
+
+                _binfo(bmode, bclamp)
                 if extra_alpha:
-                    out.write(0, 2)  # alpha_channel = 0
-                    out.write_bool(False)  # clamp
-                out.write(1, 2)  # source = slot 1 (prev frame saved there)
-                if extra_alpha:
-                    # alpha EC blends with itself (MixAlpha semantics)
-                    out.write(2, 2)
-                    out.write(0, 2)
-                    out.write_bool(False)
-                    out.write(1, 2)  # source (follows main resets_canvas)
+                    # alpha EC: Blend means MixAlpha on itself; other
+                    # modes follow the spec'd ec_mode (default = main)
+                    _binfo(bmode if ec_mode is None else int(ec_mode),
+                           bclamp)
             else:
                 out.write_u32_sel(0, 0, 0)  # blending mode Replace
                 if crop is not None:
@@ -1302,7 +1326,7 @@ def encode_jxl_modular(
         for fi, fchans in enumerate(all_frames):
             _write_one_frame(fchans, duration=1,
                              is_last=fi == len(all_frames) - 1,
-                             blend=animation_blend and fi > 0,
+                             blend=animation_blend if fi > 0 else False,
                              save_as_reference=1 if animation_blend else 0)
     else:
         _write_one_frame(enc_channels, duration=0, is_last=True,

@@ -83,7 +83,18 @@ def gen_modular(rng) -> tuple[bytes, float, dict]:
     else:  # blending chain, optional alpha
         alpha = bool(rng.random() < 0.5)
         kw["extra_alpha"] = alpha
-        kw["animation_blend"] = bool(rng.random() < 0.5)
+        r = rng.random()
+        if r < 0.35:
+            kw["animation_blend"] = False
+        elif r < 0.65:
+            kw["animation_blend"] = True  # Blend(2)
+        else:
+            # Add / MulAdd / Mul with a random clamp flag — the modes
+            # only reachable through the round-5 encoder widening
+            kw["animation_blend"] = {
+                "mode": int(rng.choice([1, 3, 4])),
+                "clamp": bool(rng.random() < 0.5),
+            }
         n = 3 + (1 if alpha else 0)
 
         def fr():

@@ -388,6 +388,51 @@ def test_oracle_blend_modes(spec, alpha):
     _assert_match(data, MOD_TOL)
 
 
+@pytest.mark.parametrize("spec", [True, 3])
+def test_oracle_blend_premultiplied_alpha(spec):
+    """alpha_associated=1: Blend takes the premultiplied branch
+    nv + bv*(1-na) instead of the straight-alpha mix (blend.rs:600-625);
+    never reachable before the extra_alpha_associated encoder knob."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(502)
+    h = w = 24
+
+    def fr():
+        return [rng.integers(0, 256, (h, w), dtype=np.int64)
+                for _ in range(4)]
+
+    data = encode_jxl_modular(
+        fr(), bit_depth=8, extra_alpha=True, extra_alpha_associated=True,
+        animation_frames=[fr(), fr()], animation_blend=spec,
+    )
+    _assert_match(data, MOD_TOL)
+
+
+@pytest.mark.parametrize("mode", [0, 3, 5, 6, 7])
+def test_oracle_patch_modes_below(mode):
+    """PatchBlendMode None/Mul/BlendBelow/MulAddAbove/MulAddBelow with a
+    patched alpha EC: the *Below variants swap (canvas, patch) operands
+    (patch.rs + blend.rs patch kernels) — only Replace/Add/BlendAbove
+    were generated before."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(510 + mode)
+    h = w = 32
+    base = [rng.integers(0, 256, (h, w), dtype=np.int64)
+            for _ in range(3)]
+    alpha = rng.integers(0, 256, (h, w), dtype=np.int64)
+    ref = [rng.integers(0, 256, (h, w), dtype=np.int64) for _ in range(3)]
+    ref_alpha = rng.integers(0, 256, (h, w), dtype=np.int64)
+    spec = dict(ref_idx=0, x0=2, y0=4, width=12, height=9, x=5, y=6,
+                mode=mode, ec_modes=[mode], clamp=bool(mode & 1))
+    data = encode_jxl_modular(
+        base + [alpha], bit_depth=8, extra_alpha=True,
+        reference_patch=(ref + [ref_alpha], spec),
+    )
+    _assert_match(data, FEAT_TOL)
+
+
 def test_oracle_palette_negative_indices_no_deltas():
     """nb_deltas == 0 with negative (delta-palette) indices: the
     prediction pass still applies to every index < nb_deltas — found by

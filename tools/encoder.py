@@ -673,6 +673,7 @@ def encode_jxl_modular(
     noise_lut=None,
     splines_spec: tuple | None = None,
     extra_alpha: bool = False,
+    extra_alpha_associated: bool = False,
     animation_blend: bool | int | dict = False,
     spot_colour: tuple | None = None,
     upsampling: int = 1,
@@ -882,7 +883,7 @@ def encode_jxl_modular(
                 out.write(3, 2)
                 out.write(alpha_dim_shift - 1, 3)
             out.write_u32_sel(0, 0, 0)  # name len 0
-            out.write_bool(False)  # alpha_associated
+            out.write_bool(extra_alpha_associated)  # alpha_associated
     if spot_colour:
         out.write_bool(False)  # not default
         _write_enum(out, 2)  # SpotColour

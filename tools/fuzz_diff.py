@@ -83,6 +83,8 @@ def gen_modular(rng) -> tuple[bytes, float, dict]:
     else:  # blending chain, optional alpha
         alpha = bool(rng.random() < 0.5)
         kw["extra_alpha"] = alpha
+        if alpha and rng.random() < 0.3:
+            kw["extra_alpha_associated"] = True  # premultiplied blend leg
         r = rng.random()
         if r < 0.35:
             kw["animation_blend"] = False
@@ -337,21 +339,30 @@ def gen_features(rng) -> tuple[bytes, float, dict]:
         data = encode_jxl_modular(base, bit_depth=8,
                                   splines_spec=([spec], qa))
         return data, FEAT_TOL, cfg
-    if style == 2:  # patches
+    if style == 2:  # patches (full PatchBlendMode set, optional alpha)
+        with_alpha = bool(rng.random() < 0.5)
         ref = [rng.integers(0, 256, (h, w), dtype=np.int64)
                for _ in range(3)]
-        mode = int(rng.choice([1, 2, 4]))
+        # alpha-dependent modes (4-7) only matter with an alpha EC
+        mode = int(rng.choice([0, 1, 2, 3, 4, 5, 6, 7] if with_alpha
+                              else [0, 1, 2, 3]))
         spec = dict(
             ref_idx=0,
             x0=int(rng.integers(0, w // 2)), y0=int(rng.integers(0, h // 2)),
             width=int(rng.integers(4, w // 2)),
             height=int(rng.integers(4, h // 2)),
             x=int(rng.integers(0, w // 2)), y=int(rng.integers(0, h // 2)),
-            mode=mode,
+            mode=mode, clamp=bool(rng.random() < 0.5),
         )
+        kw: dict = {}
+        if with_alpha:
+            spec["ec_modes"] = [int(rng.choice([0, 1, 2, 3, 4, 5, 6, 7]))]
+            base = base + [rng.integers(0, 256, (h, w), dtype=np.int64)]
+            ref = ref + [rng.integers(0, 256, (h, w), dtype=np.int64)]
+            kw["extra_alpha"] = True
         cfg["patch"] = spec
         data = encode_jxl_modular(base, bit_depth=8,
-                                  reference_patch=(ref, spec))
+                                  reference_patch=(ref, spec), **kw)
         return data, FEAT_TOL, cfg
     if style == 3:  # spot color EC
         spot = rng.integers(0, 256, (h, w), dtype=np.int64)

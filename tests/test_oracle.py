@@ -433,6 +433,70 @@ def test_oracle_patch_modes_below(mode):
     _assert_match(data, FEAT_TOL)
 
 
+@pytest.mark.parametrize("mode", [2, 3])
+def test_oracle_blend_second_alpha_channel(mode):
+    """Two alpha ECs with BlendingInfo.alpha_channel = 1: blending must
+    key alpha off the SECOND alpha EC (header.rs BlendingInfo
+    alpha_channel U32; blend.rs base/new alpha lookups) — every other
+    generated stream pins alpha_channel = 0."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(504)
+    h = w = 24
+
+    def fr():
+        return [rng.integers(0, 256, (h, w), dtype=np.int64)
+                for _ in range(5)]  # 3 color + alpha0 + alpha1
+
+    data = encode_jxl_modular(
+        fr(), bit_depth=8, extra_alpha=True,
+        extra_channel_specs=[dict(ty=0)],
+        animation_frames=[fr(), fr()],
+        animation_blend={"mode": mode, "alpha_channel": 1},
+    )
+    _assert_match(data, MOD_TOL)
+
+
+@pytest.mark.parametrize("mode", [4, 6])
+def test_oracle_patch_second_alpha_channel(mode):
+    """Patch blending entries carry an explicit alpha-channel token when
+    the image has >= 2 alpha ECs (patch.rs:165-168) — the token was
+    never emitted before; select the second alpha EC."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(505)
+    h = w = 32
+
+    def planes():
+        return [rng.integers(0, 256, (h, w), dtype=np.int64)
+                for _ in range(5)]
+
+    spec = dict(ref_idx=0, x0=2, y0=4, width=12, height=9, x=5, y=6,
+                mode=mode, ec_modes=[mode, mode], alpha_channel=1,
+                clamp=True)
+    data = encode_jxl_modular(
+        planes(), bit_depth=8, extra_alpha=True,
+        extra_channel_specs=[dict(ty=0)],
+        reference_patch=(planes(), spec),
+    )
+    _assert_match(data, FEAT_TOL)
+
+
+def test_oracle_crop_negative_offsets():
+    """Cropped frame placed partially above-left of the canvas
+    (header.rs packed-signed frame x0/y0; blending intersects the frame
+    rect with the image rect)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(503)
+    chans = [rng.integers(0, 256, (12, 14), dtype=np.int64)
+             for _ in range(3)]
+    data = encode_jxl_modular(
+        chans, bit_depth=8, image_size=(16, 20), crop=(-3, -2, 14, 12),
+    )
+    _assert_match(data, MOD_TOL)
+
+
 def test_oracle_palette_negative_indices_no_deltas():
     """nb_deltas == 0 with negative (delta-palette) indices: the
     prediction pass still applies to every index < nb_deltas — found by

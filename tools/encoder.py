@@ -516,12 +516,14 @@ def encode_stream_tokens(w: BitWriter, enc: AnsStreamEncoder, channels, predicto
 # Full image encoding
 
 
-def _encode_patches(w: BitWriter, spec: dict, num_extra: int = 0) -> None:
+def _encode_patches(w: BitWriter, spec: dict, num_extra: int = 0,
+                    num_alpha: int = 1) -> None:
     """Entropy-coded patch list (jxl-frame data/patch.rs): one PatchRef
     with one target; per-target blending info for color + each of
     num_extra ECs (mode per EC from spec["ec_modes"], default NONE).
     spec keys: ref_idx, x0, y0, width, height, x, y, mode
-    (PatchBlendMode raw value)."""
+    (PatchBlendMode raw value); optional alpha_channel coded per entry
+    when the mode uses alpha and the image has >= 2 alpha ECs."""
     enc = AnsStreamEncoder(10, 64, 6, DEFAULT_CFG)
     enc.write_header(w)
     toks = [
@@ -537,8 +539,10 @@ def _encode_patches(w: BitWriter, spec: dict, num_extra: int = 0) -> None:
     ]
     ec_modes = spec.get("ec_modes", [0] * num_extra)
     for mode in [spec["mode"]] + list(ec_modes):
-        toks.append(mode)       # ctx 5 (alpha-channel token only when
-                                # >= 2 alpha ECs exist — none here)
+        toks.append(mode)       # ctx 5
+        if mode >= 4 and num_alpha >= 2:
+            # alpha-channel selector (ctx 8), present per blending entry
+            toks.append(int(spec.get("alpha_channel", 0)))
         if mode >= 3:
             toks.append(int(spec.get("clamp", False)))  # ctx 9
     enc.encode_tokens(w, toks)
@@ -722,6 +726,9 @@ def encode_jxl_modular(
     n_ch = len(channels)
     num_extra = ((1 if extra_alpha else 0) + (1 if spot_colour else 0)
                  + len(extra_channel_specs or []))
+    num_alpha = ((1 if extra_alpha else 0)
+                 + sum(1 for s in (extra_channel_specs or [])
+                       if int(s["ty"]) == 0))
     n_color = n_ch - num_extra
     if grayscale is None:
         grayscale = n_color == 1
@@ -1061,12 +1068,13 @@ def encode_jxl_modular(
                 # 3+u(2)); alpha_channel iff have_extra and use_alpha;
                 # clamp iff (have_extra and use_alpha) or mode==Mul;
                 # source iff the effective mode doesn't reset the canvas.
-                bmode, bclamp = 2, False
+                bmode, bclamp, balpha = 2, False, 0
                 ec_mode = None
                 if blend is not True:
                     if isinstance(blend, dict):
                         bmode = int(blend.get("mode", 2))
                         bclamp = bool(blend.get("clamp", False))
+                        balpha = int(blend.get("alpha_channel", 0))
                         ec_mode = blend.get("ec_mode")
                     else:
                         bmode = int(blend)
@@ -1079,16 +1087,21 @@ def encode_jxl_modular(
                         out.write(3, 2)
                         out.write(mode - 3, 2)
                     use_alpha = mode in (2, 3)  # Blend / MulAdd
-                    if extra_alpha and use_alpha:
-                        out.write(0, 2)  # alpha_channel = 0
-                    if (extra_alpha and use_alpha) or mode == 4:
+                    if num_extra and use_alpha:
+                        # alpha_channel U32(0, 1, 2, 3 + u(3))
+                        if balpha < 3:
+                            out.write(balpha, 2)
+                        else:
+                            out.write(3, 2)
+                            out.write(balpha - 3, 3)
+                    if (num_extra and use_alpha) or mode == 4:
                         out.write_bool(clamp)
                     out.write(1, 2)  # source = slot 1 (prev frame there)
 
                 _binfo(bmode, bclamp)
-                if extra_alpha:
-                    # alpha EC: Blend means MixAlpha on itself; other
-                    # modes follow the spec'd ec_mode (default = main)
+                for _ in range(num_extra):
+                    # alpha ECs: Blend means MixAlpha on themselves;
+                    # other ECs/modes follow ec_mode (default = main)
                     _binfo(bmode if ec_mode is None else int(ec_mode),
                            bclamp)
             else:
@@ -1210,7 +1223,7 @@ def encode_jxl_modular(
         # LfGlobal section
         lf = BitWriter()
         if patch_spec is not None:
-            _encode_patches(lf, patch_spec, num_extra)
+            _encode_patches(lf, patch_spec, num_extra, num_alpha)
         if splines_spec is not None:
             _encode_splines(lf, *splines_spec)
         if noise_lut is not None:

@@ -193,8 +193,10 @@ def gen_widened(rng) -> tuple[bytes, float, dict]:
         if rng.random() < 0.5:
             H, W = 24, 32
             cw, ch_ = int(rng.integers(4, 20)), int(rng.integers(4, 16))
-            x0 = int(rng.integers(0, W - cw + 4))
-            y0 = int(rng.integers(0, H - ch_ + 4))
+            # negative offsets place the frame partially above/left of
+            # the canvas (header.rs packed-signed x0/y0)
+            x0 = int(rng.integers(-4, W - cw + 4))
+            y0 = int(rng.integers(-4, H - ch_ + 4))
             chans = [rng.integers(0, 256, (ch_, cw), dtype=np.int64)
                      for _ in range(3)]
             data = _ej(chans, bit_depth=8, image_size=(H, W),
@@ -356,10 +358,18 @@ def gen_features(rng) -> tuple[bytes, float, dict]:
         )
         kw: dict = {}
         if with_alpha:
-            spec["ec_modes"] = [int(rng.choice([0, 1, 2, 3, 4, 5, 6, 7]))]
-            base = base + [rng.integers(0, 256, (h, w), dtype=np.int64)]
-            ref = ref + [rng.integers(0, 256, (h, w), dtype=np.int64)]
+            n_alpha = 2 if rng.random() < 0.3 else 1
+            spec["ec_modes"] = [int(rng.choice([0, 1, 2, 3, 4, 5, 6, 7]))
+                                for _ in range(n_alpha)]
+            for _ in range(n_alpha):
+                base = base + [rng.integers(0, 256, (h, w), dtype=np.int64)]
+                ref = ref + [rng.integers(0, 256, (h, w), dtype=np.int64)]
             kw["extra_alpha"] = True
+            if n_alpha == 2:
+                # second alpha EC: the per-entry alpha-channel token
+                # becomes live for modes >= 4 (patch.rs:165-168)
+                kw["extra_channel_specs"] = [dict(ty=0)]
+                spec["alpha_channel"] = int(rng.integers(0, 2))
         cfg["patch"] = spec
         data = encode_jxl_modular(base, bit_depth=8,
                                   reference_patch=(ref, spec), **kw)

@@ -94,9 +94,13 @@ def gen_modular(rng) -> tuple[bytes, float, dict]:
             # Add / MulAdd / Mul with a random clamp flag — the modes
             # only reachable through the round-5 encoder widening
             kw["animation_blend"] = {
-                "mode": int(rng.choice([1, 3, 4])),
+                "mode": int(rng.choice([1, 2, 3, 4])),
                 "clamp": bool(rng.random() < 0.5),
             }
+            if rng.random() < 0.4:
+                # EC blending mode decoupled from the color mode
+                kw["animation_blend"]["ec_mode"] = int(
+                    rng.choice([1, 2, 3, 4]))
         n = 3 + (1 if alpha else 0)
 
         def fr():

@@ -71,6 +71,22 @@ def gather_seeds(rng) -> list[bytes]:
         encode_jxl_vardct(rng.random((64, 64, 3)).astype(np.float32),
                           gabor=True, epf_iters=1)
     )
+    # late round 5: two-alpha MulAdd blend chain + full-mode patch —
+    # exercises BlendingInfo.alpha_channel and the patch alpha token
+    def _fr5():
+        return [rng.integers(0, 256, (24, 24)).astype(np.int64)
+                for _ in range(5)]
+    seeds.append(encode_jxl_modular(
+        _fr5(), bit_depth=8, extra_alpha=True, extra_alpha_associated=True,
+        extra_channel_specs=[dict(ty=0)],
+        animation_frames=[_fr5()],
+        animation_blend={"mode": 3, "alpha_channel": 1}))
+    seeds.append(encode_jxl_modular(
+        _fr5()[:4], bit_depth=8, extra_alpha=True,
+        reference_patch=(
+            _fr5()[:4],
+            dict(ref_idx=0, x0=2, y0=2, width=10, height=8, x=4, y=4,
+                 mode=7, ec_modes=[5], clamp=True))))
     return seeds
 
 

@@ -482,6 +482,28 @@ def test_oracle_patch_second_alpha_channel(mode):
     _assert_match(data, FEAT_TOL)
 
 
+def test_oracle_blend_with_spot_ec():
+    """Animation blend chain whose only EC is a SpotColour: the frame
+    header codes a BlendingInfo for EVERY extra channel (header.rs:75),
+    not just alpha ones — the encoder previously dropped non-alpha EC
+    entries in the blend branch (a wire desync)."""
+    from encoder import encode_jxl_modular
+
+    rng = np.random.default_rng(506)
+    h = w = 24
+
+    def fr():
+        return [rng.integers(0, 256, (h, w), dtype=np.int64)
+                for _ in range(4)]  # 3 color + spot
+
+    data = encode_jxl_modular(
+        fr(), bit_depth=8, spot_colour=(0.8, 0.2, 0.1, 0.7),
+        animation_frames=[fr()],
+        animation_blend={"mode": 2, "ec_mode": 1},  # Blend color, Add EC
+    )
+    _assert_match(data, FEAT_TOL)
+
+
 def test_oracle_crop_negative_offsets():
     """Cropped frame placed partially above-left of the canvas
     (header.rs packed-signed frame x0/y0; blending intersects the frame
